@@ -1,0 +1,161 @@
+"""E1 — hierarchical cell index (S2-style, no reference counterpart).
+
+A Z-order (Morton) quadtree over equirectangular (lat, lon):
+
+* level L in [0, 26]; the grid is 2^L x 2^L over lon in [-180, 180),
+  lat in [-90, 90].
+* ``cell = (1 << 2L) | interleave(i_lon, j_lat)`` — the marker bit encodes
+  the level (like S2's trailing-bit trick), so ``parent = cell >> 2`` and
+  cell IDs at coarser levels are prefixes: range-partitioning by cell ID
+  range-partitions space hierarchically.
+* max level 26 keeps IDs < 2^53 (exact in doubles, friendly everywhere).
+
+Implemented three ways with IDENTICAL arithmetic (so the DuckDB oracle can
+reproduce Spark bit-for-bit): numpy (kernels), pyspark Column (JVM fast
+path), and a SQL-string generator.  The Morton spread is the classic 5-step
+mask-shift; quantization is ``floor((lon+180)/360 * 2^L)`` clamped.
+
+Neighbor/k-ring math (for kNN, E3) is numpy-only: decode -> (i, j) ->
+Chebyshev ring with lon wraparound and lat clamping -> re-encode.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MAX_LEVEL = 26
+
+_MASKS = [
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+]
+
+
+# ----------------------------------------------------------------- numpy ---
+
+def _spread_np(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.int64)
+    for shift, mask in _MASKS:
+        x = (x | (x << shift)) & mask
+    return x
+
+
+def _compact_np(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.int64) & 0x5555555555555555
+    for shift, mask in reversed(_MASKS):
+        x = (x | (x >> shift)) & _next_mask(mask)
+    return x
+
+
+def _next_mask(mask: int) -> int:
+    # inverse ladder for compact: after un-shifting by s, bits group into 2s runs
+    if mask == 0x5555555555555555:
+        return 0x3333333333333333
+    if mask == 0x3333333333333333:
+        return 0x0F0F0F0F0F0F0F0F
+    if mask == 0x0F0F0F0F0F0F0F0F:
+        return 0x00FF00FF00FF00FF
+    if mask == 0x00FF00FF00FF00FF:
+        return 0x0000FFFF0000FFFF
+    return 0x00000000FFFFFFFF
+
+
+def quantize_np(lat, lon, level: int):
+    n = float(1 << level)
+    i = np.floor((lon + 180.0) / 360.0 * n)
+    j = np.floor((lat + 90.0) / 180.0 * n)
+    i = np.clip(i, 0, n - 1).astype(np.int64)
+    j = np.clip(j, 0, n - 1).astype(np.int64)
+    return i, j
+
+def cell_from_ij_np(i: np.ndarray, j: np.ndarray, level: int) -> np.ndarray:
+    marker = np.int64(1) << np.int64(2 * level)
+    return marker | _spread_np(i) | (_spread_np(j) << 1)
+
+
+def cell_np(lat, lon, level: int) -> np.ndarray:
+    """lat/lon arrays -> int64 cell IDs at `level`."""
+    i, j = quantize_np(np.asarray(lat, dtype=np.float64), np.asarray(lon, dtype=np.float64), level)
+    return cell_from_ij_np(i, j, level)
+
+
+def cell_to_ij_np(cell: np.ndarray):
+    """cell IDs -> (i, j, level). Vectorized; assumes uniform level."""
+    cell = np.asarray(cell, dtype=np.int64)
+    level = cell_level(int(cell.flat[0]))
+    marker = np.int64(1) << np.int64(2 * level)
+    body = cell & (marker - 1)
+    return _compact_np(body), _compact_np(body >> 1), level
+
+
+def cell_level(cell: int) -> int:
+    return (int(cell).bit_length() - 1) // 2
+
+
+def cell_parent(cell, steps: int = 1):
+    """Parent `steps` levels up — works on ints, numpy arrays, or Columns."""
+    if isinstance(cell, Column):
+        return F.shiftright(cell, 2 * steps)
+    return cell >> (2 * steps)
+
+
+def k_ring_np(cell: np.ndarray, k: int) -> np.ndarray:
+    """All cells within Chebyshev distance k (the (2k+1)^2 block), with lon
+    wraparound and lat clamping.  Returns shape (len(cell), <= (2k+1)^2);
+    out-of-range latitudes are repeated onto the clamped row (duplicates are
+    fine for join candidate generation).
+    """
+    i, j, level = cell_to_ij_np(cell)
+    n = np.int64(1 << level)
+    offs = np.arange(-k, k + 1, dtype=np.int64)
+    di, dj = np.meshgrid(offs, offs, indexing="ij")
+    ii = (i[:, None] + di.ravel()[None, :]) % n
+    jj = np.clip(j[:, None] + dj.ravel()[None, :], 0, n - 1)
+    marker = np.int64(1) << np.int64(2 * level)
+    return marker | _spread_np(ii) | (_spread_np(jj) << 1)
+
+
+# ---------------------------------------------------------------- Column ---
+
+def _spread_col(x: Column) -> Column:
+    for shift, mask in _MASKS:
+        x = (x.bitwiseOR(F.shiftleft(x, shift))).bitwiseAND(F.lit(mask))
+    return x
+
+
+def quantize_cols(lat: Column, lon: Column, level: int) -> tuple[Column, Column]:
+    n = float(1 << level)
+    i = F.floor((lon + 180.0) / 360.0 * F.lit(n)).cast("long")
+    j = F.floor((lat + 90.0) / 180.0 * F.lit(n)).cast("long")
+    i = F.least(F.greatest(i, F.lit(0)), F.lit(int(n) - 1))
+    j = F.least(F.greatest(j, F.lit(0)), F.lit(int(n) - 1))
+    return i, j
+
+
+def cell_col(lat: Column, lon: Column, level: int) -> Column:
+    """JVM-side cell ID — pure Column bit math, whole-stage-codegen friendly."""
+    i, j = quantize_cols(lat, lon, level)
+    marker = F.lit(1 << (2 * level)).cast("long")
+    return marker.bitwiseOR(_spread_col(i)).bitwiseOR(F.shiftleft(_spread_col(j), 1))
+
+
+# ------------------------------------------------------------------- SQL ---
+
+def _spread_sql(x: str) -> str:
+    expr = x
+    for shift, mask in _MASKS:
+        expr = f"((({expr}) | (({expr}) << {shift})) & {mask})"
+    return expr
+
+
+def cell_sql(lat: str, lon: str, level: int) -> str:
+    """The identical cell ID as a DuckDB SQL expression."""
+    n = float(1 << level)
+    i = f"least(greatest(CAST(floor((({lon}) + 180.0) / 360.0 * {n!r}) AS BIGINT), 0), {int(n) - 1})"
+    j = f"least(greatest(CAST(floor((({lat}) + 90.0) / 180.0 * {n!r}) AS BIGINT), 0), {int(n) - 1})"
+    return f"({1 << (2 * level)} | {_spread_sql(i)} | ({_spread_sql(j)} << 1))"
