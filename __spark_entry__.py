@@ -1,38 +1,85 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+The driver's verify runs ``entry(spark)`` as a smoke check, runs each
+``queries()[name]`` at sf=0.01 and compares it against the matching
+``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
+value-hash → CORRECTNESS_r{N}.json).
+
+Implementations live in ``gotrackmaster_spark.driver_queries``; this module
+is just the registry.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gotrackmaster_spark import driver_queries as Q  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: geotag sf0.001 events, assign degree tiles + cells, PIP-join
+    against the polygon layer, aggregate per (polygon, tile)."""
+    from pyspark.sql import functions as F
+
+    from gotrackmaster_spark.functions.cells import cell_col
+    from gotrackmaster_spark.functions.tiles import tile_name_col
+    from gotrackmaster_spark.operators.spatial import point_in_polygon_join
+
+    sf_dir = "/root/testdata/sf0.001"
+    pts = Q.geo_events(spark, sf_dir).select("event_id", "user_id", "lat", "lon")
+    polys = Q.rect_polygons(spark, sf_dir)
+    hits = point_in_polygon_join(pts, polys, level=7)
+    return (
+        hits.withColumn("tile", tile_name_col(F.col("lat"), F.col("lon"), 1.0))
+        .withColumn("cell5", F.shiftright(cell_col(F.col("lat"), F.col("lon"), 12), 14))
+        .groupBy("poly_id", "tile")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.countDistinct("cell5").alias("n_cells"),
+            F.countDistinct("user_id").alias("n_tracks"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "leg_haversine_sum": Q.q_leg_haversine_sum,
+        "tile_counts": Q.q_tile_counts,
+        "bounds_tiles": Q.q_bounds_tiles,
+        "cell_parent_counts": Q.q_cell_parent_counts,
+        "speed_defect_counts": Q.q_speed_defect_counts,
+        "time_quality": Q.q_time_quality,
+        "creator_counts": Q.q_creator_counts,
+        "pip_counts": Q.q_pip_counts,
+        "knn": Q.q_knn,
+        "duplicate_pairs": Q.q_duplicate_pairs,
+        "dem_bands": Q.q_dem_bands,
+        "mercator_tiles": Q.q_mercator_tiles,
+        "token_stats": Q.q_token_stats,
+        "doc_fingerprints": Q.q_doc_fingerprints,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "leg_haversine_sum": Q.SQL_LEG_HAVERSINE_SUM,
+        "tile_counts": Q.SQL_TILE_COUNTS,
+        "bounds_tiles": Q.SQL_BOUNDS_TILES,
+        "cell_parent_counts": Q.SQL_CELL_PARENT_COUNTS,
+        "speed_defect_counts": Q.SQL_SPEED_DEFECT_COUNTS,
+        "time_quality": Q.SQL_TIME_QUALITY,
+        "creator_counts": Q.SQL_CREATOR_COUNTS,
+        "pip_counts": Q.SQL_PIP_COUNTS,
+        "knn": Q.SQL_KNN,
+        "duplicate_pairs": Q.SQL_DUPLICATE_PAIRS,
+        "dem_bands": Q.SQL_DEM_BANDS,
+        "mercator_tiles": Q.SQL_MERCATOR_TILES,
+        "token_stats": Q.SQL_TOKEN_STATS,
+        "doc_fingerprints": Q.SQL_DOC_FINGERPRINTS,
+    }

@@ -1,0 +1,722 @@
+"""Driver-facing queries + DuckDB oracles (the correctness gate).
+
+Every operator from SURVEY.md §2 that is SQL-expressible appears here twice
+with IDENTICAL semantics: a Spark DataFrame builder (the engine path — cell
+joins, broadcast coverings, pandas-UDF refinement) and an ANSI-SQL string
+the driver runs through DuckDB on the same parquet tables.
+
+Determinism rules used throughout (so value-hashes match bit-for-bit or to
+a rounding guard):
+
+* Geo columns are SYNTHESIZED from integer keys with exact int64 modular
+  arithmetic followed by one exact float division — both engines produce
+  identical float64 bits.
+* Float aggregates are rounded (the two engines may sum in different
+  orders; libm sin/cos can differ in the last ULP) — rounding granularity
+  chosen so the residual error is ~10 orders of magnitude below the step.
+* Rankings order by (rounded metric, id) in BOTH engines, so last-ULP
+  metric differences cannot reorder rows.
+
+The geotag layout mirrors the graft contract (BASELINE.json input_hint):
+``events`` plays the geotagged fact table; each event is a "track point"
+with ``user_id`` as the track key, exactly how the images table carries
+(lat, lon, ele, ts, track_id, pt_idx).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gotrackmaster_spark.functions.cells import cell_col, cell_sql
+from gotrackmaster_spark.functions.geodesy import (
+    distance_2d_col,
+    distance_2d_sql,
+    haversine_col,
+    haversine_sql,
+)
+from gotrackmaster_spark.functions.tiles import (
+    lat_tile_col,
+    lat_tile_sql,
+    lon_tile_col,
+    lon_tile_sql,
+    mercator_tile_cols,
+    mercator_tile_sql,
+    tile_name_col,
+    tile_name_sql,
+)
+
+# --------------------------------------------------------------------------
+# Synthesized geotags over `events` (exact integer → float arithmetic).
+# --------------------------------------------------------------------------
+
+GO_ZERO_US = -62135596800 * 1_000_000  # Go zero time.Time in epoch µs
+
+_LAT = "((event_id * 2654435761) % 1600000) / 10000.0 - 80.0"
+_LON = "((event_id * 40503 + 7) % 3600000) / 10000.0 - 180.0"
+_ELE = "CAST(((event_id * 97) % 3000) - 50 AS DOUBLE)"
+
+GEO_CTE = f"""
+geo AS (
+  SELECT event_id, user_id, ts, event_type, value,
+         {_LAT} AS lat,
+         {_LON} AS lon,
+         {_ELE} AS ele
+  FROM events
+)
+"""
+
+
+def geo_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The geotagged points table (Spark mirror of GEO_CTE)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.withColumn("lat", (F.col("event_id") * F.lit(2654435761)) % 1600000 / 10000.0 - 80.0)
+        .withColumn("lon", (F.col("event_id") * F.lit(40503) + 7) % 3600000 / 10000.0 - 180.0)
+        .withColumn("ele", ((F.col("event_id") * 97) % 3000 - 50).cast("double"))
+    )
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# W3 — per-track leg Haversine sum (window lag + agg)
+# --------------------------------------------------------------------------
+
+def q_leg_haversine_sum(spark, sf_dir):
+    from pyspark.sql import Window
+
+    pts = geo_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    legs = pts.select(
+        "user_id",
+        haversine_col(
+            F.lag("lat").over(w), F.lag("lon").over(w), F.col("lat"), F.col("lon")
+        ).alias("leg_m"),
+    )
+    return legs.groupBy("user_id").agg(
+        F.round(F.sum("leg_m"), 1).alias("total_m"),
+        F.count("leg_m").alias("n_legs"),
+    )
+
+
+SQL_LEG_HAVERSINE_SUM = f"""
+WITH {GEO_CTE},
+legs AS (
+  SELECT user_id,
+         {haversine_sql('lag(lat) OVER w', 'lag(lon) OVER w', 'lat', 'lon')} AS leg_m
+  FROM geo
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, round(sum(leg_m), 1) AS total_m, count(leg_m) AS n_legs
+FROM legs GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# T1 — degree-grid tile assignment counts (1° and 0.5°)
+# --------------------------------------------------------------------------
+
+def q_tile_counts(spark, sf_dir):
+    pts = geo_events(spark, sf_dir)
+    return (
+        pts.select(
+            tile_name_col(F.col("lat"), F.col("lon"), 1.0).alias("tile1"),
+            tile_name_col(F.col("lat"), F.col("lon"), 0.5).alias("tile05"),
+        )
+        .groupBy("tile1", "tile05")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_TILE_COUNTS = f"""
+WITH {GEO_CTE}
+SELECT {tile_name_sql('lat', 'lon', 1.0)} AS tile1,
+       {tile_name_sql('lat', 'lon', 0.5)} AS tile05,
+       count(*) AS n
+FROM geo GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# A1 + T2 — per-track bbox and corner tiles (ordered dedup as 4 columns)
+# --------------------------------------------------------------------------
+
+def q_bounds_tiles(spark, sf_dir):
+    pts = geo_events(spark, sf_dir)
+    b = pts.groupBy("user_id").agg(
+        F.min("lat").alias("min_lat"),
+        F.max("lat").alias("max_lat"),
+        F.min("lon").alias("min_lon"),
+        F.max("lon").alias("max_lon"),
+    )
+    lat1 = lat_tile_col(F.col("min_lat"), 1.0)
+    lon1 = lon_tile_col(F.col("min_lon"), 1.0)
+    lat2 = lat_tile_col(F.col("max_lat"), 1.0)
+    lon2 = lon_tile_col(F.col("max_lon"), 1.0)
+    return b.select(
+        "user_id", "min_lat", "max_lat", "min_lon", "max_lon",
+        F.concat(lat1, lon1).alias("tile_a"),
+        F.when(lon1 != lon2, F.concat(lat1, lon2)).alias("tile_b"),
+        F.when(lat1 != lat2, F.concat(lat2, lon1)).alias("tile_c"),
+        F.when((lat1 != lat2) & (lon1 != lon2), F.concat(lat2, lon2)).alias("tile_d"),
+    )
+
+
+def _sql_bounds_tiles() -> str:
+    lat1 = lat_tile_sql("min_lat", 1.0)
+    lon1 = lon_tile_sql("min_lon", 1.0)
+    lat2 = lat_tile_sql("max_lat", 1.0)
+    lon2 = lon_tile_sql("max_lon", 1.0)
+    return f"""
+WITH {GEO_CTE},
+b AS (
+  SELECT user_id, min(lat) AS min_lat, max(lat) AS max_lat,
+         min(lon) AS min_lon, max(lon) AS max_lon
+  FROM geo GROUP BY user_id
+)
+SELECT user_id, min_lat, max_lat, min_lon, max_lon,
+  {lat1} || {lon1} AS tile_a,
+  CASE WHEN {lon1} <> {lon2} THEN {lat1} || {lon2} END AS tile_b,
+  CASE WHEN {lat1} <> {lat2} THEN {lat2} || {lon1} END AS tile_c,
+  CASE WHEN {lat1} <> {lat2} AND {lon1} <> {lon2} THEN {lat2} || {lon2} END AS tile_d
+FROM b
+"""
+
+
+SQL_BOUNDS_TILES = _sql_bounds_tiles()
+
+
+# --------------------------------------------------------------------------
+# E1 — hierarchical cell index: level-12 cells rolled up to level-5 parents
+# --------------------------------------------------------------------------
+
+def q_cell_parent_counts(spark, sf_dir):
+    pts = geo_events(spark, sf_dir)
+    return (
+        pts.select(cell_col(F.col("lat"), F.col("lon"), 12).alias("cell12"))
+        .select(F.shiftright(F.col("cell12"), 2 * (12 - 5)).alias("cell5"))
+        .groupBy("cell5")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_CELL_PARENT_COUNTS = f"""
+WITH {GEO_CTE}
+SELECT ({cell_sql('lat', 'lon', 12)} >> {2 * (12 - 5)}) AS cell5, count(*) AS n
+FROM geo GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# W2/W4 — hybrid 2D distance + speed defect counts per track
+# --------------------------------------------------------------------------
+
+_SPEED_MAX = 1000.0  # m/s threshold over synthetic (teleporting) points
+
+
+def q_speed_defect_counts(spark, sf_dir):
+    from pyspark.sql import Window
+
+    pts = geo_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = distance_2d_col(
+        F.lag("lat").over(w), F.lag("lon").over(w), F.col("lat"), F.col("lon")
+    )
+    dt = (F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))) / 1e6
+    pairs = pts.select(
+        "user_id",
+        F.when(dt == 0, 0.0).otherwise(d / dt).alias("speed"),
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.when(F.col("speed") > _SPEED_MAX, 1)).alias("n_defects"),
+        F.count(F.col("speed")).alias("n_pairs"),
+    )
+
+
+SQL_SPEED_DEFECT_COUNTS = f"""
+WITH {GEO_CTE},
+pairs AS (
+  SELECT user_id,
+    CASE WHEN (epoch_us(ts) - epoch_us(lag(ts) OVER w)) = 0 THEN 0.0
+         ELSE ({distance_2d_sql('lag(lat) OVER w', 'lag(lon) OVER w', 'lat', 'lon')})
+              / ((epoch_us(ts) - epoch_us(lag(ts) OVER w)) / 1e6)
+    END AS speed
+  FROM geo
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       count(CASE WHEN speed > {_SPEED_MAX!r} THEN 1 END) AS n_defects,
+       count(speed) AS n_pairs
+FROM pairs GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# A3 — TimeQuality per track (trackmaster/time.go:108-132, exact integer
+# arithmetic, num>total→0, integer division).  Invalid/zero/backwards times
+# are synthesized deterministically from event_id.
+# --------------------------------------------------------------------------
+
+_NOW_US = 1767225600 * 1_000_000  # fixed `now` parameter: 2026-01-01 UTC
+_Y2K_US = 946684800 * 1_000_000
+
+# epoch µs with deterministic corruption: zero sentinel / pre-2000 / jitter
+_TS2_US = f"""CASE
+  WHEN event_id % 17 = 0 THEN {GO_ZERO_US}
+  WHEN event_id % 31 = 0 THEN epoch_us(ts) - 1009459200000000
+  ELSE epoch_us(ts) + ((event_id * 7919) % 1000 - 500) * 1000000 END"""
+
+
+def _ts2_us_col():
+    return (
+        F.when(F.col("event_id") % 17 == 0, F.lit(GO_ZERO_US))
+        .when(F.col("event_id") % 31 == 0, F.unix_micros(F.col("ts").cast("timestamp")) - 1009459200000000)
+        .otherwise(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + ((F.col("event_id") * 7919) % 1000 - 500) * 1000000
+        )
+    )
+
+
+def q_time_quality(spark, sf_dir):
+    from pyspark.sql import Window
+
+    pts = geo_events(spark, sf_dir).withColumn("ts2_us", _ts2_us_col())
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    flags = pts.select(
+        "user_id",
+        F.when(
+            ~(
+                (F.col("ts2_us") != GO_ZERO_US)
+                & (F.col("ts2_us") > _Y2K_US)
+                & (F.col("ts2_us") < _NOW_US)
+            ),
+            1,
+        ).otherwise(0).alias("invalid"),
+        F.when(
+            (F.lag("ts2_us").over(w).isNotNull())
+            & (F.lag("ts2_us").over(w) != GO_ZERO_US)
+            & (F.col("ts2_us") < F.lag("ts2_us").over(w)),
+            4,
+        ).otherwise(0).alias("backwards"),
+    )
+    agg = flags.groupBy("user_id").agg(
+        (F.sum("invalid") + F.sum("backwards")).alias("num"),
+        F.count("*").alias("total"),
+    )
+    return agg.select(
+        "user_id",
+        F.when(F.col("num") > F.col("total"), 0)
+        .otherwise(100 - F.expr("(num * 100) div total"))
+        .cast("int")
+        .alias("time_quality"),
+    )
+
+
+SQL_TIME_QUALITY = f"""
+WITH {GEO_CTE},
+t2 AS (
+  SELECT user_id, event_id, ({_TS2_US}) AS ts2_us FROM geo
+),
+flags AS (
+  SELECT user_id,
+    CASE WHEN NOT (ts2_us <> {GO_ZERO_US} AND ts2_us > {_Y2K_US} AND ts2_us < {_NOW_US})
+         THEN 1 ELSE 0 END AS invalid,
+    CASE WHEN lag(ts2_us) OVER w IS NOT NULL AND lag(ts2_us) OVER w <> {GO_ZERO_US}
+              AND ts2_us < lag(ts2_us) OVER w
+         THEN 4 ELSE 0 END AS backwards
+  FROM t2
+  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+),
+agg AS (
+  SELECT user_id, sum(invalid) + sum(backwards) AS num, count(*) AS total
+  FROM flags GROUP BY user_id
+)
+SELECT user_id,
+  CAST(CASE WHEN num > total THEN 0 ELSE 100 - (num * 100) // total END AS INT)
+    AS time_quality
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# P4 — creator-normalization ladder (misc.go:277-362; first match wins)
+# --------------------------------------------------------------------------
+
+_RAW_CREATORS = [
+    "Garmin Connect", "StravaGPX", "eTrex 30", "Polar Vantage", "Movescount App",
+    "OruxMaps v7.4.22", "Mapas de España 6.0", "GPSBabel - 1.7", "connect.garmin.com",
+    "Wikiloc - totally unknown", "ExifTool 12.1", "some random device", "",
+    "Runkeeper v12", "Zwift ride", "togpx exporter",
+]
+
+# (substring, canonical) in the EXACT ladder order; None canonical = identity
+_LADDER = [
+    ("Garmin", "Garmin"), ("Strava", "Strava"), ("eTrex", "Garmin"),
+    ("Runkeeper", "Runkeeper"), ("Endomondo", "Endomondo"), ("Runtastic", "Runtastic"),
+    ("Polar", "Polar"), ("TomTom", "TomTom"), ("Suunto", "Suunto"),
+    ("Movescount", "Suunto"), ("Fitbit", "Fitbit"), ("Wahoo", "Wahoo"),
+    ("Bryton", "Bryton"), ("Cateye", "Cateye"), ("Coros", "Coros"),
+    ("Hammerhead", "Hammerhead"), ("Lezyne", "Lezyne"), ("Mio", "Mio"),
+    ("Sigma", "Sigma"), ("Stages", "Stages"), ("Tacx", "Tacx"),
+    ("Timex", "Timex"), ("Xplova", "Xplova"), ("Zwift", "Zwift"),
+    ("Wikiloc", "Wikiloc"), ("GPSBabel", "GPSBabel"), ("OruxMaps", None),
+    ("Locus", "Locus"), ("Viking", "Viking"), ("OsmAnd", "OsmAnd"),
+    ("AllTrails", "AllTrails"), ("ExifTool", "ExifTool"), ("togpx", "ToGPX"),
+    ("OziExplorer", "OziExplorer"), ("Graphhopper", "Graphhopper"),
+    ("Google", "Google"), ("nawagers", "Nawagers"), ("Mapas de España", "OruxMaps"),
+]
+
+
+def creator_ladder_col(raw):
+    """GetCreator as a single when-chain (misc.go:277-362)."""
+    expr = None
+    for sub, canon in _LADDER:
+        out = raw if canon is None else F.lit(canon)
+        cond = raw.contains(sub)
+        expr = F.when(cond, out) if expr is None else expr.when(cond, out)
+    guarded = F.when(raw == "", F.lit("Unknown")).otherwise(
+        F.coalesce(expr, F.lit("Unknown"))
+    )
+    return guarded
+
+
+def creator_ladder_sql(raw: str) -> str:
+    whens = "\n".join(
+        f"WHEN position('{sub}' IN {raw}) > 0 THEN "
+        + (raw if canon is None else f"'{canon}'")
+        for sub, canon in _LADDER
+    )
+    return (
+        f"CASE WHEN {raw} = '' THEN 'Unknown' ELSE "
+        f"coalesce(CASE {whens} END, 'Unknown') END"
+    )
+
+
+def _raw_creator_col():
+    arr = F.array(*[F.lit(s) for s in _RAW_CREATORS])
+    return F.element_at(arr, (F.col("event_id") % len(_RAW_CREATORS) + 1).cast("int"))
+
+
+def _raw_creator_sql() -> str:
+    elems = ", ".join(f"'{s}'" for s in _RAW_CREATORS)
+    return f"[{elems}][CAST(event_id % {len(_RAW_CREATORS)} + 1 AS INT)]"
+
+
+def q_creator_counts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(creator_ladder_col(_raw_creator_col()).alias("creator"))
+        .groupBy("creator")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_CREATOR_COUNTS = f"""
+SELECT {creator_ladder_sql(_raw_creator_sql())} AS creator, count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# E2 — point-in-polygon join vs rectangle polygon layer from `nation`
+# (Spark runs the full covering/broadcast/ray-cast machinery; the oracle
+# reduces to interval predicates because the rings are axis-aligned).
+# --------------------------------------------------------------------------
+
+def _rect_bounds_cols():
+    n = F.col("n_nationkey").cast("long")
+    lat0 = ((n * 617) % 150 - 75).cast("double") + 0.00005
+    dlat = (3 + (n % 5)).cast("double")
+    lon0 = ((n * 1009) % 340 - 170).cast("double") + 0.00005
+    dlon = (4 + (n % 7)).cast("double")
+    return lat0, lat0 + dlat, lon0, lon0 + dlon
+
+
+_RECT_SQL = """
+  SELECT CAST(n_nationkey AS VARCHAR) AS poly_id,
+         CAST((CAST(n_nationkey AS BIGINT) * 617) % 150 - 75 AS DOUBLE) + 0.00005 AS lat0,
+         CAST((CAST(n_nationkey AS BIGINT) * 617) % 150 - 75 AS DOUBLE) + 0.00005
+           + CAST(3 + (n_nationkey % 5) AS DOUBLE) AS lat1,
+         CAST((CAST(n_nationkey AS BIGINT) * 1009) % 340 - 170 AS DOUBLE) + 0.00005 AS lon0,
+         CAST((CAST(n_nationkey AS BIGINT) * 1009) % 340 - 170 AS DOUBLE) + 0.00005
+           + CAST(4 + (n_nationkey % 7) AS DOUBLE) AS lon1
+  FROM nation
+"""
+
+
+def rect_polygons(spark, sf_dir) -> DataFrame:
+    nat = _t(spark, sf_dir, "nation")
+    lat0, lat1, lon0, lon1 = _rect_bounds_cols()
+    ring = F.array(
+        F.struct(lat0.alias("lat"), lon0.alias("lon")),
+        F.struct(lat0.alias("lat"), lon1.alias("lon")),
+        F.struct(lat1.alias("lat"), lon1.alias("lon")),
+        F.struct(lat1.alias("lat"), lon0.alias("lon")),
+    )
+    return nat.select(
+        F.col("n_nationkey").cast("string").alias("poly_id"), ring.alias("ring")
+    )
+
+
+def q_pip_counts(spark, sf_dir):
+    from gotrackmaster_spark.operators.spatial import point_in_polygon_join
+
+    pts = geo_events(spark, sf_dir).select("event_id", "lat", "lon")
+    polys = rect_polygons(spark, sf_dir)
+    hits = point_in_polygon_join(pts, polys, level=7)
+    return hits.groupBy("poly_id").agg(F.count("*").alias("n_points"))
+
+
+SQL_PIP_COUNTS = f"""
+WITH {GEO_CTE},
+rects AS ({_RECT_SQL})
+SELECT r.poly_id, count(*) AS n_points
+FROM geo g JOIN rects r
+  ON g.lat > r.lat0 AND g.lat < r.lat1 AND g.lon > r.lon0 AND g.lon < r.lon1
+GROUP BY r.poly_id
+"""
+
+
+# --------------------------------------------------------------------------
+# E3 — kNN via k-ring candidates + exact fallback, vs brute-force oracle.
+# Ranking is (round(dist_m, 3), data_id) in both engines.
+# --------------------------------------------------------------------------
+
+_KNN_K = 5
+
+
+def q_knn(spark, sf_dir):
+    from gotrackmaster_spark.operators.spatial import knn_join
+
+    pts = geo_events(spark, sf_dir)
+    data = pts.select(F.col("event_id").alias("data_id"), "lat", "lon")
+    qs = pts.filter(F.col("event_id") % 100 == 3).select(
+        F.col("event_id").alias("query_id"), "lat", "lon"
+    )
+    out = knn_join(qs, data, k=_KNN_K, level=6, ring=2, exclude_self=True)
+    return out.select(
+        "query_id", "data_id", F.col("rank").alias("rnk"),
+        F.round("dist_m", 3).alias("dist_r"),
+    )
+
+
+SQL_KNN = f"""
+WITH {GEO_CTE},
+q AS (SELECT event_id AS query_id, lat AS q_lat, lon AS q_lon FROM geo
+      WHERE event_id % 100 = 3),
+d AS (SELECT event_id AS data_id, lat AS d_lat, lon AS d_lon FROM geo),
+pairs AS (
+  SELECT query_id, data_id,
+         round({haversine_sql('q_lat', 'q_lon', 'd_lat', 'd_lon')}, 3) AS dist_r
+  FROM q CROSS JOIN d WHERE data_id <> query_id
+),
+ranked AS (
+  SELECT query_id, data_id, dist_r,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist_r, data_id) AS rn
+  FROM pairs
+)
+SELECT query_id, data_id, CAST(rn AS INT) AS rnk, dist_r
+FROM ranked WHERE rn <= {_KNN_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# J1 — duplicate detection: band self-join on (start time, start position)
+# (cmd/duplicate.go:58-64 predicates at engine scale)
+# --------------------------------------------------------------------------
+
+_DUP_SECONDS = 7 * 24 * 3600.0
+_DUP_METERS = 1_000_000.0
+
+
+def q_duplicate_pairs(spark, sf_dir):
+    from gotrackmaster_spark.operators.spatial import duplicate_join
+
+    pts = geo_events(spark, sf_dir)
+    first = pts.groupBy("user_id").agg(
+        F.min(F.struct("ts", "event_id", "lat", "lon")).alias("s")
+    )
+    summaries = first.select(
+        F.col("user_id").cast("string").alias("track_id"),
+        (F.unix_micros(F.col("s.ts").cast("timestamp")) * 1000).alias("start_ts_ns"),
+        F.col("s.lat").alias("start_lat"),
+        F.col("s.lon").alias("start_lon"),
+    )
+    pairs = duplicate_join(
+        summaries, _DUP_SECONDS, _DUP_METERS, level=4, ring=3
+    )
+    return pairs.select(
+        "a_id", "b_id", F.round("start_dist_m", 2).alias("dist_r")
+    )
+
+
+SQL_DUPLICATE_PAIRS = f"""
+WITH {GEO_CTE},
+ranked AS (
+  SELECT user_id, ts, lat, lon,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM geo
+),
+summ AS (
+  SELECT CAST(user_id AS VARCHAR) AS track_id, epoch_us(ts) * 1000 AS start_ts_ns,
+         lat AS start_lat, lon AS start_lon
+  FROM ranked WHERE rn = 1
+)
+SELECT a.track_id AS a_id, b.track_id AS b_id,
+       round({haversine_sql('a.start_lat', 'a.start_lon', 'b.start_lat', 'b.start_lon')}, 2) AS dist_r
+FROM summ a JOIN summ b ON a.track_id < b.track_id
+WHERE abs(a.start_ts_ns - b.start_ts_ns) <= {int(_DUP_SECONDS * 1e9)}
+  AND {haversine_sql('a.start_lat', 'a.start_lon', 'b.start_lat', 'b.start_lon')} < {_DUP_METERS!r}
+"""
+
+
+# --------------------------------------------------------------------------
+# E4/J2 — raster↔vector: bilinear DEM sampling via broadcast tile join
+# --------------------------------------------------------------------------
+
+def _dem_corner_sql(la: str, lo: str) -> str:
+    return (
+        f"CAST(((({la}) + 90) * 361 + (({lo}) + 180)) * 2654435761 % 40000 AS DOUBLE) / 10.0"
+    )
+
+
+def _dem_corner_col(la, lo):
+    return (((la + 90) * 361 + (lo + 180)) * F.lit(2654435761) % 40000).cast("double") / 10.0
+
+
+def synthetic_dem(spark) -> DataFrame:
+    """360×180 one-degree DEM tiles with deterministic corner samples."""
+    base = spark.range(180 * 360).select(
+        (F.col("id") / 360).cast("long").alias("lat_deg_l"),
+        (F.col("id") % 360).alias("lon_deg_l"),
+    )
+    la = base["lat_deg_l"] - 90
+    lo = base["lon_deg_l"] - 180
+    return base.select(
+        la.cast("int").alias("lat_deg"),
+        lo.cast("int").alias("lon_deg"),
+        _dem_corner_col(la, lo).alias("e00"),
+        _dem_corner_col(la, lo + 1).alias("e01"),
+        _dem_corner_col(la + 1, lo).alias("e10"),
+        _dem_corner_col(la + 1, lo + 1).alias("e11"),
+    )
+
+
+def q_dem_bands(spark, sf_dir):
+    from gotrackmaster_spark.operators.spatial import bilinear_dem_join
+
+    pts = geo_events(spark, sf_dir).select("event_id", "lat", "lon")
+    j = bilinear_dem_join(pts, synthetic_dem(spark))
+    return (
+        j.withColumn("band", F.floor(F.col("lat") / 10).cast("int"))
+        .groupBy("band")
+        .agg(F.round(F.avg("dem_ele"), 4).alias("avg_ele"), F.count("*").alias("n"))
+    )
+
+
+SQL_DEM_BANDS = f"""
+WITH {GEO_CTE},
+pt AS (
+  SELECT lat, lon,
+         CAST(floor(lat) AS BIGINT) AS la, CAST(floor(lon) AS BIGINT) AS lo
+  FROM geo
+),
+interp AS (
+  SELECT lat, lon,
+    ({_dem_corner_sql('la', 'lo')}) * (1 - (lat - la)) * (1 - (lon - lo))
+    + ({_dem_corner_sql('la', 'lo + 1')}) * (1 - (lat - la)) * (lon - lo)
+    + ({_dem_corner_sql('la + 1', 'lo')}) * (lat - la) * (1 - (lon - lo))
+    + ({_dem_corner_sql('la + 1', 'lo + 1')}) * (lat - la) * (lon - lo) AS dem_ele
+  FROM pt
+)
+SELECT CAST(floor(lat / 10) AS INT) AS band,
+       round(avg(dem_ele), 4) AS avg_ele, count(*) AS n
+FROM interp GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# E4 — web-mercator z/x/y tile counts (zoom 6)
+# --------------------------------------------------------------------------
+
+def q_mercator_tiles(spark, sf_dir):
+    pts = geo_events(spark, sf_dir)
+    x, y = mercator_tile_cols(F.col("lat"), F.col("lon"), 6)
+    return (
+        pts.select(x.alias("tx"), y.alias("ty"))
+        .groupBy("tx", "ty")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_MX, _MY = mercator_tile_sql("lat", "lon", 6)
+SQL_MERCATOR_TILES = f"""
+WITH {GEO_CTE}
+SELECT {_MX} AS tx, {_MY} AS ty, count(*) AS n
+FROM geo GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Text analysis — token counting + per-language stats over `documents`
+# --------------------------------------------------------------------------
+
+def q_token_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.length("text") - F.length(F.regexp_replace("text", " ", "")) + 1
+    return (
+        docs.select("lang", toks.alias("n_tokens"), F.col("n_chars"))
+        .groupBy("lang")
+        .agg(
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
+SQL_TOKEN_STATS = """
+SELECT lang,
+       sum(length(text) - length(replace(text, ' ', '')) + 1) AS sum_tokens,
+       count(*) AS n_docs,
+       round(avg(n_chars), 4) AS avg_chars
+FROM documents GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------------
+# Document fingerprint — position-weighted codepoint hash (exact int64)
+# --------------------------------------------------------------------------
+
+def _fp_col(text: str, a: int, p: int):
+    return F.expr(
+        f"aggregate(transform(sequence(1, length({text})), i -> "
+        f"CAST(ascii(substring({text}, i, 1)) AS BIGINT) * ((i * {a}) % 100000007)), "
+        f"CAST(0 AS BIGINT), (acc, v) -> (acc + v) % {p})"
+    )
+
+
+def _fp_sql(text: str, a: int, p: int) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, length({text})), i -> "
+        f"CAST(unicode(substr({text}, i, 1)) AS BIGINT) * ((i * {a}) % 100000007))) % {p}"
+    )
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", _fp_col("text", 2654435761, 1000000007).alias("fp")
+    )
+
+
+SQL_DOC_FINGERPRINTS = f"""
+SELECT doc_id, {_fp_sql('text', 2654435761, 1000000007)} AS fp
+FROM documents
+"""

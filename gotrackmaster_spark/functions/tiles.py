@@ -97,10 +97,12 @@ def calculate_tiles_col(
 # ------------------------------------------------------------------- SQL ---
 
 def lat_tile_sql(lat: str, degree: float) -> str:
+    # `+ 0.0` normalizes -0.0 (DuckDB abs() preserves the sign bit of -0.0;
+    # Go math.Abs and Spark abs() do not)
     fmt = "%02.1f" if degree < 1 else "%02.0f"
     return (
         f"concat(CASE WHEN ({lat}) >= 0 THEN 'N' ELSE 'S' END, "
-        f"printf('{fmt}', abs(round(({lat})/{degree!r})) * {degree!r}))"
+        f"printf('{fmt}', abs(round(({lat})/{degree!r})) * {degree!r} + 0.0))"
     )
 
 
@@ -108,7 +110,7 @@ def lon_tile_sql(lon: str, degree: float) -> str:
     fmt = "%03.1f" if degree < 1 else "%03.0f"
     return (
         f"concat(CASE WHEN ({lon}) >= 0 THEN 'E' ELSE 'W' END, "
-        f"printf('{fmt}', abs(round(({lon})/{degree!r})) * {degree!r}))"
+        f"printf('{fmt}', abs(round(({lon})/{degree!r})) * {degree!r} + 0.0))"
     )
 
 

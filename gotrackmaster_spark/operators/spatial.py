@@ -1,0 +1,354 @@
+"""Layer-E spatial operators: PIP join (E2), kNN (E3), raster↔vector (E4),
+and the duplicate-track band self-join (J1 at engine scale).
+
+Design notes (SURVEY.md §2.10, §4.2):
+
+* All joins are **cell-bucketed equi-joins** on the hierarchical Z-order cell
+  IDs from ``functions.cells`` — candidate generation is a broadcast or
+  shuffle hash join on ``cell``; exact geometry refinement happens after, on
+  the (much smaller) candidate set, in vectorized numpy.
+* The covering / k-ring sides are *small* relative to the points side
+  (polygon layers, query sets, per-track summaries), so they are
+  ``broadcast()`` explicitly; the points side is never shuffled for these
+  joins — at 100 TB this is the difference between a map-side join and a
+  full-table exchange.
+* Skew: a hot cell (urban-core in real data) fans out on the broadcast side
+  only; AQE skew-join handles residual shuffle skew. ``salt_hot_cells`` in
+  ``operators.skew`` provides explicit salting when the big side must
+  shuffle.
+
+Reference parity: the duplicate predicates mirror
+``/root/reference/cmd/duplicate.go:58-64`` (checkTime band ±seconds,
+checkPosition band = Haversine < meters); PIP refinement reuses the
+orientation/ray-cast float arithmetic style of
+``/root/reference/trackmaster/distance.go:293-309``.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gotrackmaster_spark.functions.cells import (
+    cell_col,
+    cell_np,
+    k_ring_np,
+)
+from gotrackmaster_spark.functions.geodesy import haversine_col, haversine_np
+
+
+# --------------------------------------------------------------- E2: PIP ---
+
+def polygon_covering(polygons: DataFrame, level: int) -> DataFrame:
+    """Explode each polygon into the set of level-``level`` cells whose
+    bbox intersects the polygon's bbox (conservative covering).
+
+    Input: ``polygons(poly_id, ring: array<struct<lat,lon>>)``.
+    Output: ``(cell: long, poly_id, ring)`` — one row per covering cell.
+
+    Cells fully interior to the polygon could skip refinement; v1 refines
+    every candidate (correctness first; the refine is a vectorized numpy
+    ray-cast over Arrow batches, ~10^7 pts/s/core).
+    """
+    def gen(batches):
+        for pdf in batches:
+            out_cell, out_pid, out_ring = [], [], []
+            for pid, ring in zip(pdf["poly_id"], pdf["ring"]):
+                lats = np.array([p["lat"] for p in ring])
+                lons = np.array([p["lon"] for p in ring])
+                n = 1 << level
+                i0 = int(np.clip(math.floor((lons.min() + 180.0) / 360.0 * n), 0, n - 1))
+                i1 = int(np.clip(math.floor((lons.max() + 180.0) / 360.0 * n), 0, n - 1))
+                j0 = int(np.clip(math.floor((lats.min() + 90.0) / 180.0 * n), 0, n - 1))
+                j1 = int(np.clip(math.floor((lats.max() + 90.0) / 180.0 * n), 0, n - 1))
+                ii, jj = np.meshgrid(
+                    np.arange(i0, i1 + 1, dtype=np.int64),
+                    np.arange(j0, j1 + 1, dtype=np.int64),
+                    indexing="ij",
+                )
+                from gotrackmaster_spark.functions.cells import cell_from_ij_np
+
+                cells = cell_from_ij_np(ii.ravel(), jj.ravel(), level)
+                out_cell.extend(cells.tolist())
+                out_pid.extend([pid] * len(cells))
+                out_ring.extend([ring] * len(cells))
+            yield pd.DataFrame({"cell": out_cell, "poly_id": out_pid, "ring": out_ring})
+
+    schema = "cell long, poly_id string, ring array<struct<lat:double,lon:double>>"
+    return polygons.mapInPandas(gen, schema)
+
+
+def _ray_cast_np(lat: np.ndarray, lon: np.ndarray, ring_lats, ring_lons) -> np.ndarray:
+    """Even-odd ray casting (ray toward +lon).  Vectorized over points for
+    ONE ring.  Half-open edge rule ``(lat_i > y) != (lat_j > y)`` — the same
+    comparator family as the reference's orientation tests
+    (distance.go:293-309): strict >, exact float64 arithmetic.
+    """
+    inside = np.zeros(len(lat), dtype=bool)
+    n = len(ring_lats)
+    j = n - 1
+    for i in range(n):
+        yi, xi = ring_lats[i], ring_lons[i]
+        yj, xj = ring_lats[j], ring_lons[j]
+        cond = (yi > lat) != (yj > lat)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            x_int = (xj - xi) * (lat - yi) / (yj - yi) + xi
+        inside ^= cond & (lon < x_int)
+        j = i
+    return inside
+
+
+def point_in_polygon_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    level: int = 7,
+    point_cols: tuple[str, str] = ("lat", "lon"),
+) -> DataFrame:
+    """E2 — every (point, polygon) pair where the point is inside.
+
+    points must carry a unique id column set + lat/lon.  Plan shape:
+
+        scan(points) → project(cell) ──┐
+                                       ├─ broadcast hash join on cell
+        polygons → covering(cells) ────┘
+        → mapInPandas ray-cast refine
+
+    No shuffle of the points side; covering is broadcast.
+    """
+    lat_c, lon_c = point_cols
+    cov = polygon_covering(polygons, level)
+    pts = points.withColumn("cell", cell_col(F.col(lat_c), F.col(lon_c), level))
+    cand = pts.join(F.broadcast(cov), "cell", "inner")
+
+    def refine(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            lat = pdf[lat_c].to_numpy()
+            lon = pdf[lon_c].to_numpy()
+            # group candidate rows by polygon to vectorize over points
+            for pid, idx in pdf.groupby("poly_id", sort=False).indices.items():
+                ring = pdf["ring"].iloc[idx[0]]
+                rl = np.array([p["lat"] for p in ring])
+                rx = np.array([p["lon"] for p in ring])
+                keep[idx] = _ray_cast_np(lat[idx], lon[idx], rl, rx)
+            out = pdf.loc[keep].drop(columns=["ring", "cell"])
+            if len(out):
+                yield out
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in cand.schema.fields
+        if f.name not in ("ring", "cell")
+    )
+    return cand.mapInPandas(refine, out_schema)
+
+
+# --------------------------------------------------------------- E3: kNN ---
+
+_M_PER_DEG = math.pi * 6371000.0 / 180.0  # meridian meters/degree on the R=6371km sphere
+
+
+def knn_join(
+    queries: DataFrame,
+    data: DataFrame,
+    k: int,
+    level: int = 6,
+    ring: int = 1,
+    query_id: str = "query_id",
+    data_id: str = "data_id",
+    round_decimals: int = 3,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """E3 — exact k nearest neighbours of each query point.
+
+    Two-phase: (1) k-ring candidate pass — queries exploded to their
+    (2·ring+1)² neighbour cells at ``level``, equi-joined to data on cell,
+    refined with exact Haversine, per-query top-k; (2) exact fallback — any
+    query whose ring either produced < k candidates or whose k-th distance
+    exceeds the ring's guarantee radius (the distance below which NO point
+    outside the ring block can lie) is re-run as a brute force against the
+    full data set.  Results are therefore exact regardless of the
+    ring/level choice; sizing level/ring to the data density just empties
+    phase 2.  At scale the plan is a broadcast of the (small) query side
+    against the cell-partitioned data side — the big side never shuffles.
+
+    Ranking is by (round(dist_m, round_decimals), data_id) so that an
+    external oracle computing the same rounded metric ranks identically
+    despite last-ULP libm differences.
+
+    Output: (query_id, data_id, dist_m, rank).
+    """
+    q = queries.select(query_id, F.col("lat").alias("q_lat"), F.col("lon").alias("q_lon"))
+    d = data.select(data_id, F.col("lat").alias("d_lat"), F.col("lon").alias("d_lon"))
+
+    def explode_ring(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cells = cell_np(pdf["q_lat"].to_numpy(), pdf["q_lon"].to_numpy(), level)
+            ring_cells = k_ring_np(cells, ring)  # (n, (2r+1)^2)
+            n, m = ring_cells.shape
+            yield pd.DataFrame(
+                {
+                    query_id: np.repeat(pdf[query_id].to_numpy(), m),
+                    "q_lat": np.repeat(pdf["q_lat"].to_numpy(), m),
+                    "q_lon": np.repeat(pdf["q_lon"].to_numpy(), m),
+                    "cell": ring_cells.ravel(),
+                }
+            ).drop_duplicates(subset=[query_id, "cell"])
+
+    qid_type = dict(queries.dtypes)[query_id]
+    q_ring = q.mapInPandas(
+        explode_ring, f"{query_id} {qid_type}, q_lat double, q_lon double, cell long"
+    )
+    d_cell = d.withColumn("cell", cell_col(F.col("d_lat"), F.col("d_lon"), level))
+    cand = d_cell.join(F.broadcast(q_ring), "cell", "inner")
+    if exclude_self:
+        cand = cand.filter(F.col(data_id) != F.col(query_id))
+
+    dist = haversine_col(F.col("q_lat"), F.col("q_lon"), F.col("d_lat"), F.col("d_lon"))
+    cand = cand.withColumn("dist_m", dist)
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id).orderBy(
+        F.round(F.col("dist_m"), round_decimals).asc(), F.col(data_id).asc()
+    )
+    ranked = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+    # Guarantee radius: any point outside the (2r+1)² block is ≥ ring·w_min
+    # away, where w_min is the smaller of the cell's N-S extent and its E-W
+    # extent at the worst latitude reachable within the block.  A 0.5 safety
+    # factor swallows geodesic-vs-parallel subtleties conservatively.
+    lat_cell_deg = 180.0 / (1 << level)
+    lon_cell_deg = 360.0 / (1 << level)
+    worst_lat = F.least(
+        F.lit(90.0), F.abs(F.col("q_lat")) + F.lit((ring + 1) * lat_cell_deg)
+    )
+    w_min = F.least(
+        F.lit(lat_cell_deg * _M_PER_DEG),
+        F.lit(lon_cell_deg * _M_PER_DEG) * F.cos(F.radians(worst_lat)),
+    )
+    # subtract one rounding step so a just-outside point cannot tie (after
+    # rounding) with the k-th candidate and displace it by id order
+    guarantee = F.lit(0.5 * ring) * w_min - F.lit(10.0 ** (-round_decimals))
+
+    per_q = ranked.groupBy(query_id, "q_lat").agg(
+        F.count("*").alias("n_cand"), F.max("dist_m").alias("kth_dist")
+    )
+    short = per_q.filter(
+        (F.col("n_cand") < k) | (F.col("kth_dist") > guarantee)
+    ).select(query_id)
+
+    # Exact fallback for under-covered queries (empty when level/ring are
+    # sized to the density).
+    q_short = q.join(F.broadcast(short), query_id, "left_semi")
+    bf = q_short.crossJoin(d)
+    if exclude_self:
+        bf = bf.filter(F.col(data_id) != F.col(query_id))
+    bf = bf.withColumn(
+        "dist_m",
+        haversine_col(F.col("q_lat"), F.col("q_lon"), F.col("d_lat"), F.col("d_lon")),
+    )
+    bf_ranked = bf.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+    good = ranked.join(F.broadcast(short), query_id, "left_anti")
+    cols = [query_id, data_id, "dist_m", "rank"]
+    return good.select(*cols).unionByName(bf_ranked.select(*cols))
+
+
+# ----------------------------------------------------- E4: raster↔vector ---
+
+def bilinear_dem_join(points: DataFrame, dem: DataFrame) -> DataFrame:
+    """E4/J2 — join each point to its 1°×1° DEM tile and bilinearly
+    interpolate elevation from the tile's 4 corner samples.
+
+    ``dem(lat_deg int, lon_deg int, e00, e01, e10, e11 double)`` where
+    ``e<dlat><dlon>`` is the sample at corner (lat_deg+dlat, lon_deg+dlon).
+    Mirrors the reference's SRTM lookup shape
+    (``/root/reference/trackmaster/elevation.go:125-157``) with the network
+    DEM replaced by a broadcast tile table.
+    """
+    pts = points.withColumn("lat_deg", F.floor(F.col("lat")).cast("int")).withColumn(
+        "lon_deg", F.floor(F.col("lon")).cast("int")
+    )
+    j = pts.join(F.broadcast(dem), ["lat_deg", "lon_deg"], "inner")
+    fy = F.col("lat") - F.col("lat_deg")
+    fx = F.col("lon") - F.col("lon_deg")
+    interp = (
+        F.col("e00") * (1 - fy) * (1 - fx)
+        + F.col("e01") * (1 - fy) * fx
+        + F.col("e10") * fy * (1 - fx)
+        + F.col("e11") * fy * fx
+    )
+    return j.withColumn("dem_ele", interp).drop("e00", "e01", "e10", "e11")
+
+
+# ------------------------------------------------- J1: duplicate band join ---
+
+def duplicate_join(
+    summaries: DataFrame,
+    start_seconds: float,
+    start_meters: float,
+    level: int = 6,
+    ring: int = 1,
+    id_col: str = "track_id",
+) -> DataFrame:
+    """J1 — duplicate-track detection as a cell-bucketed band self-join.
+
+    ``summaries(track_id, start_ts_ns long, start_lat, start_lon, ...)``.
+    Predicates mirror cmd/duplicate.go:58-64: |Δstart_ts| ≤ start_seconds
+    AND Haversine(start positions) < start_meters.  The O(n²) loop of the
+    reference becomes: bucket each summary by its start cell, explode one
+    side by the k-ring, equi-join on cell, refine exactly.  ``ring``/
+    ``level`` must satisfy cell_width_m(level, max|lat|) · ring ≥
+    start_meters — asserted in tests against the brute-force oracle.
+
+    Output pairs are canonical (a < b by id).
+    """
+    s = summaries
+    a = s.select(
+        F.col(id_col).alias("a_id"),
+        F.col("start_ts_ns").alias("a_ts"),
+        F.col("start_lat").alias("a_lat"),
+        F.col("start_lon").alias("a_lon"),
+    )
+    b = s.select(
+        F.col(id_col).alias("b_id"),
+        F.col("start_ts_ns").alias("b_ts"),
+        F.col("start_lat").alias("b_lat"),
+        F.col("start_lon").alias("b_lon"),
+    )
+
+    def explode_ring(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cells = cell_np(pdf["a_lat"].to_numpy(), pdf["a_lon"].to_numpy(), level)
+            rc = k_ring_np(cells, ring)
+            n, m = rc.shape
+            out = pdf.loc[pdf.index.repeat(m)].reset_index(drop=True)
+            out["cell"] = rc.ravel()
+            yield out.drop_duplicates(subset=["a_id", "cell"])
+
+    a_type = dict(s.dtypes)[id_col]
+    a_ring = a.mapInPandas(
+        explode_ring,
+        f"a_id {a_type}, a_ts long, a_lat double, a_lon double, cell long",
+    )
+    b_cell = b.withColumn("cell", cell_col(F.col("b_lat"), F.col("b_lon"), level))
+    cand = a_ring.join(b_cell, "cell", "inner").filter(F.col("a_id") < F.col("b_id"))
+    dist = haversine_col(F.col("a_lat"), F.col("a_lon"), F.col("b_lat"), F.col("b_lon"))
+    ns = int(start_seconds * 1_000_000_000)
+    return (
+        cand.filter(F.abs(F.col("a_ts") - F.col("b_ts")) <= F.lit(ns))
+        .withColumn("start_dist_m", dist)
+        .filter(F.col("start_dist_m") < start_meters)
+        .select("a_id", "b_id", "start_dist_m")
+    )

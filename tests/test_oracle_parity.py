@@ -1,0 +1,89 @@
+"""Local replica of the driver's DuckDB-oracle comparison.
+
+For every (queries()[name], oracle_sql()[name]) pair: run the Spark query
+and the DuckDB SQL on the same parquet tables, then compare row count,
+sorted column names, and values (sorted rows, floats to 9 significant
+digits — the driver hashes; we diff, which is strictly stronger on
+mismatch diagnostics).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.01")
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.9g}"
+    return v
+
+
+def _rows(cols, data):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm(r[i]) for i in order) for r in data]
+    out.sort(key=repr)
+    return out
+
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark):
+    df = QUERIES[name](spark, SF_DIR)
+    spark_cols = df.columns
+    spark_data = [tuple(r) for r in df.collect()]
+
+    con = _duck()
+    cur = con.execute(ORACLES[name])
+    duck_cols = [d[0] for d in cur.description]
+    duck_data = cur.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: columns {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_data) == len(duck_data), (
+        f"{name}: rows {len(spark_data)} vs {len(duck_data)}"
+    )
+    s_rows = _rows(spark_cols, spark_data)
+    d_rows = _rows(duck_cols, duck_data)
+    mismatches = [
+        (a, b) for a, b in zip(s_rows, d_rows) if a != b
+    ]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    n = df.count()
+    assert n >= 0
+    assert df.schema is not None
