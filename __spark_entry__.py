@@ -63,6 +63,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mercator_tiles": Q.q_mercator_tiles,
         "token_stats": Q.q_token_stats,
         "doc_fingerprints": Q.q_doc_fingerprints,
+        "exact_dup_groups": Q.q_exact_dup_groups,
+        "jaccard_pairs": Q.q_jaccard_pairs,
+        "minhash_band_pairs": Q.q_minhash_band_pairs,
+        "simhash_near_dups": Q.q_simhash_near_dups,
+        "embedding_topk": Q.q_embedding_topk,
+        "lang_quality": Q.q_lang_quality,
     }
 
 
@@ -82,4 +88,10 @@ def oracle_sql() -> dict[str, str]:
         "mercator_tiles": Q.SQL_MERCATOR_TILES,
         "token_stats": Q.SQL_TOKEN_STATS,
         "doc_fingerprints": Q.SQL_DOC_FINGERPRINTS,
+        "exact_dup_groups": Q.SQL_EXACT_DUP_GROUPS,
+        "jaccard_pairs": Q.SQL_JACCARD_PAIRS,
+        "minhash_band_pairs": Q.SQL_MINHASH_BAND_PAIRS,
+        "simhash_near_dups": Q.SQL_SIMHASH_NEAR_DUPS,
+        "embedding_topk": Q.SQL_EMBEDDING_TOPK,
+        "lang_quality": Q.SQL_LANG_QUALITY,
     }

@@ -720,3 +720,95 @@ SQL_DOC_FINGERPRINTS = f"""
 SELECT doc_id, {_fp_sql('text', 2654435761, 1000000007)} AS fp
 FROM documents
 """
+
+# --------------------------------------------------------------------------
+# Dedup + text-analysis + similarity-search suite (operators.dedup,
+# functions.text) — training-data pipeline operators with exact oracles
+# --------------------------------------------------------------------------
+
+from gotrackmaster_spark.functions.text import (  # noqa: E402
+    bpe_token_count_col,
+    bpe_token_count_sql,
+    lang_pred_col,
+    lang_pred_sql,
+    quality_score_col,
+    quality_score_sql,
+)
+from gotrackmaster_spark.operators import dedup as D  # noqa: E402
+
+
+def q_exact_dup_groups(spark, sf_dir):
+    """Exact-dedup summary: corpus has no exact dups, so emit the stats row
+    (n_docs, n_distinct, n_dup_groups) — a degenerate-safe oracle check
+    that still exercises the md5-groupBy plan."""
+    docs = _t(spark, sf_dir, "documents")
+    hashed = docs.select(F.md5(F.col("text")).alias("text_md5"))
+    groups = hashed.groupBy("text_md5").agg(F.count("*").alias("n"))
+    return groups.agg(
+        F.sum("n").alias("n_docs"),
+        F.count("*").alias("n_distinct"),
+        F.count(F.when(F.col("n") > 1, 1)).alias("n_dup_groups"),
+    )
+
+
+SQL_EXACT_DUP_GROUPS = """
+WITH groups AS (
+  SELECT md5(text) AS text_md5, count(*) AS n FROM documents GROUP BY 1
+)
+SELECT sum(n) AS n_docs, count(*) AS n_distinct,
+       count(CASE WHEN n > 1 THEN 1 END) AS n_dup_groups
+FROM groups
+"""
+
+
+_JACCARD_NUM, _JACCARD_DEN = 1, 10
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    return D.jaccard_pairs(
+        _t(spark, sf_dir, "documents"), _JACCARD_NUM, _JACCARD_DEN
+    )
+
+
+SQL_JACCARD_PAIRS = D.sql_jaccard_pairs(_JACCARD_NUM, _JACCARD_DEN)
+
+
+def q_minhash_band_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return D.lsh_candidate_pairs(D.minhash_signatures(docs))
+
+
+SQL_MINHASH_BAND_PAIRS = D.sql_minhash_band_pairs()
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    return D.simhash_near_dups(_t(spark, sf_dir, "documents"), max_hamming=8)
+
+
+SQL_SIMHASH_NEAR_DUPS = D.sql_simhash_near_dups(max_hamming=8)
+
+
+def q_embedding_topk(spark, sf_dir):
+    return D.embedding_topk(_t(spark, sf_dir, "embeddings"), k=10, query_mod=50)
+
+
+SQL_EMBEDDING_TOPK = D.sql_embedding_topk(k=10, query_mod=50)
+
+
+def q_lang_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        lang_pred_col("text").alias("pred_lang"),
+        quality_score_col("text").alias("quality"),
+        bpe_token_count_col("text").alias("bpe_tokens"),
+    )
+
+
+SQL_LANG_QUALITY = f"""
+SELECT doc_id,
+       {lang_pred_sql('text')} AS pred_lang,
+       {quality_score_sql('text')} AS quality,
+       {bpe_token_count_sql('text')} AS bpe_tokens
+FROM documents
+"""
