@@ -69,6 +69,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": Q.q_simhash_near_dups,
         "embedding_topk": Q.q_embedding_topk,
         "lang_quality": Q.q_lang_quality,
+        "position_start_end": Q.q_position_start_end,
+        # kernel-pipeline profile (sequential data-dependent kernels — not
+        # SQL-expressible; the driver records the weaker rows-only check,
+        # exact semantics are fixture-tested in tests/test_quality.py)
+        "track_profiles": Q.q_track_profiles,
     }
 
 
@@ -94,4 +99,6 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": Q.SQL_SIMHASH_NEAR_DUPS,
         "embedding_topk": Q.SQL_EMBEDDING_TOPK,
         "lang_quality": Q.SQL_LANG_QUALITY,
+        "position_start_end": Q.SQL_POSITION_START_END,
+        # "track_profiles" intentionally has no oracle (non-SQL-expressible)
     }

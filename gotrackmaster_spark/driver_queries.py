@@ -812,3 +812,83 @@ SELECT doc_id,
        {bpe_token_count_sql('text')} AS bpe_tokens
 FROM documents
 """
+
+# --------------------------------------------------------------------------
+# P1/P2 — first/last valid-position scan per track (distance.go:426-451)
+# --------------------------------------------------------------------------
+
+def q_position_start_end(spark, sf_dir):
+    from pyspark.sql import Window
+
+    pts = geo_events(spark, sf_dir).filter((F.col("lat") != 0) & (F.col("lon") != 0))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    first = (
+        pts.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+        .select("user_id", F.col("lat").alias("start_lat"), F.col("lon").alias("start_lon"))
+    )
+    last = (
+        pts.withColumn("rn", F.row_number().over(wd)).filter(F.col("rn") == 1)
+        .select("user_id", F.col("lat").alias("end_lat"), F.col("lon").alias("end_lon"))
+    )
+    return first.join(last, "user_id")
+
+
+SQL_POSITION_START_END = f"""
+WITH {GEO_CTE},
+valid AS (SELECT * FROM geo WHERE lat <> 0 AND lon <> 0),
+first AS (
+  SELECT user_id, lat AS start_lat, lon AS start_lon FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) rn
+    FROM valid) WHERE rn = 1
+),
+last AS (
+  SELECT user_id, lat AS end_lat, lon AS end_lon FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+    FROM valid) WHERE rn = 1
+)
+SELECT f.user_id, f.start_lat, f.start_lon, l.end_lat, l.end_lon
+FROM first f JOIN last l ON f.user_id = l.user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# A2-A6 — full track profiles over synthetic walk tracks (kernel pipeline;
+# NOT SQL-expressible: sequential data-dependent kernels → rows-only check)
+# --------------------------------------------------------------------------
+
+def synthetic_tracks(spark, sf_dir):
+    """Random-walk tracks derived from events: per-user cumulative ±100 m
+    steps at ~1 min cadence — GPS-plausible speeds so the classification
+    ladder produces non-degenerate labels."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    dlat = ((F.col("event_id") * 2654435761) % 201 - 100).cast("double") / 100000.0
+    dlon = ((F.col("event_id") * 40503 + 11) % 201 - 100).cast("double") / 100000.0
+    base_lat = ((F.col("user_id") * 617) % 120).cast("double") - 60.0
+    base_lon = ((F.col("user_id") * 1009) % 300).cast("double") - 150.0
+    return (
+        ev.select("event_id", "user_id")
+        .withColumn("pt_idx", (F.row_number().over(w) - 1).cast("int"))
+        .withColumn("lat", base_lat + F.sum(dlat).over(w))
+        .withColumn("lon", base_lon + F.sum(dlon).over(w))
+        .withColumn("ele", ((F.col("event_id") * 13) % 400).cast("double") + 100.0)
+        .withColumn("ts_ns", (F.lit(1700000000) + F.col("user_id") + F.col("pt_idx") * 60) * F.lit(1_000_000_000))
+        .withColumn("ts", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long")))
+        .withColumn("track_id", F.col("user_id").cast("string"))
+        .withColumn("trk_no", F.lit(0))
+        .withColumn("seg_no", F.lit(0))
+        .select("track_id", "trk_no", "seg_no", "pt_idx", "lat", "lon", "ele", "ts", "ts_ns")
+    )
+
+
+def q_track_profiles(spark, sf_dir):
+    from gotrackmaster_spark.operators.quality import track_profiles
+
+    pts = synthetic_tracks(spark, sf_dir)
+    return track_profiles(pts).select(
+        "track_id", "time_quality", "distance_quality", "srtm_accuracy",
+        "quality", "classification", "n_points",
+    )
