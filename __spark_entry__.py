@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": Q.q_embedding_topk,
         "lang_quality": Q.q_lang_quality,
         "position_start_end": Q.q_position_start_end,
+        "image_stats": Q.q_image_stats,
         # kernel-pipeline profile (sequential data-dependent kernels — not
         # SQL-expressible; the driver records the weaker rows-only check,
         # exact semantics are fixture-tested in tests/test_quality.py)
@@ -100,5 +101,6 @@ def oracle_sql() -> dict[str, str]:
         "embedding_topk": Q.SQL_EMBEDDING_TOPK,
         "lang_quality": Q.SQL_LANG_QUALITY,
         "position_start_end": Q.SQL_POSITION_START_END,
+        "image_stats": Q.SQL_IMAGE_STATS,
         # "track_profiles" intentionally has no oracle (non-SQL-expressible)
     }

@@ -892,3 +892,37 @@ def q_track_profiles(spark, sf_dir):
         "track_id", "time_quality", "distance_quality", "srtm_accuracy",
         "quality", "classification", "n_points",
     )
+
+# --------------------------------------------------------------------------
+# E7 — image payload: synthesize → encode (raw/png/qnt4) → decode → stats.
+# The oracle recomputes decode-derived pixel sums from the closed-form
+# pixel generator, cross-checking the whole encode→decode path in SQL.
+# --------------------------------------------------------------------------
+
+def q_image_stats(spark, sf_dir):
+    from gotrackmaster_spark.operators.images import decode_stats, synthesize_images
+
+    imgs = synthesize_images(spark, sf_dir, w=32, h=24)
+    return decode_stats(imgs).select(
+        "image_id", "fmt", "w", "h", "pixel_sum", "caption_len"
+    )
+
+
+_IMG_W, _IMG_H = 32, 24
+_N_PIX = _IMG_W * _IMG_H * 3
+
+_PIX = "((doc_id * 31 + i * 2654435761) % 256)"
+
+SQL_IMAGE_STATS = f"""
+SELECT format('img{{:08d}}', doc_id) AS image_id,
+       ['raw', 'png', 'qnt4'][CAST(doc_id % 3 AS INT) + 1] AS fmt,
+       {_IMG_W} AS w, {_IMG_H} AS h,
+       CASE WHEN doc_id % 3 = 2
+            THEN list_sum(list_transform(generate_series(0, {_N_PIX - 1}),
+                          i -> {_PIX} - ({_PIX}) % 4))
+            ELSE list_sum(list_transform(generate_series(0, {_N_PIX - 1}),
+                          i -> {_PIX}))
+       END AS pixel_sum,
+       CAST(length(text) AS INT) AS caption_len
+FROM documents
+"""

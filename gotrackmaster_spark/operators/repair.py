@@ -236,3 +236,51 @@ def move_segments_fix(df: DataFrame, min_points: int = 14) -> DataFrame:
         return pd.concat(frames) if frames else _pts_frame((key[0], key[1], 0), [], 3)
 
     return df.groupBy(*_TRK_KEY).applyInPandas(fn, POINTS_SCHEMA)
+
+
+# ------------------------------------------- engine extras (kernels.extra) ---
+
+def douglas_peucker_fix(df: DataFrame, epsilon_deg: float = 0.0001) -> DataFrame:
+    """North-star extra: DP simplification per segment (NOT reference
+    parity — the reference's simplifier is RemoveStops, see SURVEY.md §2.6
+    N4). epsilon in local-plane degrees (~11 m per 1e-4 at the equator)."""
+    import numpy as np
+
+    from gotrackmaster_spark.kernels.extra import douglas_peucker_mask
+
+    def run(pts):
+        lat = np.array([p.lat for p in pts])
+        lon = np.array([p.lon for p in pts])
+        keep = douglas_peucker_mask(lat, lon, epsilon_deg)
+        return [p for p, k in zip(pts, keep) if k]
+
+    return _seg_fix(df, run)
+
+
+def hampel_fix(df: DataFrame, window: int = 5, n_sigmas: float = 3.0,
+               column: str = "ele") -> DataFrame:
+    """North-star extra: drop Hampel outliers of `column` per segment."""
+    import numpy as np
+
+    from gotrackmaster_spark.kernels.extra import hampel_mask
+
+    def run(pts):
+        vals = np.array([getattr(p, column) for p in pts])
+        bad = hampel_mask(vals, window, n_sigmas)
+        return [p for p, b in zip(pts, bad) if not b]
+
+    return _seg_fix(df, run)
+
+
+def zscore_fix(df: DataFrame, n_sigmas: float = 3.0, column: str = "ele") -> DataFrame:
+    """North-star extra: drop global z-score outliers of `column` per segment."""
+    import numpy as np
+
+    from gotrackmaster_spark.kernels.extra import zscore_mask
+
+    def run(pts):
+        vals = np.array([getattr(p, column) for p in pts])
+        bad = zscore_mask(vals, n_sigmas)
+        return [p for p, b in zip(pts, bad) if not b]
+
+    return _seg_fix(df, run)

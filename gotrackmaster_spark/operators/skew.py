@@ -1,0 +1,57 @@
+"""E5 — explicit skew handling: salt-and-broadcast joins + cell-range
+partitioning (north_rule: "explicit salt-and-broadcast skew handling and
+range-partitioned shuffles keyed on hierarchical cell IDs").
+
+AQE's skew-join splitting covers sort-merge joins automatically (enabled in
+session.py); these utilities cover the cases AQE cannot touch:
+
+* a shuffle HASH join where one key (a hot cell: urban core, equator
+  antimeridian artifacts) dominates a partition → ``salted_join`` spreads
+  the hot key over S subkeys, exploding only the SMALL side ×S.
+* writing cell-indexed tables so downstream scans prune: Z-order cell IDs
+  are spatially local, so ``repartition_by_cell_range`` + sortWithinPartitions
+  gives every output file a tight min/max cell range → parquet row-group
+  skipping turns cell-range predicates into partition pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt: int = 8,
+    how: str = "inner",
+    salt_by: str | None = None,
+) -> DataFrame:
+    """Equi-join with the big side's hot keys spread over ``salt`` subkeys.
+
+    big gains ``_salt = pmod(hash(salt_by | monotonically_increasing_id), S)``;
+    small is exploded ×S (it is the broadcast/replicated side, so the blow-up
+    is bounded by S·|small|).  Result == big.join(small, key, how) exactly.
+    """
+    src = F.col(salt_by) if salt_by else F.monotonically_increasing_id()
+    b = big.withColumn("_salt", F.pmod(F.hash(src), F.lit(salt)).cast("int"))
+    s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = b.join(s, [key, "_salt"], how)
+    return out.drop("_salt")
+
+
+def repartition_by_cell_range(
+    df: DataFrame, cell_col_name: str = "cell", num_partitions: int | None = None
+) -> DataFrame:
+    """Range-partition on the hierarchical cell ID and sort within
+    partitions — the write-side layout that makes cell-range scans prune
+    at the file level (Z-order IDs keep spatial neighbours in the same
+    byte range)."""
+    if num_partitions:
+        out = df.repartitionByRange(num_partitions, F.col(cell_col_name))
+    else:
+        out = df.repartitionByRange(F.col(cell_col_name))
+    return out.sortWithinPartitions(cell_col_name)

@@ -1,0 +1,153 @@
+"""E6 — Iceberg-style snapshot log over Parquet: checkpointing, resume,
+per-partition lineage + metrics.
+
+No Iceberg jar ships in the sandbox, so snapshot semantics are provided by
+a JSON manifest log behind a narrow ``Catalog`` interface (SURVEY.md §7.5):
+
+    root/
+      <table>/
+        snap-00000001/part=.../*.parquet      (immutable data files)
+        _log/00000001.json                    (manifest: files, lineage,
+                                               per-partition metrics,
+                                               parent snapshot id)
+
+* ``commit`` writes a new immutable snapshot directory + manifest; readers
+  always resolve the latest manifest — writers never mutate published data
+  (snapshot isolation, Iceberg's core contract).
+* ``resume_pending`` = the checkpoint restart path: given the full
+  partition-key list, anti-join against the partitions recorded in the
+  latest manifest → only unprocessed partitions are recomputed.
+* per-partition metrics (row counts; extensible) are recorded in the
+  manifest at commit time — the lineage answer to "which input partition
+  produced which file, with how many rows".
+
+On a real cluster the same layout lands on object storage and commit is a
+rename of the manifest (single-writer); here the filesystem stands in.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class Catalog:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # ------------------------------------------------------------- paths ---
+    def _table_dir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _log_dir(self, table: str) -> str:
+        return os.path.join(self._table_dir(table), "_log")
+
+    def snapshots(self, table: str) -> list[int]:
+        log = self._log_dir(table)
+        if not os.path.isdir(log):
+            return []
+        return sorted(
+            int(f.split(".")[0]) for f in os.listdir(log) if f.endswith(".json")
+        )
+
+    def manifest(self, table: str, snapshot_id: int | None = None) -> dict:
+        snaps = self.snapshots(table)
+        if not snaps:
+            raise FileNotFoundError(f"no snapshots for table {table!r}")
+        sid = snapshot_id if snapshot_id is not None else snaps[-1]
+        with open(os.path.join(self._log_dir(table), f"{sid:08d}.json")) as f:
+            return json.load(f)
+
+    # ------------------------------------------------------------ commit ---
+    def commit(
+        self,
+        df: DataFrame,
+        table: str,
+        partition_col: str | None = None,
+        extra_metrics: dict | None = None,
+    ) -> dict:
+        """Write df as the next snapshot of ``table``; returns the manifest.
+
+        Lineage: per-partition row counts are computed in the SAME job
+        shape as the write (one aggregate over the output), recorded under
+        ``partitions`` in the manifest.
+        """
+        snaps = self.snapshots(table)
+        sid = (snaps[-1] + 1) if snaps else 1
+        snap_dir = os.path.join(self._table_dir(table), f"snap-{sid:08d}")
+
+        writer = df.write.mode("errorifexists")
+        if partition_col:
+            writer = writer.partitionBy(partition_col)
+        writer.parquet(snap_dir)
+
+        if partition_col:
+            from pyspark.sql import functions as F
+
+            counts = {
+                str(r[partition_col]): r["n"]
+                for r in df.groupBy(partition_col).agg(F.count("*").alias("n")).collect()
+            }
+        else:
+            counts = {"__all__": df.count()}
+
+        files = []
+        for dirpath, _dirs, fnames in os.walk(snap_dir):
+            for f in fnames:
+                if f.endswith(".parquet"):
+                    files.append(os.path.relpath(os.path.join(dirpath, f), snap_dir))
+
+        manifest = {
+            "table": table,
+            "snapshot_id": sid,
+            "parent_id": snaps[-1] if snaps else None,
+            "created_unix": time.time(),
+            "data_dir": snap_dir,
+            "files": sorted(files),
+            "partition_col": partition_col,
+            "partitions": counts,
+            "total_rows": sum(counts.values()),
+            "metrics": extra_metrics or {},
+        }
+        log = self._log_dir(table)
+        os.makedirs(log, exist_ok=True)
+        tmp = os.path.join(log, f".{sid:08d}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.rename(tmp, os.path.join(log, f"{sid:08d}.json"))  # atomic publish
+        return manifest
+
+    # -------------------------------------------------------------- read ---
+    def load(self, spark: SparkSession, table: str, snapshot_id: int | None = None) -> DataFrame:
+        m = self.manifest(table, snapshot_id)
+        return spark.read.parquet(m["data_dir"])
+
+    def processed_partitions(self, table: str) -> set[str]:
+        try:
+            return set(self.manifest(table)["partitions"])
+        except FileNotFoundError:
+            return set()
+
+    def resume_pending(
+        self, spark: SparkSession, all_partitions: DataFrame, table: str, partition_col: str
+    ) -> DataFrame:
+        """Partitions of ``all_partitions`` NOT yet in the latest snapshot —
+        the restart work-list (anti-join against manifest lineage)."""
+        done = sorted(self.processed_partitions(table))
+        if not done:
+            return all_partitions
+        from pyspark.sql import functions as F
+
+        done_df = spark.createDataFrame(
+            [(d,) for d in done], f"{partition_col}_done string"
+        )
+        return all_partitions.join(
+            F.broadcast(done_df),
+            all_partitions[partition_col].cast("string")
+            == done_df[f"{partition_col}_done"],
+            "left_anti",
+        )

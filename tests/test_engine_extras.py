@@ -1,0 +1,99 @@
+"""E5 salting, E6 checkpoint/lineage, DP/Hampel/z-score extras."""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def test_salted_join_equals_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from gotrackmaster_spark.operators.skew import salted_join
+
+    big = spark.range(10000).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("v")
+    )
+    small = spark.range(5).select(
+        F.col("id").alias("k"), (F.col("id") * 100).alias("w")
+    )
+    plain = {(r.k, r.v, r.w) for r in big.join(small, "k").collect()}
+    salted = {(r.k, r.v, r.w) for r in salted_join(big, small, "k", salt=8).collect()}
+    assert salted == plain
+
+
+def test_checkpoint_commit_resume(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from gotrackmaster_spark.plans.checkpoint import Catalog
+
+    cat = Catalog(str(tmp_path))
+    df = spark.range(100).select(
+        (F.col("id") % 4).cast("string").alias("part"), F.col("id")
+    )
+    m1 = cat.commit(df.filter("part in ('0','1')"), "t", partition_col="part")
+    assert m1["snapshot_id"] == 1 and m1["total_rows"] == 50
+    assert set(m1["partitions"]) == {"0", "1"}
+
+    # resume: only unprocessed partitions remain in the work-list
+    allp = spark.createDataFrame([("0",), ("1",), ("2",), ("3",)], "part string")
+    pending = {r.part for r in cat.resume_pending(spark, allp, "t", "part").collect()}
+    assert pending == {"2", "3"}
+
+    m2 = cat.commit(df.filter("part in ('2','3')"), "t", partition_col="part")
+    assert m2["parent_id"] == 1 and m2["snapshot_id"] == 2
+    # snapshot isolation: snapshot 1 still readable as-was
+    assert cat.load(spark, "t", 1).count() == 50
+    assert cat.load(spark, "t").count() == 50  # latest = snap 2 (its own data)
+
+
+def test_douglas_peucker_properties():
+    from gotrackmaster_spark.kernels.extra import _perp_dist, douglas_peucker_mask
+
+    rng = np.random.RandomState(42)
+    lat = np.cumsum(rng.randn(200)) * 1e-4 + 40.0
+    lon = np.cumsum(rng.randn(200)) * 1e-4 + 2.0
+    eps = 2e-4
+    keep = douglas_peucker_mask(lat, lon, eps)
+    assert keep[0] and keep[-1]
+    assert keep.sum() < 200
+    # every dropped point is within eps of the kept polyline's active segment
+    idx = np.where(keep)[0]
+    for a, b in zip(idx[:-1], idx[1:]):
+        if b > a + 1:
+            d = _perp_dist(lat[a + 1 : b], lon[a + 1 : b], lat[a], lon[a], lat[b], lon[b])
+            assert (d <= eps + 1e-12).all()
+
+
+def test_hampel_and_zscore_flag_spikes():
+    from gotrackmaster_spark.kernels.extra import hampel_mask, zscore_mask
+
+    v = np.ones(100) * 500.0
+    v += np.sin(np.arange(100)) * 2
+    v[17] = 3000.0
+    v[55] = -1000.0
+    hm = hampel_mask(v)
+    zm = zscore_mask(v)
+    assert hm[17] and hm[55]
+    assert zm[17] and zm[55]
+    assert hm.sum() <= 4 and zm.sum() <= 4
+
+
+def test_extra_fix_operators_spark(spark):
+    from gotrackmaster_spark.operators.repair import (
+        douglas_peucker_fix,
+        hampel_fix,
+        zscore_fix,
+    )
+    from gotrackmaster_spark.sources.gpx import gpx_files_to_points_df
+    from tests.conftest import FIXTURES
+
+    pts, _ = gpx_files_to_points_df(spark, [FIXTURES["carlos"]])
+    n0 = pts.count()
+    n_dp = douglas_peucker_fix(pts, 0.0002).count()
+    assert 2 <= n_dp < n0
+    assert hampel_fix(pts).count() <= n0
+    assert zscore_fix(pts).count() <= n0

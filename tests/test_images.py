@@ -1,0 +1,122 @@
+"""E7 image payload: codec correctness, per-row invariant, phash dedup."""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_png_roundtrip_exact():
+    from gotrackmaster_spark.functions.png import decode_png, encode_png
+    from gotrackmaster_spark.operators.images import gen_pixels
+
+    px = gen_pixels(7, 40, 16)
+    assert np.array_equal(decode_png(encode_png(px)), px)
+
+
+def test_png_foreign_filters_decode():
+    """Decoder must handle filters 1-4 (foreign encoders use them)."""
+    import struct
+    import zlib
+
+    from gotrackmaster_spark.functions.png import _SIG, _chunk, decode_png
+    from gotrackmaster_spark.operators.images import gen_pixels
+
+    px = gen_pixels(3, 8, 6)
+    h, w, _ = px.shape
+    flat = px.reshape(h, w * 3).astype(np.int32)
+    raws = []
+    for y in range(h):
+        ftype = y % 5
+        prev = flat[y - 1] if y > 0 else np.zeros(w * 3, dtype=np.int32)
+        cur = flat[y]
+        enc = np.zeros(w * 3, dtype=np.int32)
+        for x in range(w * 3):
+            a = cur[x - 3] if x >= 3 else 0
+            b = prev[x]
+            c = prev[x - 3] if x >= 3 else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc[x] = (cur[x] - pred) & 0xFF
+        raws.append(bytes([ftype]) + bytes(enc.astype(np.uint8)))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    data = (
+        _SIG + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"".join(raws)))
+        + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(data), px)
+
+
+def test_roundtrip_invariant_all_rows(spark):
+    """input_hint invariant: decoded-pixel allclose (PSNR>=40 for lossy)
+    + caption equality on every row."""
+    from gotrackmaster_spark.operators.images import roundtrip_check, synthesize_images
+
+    imgs = synthesize_images(spark, SF_DIR, w=32, h=24)
+    res = roundtrip_check(imgs).collect()
+    assert len(res) == 500
+    assert all(r.invariant_ok and r.caption_ok for r in res)
+    lossy = [r for r in res if r.fmt == "qnt4"]
+    assert lossy and all(40.0 <= r.psnr_vs_source < 60.0 for r in lossy)
+    lossless = [r for r in res if r.fmt in ("raw", "png")]
+    assert lossless and all(r.psnr_vs_source == float("inf") for r in lossless)
+
+
+def test_caption_equality_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    from gotrackmaster_spark.operators.images import synthesize_images
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    imgs = synthesize_images(spark, SF_DIR)
+    j = imgs.withColumn("doc_id", F.col("img_key")).join(docs, "doc_id")
+    assert j.filter(F.col("caption") != F.col("text")).count() == 0
+
+
+def test_phash_identical_pixels_same_hash(spark):
+    from gotrackmaster_spark.operators.images import gen_pixels, phash64
+
+    a = phash64(gen_pixels(11, 32, 24))
+    b = phash64(gen_pixels(11, 32, 24))
+    c = phash64(gen_pixels(12, 32, 24))
+    assert a == b
+    assert isinstance(a, int)
+    assert a != c  # pseudo-random pixels: equal hashes would be a bug smell
+
+
+def test_phash_near_dups_pigeonhole(spark):
+    from pyspark.sql import functions as F
+
+    from gotrackmaster_spark.operators.images import phash_near_dups, synthesize_images
+
+    imgs = synthesize_images(spark, SF_DIR).limit(120).cache()
+    fast = {
+        (r.a_id, r.b_id, r.hamming)
+        for r in phash_near_dups(imgs, max_hamming=20).collect()
+    }
+    sig = imgs.select("image_id", "phash")
+    a = sig.select(F.col("image_id").alias("a_id"), F.col("phash").alias("a_ph"))
+    b = sig.select(F.col("image_id").alias("b_id"), F.col("phash").alias("b_ph"))
+    ham = F.bit_count(F.col("a_ph").bitwiseXOR(F.col("b_ph"))).cast("int")
+    brute = {
+        (r.a_id, r.b_id, r.hamming)
+        for r in a.crossJoin(b).filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("hamming", ham).filter(F.col("hamming") <= 20).collect()
+    }
+    assert fast == brute
