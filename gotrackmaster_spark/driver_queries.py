@@ -499,7 +499,7 @@ def q_knn(spark, sf_dir):
     qs = pts.filter(F.col("event_id") % 100 == 3).select(
         F.col("event_id").alias("query_id"), "lat", "lon"
     )
-    out = knn_join(qs, data, k=_KNN_K, level=6, ring=2, exclude_self=True)
+    out = knn_join(qs, data, k=_KNN_K, level=7, ring=2, exclude_self=True)
     return out.select(
         "query_id", "data_id", F.col("rank").alias("rnk"),
         F.round("dist_m", 3).alias("dist_r"),

@@ -187,25 +187,66 @@ def knn_join(
     q = queries.select(query_id, F.col("lat").alias("q_lat"), F.col("lon").alias("q_lon"))
     d = data.select(data_id, F.col("lat").alias("d_lat"), F.col("lon").alias("d_lon"))
 
+    # Expected k-NN radius from global density → per-query ADAPTIVE ring:
+    # high-latitude queries (narrow cells in meters) get wider rings instead
+    # of falling back to brute force.
+    n_data = data.count()
+    earth_area = 4.0 * math.pi * 6371000.0**2
+    target_m = 2.0 * math.sqrt(max(k, 1) / (max(n_data, 1) / earth_area * math.pi))
+    lat_cell_deg = 180.0 / (1 << level)
+    lon_cell_deg = 360.0 / (1 << level)
+    lat_cell_m = lat_cell_deg * _M_PER_DEG
+    max_ring = 8
+    _R = 6371000.0
+
+    def _guarantee(abs_lat_deg: np.ndarray, r) -> np.ndarray:
+        """EXACT lower bound on the distance from a query at |lat| to any
+        point outside its (2r+1)² block: points beyond r cells in latitude
+        are ≥ r·lat_cell_m away (meridian arc); points within r lat-cells
+        but beyond r lon-cells satisfy cosφ₁,cosφ₂ ≥ cos(φ_worst) so
+        haversine ≥ 2R·asin(cos φ_worst · sin(r·Δλ/2))."""
+        worst = np.minimum(90.0, abs_lat_deg + (r + 1) * lat_cell_deg)
+        d_lat = r * lat_cell_m
+        half = np.minimum(r * math.radians(lon_cell_deg) / 2.0, math.pi / 2)
+        d_lon = 2.0 * _R * np.arcsin(np.cos(np.radians(worst)) * np.sin(half))
+        return np.minimum(d_lat, d_lon)
+
     def explode_ring(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            cells = cell_np(pdf["q_lat"].to_numpy(), pdf["q_lon"].to_numpy(), level)
-            ring_cells = k_ring_np(cells, ring)  # (n, (2r+1)^2)
-            n, m = ring_cells.shape
-            yield pd.DataFrame(
-                {
-                    query_id: np.repeat(pdf[query_id].to_numpy(), m),
-                    "q_lat": np.repeat(pdf["q_lat"].to_numpy(), m),
-                    "q_lon": np.repeat(pdf["q_lon"].to_numpy(), m),
-                    "cell": ring_cells.ravel(),
-                }
-            ).drop_duplicates(subset=[query_id, "cell"])
+            qlat = pdf["q_lat"].to_numpy()
+            qlon = pdf["q_lon"].to_numpy()
+            abs_lat = np.abs(qlat)
+            # smallest ring whose exact guarantee covers the target radius
+            r = np.full(len(pdf), max_ring, dtype=np.int64)
+            for rv in range(max_ring - 1, ring - 1, -1):
+                r = np.where(_guarantee(abs_lat, rv) >= target_m, rv, r)
+            guarantee = _guarantee(abs_lat, r) - 10.0 ** (-round_decimals)
+            cells = cell_np(qlat, qlon, level)
+            frames = []
+            for rv in np.unique(r):
+                m = r == rv
+                rc = k_ring_np(cells[m], int(rv))  # (nm, (2rv+1)^2)
+                nm, mm = rc.shape
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            query_id: np.repeat(pdf[query_id].to_numpy()[m], mm),
+                            "q_lat": np.repeat(qlat[m], mm),
+                            "q_lon": np.repeat(qlon[m], mm),
+                            "guarantee_m": np.repeat(guarantee[m], mm),
+                            "cell": rc.ravel(),
+                        }
+                    )
+                )
+            out = pd.concat(frames, ignore_index=True)
+            yield out.drop_duplicates(subset=[query_id, "cell"])
 
     qid_type = dict(queries.dtypes)[query_id]
     q_ring = q.mapInPandas(
-        explode_ring, f"{query_id} {qid_type}, q_lat double, q_lon double, cell long"
+        explode_ring,
+        f"{query_id} {qid_type}, q_lat double, q_lon double, guarantee_m double, cell long",
     )
     d_cell = d.withColumn("cell", cell_col(F.col("d_lat"), F.col("d_lon"), level))
     cand = d_cell.join(F.broadcast(q_ring), "cell", "inner")
@@ -220,46 +261,64 @@ def knn_join(
     w = Window.partitionBy(query_id).orderBy(
         F.round(F.col("dist_m"), round_decimals).asc(), F.col(data_id).asc()
     )
-    ranked = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    # persist: the windowed top-k feeds three consumers (gate aggregate,
+    # exact output, fallback bound) — without it the candidate join +
+    # window re-executes per consumer
+    ranked = cand.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    ).persist()
 
-    # Guarantee radius: any point outside the (2r+1)² block is ≥ ring·w_min
-    # away, where w_min is the smaller of the cell's N-S extent and its E-W
-    # extent at the worst latitude reachable within the block.  A 0.5 safety
-    # factor swallows geodesic-vs-parallel subtleties conservatively.
-    lat_cell_deg = 180.0 / (1 << level)
-    lon_cell_deg = 360.0 / (1 << level)
-    worst_lat = F.least(
-        F.lit(90.0), F.abs(F.col("q_lat")) + F.lit((ring + 1) * lat_cell_deg)
+    # Exactness gate: the k-th distance must sit inside the per-query
+    # guarantee radius (beyond which no non-candidate can lie); the
+    # rounding step was already subtracted so a just-outside point cannot
+    # tie after rounding and displace by id order.
+    step = 10.0 ** (-round_decimals)
+    per_q = ranked.groupBy(query_id).agg(
+        F.count("*").alias("n_cand"),
+        F.max("dist_m").alias("kth_dist"),
+        F.first("guarantee_m").alias("g_m"),
     )
-    w_min = F.least(
-        F.lit(lat_cell_deg * _M_PER_DEG),
-        F.lit(lon_cell_deg * _M_PER_DEG) * F.cos(F.radians(worst_lat)),
-    )
-    # subtract one rounding step so a just-outside point cannot tie (after
-    # rounding) with the k-th candidate and displace it by id order
-    guarantee = F.lit(0.5 * ring) * w_min - F.lit(10.0 ** (-round_decimals))
+    # bound: phase-A's k-th distance (+2 rounding steps) upper-bounds the
+    # true k-th whenever phase A already found k candidates — the fallback
+    # scan filters on it BEFORE the window sort, so the brute-force pass is
+    # a codegen'd scan + tiny sort instead of a 10^7-row shuffle.
+    # The short set is COLLECTED (≤ #queries rows): broadcast subqueries
+    # execute eagerly, so leaving it as lineage would re-run the candidate
+    # window once per consumer — materializing it here also populates the
+    # `ranked` cache for the main pass.
+    short_rows = per_q.filter(
+        (F.col("n_cand") < k) | (F.col("kth_dist") > F.col("g_m"))
+    ).select(
+        query_id,
+        F.when(F.col("n_cand") >= k, F.col("kth_dist") + 2 * step).alias("bf_bound"),
+    ).collect()
 
-    per_q = ranked.groupBy(query_id, "q_lat").agg(
-        F.count("*").alias("n_cand"), F.max("dist_m").alias("kth_dist")
+    cols = [query_id, data_id, "dist_m", "rank"]
+    if not short_rows:
+        return ranked.select(*cols)
+
+    spark = queries.sparkSession
+    short = spark.createDataFrame(
+        [(r[0], r[1]) for r in short_rows], f"{query_id} {qid_type}, bf_bound double"
     )
-    short = per_q.filter(
-        (F.col("n_cand") < k) | (F.col("kth_dist") > guarantee)
-    ).select(query_id)
 
     # Exact fallback for under-covered queries (empty when level/ring are
     # sized to the density).
-    q_short = q.join(F.broadcast(short), query_id, "left_semi")
+    q_short = q.join(F.broadcast(short), query_id, "inner")
     bf = q_short.crossJoin(d)
     if exclude_self:
         bf = bf.filter(F.col(data_id) != F.col(query_id))
     bf = bf.withColumn(
         "dist_m",
         haversine_col(F.col("q_lat"), F.col("q_lon"), F.col("d_lat"), F.col("d_lon")),
+    ).filter(
+        F.col("bf_bound").isNull() | (F.col("dist_m") <= F.col("bf_bound"))
     )
     bf_ranked = bf.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
-    good = ranked.join(F.broadcast(short), query_id, "left_anti")
-    cols = [query_id, data_id, "dist_m", "rank"]
+    good = ranked.join(
+        F.broadcast(short.select(query_id)), query_id, "left_anti"
+    )
     return good.select(*cols).unionByName(bf_ranked.select(*cols))
 
 
