@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_quality": Q.q_lang_quality,
         "position_start_end": Q.q_position_start_end,
         "image_stats": Q.q_image_stats,
+        "import_paths": Q.q_import_paths,
         # kernel-pipeline profile (sequential data-dependent kernels — not
         # SQL-expressible; the driver records the weaker rows-only check,
         # exact semantics are fixture-tested in tests/test_quality.py)
@@ -102,5 +103,6 @@ def oracle_sql() -> dict[str, str]:
         "lang_quality": Q.SQL_LANG_QUALITY,
         "position_start_end": Q.SQL_POSITION_START_END,
         "image_stats": Q.SQL_IMAGE_STATS,
+        "import_paths": Q.SQL_IMPORT_PATHS,
         # "track_profiles" intentionally has no oracle (non-SQL-expressible)
     }

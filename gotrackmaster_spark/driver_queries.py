@@ -735,6 +735,7 @@ from gotrackmaster_spark.functions.text import (  # noqa: E402
     quality_score_sql,
 )
 from gotrackmaster_spark.operators import dedup as D  # noqa: E402
+from gotrackmaster_spark.operators.importer import custom_format_sql  # noqa: E402
 
 
 def q_exact_dup_groups(spark, sf_dir):
@@ -925,4 +926,107 @@ SELECT format('img{{:08d}}', doc_id) AS image_id,
        END AS pixel_sum,
        CAST(length(text) AS INT) AS caption_len
 FROM documents
+"""
+
+# --------------------------------------------------------------------------
+# P6 + T2/T3 + S7 — import plan: path templating over the corner-tile
+# fan-out with first-wins duplicate suppression (cmd/import.go)
+# --------------------------------------------------------------------------
+
+_DIR_FMT = "{year}/{month}/{degree1}"
+_ARC_FMT = "{original}_{creator}_q{quality}_{degree0.5}"
+
+_KINDS = ["Cycling Sport", "Running Mountain", "Walking Transport", "Motor Sport"]
+
+
+def q_import_paths(spark, sf_dir):
+    from gotrackmaster_spark.operators.importer import import_plan
+
+    pts = geo_events(spark, sf_dir)
+    s = pts.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("timestamp")).alias("start_ts"),
+        F.min("lat").alias("min_lat"),
+        F.max("lat").alias("max_lat"),
+        F.min("lon").alias("min_lon"),
+        F.max("lon").alias("max_lon"),
+    )
+    kinds = F.array(*[F.lit(k) for k in _KINDS])
+    raw = F.element_at(
+        F.array(*[F.lit(c) for c in _RAW_CREATORS]),
+        (F.col("user_id") % len(_RAW_CREATORS) + 1).cast("int"),
+    )
+    summaries = s.select(
+        F.col("user_id").cast("string").alias("track_id"),
+        F.col("user_id").cast("int").alias("file_rank"),
+        "start_ts", "min_lat", "max_lat", "min_lon", "max_lon",
+        creator_ladder_col(raw).alias("creator"),
+        ((F.col("user_id") * 37) % 101).alias("quality"),
+        F.concat(F.lit("trk"), F.col("user_id")).alias("original"),
+        F.element_at(kinds, (F.col("user_id") % 4 + 1).cast("int")).alias("kind"),
+    )
+    plan = import_plan(summaries, _DIR_FMT, _ARC_FMT)
+    return plan.select("track_id", "directory", "archive")
+
+
+def _sql_corner_tiles(degree: float, alias: str) -> str:
+    """Unpivot of the T2 ordered-dedup corner tiles as rows (set-equal to
+    the Column version's array)."""
+    lat1 = lat_tile_sql("min_lat", degree)
+    lon1 = lon_tile_sql("min_lon", degree)
+    lat2 = lat_tile_sql("max_lat", degree)
+    lon2 = lon_tile_sql("max_lon", degree)
+    return f"""
+  SELECT user_id, {lat1} || {lon1} AS {alias} FROM b
+  UNION
+  SELECT user_id, CASE WHEN {lon1} <> {lon2} THEN {lat1} || {lon2} END FROM b
+  UNION
+  SELECT user_id, CASE WHEN {lat1} <> {lat2} THEN {lat2} || {lon1} END FROM b
+  UNION
+  SELECT user_id, CASE WHEN {lat1} <> {lat2} AND {lon1} <> {lon2} THEN {lat2} || {lon2} END FROM b
+"""
+
+
+SQL_IMPORT_PATHS = f"""
+WITH {GEO_CTE},
+b AS (
+  SELECT user_id, min(ts) AS start_ts,
+         min(lat) AS min_lat, max(lat) AS max_lat,
+         min(lon) AS min_lon, max(lon) AS max_lon
+  FROM geo GROUP BY user_id
+),
+d1 AS (SELECT * FROM ({_sql_corner_tiles(1.0, 'deg1')}) WHERE deg1 IS NOT NULL),
+d5 AS (SELECT * FROM ({_sql_corner_tiles(0.5, 'deg5')}) WHERE deg5 IS NOT NULL),
+summ AS (
+  SELECT b.user_id, CAST(b.user_id AS VARCHAR) AS track_id, b.start_ts,
+         {creator_ladder_sql(_raw_creator_sql().replace('event_id', 'b.user_id'))} AS creator,
+         (b.user_id * 37) % 101 AS quality,
+         'trk' || CAST(b.user_id AS VARCHAR) AS original,
+         ['{_KINDS[0]}', '{_KINDS[1]}', '{_KINDS[2]}', '{_KINDS[3]}'][CAST(b.user_id % 4 AS INT) + 1] AS kind
+  FROM b
+),
+fan AS (
+  SELECT s.*, d1.deg1, d5.deg5
+  FROM summ s JOIN d1 ON s.user_id = d1.user_id JOIN d5 ON s.user_id = d5.user_id
+),
+plan AS (
+  SELECT track_id, user_id AS file_rank,
+    {custom_format_sql(_DIR_FMT, {
+        'year': 'year(start_ts)',
+        'month': "printf('%02d', month(start_ts))",
+        'degree1': 'deg1',
+    })} AS directory,
+    {custom_format_sql(_ARC_FMT, {
+        'original': 'original',
+        'creator': 'creator',
+        'quality': 'quality',
+        'degree0.5': 'deg5',
+    })} AS archive
+  FROM fan
+),
+dedup AS (
+  SELECT track_id, directory, archive,
+         row_number() OVER (PARTITION BY directory, archive ORDER BY file_rank, track_id) AS rn
+  FROM plan
+)
+SELECT track_id, directory, archive FROM dedup WHERE rn = 1
 """

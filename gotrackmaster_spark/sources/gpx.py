@@ -111,3 +111,85 @@ def gpx_files_to_points_df(spark, paths: list[str]):
 
     tracks = spark.createDataFrame(creators, TRACKS_SCHEMA)
     return points, tracks
+
+
+# ------------------------------------------------------------------ sink ---
+
+def _fmt_float(x: float) -> str:
+    """Go strconv-style shortest float formatting (xml marshal uses %g-ish
+    shortest round-trip representation)."""
+    return repr(x) if x != int(x) else str(int(x))
+
+
+def _fmt_time_ns(ts_ns: int) -> str:
+    """epoch ns → RFC3339 with Go's trailing-zero-trimmed fractional part."""
+    import datetime as dt
+
+    sec, frac = divmod(ts_ns, 1_000_000_000)
+    base = dt.datetime.fromtimestamp(sec, tz=dt.timezone.utc).strftime(
+        "%Y-%m-%dT%H:%M:%S"
+    )
+    if frac:
+        f = f"{frac:09d}".rstrip("0")
+        base += f".{f}"
+    return base + "Z"
+
+
+def points_to_gpx_xml(rows, creator: str = "gotrackmaster-spark") -> str:
+    """Serialize one track's rows (POINTS_SCHEMA tuples/Rows, any order) to
+    indented GPX 1.1 XML — the reference's writeGPX sink
+    (/root/reference/cmd/root.go:45-67: xml.Header + two-space indent).
+
+    The engine-native sink is a new table snapshot (plans.checkpoint);
+    this exists so a user of the reference can still export GPX files.
+    """
+    from gotrackmaster_spark.schemas import GO_ZERO_NS
+
+    nest: dict[int, dict[int, list]] = {}
+    for r in rows:
+        nest.setdefault(r.trk_no, {}).setdefault(r.seg_no, []).append(r)
+    out = ['<?xml version="1.0" encoding="UTF-8"?>']
+    out.append(
+        f'<gpx version="1.1" creator="{creator}" '
+        'xmlns="http://www.topografix.com/GPX/1/1">'
+    )
+    for trk_no in sorted(nest):
+        out.append("  <trk>")
+        for seg_no in sorted(nest[trk_no]):
+            out.append("    <trkseg>")
+            for p in sorted(nest[trk_no][seg_no], key=lambda r: r.pt_idx):
+                out.append(
+                    f'      <trkpt lat="{_fmt_float(p.lat)}" lon="{_fmt_float(p.lon)}">'
+                )
+                out.append(f"        <ele>{_fmt_float(p.ele)}</ele>")
+                if p.ts_ns is not None and p.ts_ns != GO_ZERO_NS:
+                    out.append(f"        <time>{_fmt_time_ns(p.ts_ns)}</time>")
+                out.append("      </trkpt>")
+            out.append("    </trkseg>")
+        out.append("  </trk>")
+    out.append("</gpx>")
+    return "\n".join(out)
+
+
+def write_gpx_files(points_df, tracks_df, out_dir: str) -> int:
+    """Distributed GPX export: one file per track via applyInPandas over
+    track groups (each file is one group — the reference's per-file loop
+    inverted).  Returns the number of files written."""
+    import os
+
+    import pandas as pd
+
+    creators = {r.track_id: r.creator for r in tracks_df.collect()}
+    os.makedirs(out_dir, exist_ok=True)
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = list(pdf.sort_values(["trk_no", "seg_no", "pt_idx"]).itertuples())
+        xml_text = points_to_gpx_xml(rows, creators.get(key[0], "gotrackmaster-spark"))
+        safe = str(key[0]).replace("/", "_")
+        path = os.path.join(out_dir, f"{safe}.gpx")
+        with open(path, "w") as f:
+            f.write(xml_text)
+        return pd.DataFrame({"track_id": [key[0]], "path": [path]})
+
+    res = points_df.groupBy("track_id").applyInPandas(fn, "track_id string, path string")
+    return res.count()
