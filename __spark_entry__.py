@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "position_start_end": Q.q_position_start_end,
         "image_stats": Q.q_image_stats,
         "import_paths": Q.q_import_paths,
+        "scalar_ops": Q.q_scalar_ops,
         # kernel-pipeline profile (sequential data-dependent kernels — not
         # SQL-expressible; the driver records the weaker rows-only check,
         # exact semantics are fixture-tested in tests/test_quality.py)
@@ -104,5 +105,6 @@ def oracle_sql() -> dict[str, str]:
         "position_start_end": Q.SQL_POSITION_START_END,
         "image_stats": Q.SQL_IMAGE_STATS,
         "import_paths": Q.SQL_IMPORT_PATHS,
+        "scalar_ops": Q.SQL_SCALAR_OPS,
         # "track_profiles" intentionally has no oracle (non-SQL-expressible)
     }

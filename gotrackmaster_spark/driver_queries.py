@@ -1030,3 +1030,55 @@ dedup AS (
 )
 SELECT track_id, directory, archive FROM dedup WHERE rn = 1
 """
+
+# --------------------------------------------------------------------------
+# W12/W13 + P3 + P7 — scalar operator pack (round/middle/abs elevation,
+# time-validity predicate, geo-name cleanup) over the geotagged points
+# --------------------------------------------------------------------------
+
+def q_scalar_ops(spark, sf_dir):
+    from pyspark.sql import Window
+
+    pts = geo_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    ele2 = F.col("ele") / 7.0
+    next_ele = F.lead(ele2).over(w)
+    name_raw = F.concat(
+        F.lit(" Trk/"), F.col("event_id").cast("string"), F.lit(":a\\b.c ")
+    )
+    return pts.select(
+        "event_id",
+        # W12 RoundElevation (elevation.go:67-75; Go math.Round = half away
+        # from zero = Spark HALF_UP)
+        F.round(ele2, 2).alias("ele_round"),
+        # W13 MiddleElevation (elevation.go:121-123): pt + (w - pt)/2
+        (next_ele + (ele2 - next_ele) / 2).alias("ele_middle"),
+        # W13 ElevationAbs (elevation.go:117-119)
+        F.abs(ele2 - next_ele).alias("ele_abs"),
+        # P3 timeValid with `now` parameter (time.go:161-163)
+        (
+            (F.unix_micros(F.col("ts").cast("timestamp")) > _Y2K_US)
+            & (F.unix_micros(F.col("ts").cast("timestamp")) < _NOW_US)
+        ).alias("time_valid"),
+        # P7 geoNameCleanup (misc.go:272-275): trim then replace / : \ . → _
+        F.regexp_replace(F.trim(name_raw), r"[/:\\.]", "_").alias("clean_name"),
+    )
+
+
+SQL_SCALAR_OPS = f"""
+WITH {GEO_CTE},
+t AS (
+  SELECT event_id, user_id, ele / 7.0 AS ele2,
+         lead(ele / 7.0) OVER (PARTITION BY user_id ORDER BY event_id) AS next_ele,
+         ts,
+         ' Trk/' || CAST(event_id AS VARCHAR) || ':a\\b.c ' AS name_raw
+  FROM geo
+)
+SELECT event_id,
+       round(ele2, 2) AS ele_round,
+       next_ele + (ele2 - next_ele) / 2 AS ele_middle,
+       abs(ele2 - next_ele) AS ele_abs,
+       (epoch_us(ts) > {_Y2K_US} AND epoch_us(ts) < {_NOW_US}) AS time_valid,
+       regexp_replace(trim(name_raw), '[/:\\\\.]', '_', 'g') AS clean_name
+FROM t
+"""

@@ -69,6 +69,7 @@ class Catalog:
         table: str,
         partition_col: str | None = None,
         extra_metrics: dict | None = None,
+        attempted_partitions: list[str] | None = None,
     ) -> dict:
         """Write df as the next snapshot of ``table``; returns the manifest.
 
@@ -92,6 +93,10 @@ class Catalog:
                 str(r[partition_col]): r["n"]
                 for r in df.groupBy(partition_col).agg(F.count("*").alias("n")).collect()
             }
+            # an attempted partition that produced zero rows is still DONE —
+            # record it so resume converges instead of rescanning it forever
+            for p in attempted_partitions or []:
+                counts.setdefault(str(p), 0)
         else:
             counts = {"__all__": df.count()}
 
@@ -127,10 +132,12 @@ class Catalog:
         return spark.read.parquet(m["data_dir"])
 
     def processed_partitions(self, table: str) -> set[str]:
-        try:
-            return set(self.manifest(table)["partitions"])
-        except FileNotFoundError:
-            return set()
+        """Union over the full snapshot chain — a later incremental commit
+        must not reset earlier snapshots' progress."""
+        done: set[str] = set()
+        for sid in self.snapshots(table):
+            done |= set(self.manifest(table, sid)["partitions"])
+        return done
 
     def resume_pending(
         self, spark: SparkSession, all_partitions: DataFrame, table: str, partition_col: str
