@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_stats": Q.q_image_stats,
         "import_paths": Q.q_import_paths,
         "scalar_ops": Q.q_scalar_ops,
+        "tz_localized": Q.q_tz_localized,
         # kernel-pipeline profile (sequential data-dependent kernels — not
         # SQL-expressible; the driver records the weaker rows-only check,
         # exact semantics are fixture-tested in tests/test_quality.py)
@@ -106,5 +107,6 @@ def oracle_sql() -> dict[str, str]:
         "image_stats": Q.SQL_IMAGE_STATS,
         "import_paths": Q.SQL_IMPORT_PATHS,
         "scalar_ops": Q.SQL_SCALAR_OPS,
+        "tz_localized": Q.SQL_TZ_LOCALIZED,
         # "track_profiles" intentionally has no oracle (non-SQL-expressible)
     }

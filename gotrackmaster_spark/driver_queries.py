@@ -1082,3 +1082,65 @@ SELECT event_id,
        regexp_replace(trim(name_raw), '[/:\\\\.]', '_', 'g') AS clean_name
 FROM t
 """
+
+# --------------------------------------------------------------------------
+# S6/J3 + W14 — timezone localization: PIP join against a tz polygon layer
+# (lon-band rectangles standing in for tzf's embedded polygons), shift to
+# local wall-clock and STRIP the zone (UpdateGPSDateTime, time.go:165-187:
+# `t.In(loc)` then re-parse without zone — replicated as epoch arithmetic)
+# --------------------------------------------------------------------------
+
+def tz_band_polygons(spark):
+    """24 lon-band tz 'polygons': band k covers [k*15-187.5, k*15-172.5)°
+    → UTC offset hours = k - 12 (nautical timezones); full rings so the
+    generic E2 machinery runs, not a special case."""
+    base = spark.range(24).select(F.col("id").cast("int").alias("band"))
+    lon0 = F.col("band") * 15.0 - 187.5
+    lon1 = lon0 + 15.0
+    ring = F.array(
+        F.struct(F.lit(-90.0).alias("lat"), lon0.alias("lon")),
+        F.struct(F.lit(-90.0).alias("lat"), lon1.alias("lon")),
+        F.struct(F.lit(90.0).alias("lat"), lon1.alias("lon")),
+        F.struct(F.lit(90.0).alias("lat"), lon0.alias("lon")),
+    )
+    return base.select(
+        F.col("band").cast("string").alias("poly_id"),
+        ring.alias("ring"),
+        (F.col("band") - 12).alias("utc_offset_h"),
+    )
+
+
+def q_tz_localized(spark, sf_dir):
+    from gotrackmaster_spark.operators.spatial import point_in_polygon_join
+
+    pts = geo_events(spark, sf_dir).select("event_id", "lat", "lon", "ts")
+    tz = tz_band_polygons(spark)
+    joined = point_in_polygon_join(
+        pts, tz.select("poly_id", "ring"), level=5
+    ).join(F.broadcast(tz.select("poly_id", "utc_offset_h")), "poly_id")
+    # local wall-clock with zone stripped == epoch + offset, rendered naive
+    local_us = F.unix_micros(F.col("ts").cast("timestamp")) + F.col(
+        "utc_offset_h"
+    ).cast("long") * F.lit(3_600_000_000)
+    return joined.select(
+        "event_id",
+        F.col("utc_offset_h").cast("int").alias("utc_offset_h"),
+        F.date_format(
+            F.timestamp_micros(local_us), "yyyy-MM-dd HH:mm:ss"
+        ).alias("local_wall_clock"),
+    )
+
+
+SQL_TZ_LOCALIZED = f"""
+WITH {GEO_CTE},
+t AS (
+  SELECT event_id, ts,
+         CAST(floor((lon + 187.5) / 15.0) AS INT) AS band
+  FROM geo
+)
+SELECT event_id, band - 12 AS utc_offset_h,
+       strftime(make_timestamp(epoch_us(ts) + CAST(band - 12 AS BIGINT) * 3600000000),
+                '%Y-%m-%d %H:%M:%S') AS local_wall_clock
+FROM t
+WHERE band <= 23
+"""

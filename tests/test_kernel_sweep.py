@@ -122,3 +122,26 @@ def test_spark_equals_pure_kernel_big_fixtures_spotcheck(spark, fixture):
         want = _pure_apply(fixture, pure)
         got = _spark_apply(spark, FIXTURES[fixture], op)
         assert got == want, (opname, fixture)
+
+
+def test_move_segments_spark_equals_pure(spark):
+    """N7 joinsegments on the 5-segment `sun` fixture: Spark per-track
+    operator == pure kernel (segment merge + renumber)."""
+    from gotrackmaster_spark.kernels import track as K
+    from gotrackmaster_spark.operators.repair import move_segments_fix
+    from gotrackmaster_spark.sources.gpx import gpx_files_to_points_df
+
+    trks = load_fixture_segments("sun")
+    segs = [[p.copy() for p in s] for s in trks[0]]
+    want_segs, _ = K.move_segment(segs, 14, True)
+    want = {
+        seg_no: [(p.lat, p.lon, p.ele, p.t) for p in seg]
+        for seg_no, seg in enumerate(want_segs)
+    }
+
+    pts, _ = gpx_files_to_points_df(spark, [FIXTURES["sun"]])
+    got = {}
+    for r in move_segments_fix(pts, 14).collect():
+        got.setdefault(r.seg_no, []).append((r.pt_idx, r.lat, r.lon, r.ele, r.ts_ns))
+    got = {k: [t[1:] for t in sorted(v)] for k, v in got.items()}
+    assert got == want
