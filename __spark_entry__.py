@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # SQL-expressible; the driver records the weaker rows-only check,
         # exact semantics are fixture-tested in tests/test_quality.py)
         "track_profiles": Q.q_track_profiles,
+        "fix_counters": Q.q_fix_counters,
     }
 
 

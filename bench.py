@@ -51,6 +51,48 @@ def _flagship(spark, sf_dir):
     )
 
 
+def _image_decode(spark, sf_dir):
+    """E7 payload throughput: synthesize, encode (raw/png/qnt4), decode and
+    phash 10k images of 32×24 RGB inside Arrow batches."""
+    from pyspark.sql import functions as F
+
+    from gotrackmaster_spark.operators.images import decode_stats, synthesize_images
+
+    imgs = synthesize_images(spark, sf_dir, w=32, h=24)
+    # widen the 500-doc base ×20 via a salt column (distinct keys, same
+    # codec path)
+    wide = imgs.crossJoin(spark.range(20).select(F.col("id").alias("rep"))).withColumn(
+        "image_id", F.concat(F.col("image_id"), F.lit("_"), F.col("rep"))
+    ).repartition(64)
+    return decode_stats(wide).groupBy("fmt").agg(
+        F.count("*").alias("n"), F.sum("pixel_sum").alias("total")
+    )
+
+
+def _salted_skew_join(spark, sf_dir):
+    """E5 demonstration: 90 % of points land in ONE hot cell; the salted
+    join spreads it across 8 subkeys (result identical to the plain join,
+    asserted in tests)."""
+    from pyspark.sql import functions as F
+
+    from gotrackmaster_spark import driver_queries as Q
+    from gotrackmaster_spark.operators.skew import salted_join
+
+    pts = Q.geo_events(spark, sf_dir).select("event_id", "lat", "lon")
+    skewed = pts.withColumn(
+        "cell",
+        F.when(F.col("event_id") % 10 < 9, F.lit(42)).otherwise(
+            F.col("event_id") % 1000
+        ),
+    )
+    dim = spark.range(1000).select(
+        F.col("id").alias("cell"), (F.col("id") * 7).alias("w")
+    )
+    return salted_join(skewed, dim, "cell", salt=8, salt_by="event_id").groupBy(
+        "cell"
+    ).agg(F.count("*").alias("n"), F.sum("w").alias("sw"))
+
+
 def bench_queries():
     from gotrackmaster_spark import driver_queries as Q
 
@@ -64,6 +106,8 @@ def bench_queries():
         "duplicate_pairs": Q.q_duplicate_pairs,
         "dem_bands": Q.q_dem_bands,
         "mercator_tiles": Q.q_mercator_tiles,
+        "image_decode_10k": _image_decode,
+        "salted_skew_join": _salted_skew_join,
     }
 
 

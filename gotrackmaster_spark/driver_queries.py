@@ -1144,3 +1144,15 @@ SELECT event_id, band - 12 AS utc_offset_h,
 FROM t
 WHERE band <= 23
 """
+
+# --------------------------------------------------------------------------
+# A7 — fix counters (FixTimesTrack return value; kernel-sequential so
+# rows-only check, parity pinned by tests/test_fixture_parity.py's 39-fix
+# golden value on the carlos fixture)
+# --------------------------------------------------------------------------
+
+def q_fix_counters(spark, sf_dir):
+    from gotrackmaster_spark.operators.repair import count_time_fixes
+
+    pts = synthetic_tracks(spark, sf_dir)
+    return count_time_fixes(pts)

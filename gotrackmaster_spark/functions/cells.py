@@ -159,3 +159,19 @@ def cell_sql(lat: str, lon: str, level: int) -> str:
     i = f"least(greatest(CAST(floor((({lon}) + 180.0) / 360.0 * {n!r}) AS BIGINT), 0), {int(n) - 1})"
     j = f"least(greatest(CAST(floor((({lat}) + 90.0) / 180.0 * {n!r}) AS BIGINT), 0), {int(n) - 1})"
     return f"({1 << (2 * level)} | {_spread_sql(i)} | ({_spread_sql(j)} << 1))"
+
+
+def cell_sql_spark(lat: str, lon: str, level: int) -> str:
+    """cell_sql variant in Spark SQL dialect (shiftleft() instead of <<,
+    and CAST AS BIGINT); same arithmetic bit-for-bit."""
+    n = float(1 << level)
+    i = f"least(greatest(CAST(floor((({lon}) + 180.0) / 360.0 * {n!r}) AS BIGINT), CAST(0 AS BIGINT)), CAST({int(n) - 1} AS BIGINT))"
+    j = f"least(greatest(CAST(floor((({lat}) + 90.0) / 180.0 * {n!r}) AS BIGINT), CAST(0 AS BIGINT)), CAST({int(n) - 1} AS BIGINT))"
+
+    def spread(x: str) -> str:
+        expr = x
+        for shift, mask in _MASKS:
+            expr = f"((({expr}) | shiftleft(({expr}), {shift})) & {mask}L)"
+        return expr
+
+    return f"(CAST({1 << (2 * level)} AS BIGINT) | {spread(i)} | shiftleft({spread(j)}, 1))"

@@ -58,6 +58,8 @@ def decode_png(data: bytes) -> np.ndarray:
         elif tag == b"IEND":
             break
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, 1 + w * 3)
+    if (raw[:, 0] == 0).all():  # all-filter-0 fast path (our encoder)
+        return raw[:, 1:].reshape(h, w, 3).copy()
     bpp = 3
     out = np.zeros((h, w * 3), dtype=np.uint8)
     for y in range(h):

@@ -57,15 +57,22 @@ def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
     raise NotImplementedError(f"fmt {fmt!r} (decode libs not in sandbox)")
 
 
-def phash64(pixels: np.ndarray) -> int:
-    """8×8 average-hash: luma block means vs their mean → 64-bit int.
-    Requires w, h divisible by 8 (the synthesizer guarantees it)."""
-    h, w, _ = pixels.shape
+def phash64_batch(pixels: np.ndarray) -> np.ndarray:
+    """Vectorized 8×8 average-hash over a (B, h, w, 3) uint8 batch →
+    (B,) int64.  Luma block means vs their per-image mean; w, h divisible
+    by 8 (the synthesizer guarantees it)."""
+    b, h, w, _ = pixels.shape
     p = pixels.astype(np.int64)
-    luma = (299 * p[:, :, 0] + 587 * p[:, :, 1] + 114 * p[:, :, 2]) // 1000
-    blocks = luma.reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
-    bits = (blocks > blocks.mean()).astype(np.int64).ravel()
-    return int((bits << np.arange(64, dtype=np.int64)).sum())
+    luma = (299 * p[..., 0] + 587 * p[..., 1] + 114 * p[..., 2]) // 1000
+    blocks = luma.reshape(b, 8, h // 8, 8, w // 8).mean(axis=(2, 4))  # (B, 8, 8)
+    bits = (blocks > blocks.mean(axis=(1, 2), keepdims=True)).astype(np.int64)
+    weights = np.int64(1) << np.arange(64, dtype=np.int64)
+    return (bits.reshape(b, 64) * weights[None, :]).sum(axis=1)
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """Single-image convenience wrapper over phash64_batch."""
+    return int(phash64_batch(pixels[None, ...])[0])
 
 
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
@@ -137,21 +144,41 @@ def decode_stats(images: DataFrame) -> DataFrame:
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for r in pdf.itertuples(index=False):
-                px = decode_image(r.bytes, r.w, r.h, r.fmt)
-                out.append(
-                    {
-                        "image_id": r.image_id,
-                        "fmt": r.fmt,
-                        "w": int(r.w),
-                        "h": int(r.h),
-                        "pixel_sum": int(px.astype(np.int64).sum()),
-                        "phash": phash64(px),
-                        "caption_len": len(r.caption),
-                    }
-                )
-            yield pd.DataFrame(out)
+            if len(pdf) == 0:
+                continue
+            n = len(pdf)
+            pix_sum = np.zeros(n, dtype=np.int64)
+            phash = np.zeros(n, dtype=np.int64)
+            # raw/qnt4 share (w, h): stack + one vectorized pass per group;
+            # png decodes per row (real container format)
+            fmts = pdf["fmt"].to_numpy()
+            for grp in np.unique(fmts):
+                idx = np.where(fmts == grp)[0]
+                sub = pdf.iloc[idx]
+                if grp in ("raw", "qnt4"):
+                    w = int(sub["w"].iloc[0])
+                    h = int(sub["h"].iloc[0])
+                    stack = np.stack(
+                        [np.frombuffer(b, dtype=np.uint8) for b in sub["bytes"]]
+                    ).reshape(len(idx), h, w, 3)
+                    pix_sum[idx] = stack.astype(np.int64).sum(axis=(1, 2, 3))
+                    phash[idx] = phash64_batch(stack)
+                else:
+                    for j, r in zip(idx, sub.itertuples(index=False)):
+                        px = decode_image(r.bytes, r.w, r.h, r.fmt)
+                        pix_sum[j] = int(px.astype(np.int64).sum())
+                        phash[j] = phash64(px)
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"].to_numpy(),
+                    "fmt": fmts,
+                    "w": pdf["w"].to_numpy(),
+                    "h": pdf["h"].to_numpy(),
+                    "pixel_sum": pix_sum,
+                    "phash": phash,
+                    "caption_len": pdf["caption"].str.len().to_numpy(),
+                }
+            )
 
     schema = (
         "image_id string, fmt string, w int, h int, pixel_sum long, "
