@@ -98,6 +98,11 @@ def synthesize_images(
         F.format_string("img%08d", F.col("doc_id")).alias("image_id"),
         F.col("text").alias("caption"),
     )
+    # single-file parquet = 1 input split; spread so synthesis (zlib/PNG
+    # encode per image) parallelizes
+    par = spark.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < par:
+        base = base.repartition(par)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

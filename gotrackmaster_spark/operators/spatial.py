@@ -186,6 +186,12 @@ def knn_join(
     """
     q = queries.select(query_id, F.col("lat").alias("q_lat"), F.col("lon").alias("q_lon"))
     d = data.select(data_id, F.col("lat").alias("d_lat"), F.col("lon").alias("d_lon"))
+    # single-file parquet sources arrive as 1 input split — spread the data
+    # side so the candidate join / distance evaluation parallelizes (cheap:
+    # one narrow shuffle of (id, lat, lon))
+    spark_parallelism = d.sparkSession.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < spark_parallelism:
+        d = d.repartition(spark_parallelism * 2)
 
     # Expected k-NN radius from global density → per-query ADAPTIVE ring:
     # high-latitude queries (narrow cells in meters) get wider rings instead
