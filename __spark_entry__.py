@@ -22,6 +22,29 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from gotrackmaster_spark import driver_queries as Q  # noqa: E402
 
 
+def _prepare(spark: SparkSession) -> None:
+    """The driver hands us ITS SparkSession — executors won't have this
+    repo on sys.path, so every pandas-UDF closure (pickled by module
+    reference) would fail to unpickle.  Ship the package zip via
+    addPyFile (idempotent per session) exactly like session.get_session
+    does for sessions we create ourselves."""
+    if getattr(spark, "_gts_prepared", False):
+        return
+    from gotrackmaster_spark.session import _ship_package
+
+    _ship_package(spark)
+    spark._gts_prepared = True
+
+
+def _wrap(fn):
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _prepare(spark)
+        return fn(spark, sf_dir)
+
+    wrapped.__name__ = getattr(fn, "__name__", "query")
+    return wrapped
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: geotag sf0.001 events, assign degree tiles + cells, PIP-join
     against the polygon layer, aggregate per (polygon, tile)."""
@@ -31,6 +54,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from gotrackmaster_spark.functions.tiles import tile_name_col
     from gotrackmaster_spark.operators.spatial import point_in_polygon_join
 
+    _prepare(spark)
     sf_dir = "/root/testdata/sf0.001"
     pts = Q.geo_events(spark, sf_dir).select("event_id", "user_id", "lat", "lon")
     polys = Q.rect_polygons(spark, sf_dir)
@@ -49,36 +73,36 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "leg_haversine_sum": Q.q_leg_haversine_sum,
-        "tile_counts": Q.q_tile_counts,
-        "bounds_tiles": Q.q_bounds_tiles,
-        "cell_parent_counts": Q.q_cell_parent_counts,
-        "speed_defect_counts": Q.q_speed_defect_counts,
-        "time_quality": Q.q_time_quality,
-        "creator_counts": Q.q_creator_counts,
-        "pip_counts": Q.q_pip_counts,
-        "knn": Q.q_knn,
-        "duplicate_pairs": Q.q_duplicate_pairs,
-        "dem_bands": Q.q_dem_bands,
-        "mercator_tiles": Q.q_mercator_tiles,
-        "token_stats": Q.q_token_stats,
-        "doc_fingerprints": Q.q_doc_fingerprints,
-        "exact_dup_groups": Q.q_exact_dup_groups,
-        "jaccard_pairs": Q.q_jaccard_pairs,
-        "minhash_band_pairs": Q.q_minhash_band_pairs,
-        "simhash_near_dups": Q.q_simhash_near_dups,
-        "embedding_topk": Q.q_embedding_topk,
-        "lang_quality": Q.q_lang_quality,
-        "position_start_end": Q.q_position_start_end,
-        "image_stats": Q.q_image_stats,
-        "import_paths": Q.q_import_paths,
-        "scalar_ops": Q.q_scalar_ops,
-        "tz_localized": Q.q_tz_localized,
+        "leg_haversine_sum": _wrap(Q.q_leg_haversine_sum),
+        "tile_counts": _wrap(Q.q_tile_counts),
+        "bounds_tiles": _wrap(Q.q_bounds_tiles),
+        "cell_parent_counts": _wrap(Q.q_cell_parent_counts),
+        "speed_defect_counts": _wrap(Q.q_speed_defect_counts),
+        "time_quality": _wrap(Q.q_time_quality),
+        "creator_counts": _wrap(Q.q_creator_counts),
+        "pip_counts": _wrap(Q.q_pip_counts),
+        "knn": _wrap(Q.q_knn),
+        "duplicate_pairs": _wrap(Q.q_duplicate_pairs),
+        "dem_bands": _wrap(Q.q_dem_bands),
+        "mercator_tiles": _wrap(Q.q_mercator_tiles),
+        "token_stats": _wrap(Q.q_token_stats),
+        "doc_fingerprints": _wrap(Q.q_doc_fingerprints),
+        "exact_dup_groups": _wrap(Q.q_exact_dup_groups),
+        "jaccard_pairs": _wrap(Q.q_jaccard_pairs),
+        "minhash_band_pairs": _wrap(Q.q_minhash_band_pairs),
+        "simhash_near_dups": _wrap(Q.q_simhash_near_dups),
+        "embedding_topk": _wrap(Q.q_embedding_topk),
+        "lang_quality": _wrap(Q.q_lang_quality),
+        "position_start_end": _wrap(Q.q_position_start_end),
+        "image_stats": _wrap(Q.q_image_stats),
+        "import_paths": _wrap(Q.q_import_paths),
+        "scalar_ops": _wrap(Q.q_scalar_ops),
+        "tz_localized": _wrap(Q.q_tz_localized),
         # kernel-pipeline profile (sequential data-dependent kernels — not
         # SQL-expressible; the driver records the weaker rows-only check,
         # exact semantics are fixture-tested in tests/test_quality.py)
-        "track_profiles": Q.q_track_profiles,
-        "fix_counters": Q.q_fix_counters,
+        "track_profiles": _wrap(Q.q_track_profiles),
+        "fix_counters": _wrap(Q.q_fix_counters),
     }
 
 
