@@ -193,3 +193,28 @@ def write_gpx_files(points_df, tracks_df, out_dir: str) -> int:
 
     res = points_df.groupBy("track_id").applyInPandas(fn, "track_id string, path string")
     return res.count()
+
+
+# --------------------------------------------------------------- discovery ---
+
+def discover_gpx_files(root_dir: str) -> list[str]:
+    """S2 — recursive directory walk keeping GPX files, sorted (the
+    reference walks with Unsorted=false and keeps mimetype
+    application/gpx+xml / text/xml, lib/utils.go:51-92; extension +
+    header sniff stands in for the mimetype probe)."""
+    import os
+
+    out = []
+    for dirpath, _dirs, files in sorted(os.walk(root_dir)):
+        for f in sorted(files):
+            if not f.lower().endswith(".gpx"):
+                continue
+            full = os.path.join(dirpath, f)
+            try:
+                with open(full, "rb") as fh:
+                    head = fh.read(256)
+            except OSError:
+                continue
+            if b"<?xml" in head or b"<gpx" in head:
+                out.append(full)
+    return sorted(out)

@@ -29,3 +29,12 @@ def test_gpx_roundtrip_lossless(spark, tmp_path):
         # (trk, seg, idx, lat, lon, ele, ts_ns) — exact float64 + ns parity
         assert a[1:7] == b[1:7]
         assert a[8] == b[8]
+
+
+def test_discover_gpx_files():
+    from gotrackmaster_spark.sources.gpx import discover_gpx_files
+
+    found = discover_gpx_files("/root/reference/testdata")
+    assert len(found) == 4
+    assert all(f.endswith(".gpx") for f in found)
+    assert found == sorted(found)
