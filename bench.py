@@ -93,10 +93,32 @@ def _salted_skew_join(spark, sf_dir):
     ).agg(F.count("*").alias("n"), F.sum("w").alias("sw"))
 
 
+def _gpx_repair_pipeline(spark, sf_dir):
+    """Layer-K throughput on the reference's own workload: the 4 GPX
+    fixtures replicated ×32 (531k points, 128 track groups) through the
+    classification pipeline's repair stages (FixTimes → MaxSpeed →
+    simplify → RemoveStops → RemoveIntersections ×4)."""
+    from pyspark.sql import functions as F
+
+    from gotrackmaster_spark.operators import repair as R
+    from gotrackmaster_spark.sources.gpx import discover_gpx_files, gpx_files_to_points_df
+
+    pts, _ = gpx_files_to_points_df(spark, discover_gpx_files("/root/reference/testdata"))
+    wide = (
+        pts.crossJoin(spark.range(32).select(F.col("id").alias("rep")))
+        .withColumn("track_id", F.concat(F.col("track_id"), F.lit("#"), F.col("rep")))
+        .drop("rep")
+        .repartition(64, "track_id", "trk_no", "seg_no")
+    )
+    out = R.repair_pipeline(wide, R.classification_repair_stages())
+    return out.groupBy("track_id").agg(F.count("*").alias("n_points"))
+
+
 def bench_queries():
     from gotrackmaster_spark import driver_queries as Q
 
     return {
+        "gpx_repair_pipeline": _gpx_repair_pipeline,
         "flagship_spatial": _flagship,
         "leg_haversine_sum": Q.q_leg_haversine_sum,
         "tile_counts": Q.q_tile_counts,

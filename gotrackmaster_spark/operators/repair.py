@@ -284,3 +284,35 @@ def zscore_fix(df: DataFrame, n_sigmas: float = 3.0, column: str = "ele") -> Dat
         return [p for p, b in zip(pts, bad) if not b]
 
     return _seg_fix(df, run)
+
+
+# ------------------------------------------------------------ fused chains ---
+
+def repair_pipeline(df: DataFrame, stages: list[Callable[[list], list]]) -> DataFrame:
+    """Fuse a sequence of per-segment kernels into ONE applyInPandas pass:
+    one shuffle on the segment key and one Arrow round-trip total, instead
+    of one per stage.  Output is identical to chaining the per-stage
+    operators (asserted in tests); this is how the classification
+    pipeline's 7 stages run in the reference too — one in-memory tree,
+    N passes (misc.go:141-155)."""
+
+    def run(pts):
+        for stage in stages:
+            pts = stage(pts)
+        return pts
+
+    return _seg_fix(df, run)
+
+
+def classification_repair_stages(max_speed_v: float = 200.0) -> list:
+    """The §3.2 stages 2-6 as fusable kernels."""
+    return [
+        lambda pts: (K.fix_times_segment(pts), pts)[1],
+        lambda pts: (K.max_speed(pts, max_speed_v, True), pts)[1],
+        lambda pts: K.remove_stops(pts, 0.0, 1.2, K._GO_MAX_FLOAT64, 0, True)[0],
+        lambda pts: K.remove_stops(pts, 30.0, 9.0, 8, 12, True)[0],
+        lambda pts: K.remove_intersections(pts, 7, True)[0],
+        lambda pts: K.remove_intersections(pts, 7, True)[0],
+        lambda pts: K.remove_intersections(pts, 7, True)[0],
+        lambda pts: K.remove_intersections(pts, 7, True)[0],
+    ]

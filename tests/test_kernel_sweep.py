@@ -145,3 +145,21 @@ def test_move_segments_spark_equals_pure(spark):
         got.setdefault(r.seg_no, []).append((r.pt_idx, r.lat, r.lon, r.ele, r.ts_ns))
     got = {k: [t[1:] for t in sorted(v)] for k, v in got.items()}
     assert got == want
+
+
+def test_fused_pipeline_equals_chained(spark):
+    """repair_pipeline (one shuffle) == chaining the per-stage operators."""
+    from gotrackmaster_spark.operators import repair as R
+    from gotrackmaster_spark.sources.gpx import gpx_files_to_points_df
+
+    pts, _ = gpx_files_to_points_df(spark, [FIXTURES["carlos"]])
+    fused = R.repair_pipeline(pts, R.classification_repair_stages())
+    chained = R.fix_times(pts)
+    chained = R.max_speed_fix(chained, 200.0)
+    chained = R.simplify_fix(chained, 1.2)
+    chained = R.remove_stops_fix(chained, 30.0, 9.0, 8, 12)
+    for _ in range(4):
+        chained = R.remove_intersections_fix(chained, 7)
+    a = sorted(tuple(r) for r in fused.collect())
+    b = sorted(tuple(r) for r in chained.collect())
+    assert a == b
