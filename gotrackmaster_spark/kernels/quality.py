@@ -22,6 +22,7 @@ from __future__ import annotations
 import math
 
 from gotrackmaster_spark.functions.geodesy import MIN_SEGMENT_LENGTH, distance_2d_s
+from gotrackmaster_spark.kernels import fast as KF
 from gotrackmaster_spark.kernels import track as K
 from gotrackmaster_spark.schemas import GO_ZERO_NS
 
@@ -73,16 +74,16 @@ def distance_quality_track(segments: list[list[K.Pt]]) -> float:
     if step > 8:
         quality -= 6
 
-    n_inter = sum(len(K.remove_intersections(list(s), 5, False)[1]) for s in segments)
+    n_inter = sum(len(KF.remove_intersections(list(s), 5, False)[1]) for s in segments)
     quality -= float(n_inter) * 0.6
     n_first = sum(len(K.remove_first_noise(list(s), False)[1]) for s in segments)
     quality -= float(n_first) * 0.3
     n_close = sum(
-        len(K.remove_stops(list(s), 0.0, 0.5, K._GO_MAX_FLOAT64, 0, False)[1])
+        len(KF.remove_stops(list(s), 0.0, 0.5, K._GO_MAX_FLOAT64, 0, False)[1])
         for s in segments
     )
     quality -= float(n_close) * 0.2
-    n_noise = sum(len(K.remove_noise(list(s), 6, 1.1, 4, False)[1]) for s in segments)
+    n_noise = sum(len(KF.remove_noise(list(s), 6, 1.1, 4, False)[1]) for s in segments)
     quality -= float(n_noise) * 0.4
 
     if quality < 0:
@@ -168,11 +169,11 @@ def classification_track(
     segments = [list(s) for s in segments]
     for s in segments:
         K.fix_times_segment(s)
-        K.max_speed(s, 200, True)
-    segments = [K.remove_stops(s, 0.0, 1.2, K._GO_MAX_FLOAT64, 0, True)[0] for s in segments]
-    segments = [K.remove_stops(s, 30.0, 9.0, 8, 12, True)[0] for s in segments]
+        KF.max_speed(s, 200, True)
+    segments = [KF.remove_stops(s, 0.0, 1.2, K._GO_MAX_FLOAT64, 0, True)[0] for s in segments]
+    segments = [KF.remove_stops(s, 30.0, 9.0, 8, 12, True)[0] for s in segments]
     for _ in range(4):
-        segments = [K.remove_intersections(s, 7, True)[0] for s in segments]
+        segments = [KF.remove_intersections(s, 7, True)[0] for s in segments]
 
     num, ok = elevation_srtm_accuracy(segments, lookup)
     if not ok:

@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from gotrackmaster_spark.kernels import fast as KF
 from gotrackmaster_spark.kernels import track as K
 from gotrackmaster_spark.schemas import DEFECTS_SCHEMA, GO_ZERO_NS, POINTS_SCHEMA
 
@@ -119,32 +120,32 @@ def count_time_fixes(df: DataFrame) -> DataFrame:
 
 def max_speed_fix(df: DataFrame, maximum: float = 200.0) -> DataFrame:
     def run(pts):
-        K.max_speed(pts, maximum, True)
+        KF.max_speed(pts, maximum, True)
         return pts
 
     return _seg_fix(df, run)
 
 
 def max_speed_defects(df: DataFrame, maximum: float = 200.0) -> DataFrame:
-    return _seg_detect(df, lambda pts: K.max_speed(pts, maximum, False))
+    return _seg_detect(df, lambda pts: KF.max_speed(pts, maximum, False))
 
 
 def remove_last_max_speed_fix(df: DataFrame, maximum: float = 14.0) -> DataFrame:
-    return _seg_fix(df, lambda pts: K.remove_last_max_speed(pts, maximum, True)[0])
+    return _seg_fix(df, lambda pts: KF.remove_last_max_speed(pts, maximum, True)[0])
 
 
 def remove_last_max_speed_defects(df: DataFrame, maximum: float = 14.0) -> DataFrame:
-    return _seg_detect(df, lambda pts: K.remove_last_max_speed(pts, maximum, False)[1])
+    return _seg_detect(df, lambda pts: KF.remove_last_max_speed(pts, maximum, False)[1])
 
 
 # --------------------------------------------------- N1/N2/N3/N4/N5 noise ---
 
 def remove_noise_fix(df: DataFrame, max_distance=6.0, max_elevation=1.1, max_points=4) -> DataFrame:
-    return _seg_fix(df, lambda pts: K.remove_noise(pts, max_distance, max_elevation, max_points, True)[0])
+    return _seg_fix(df, lambda pts: KF.remove_noise(pts, max_distance, max_elevation, max_points, True)[0])
 
 
 def remove_noise_defects(df: DataFrame, max_distance=6.0, max_elevation=1.1, max_points=4) -> DataFrame:
-    return _seg_detect(df, lambda pts: K.remove_noise(pts, max_distance, max_elevation, max_points, False)[1])
+    return _seg_detect(df, lambda pts: KF.remove_noise(pts, max_distance, max_elevation, max_points, False)[1])
 
 
 def remove_first_noise_fix(df: DataFrame) -> DataFrame:
@@ -157,12 +158,12 @@ def remove_first_noise_defects(df: DataFrame) -> DataFrame:
 
 def remove_stops_fix(df: DataFrame, min_seconds=90.0, max_distance=5.0,
                      max_elevation=0.5, min_points=3) -> DataFrame:
-    return _seg_fix(df, lambda pts: K.remove_stops(pts, min_seconds, max_distance, max_elevation, min_points, True)[0])
+    return _seg_fix(df, lambda pts: KF.remove_stops(pts, min_seconds, max_distance, max_elevation, min_points, True)[0])
 
 
 def remove_stops_defects(df: DataFrame, min_seconds=90.0, max_distance=5.0,
                          max_elevation=0.5, min_points=3) -> DataFrame:
-    return _seg_detect(df, lambda pts: K.remove_stops(pts, min_seconds, max_distance, max_elevation, min_points, False)[1])
+    return _seg_detect(df, lambda pts: KF.remove_stops(pts, min_seconds, max_distance, max_elevation, min_points, False)[1])
 
 
 def simplify_fix(df: DataFrame, distance: float = 0.5) -> DataFrame:
@@ -171,11 +172,11 @@ def simplify_fix(df: DataFrame, distance: float = 0.5) -> DataFrame:
 
 
 def remove_intersections_fix(df: DataFrame, max_n: int = 6) -> DataFrame:
-    return _seg_fix(df, lambda pts: K.remove_intersections(pts, max_n, True)[0])
+    return _seg_fix(df, lambda pts: KF.remove_intersections(pts, max_n, True)[0])
 
 
 def remove_intersections_defects(df: DataFrame, max_n: int = 6) -> DataFrame:
-    return _seg_detect(df, lambda pts: K.remove_intersections(pts, max_n, False)[1])
+    return _seg_detect(df, lambda pts: KF.remove_intersections(pts, max_n, False)[1])
 
 
 # ------------------------------------------------------ W7/W8/W9 smoothing ---
@@ -308,11 +309,11 @@ def classification_repair_stages(max_speed_v: float = 200.0) -> list:
     """The §3.2 stages 2-6 as fusable kernels."""
     return [
         lambda pts: (K.fix_times_segment(pts), pts)[1],
-        lambda pts: (K.max_speed(pts, max_speed_v, True), pts)[1],
-        lambda pts: K.remove_stops(pts, 0.0, 1.2, K._GO_MAX_FLOAT64, 0, True)[0],
-        lambda pts: K.remove_stops(pts, 30.0, 9.0, 8, 12, True)[0],
-        lambda pts: K.remove_intersections(pts, 7, True)[0],
-        lambda pts: K.remove_intersections(pts, 7, True)[0],
-        lambda pts: K.remove_intersections(pts, 7, True)[0],
-        lambda pts: K.remove_intersections(pts, 7, True)[0],
+        lambda pts: (KF.max_speed(pts, max_speed_v, True), pts)[1],
+        lambda pts: KF.remove_stops(pts, 0.0, 1.2, K._GO_MAX_FLOAT64, 0, True)[0],
+        lambda pts: KF.remove_stops(pts, 30.0, 9.0, 8, 12, True)[0],
+        lambda pts: KF.remove_intersections(pts, 7, True)[0],
+        lambda pts: KF.remove_intersections(pts, 7, True)[0],
+        lambda pts: KF.remove_intersections(pts, 7, True)[0],
+        lambda pts: KF.remove_intersections(pts, 7, True)[0],
     ]
