@@ -120,3 +120,42 @@ def test_phash_near_dups_pigeonhole(spark):
         .withColumn("hamming", ham).filter(F.col("hamming") <= 20).collect()
     }
     assert fast == brute
+
+
+def test_images_table_checkpoint_cell_layout(spark, tmp_path):
+    """North-rule input shape end-to-end: the image+caption table, cell
+    indexed, written cell-range-partitioned through the snapshot catalog,
+    reloaded, and its payload invariant re-verified.  Each output file
+    must cover a TIGHT cell range (Z-order locality → file-level pruning)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from gotrackmaster_spark.functions.cells import cell_col
+    from gotrackmaster_spark.operators.images import roundtrip_check, synthesize_images
+    from gotrackmaster_spark.operators.skew import repartition_by_cell_range
+    from gotrackmaster_spark.plans.checkpoint import Catalog
+
+    cat = Catalog(str(tmp_path))
+    imgs = synthesize_images(spark, SF_DIR).withColumn(
+        "cell", cell_col(F.col("lat"), F.col("lon"), 12)
+    )
+    laid_out = repartition_by_cell_range(imgs, "cell", 8)
+    m = cat.commit(laid_out, "images")
+    assert m["total_rows"] == 500
+
+    back = cat.load(spark, "images")
+    assert back.count() == 500
+    res = roundtrip_check(back).collect()
+    assert all(r.invariant_ok for r in res)
+
+    # Z-order layout: per-file cell spread far below the global spread
+    files = glob.glob(f"{m['data_dir']}/*.parquet")
+    assert len(files) >= 4
+    glob_min, glob_max = back.agg(F.min("cell"), F.max("cell")).first()
+    spreads = []
+    for f in files:
+        mn, mx = spark.read.parquet(f).agg(F.min("cell"), F.max("cell")).first()
+        if mn is not None:
+            spreads.append((mx - mn) / (glob_max - glob_min))
+    assert sorted(spreads)[len(spreads) // 2] < 0.5  # median file is tight
