@@ -1,0 +1,52 @@
+"""CLI parity surface: the reference's commands drive the engine
+end-to-end (discover → repair → GPX write-back)."""
+
+from __future__ import annotations
+
+import shutil
+import subprocess
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from tests.conftest import FIXTURES  # noqa: E402
+
+
+def _run(args):
+    return subprocess.run(
+        [sys.executable, "-m", "gotrackmaster_spark", "--cpus", "4", *args],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+
+
+def test_cli_maxspeed_fix_golden(tmp_path):
+    src = tmp_path / "tracks"
+    src.mkdir()
+    shutil.copy(FIXTURES["pedraforca"], src)
+    out = tmp_path / "out"
+    r = _run(["maxspeed", "--track", str(src), "--maxspeed", "300", "--out", str(out)])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "wrote 1 GPX files" in r.stdout
+
+    from gotrackmaster_spark.sources.gpx import parse_gpx_file
+
+    g = parse_gpx_file(str(out / (FIXTURES["pedraforca"].rsplit("/", 1)[-1] + ".gpx")))
+    # golden values from trackmaster/speed_test.go:24-31
+    lat, lon, _ele, _t = g.tracks[0][0][504]
+    assert (lat, lon) == (42.24870745000008, 1.664240950000083)
+    lat, lon, _ele, _t = g.tracks[1][0][7]
+    assert (lat, lon) == (42.24071075000116, 1.7195158000128756)
+
+
+def test_cli_classification_and_dry_run(tmp_path):
+    src = tmp_path / "tracks"
+    src.mkdir()
+    shutil.copy(FIXTURES["carlos"], src)
+    r = _run(["classification", "--track", str(src)])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "carlos" in r.stdout and "\t" in r.stdout
+
+    r2 = _run(["timestamp", "--track", str(src), "--dry-run"])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "[dry-run]" in r2.stdout
+    assert not (tmp_path / "tracks_fixed").exists()
