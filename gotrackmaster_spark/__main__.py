@@ -75,6 +75,7 @@ def main(argv: list[str] | None = None) -> None:
     repair_cmd("removelastmaxspeed", maxspeed=(float, 14.0))              # cmd/removelastmaxspeed.go:19
     repair_cmd("joinsegments", minpoints=(int, 14))                       # cmd/joinsegments.go:19
     repair_cmd("timestamp")                                               # cmd/timestamp.go
+    repair_cmd("elevation")                                               # cmd/elevation.go (synthetic DEM — godem network source replaced)
     repair_cmd("lostelevation")                                           # cmd/lostelevation.go
 
     for name in ("classification", "quality", "tiles"):
@@ -120,6 +121,11 @@ def main(argv: list[str] | None = None) -> None:
         fixed = R.fix_times(points)
     elif args.cmd == "lostelevation":
         fixed = R.lost_elevation_fix(points)
+    elif args.cmd == "elevation":
+        from gotrackmaster_spark.driver_queries import synthetic_dem
+        from gotrackmaster_spark.operators.spatial import dem_elevation_fix
+
+        fixed = dem_elevation_fix(points, synthetic_dem(spark)).select(*points.columns)
     elif args.cmd in ("classification", "quality"):
         from gotrackmaster_spark.operators.quality import track_profiles
 

@@ -157,33 +157,39 @@ def lang_pred_sql(text: str) -> str:
 
 
 def quality_score_col(text: str) -> Column:
-    """Deterministic quality score: length term + stopword-ratio term +
-    alpha-ratio term; rounded to 6 decimals."""
-    toks = n_tokens_col(text).cast("double")
+    """Deterministic quality score in [0, 1]: length term (0.4) +
+    stopword-ratio term (0.3) + alpha-ratio term (0.3).
+
+    Computed ENTIRELY in exact integer arithmetic (parts-per-million with
+    floored divisions; operand magnitudes ≤ 1.5e8 make double-division +
+    truncation equal to integer floor division) and converted to double by
+    one exact division — engines cannot disagree in the last ULP, so no
+    rounding guard is needed (a float formulation once landed exactly on a
+    .xxxxx5 rounding boundary and flipped between engines)."""
+    toks = n_tokens_col(text).cast("long")
     stops = sum(
         (_count_word_col(text, wrd) for wrd in STOPWORDS), F.lit(0).cast("long")
-    ).cast("double")
-    alpha = (
-        F.length(F.regexp_replace(text, r"[^A-Za-z]", "")).cast("double")
-        / F.length(text).cast("double")
     )
-    score = (
-        F.least(F.lit(1.0), toks / 100.0) * 0.4
-        + F.least(F.lit(1.0), stops / toks * 5.0) * 0.3
-        + alpha * 0.3
-    )
-    return F.round(score, 6)
+    alpha_len = F.length(F.regexp_replace(text, r"[^A-Za-z]", "")).cast("long")
+    text_len = F.length(text).cast("long")
+
+    def idiv(a: Column, b: Column) -> Column:
+        # exact for positive operands far below 2^52
+        return (a / b).cast("long")
+
+    term1 = F.lit(4000) * F.least(toks, F.lit(100).cast("long"))
+    term2 = F.least(F.lit(300000).cast("long"), idiv(F.lit(1500000) * stops, toks))
+    term3 = idiv(F.lit(300000) * alpha_len, text_len)
+    return (term1 + term2 + term3).cast("double") / 1000000.0
 
 
 def quality_score_sql(text: str) -> str:
-    toks = f"CAST({n_tokens_sql(text)} AS DOUBLE)"
+    toks = f"CAST({n_tokens_sql(text)} AS BIGINT)"
     stops = "(" + " + ".join(_count_word_sql(text, wrd) for wrd in STOPWORDS) + ")"
-    alpha = (
-        f"(CAST(length(regexp_replace({text}, '[^A-Za-z]', '', 'g')) AS DOUBLE) "
-        f"/ CAST(length({text}) AS DOUBLE))"
-    )
+    alpha_len = f"CAST(length(regexp_replace({text}, '[^A-Za-z]', '', 'g')) AS BIGINT)"
+    text_len = f"CAST(length({text}) AS BIGINT)"
     return (
-        f"round(least(1.0, {toks} / 100.0) * 0.4 "
-        f"+ least(1.0, CAST({stops} AS DOUBLE) / {toks} * 5.0) * 0.3 "
-        f"+ {alpha} * 0.3, 6)"
+        f"CAST(4000 * least({toks}, 100) "
+        f"+ least(300000, (1500000 * {stops}) // {toks}) "
+        f"+ (300000 * {alpha_len}) // {text_len} AS DOUBLE) / 1000000.0"
     )

@@ -417,3 +417,26 @@ def duplicate_join(
         .filter(F.col("start_dist_m") < start_meters)
         .select("a_id", "b_id", "start_dist_m")
     )
+
+
+def dem_elevation_fix(points: DataFrame, dem: DataFrame) -> DataFrame:
+    """ElevationSRTM as a DISTRIBUTED operator (elevation.go:125-157 — the
+    reference looks up godem per point; Spark-first this is the E4
+    broadcast raster join with the sampled elevation replacing ``ele``).
+    Points outside the DEM grid keep their elevation (left join)."""
+    pts = points.withColumn("lat_deg", F.floor(F.col("lat")).cast("int")).withColumn(
+        "lon_deg", F.floor(F.col("lon")).cast("int")
+    )
+    j = pts.join(F.broadcast(dem), ["lat_deg", "lon_deg"], "left")
+    fy = F.col("lat") - F.col("lat_deg")
+    fx = F.col("lon") - F.col("lon_deg")
+    interp = (
+        F.col("e00") * (1 - fy) * (1 - fx)
+        + F.col("e01") * (1 - fy) * fx
+        + F.col("e10") * fy * (1 - fx)
+        + F.col("e11") * fy * fx
+    )
+    return (
+        j.withColumn("ele", F.coalesce(interp, F.col("ele")))
+        .drop("e00", "e01", "e10", "e11", "lat_deg", "lon_deg")
+    )
