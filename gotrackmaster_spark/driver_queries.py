@@ -1156,3 +1156,13 @@ def q_fix_counters(spark, sf_dir):
 
     pts = synthetic_tracks(spark, sf_dir)
     return count_time_fixes(pts)
+
+# --------------------------------------------------------------------------
+# embedding-cosine near-dup pairs (dedup suite completion)
+# --------------------------------------------------------------------------
+
+def q_embedding_neardup(spark, sf_dir):
+    return D.embedding_near_dups(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+SQL_EMBEDDING_NEARDUP = D.sql_embedding_near_dups(0.4)

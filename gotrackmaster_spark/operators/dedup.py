@@ -398,3 +398,38 @@ def embedding_lsh_topk(
         .filter(F.col("rnk") <= k)
         .select("q_id", F.col(id_col).alias("n_id"), "cos_r", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+def embedding_near_dups(
+    emb: DataFrame, threshold: float = 0.4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a < b) with
+    round(cos, 6) > threshold.  Broadcast self-join at test scale; the
+    scale path buckets by hyperplane LSH first (embedding_lsh_topk's
+    bucketing) so the candidate set is O(near-dups)."""
+    norm = F.sqrt(F.expr(_dot_expr(vec_col, vec_col)))
+    v = emb.select(F.col(id_col), F.col(vec_col), norm.alias("nrm"))
+    a = v.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"), F.col("nrm").alias("a_nrm"))
+    b = v.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"), F.col("nrm").alias("b_nrm"))
+    pairs = F.broadcast(a).crossJoin(b).filter(F.col("a_id") < F.col("b_id"))
+    cos = F.expr(_dot_expr("a_vec", "b_vec")) / (F.col("a_nrm") * F.col("b_nrm"))
+    return (
+        pairs.withColumn("cos_r", F.round(cos, 6))
+        .filter(F.col("cos_r") > threshold)
+        .select("a_id", "b_id", "cos_r")
+    )
+
+
+def sql_embedding_near_dups(threshold: float = 0.4) -> str:
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cos_r
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) > {threshold!r}
+"""
