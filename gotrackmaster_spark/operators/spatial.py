@@ -44,41 +44,74 @@ from gotrackmaster_spark.functions.geodesy import haversine_col, haversine_np
 # --------------------------------------------------------------- E2: PIP ---
 
 def polygon_covering(polygons: DataFrame, level: int) -> DataFrame:
-    """Explode each polygon into the set of level-``level`` cells whose
-    bbox intersects the polygon's bbox (conservative covering).
+    """Explode each polygon into its packed cell covering at ``level``:
+    one row per cell of the polygon's bbox, classified ``full`` (cell
+    entirely inside the polygon → join accepts immediately, no refine) or
+    boundary (ray-cast refine required).
 
     Input: ``polygons(poly_id, ring: array<struct<lat,lon>>)``.
-    Output: ``(cell: long, poly_id, ring)`` — one row per covering cell.
+    Output: ``(cell: long, poly_id, full: boolean, ring)``.
 
-    Cells fully interior to the polygon could skip refinement; v1 refines
-    every candidate (correctness first; the refine is a vectorized numpy
-    ray-cast over Arrow batches, ~10^7 pts/s/core).
+    ``full`` classification is conservative: a cell is full iff all 4 of
+    its corners are inside AND no ring vertex lies inside the cell AND no
+    ring edge's bbox overlaps the cell (an edge crossing a cell always
+    overlaps its bbox) — false negatives only cost a refine pass.
     """
     def gen(batches):
         for pdf in batches:
-            out_cell, out_pid, out_ring = [], [], []
+            out = {"cell": [], "poly_id": [], "full": [], "ring": []}
             for pid, ring in zip(pdf["poly_id"], pdf["ring"]):
-                lats = np.array([p["lat"] for p in ring])
-                lons = np.array([p["lon"] for p in ring])
+                rl = np.array([p["lat"] for p in ring])
+                rx = np.array([p["lon"] for p in ring])
                 n = 1 << level
-                i0 = int(np.clip(math.floor((lons.min() + 180.0) / 360.0 * n), 0, n - 1))
-                i1 = int(np.clip(math.floor((lons.max() + 180.0) / 360.0 * n), 0, n - 1))
-                j0 = int(np.clip(math.floor((lats.min() + 90.0) / 180.0 * n), 0, n - 1))
-                j1 = int(np.clip(math.floor((lats.max() + 90.0) / 180.0 * n), 0, n - 1))
+                i0 = int(np.clip(math.floor((rx.min() + 180.0) / 360.0 * n), 0, n - 1))
+                i1 = int(np.clip(math.floor((rx.max() + 180.0) / 360.0 * n), 0, n - 1))
+                j0 = int(np.clip(math.floor((rl.min() + 90.0) / 180.0 * n), 0, n - 1))
+                j1 = int(np.clip(math.floor((rl.max() + 90.0) / 180.0 * n), 0, n - 1))
                 ii, jj = np.meshgrid(
                     np.arange(i0, i1 + 1, dtype=np.int64),
                     np.arange(j0, j1 + 1, dtype=np.int64),
                     indexing="ij",
                 )
+                ii = ii.ravel()
+                jj = jj.ravel()
                 from gotrackmaster_spark.functions.cells import cell_from_ij_np
 
-                cells = cell_from_ij_np(ii.ravel(), jj.ravel(), level)
-                out_cell.extend(cells.tolist())
-                out_pid.extend([pid] * len(cells))
-                out_ring.extend([ring] * len(cells))
-            yield pd.DataFrame({"cell": out_cell, "poly_id": out_pid, "ring": out_ring})
+                cells = cell_from_ij_np(ii, jj, level)
+                # cell bounds
+                lon_lo = -180.0 + 360.0 * ii / n
+                lon_hi = -180.0 + 360.0 * (ii + 1) / n
+                lat_lo = -90.0 + 180.0 * jj / n
+                lat_hi = -90.0 + 180.0 * (jj + 1) / n
+                # all 4 corners inside?
+                corners_in = (
+                    _ray_cast_np(lat_lo, lon_lo, rl, rx)
+                    & _ray_cast_np(lat_lo, lon_hi, rl, rx)
+                    & _ray_cast_np(lat_hi, lon_lo, rl, rx)
+                    & _ray_cast_np(lat_hi, lon_hi, rl, rx)
+                )
+                # any ring edge bbox overlapping the cell?
+                e_lat_lo = np.minimum(rl, np.roll(rl, 1))
+                e_lat_hi = np.maximum(rl, np.roll(rl, 1))
+                e_lon_lo = np.minimum(rx, np.roll(rx, 1))
+                e_lon_hi = np.maximum(rx, np.roll(rx, 1))
+                overlap = (
+                    (e_lat_lo[None, :] <= lat_hi[:, None])
+                    & (e_lat_hi[None, :] >= lat_lo[:, None])
+                    & (e_lon_lo[None, :] <= lon_hi[:, None])
+                    & (e_lon_hi[None, :] >= lon_lo[:, None])
+                ).any(axis=1)
+                full = corners_in & ~overlap
+                out["cell"].extend(cells.tolist())
+                out["poly_id"].extend([pid] * len(cells))
+                out["full"].extend(full.tolist())
+                out["ring"].extend([ring] * len(cells))
+            yield pd.DataFrame(out)
 
-    schema = "cell long, poly_id string, ring array<struct<lat:double,lon:double>>"
+    schema = (
+        "cell long, poly_id string, full boolean, "
+        "ring array<struct<lat:double,lon:double>>"
+    )
     return polygons.mapInPandas(gen, schema)
 
 
@@ -124,6 +157,20 @@ def point_in_polygon_join(
     pts = points.withColumn("cell", cell_col(F.col(lat_c), F.col(lon_c), level))
     cand = pts.join(F.broadcast(cov), "cell", "inner")
 
+    out_cols = [
+        f.name for f in cand.schema.fields if f.name not in ("ring", "cell", "full")
+    ]
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in cand.schema.fields
+        if f.name in out_cols
+    )
+
+    # packed covering: points in FULL cells are inside by construction — no
+    # Python touches them; only boundary-cell candidates reach the ray-cast
+    full_hits = cand.filter(F.col("full")).select(*out_cols)
+    boundary = cand.filter(~F.col("full"))
+
     def refine(batches):
         for pdf in batches:
             if len(pdf) == 0:
@@ -137,16 +184,11 @@ def point_in_polygon_join(
                 rl = np.array([p["lat"] for p in ring])
                 rx = np.array([p["lon"] for p in ring])
                 keep[idx] = _ray_cast_np(lat[idx], lon[idx], rl, rx)
-            out = pdf.loc[keep].drop(columns=["ring", "cell"])
+            out = pdf.loc[keep, out_cols]
             if len(out):
                 yield out
 
-    out_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in cand.schema.fields
-        if f.name not in ("ring", "cell")
-    )
-    return cand.mapInPandas(refine, out_schema)
+    return boundary.mapInPandas(refine, out_schema).unionByName(full_hits)
 
 
 # --------------------------------------------------------------- E3: kNN ---
