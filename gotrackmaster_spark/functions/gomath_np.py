@@ -104,14 +104,15 @@ def _satan_np(x):
 
 def go_atan_np(x):
     x = np.asarray(x, dtype=np.float64)
-    out = np.where(x > 0, _satan_np(x), -_satan_np(-x))
+    with np.errstate(all="ignore"):  # unused mask branches may overflow
+        out = np.where(x > 0, _satan_np(x), -_satan_np(-x))
     return np.where(x == 0, x, out)
 
 
 def go_atan2_np(y, x):
     y = np.asarray(y, dtype=np.float64)
     x = np.asarray(x, dtype=np.float64)
-    with np.errstate(divide="ignore", invalid="ignore"):
+    with np.errstate(all="ignore"):
         q = go_atan_np(y / x)
     q = np.where(x < 0, np.where(q <= 0, q + _PI, q - _PI), q)
     # specials (finite-only engine inputs): y == 0 / x == 0
