@@ -683,7 +683,7 @@ def q_token_stats(spark, sf_dir):
 
 SQL_TOKEN_STATS = """
 SELECT lang,
-       sum(length(text) - length(replace(text, ' ', '')) + 1) AS sum_tokens,
+       CAST(sum(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS sum_tokens,
        count(*) AS n_docs,
        round(avg(n_chars), 4) AS avg_chars
 FROM documents GROUP BY lang
@@ -704,8 +704,9 @@ def _fp_col(text: str, a: int, p: int):
 
 def _fp_sql(text: str, a: int, p: int) -> str:
     return (
-        f"list_sum(list_transform(generate_series(1, length({text})), i -> "
+        f"CAST(list_sum(list_transform(generate_series(1, length({text})), i -> "
         f"CAST(unicode(substr({text}, i, 1)) AS BIGINT) * ((i * {a}) % 100000007))) % {p}"
+        f" AS BIGINT)"
     )
 
 
@@ -756,7 +757,7 @@ SQL_EXACT_DUP_GROUPS = """
 WITH groups AS (
   SELECT md5(text) AS text_md5, count(*) AS n FROM documents GROUP BY 1
 )
-SELECT sum(n) AS n_docs, count(*) AS n_distinct,
+SELECT CAST(sum(n) AS BIGINT) AS n_docs, count(*) AS n_distinct,
        count(CASE WHEN n > 1 THEN 1 END) AS n_dup_groups
 FROM groups
 """
@@ -918,12 +919,12 @@ SQL_IMAGE_STATS = f"""
 SELECT format('img{{:08d}}', doc_id) AS image_id,
        ['raw', 'png', 'qnt4'][CAST(doc_id % 3 AS INT) + 1] AS fmt,
        {_IMG_W} AS w, {_IMG_H} AS h,
-       CASE WHEN doc_id % 3 = 2
+       CAST(CASE WHEN doc_id % 3 = 2
             THEN list_sum(list_transform(generate_series(0, {_N_PIX - 1}),
                           i -> {_PIX} - ({_PIX}) % 4))
             ELSE list_sum(list_transform(generate_series(0, {_N_PIX - 1}),
                           i -> {_PIX}))
-       END AS pixel_sum,
+       END AS BIGINT) AS pixel_sum,
        CAST(length(text) AS INT) AS caption_len
 FROM documents
 """

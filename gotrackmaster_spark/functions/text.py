@@ -58,8 +58,11 @@ def h0_spark_expr(text_expr: str) -> str:
 
 def h0_sql(text_expr: str) -> str:
     return (
-        f"(list_sum(list_transform(generate_series(1, length({text_expr})), i -> "
-        f"CAST(unicode(substr({text_expr}, i, 1)) AS BIGINT) * ((i * {A_MULT}) % {W}))) % {P})"
+        # CAST the final value: DuckDB list_sum over BIGINT yields HUGEINT,
+        # which hash-mismatches Spark's BIGINT even when values are equal.
+        f"CAST(list_sum(list_transform(generate_series(1, length({text_expr})), i -> "
+        f"CAST(unicode(substr({text_expr}, i, 1)) AS BIGINT) * ((i * {A_MULT}) % {W}))) % {P}"
+        f" AS BIGINT)"
     )
 
 

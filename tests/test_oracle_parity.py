@@ -76,6 +76,28 @@ def test_query_matches_oracle(name, spark):
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: columns {spark_cols} vs {duck_cols}"
     )
+    # The driver hashes TYPED values: DuckDB HUGEINT (sum/list_sum over
+    # BIGINT) vs Spark BIGINT mismatches even when values are equal.
+    # Compare type *classes* (int/float/str/other) per column so that bug
+    # class is caught locally, not by the per-round driver.
+    _CLS = {
+        "TINYINT": "i", "SMALLINT": "i", "INTEGER": "i", "BIGINT": "i",
+        "UTINYINT": "i", "USMALLINT": "i", "UINTEGER": "i", "UBIGINT": "i",
+        "FLOAT": "f", "DOUBLE": "f", "VARCHAR": "s", "BOOLEAN": "b",
+    }
+    _SCLS = {
+        "tinyint": "i", "smallint": "i", "int": "i", "bigint": "i",
+        "float": "f", "double": "f", "string": "s", "boolean": "b",
+    }
+    duck_types = {d[0]: str(t) for d, t in
+                  zip(cur.description, con.sql(ORACLES[name]).types)}
+    spark_types = dict(df.dtypes)
+    for c in spark_cols:
+        dt, st = duck_types[c], spark_types[c]
+        assert _CLS.get(dt, dt) == _SCLS.get(st, st), (
+            f"{name}.{c}: oracle type {dt} vs spark type {st} — "
+            f"driver hash would mismatch; CAST the oracle column"
+        )
     assert len(spark_data) == len(duck_data), (
         f"{name}: rows {len(spark_data)} vs {len(duck_data)}"
     )
