@@ -1163,7 +1163,21 @@ def q_fix_counters(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 def q_embedding_neardup(spark, sf_dir):
+    """Banded hyperplane-LSH near-dup pairs (candidate equi-join + exact
+    cosine verify); the oracle replays the identical deterministic
+    algorithm in DuckDB.  Recall vs brute force is measured in
+    tests/test_dedup_text.py."""
     return D.embedding_near_dups(_t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
 SQL_EMBEDDING_NEARDUP = D.sql_embedding_near_dups(0.4)
+
+
+def q_embedding_lsh_topk(spark, sf_dir):
+    """Bucketed ANN top-k (single-table hyperplane LSH, exact in-bucket
+    rerank) — the scale path for similarity search, oracle-replayed
+    deterministically thanks to integer-exact buckets."""
+    return D.embedding_lsh_topk(_t(spark, sf_dir, "embeddings"), k=10, query_mod=50)
+
+
+SQL_EMBEDDING_LSH_TOPK = D.sql_embedding_lsh_topk(k=10, query_mod=50)

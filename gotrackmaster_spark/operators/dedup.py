@@ -75,17 +75,36 @@ shingles AS (
 
 # ------------------------------------------------------ n-gram Jaccard dup ---
 
+JACCARD_MAX_SHINGLE_DF = 100
+
+
 def jaccard_pairs(
     docs: DataFrame, threshold_num: int = 1, threshold_den: int = 2,
     text_col: str = "text", id_col: str = "doc_id",
+    max_shingle_df: int | None = JACCARD_MAX_SHINGLE_DF,
 ) -> DataFrame:
     """All pairs with Jaccard(shingle sets) ≥ num/den, computed with exact
     integer arithmetic: J ≥ n/d  ⟺  d·inter ≥ n·(|A|+|B|−inter).
 
-    Inverted-index plan: explode shingles → self-equi-join on shingle hash
-    → per-pair intersection counts → join per-doc set sizes (broadcast).
+    Inverted-index plan: explode shingles → drop stop-shingles (document
+    frequency > ``max_shingle_df``; a single hot shingle otherwise yields
+    a quadratic pair blowup in the self-join) → self-equi-join on shingle
+    hash → per-pair intersection counts → join per-doc set sizes
+    (broadcast).  Set sizes are computed AFTER the cap, so the result is
+    exact Jaccard over the capped shingle space — hot shingles carry no
+    near-dup signal (they match everything), so capping changes candidate
+    cost, not dedup quality; tests/test_dedup_text.py measures both.
     """
-    sh = doc_shingles(docs, text_col, id_col).cache()
+    sh = doc_shingles(docs, text_col, id_col)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle_h")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle_h")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle_h", "left_anti")
+    sh = sh.cache()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("a_id"), "shingle_h")
     b = sh.select(F.col(id_col).alias("b_id"), "shingle_h")
@@ -106,13 +125,26 @@ def jaccard_pairs(
     return out.select("a_id", "b_id", "inter", "sa", "sb")
 
 
-def sql_jaccard_pairs(threshold_num: int = 1, threshold_den: int = 2) -> str:
+def sql_jaccard_pairs(
+    threshold_num: int = 1, threshold_den: int = 2,
+    max_shingle_df: int | None = JACCARD_MAX_SHINGLE_DF,
+) -> str:
+    cap_cte = ""
+    src = "shingles"
+    if max_shingle_df is not None:
+        cap_cte = f"""
+capped AS (
+  SELECT s.doc_id, s.shingle_h FROM shingles s
+  JOIN (SELECT shingle_h FROM shingles GROUP BY 1
+        HAVING count(*) <= {max_shingle_df}) k USING (shingle_h)
+),"""
+        src = "capped"
     return f"""
-WITH {_SHINGLES_CTE},
-sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+WITH {_SHINGLES_CTE},{cap_cte}
+sizes AS (SELECT doc_id, count(*) AS sz FROM {src} GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
-  FROM shingles a JOIN shingles b ON a.shingle_h = b.shingle_h AND a.doc_id < b.doc_id
+  FROM {src} a JOIN {src} b ON a.shingle_h = b.shingle_h AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT i.a_id, i.b_id, i.inter, sa.sz AS sa, sb.sz AS sb
@@ -272,10 +304,15 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
     verify with bit_count(xor)."""
     sig = simhash_signatures(docs, text_col, id_col)
     chunks = max_hamming + 1
-    bits = N_SIMHASH_BITS // chunks + (1 if N_SIMHASH_BITS % chunks else 0)
+    # Partition the 30 REAL bits across chunks (start offsets c*N//chunks)
+    # so every chunk carries >= 1 bit.  The previous ceil-width scheme gave
+    # chunk max_hamming an all-zero mask for max_hamming >= 8, degenerating
+    # that band join to all-pairs (correct but O(n^2) candidates).
+    starts = [c * N_SIMHASH_BITS // chunks for c in range(chunks + 1)]
     stacked = None
     for c in range(chunks):
-        mask = ((1 << bits) - 1) << (c * bits)
+        lo, hi = starts[c], starts[c + 1]
+        mask = ((1 << (hi - lo)) - 1) << lo
         part = sig.select(
             F.col(id_col), F.col("simhash"), F.lit(c).alias("chunk"),
             F.col("simhash").bitwiseAND(F.lit(mask)).alias("chunk_val"),
@@ -361,28 +398,61 @@ SELECT q_id, n_id, cos_r, CAST(rn AS INT) AS rnk FROM ranked WHERE rn <= {k}
 """
 
 
+# Hyperplane-LSH buckets, integer-exact so DuckDB replays them bit-for-bit:
+# embeddings are float32, and float32 * 2^24 is exact in float64, so
+# floor(x * 2^24) -> int64 quantizes identically in both engines; plane
+# coefficients are int64 modular arithmetic; the bucket bit is the sign of
+# an exact int64 dot product (no cross-engine float-summation-order risk).
+Q_SCALE = 1 << 24
+
+
+def _plane_coeffs(plane: int, dim: int) -> list[int]:
+    return [((plane * dim + d) * 2654435761) % 2000 - 1000 for d in range(dim)]
+
+
+def _band_bucket_spark(vec_col: str, band: int, planes_per_band: int, dim: int) -> str:
+    """Spark SQL expr: int bucket = sign bits of `planes_per_band` exact
+    int64 plane projections of the quantized vector."""
+    parts = []
+    for j in range(planes_per_band):
+        cs = ", ".join(
+            f"CAST({c} AS BIGINT)"
+            for c in _plane_coeffs(band * planes_per_band + j, dim)
+        )
+        proj = (
+            f"aggregate(zip_with({vec_col}, array({cs}), (x, c) -> "
+            f"CAST(floor(CAST(x AS DOUBLE) * {Q_SCALE}.0) AS BIGINT) * c), "
+            f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        )
+        parts.append(f"CASE WHEN ({proj}) > 0 THEN {1 << j} ELSE 0 END")
+    return "CAST(" + " + ".join(parts) + " AS INT)"
+
+
+def _band_bucket_sql(e_expr: str, band: int, planes_per_band: int, dim: int) -> str:
+    """DuckDB twin of `_band_bucket_spark` (1-based list indexing)."""
+    parts = []
+    for j in range(planes_per_band):
+        arr = "[" + ", ".join(str(c) for c in _plane_coeffs(band * planes_per_band + j, dim)) + "]"
+        proj = (
+            f"list_sum(list_transform(generate_series(1, {dim}), i -> "
+            f"CAST(floor(CAST({e_expr}[i] AS DOUBLE) * {Q_SCALE}.0) AS BIGINT) * ({arr})[i]))"
+        )
+        parts.append(f"CASE WHEN ({proj}) > 0 THEN {1 << j} ELSE 0 END")
+    return "CAST(" + " + ".join(parts) + " AS INT)"
+
+
 def embedding_lsh_topk(
     emb: DataFrame, k: int = 10, query_mod: int = 50, n_planes: int = 8,
     id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64,
 ) -> DataFrame:
-    """Approximate cosine top-k: random-hyperplane LSH bucket join, exact
-    rerank within bucket.  Deterministic planes from modular arithmetic.
+    """Approximate cosine top-k: single-table hyperplane-LSH bucket join,
+    exact rerank within bucket.  Buckets are integer-exact (see Q_SCALE),
+    so the DuckDB oracle replays the whole query deterministically.
     Recall measured against `embedding_topk` in tests; at scale the bucket
-    join replaces the n² cross join."""
+    equi-join replaces the n² cross join."""
     from pyspark.sql import Window
 
-    plane_exprs = []
-    for j in range(n_planes):
-        coeffs = ", ".join(
-            f"CAST((({j * dim + d} * 2654435761) % 2000) - 1000 AS DOUBLE) / 1000.0"
-            for d in range(dim)
-        )
-        plane_exprs.append(
-            f"CASE WHEN aggregate(zip_with({vec_col}, array({coeffs}), "
-            f"(x, c) -> CAST(x AS DOUBLE) * c), CAST(0.0 AS DOUBLE), (a, v) -> a + v) > 0 "
-            f"THEN {1 << j} ELSE 0 END"
-        )
-    bucket = F.expr(" + ".join(plane_exprs)).cast("int")
+    bucket = F.expr(_band_bucket_spark(vec_col, 0, n_planes, dim))
     norm = F.sqrt(F.expr(_dot_expr(vec_col, vec_col)))
     v = emb.select(F.col(id_col), F.col(vec_col), norm.alias("nrm"), bucket.alias("bucket"))
     q = v.filter(F.col(id_col) % query_mod == 0).select(
@@ -400,14 +470,87 @@ def embedding_lsh_topk(
     )
 
 
+def sql_embedding_lsh_topk(k: int = 10, query_mod: int = 50, n_planes: int = 8,
+                           dim: int = 64) -> str:
+    bucket = _band_bucket_sql("embedding", 0, n_planes, dim)
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+         {bucket} AS bucket
+  FROM embeddings
+),
+pairs AS (
+  SELECT q.vec_id AS q_id, d.vec_id AS n_id,
+         round(list_dot_product(q.e, d.e) / (q.nrm * d.nrm), 6) AS cos_r
+  FROM v q JOIN v d ON d.bucket = q.bucket AND d.vec_id <> q.vec_id
+  WHERE q.vec_id % {query_mod} = 0
+),
+ranked AS (
+  SELECT q_id, n_id, cos_r,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, n_id) AS rn
+  FROM pairs
+)
+SELECT q_id, n_id, cos_r, CAST(rn AS INT) AS rnk FROM ranked WHERE rn <= {k}
+"""
+
+
+# Band-OR parameters for embedding_near_dups.  NOTE on the defaults: the
+# test corpus' near-dup pairs sit just above cos 0.4 (random-vector tail),
+# the worst case for sign-LSH (per-plane agreement 0.63 vs 0.50 noise), so
+# 12 bands x 4 planes only reaches ~0.81 recall there.  At realistic
+# near-dup thresholds (cos >= 0.9) the same machinery exceeds 0.99 recall
+# with tiny candidate sets — measured in tests/test_dedup_text.py.
+EMB_ND_BANDS = 12
+EMB_ND_PLANES = 4
+
+
 def embedding_near_dups(
+    emb: DataFrame, threshold: float = 0.4,
+    n_bands: int = EMB_ND_BANDS, planes_per_band: int = EMB_ND_PLANES,
+    id_col: str = "vec_id", vec_col: str = "embedding", dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via banded hyperplane LSH:
+    candidates are pairs sharing ANY band bucket (equi-join per band, no
+    cross join anywhere in the plan), then exact-cosine verified with
+    round(cos, 6) > threshold.  Candidate generation is O(colliding pairs);
+    buckets are integer-exact so the DuckDB oracle replays the identical
+    algorithm (same candidates, same verdicts)."""
+    norm = F.sqrt(F.expr(_dot_expr(vec_col, vec_col)))
+    v = emb.select(F.col(id_col), F.col(vec_col), norm.alias("nrm"))
+    stacked = None
+    for band in range(n_bands):
+        part = emb.select(
+            F.col(id_col),
+            F.lit(band).alias("band"),
+            F.expr(_band_bucket_spark(vec_col, band, planes_per_band, dim)).alias("bkt"),
+        )
+        stacked = part if stacked is None else stacked.unionByName(part)
+    a = stacked.select(F.col(id_col).alias("a_id"), "band", "bkt")
+    b = stacked.select(F.col(id_col).alias("b_id"), "band", "bkt")
+    cand = (
+        a.join(b, ["band", "bkt"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    av = v.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"), F.col("nrm").alias("a_nrm"))
+    bv = v.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"), F.col("nrm").alias("b_nrm"))
+    pairs = cand.join(av, "a_id").join(bv, "b_id")
+    cos = F.expr(_dot_expr("a_vec", "b_vec")) / (F.col("a_nrm") * F.col("b_nrm"))
+    return (
+        pairs.withColumn("cos_r", F.round(cos, 6))
+        .filter(F.col("cos_r") > threshold)
+        .select("a_id", "b_id", "cos_r")
+    )
+
+
+def embedding_near_dups_bruteforce(
     emb: DataFrame, threshold: float = 0.4,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: all (a < b) with
-    round(cos, 6) > threshold.  Broadcast self-join at test scale; the
-    scale path buckets by hyperplane LSH first (embedding_lsh_topk's
-    bucketing) so the candidate set is O(near-dups)."""
+    """Exact all-pairs near-dup reference — TEST ORACLE ONLY (O(n²) cross
+    join; never the registered driver path)."""
     norm = F.sqrt(F.expr(_dot_expr(vec_col, vec_col)))
     v = emb.select(F.col(id_col), F.col(vec_col), norm.alias("nrm"))
     a = v.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"), F.col("nrm").alias("a_nrm"))
@@ -421,15 +564,32 @@ def embedding_near_dups(
     )
 
 
-def sql_embedding_near_dups(threshold: float = 0.4) -> str:
+def sql_embedding_near_dups(
+    threshold: float = 0.4,
+    n_bands: int = EMB_ND_BANDS, planes_per_band: int = EMB_ND_PLANES,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of the BANDED `embedding_near_dups` (same candidate
+    generation, same verify) — not the brute-force all-pairs query."""
+    band_selects = " UNION ALL ".join(
+        f"SELECT vec_id, {band} AS band, "
+        f"{_band_bucket_sql('embedding', band, planes_per_band, dim)} AS bkt FROM embeddings"
+        for band in range(n_bands)
+    )
     return f"""
 WITH v AS (
   SELECT vec_id, embedding::DOUBLE[] AS e,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
   FROM embeddings
+),
+stacked AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+  FROM stacked a JOIN stacked b
+    ON a.band = b.band AND a.bkt = b.bkt AND a.vec_id < b.vec_id
 )
-SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-       round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS cos_r
-FROM v a JOIN v b ON a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) > {threshold!r}
+SELECT c.a_id, c.b_id,
+       round(list_dot_product(va.e, vb.e) / (va.nrm * vb.nrm), 6) AS cos_r
+FROM cand c JOIN v va ON c.a_id = va.vec_id JOIN v vb ON c.b_id = vb.vec_id
+WHERE round(list_dot_product(va.e, vb.e) / (va.nrm * vb.nrm), 6) > {threshold!r}
 """

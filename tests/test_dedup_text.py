@@ -81,3 +81,81 @@ def test_quality_score_bounds(spark):
     docs = _docs(spark)
     rows = docs.select(quality_score_col("text").alias("q")).collect()
     assert all(0.0 <= r.q <= 1.0 for r in rows)
+
+
+def test_embedding_neardup_banded_no_cartesian(spark):
+    """The registered near-dup path must be LSH-banded: every pair it
+    emits is a true near-dup (exact verify => no false positives), the
+    physical plan contains no cartesian/broadcast-nested-loop join, and
+    recall vs brute force is measured and bounded below."""
+    from gotrackmaster_spark.operators import dedup as D
+
+    emb = _emb(spark)
+    banded = D.embedding_near_dups(emb, threshold=0.4)
+    plan = banded._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    truth = {(r.a_id, r.b_id) for r in
+             D.embedding_near_dups_bruteforce(emb, threshold=0.4).collect()}
+    found = {(r.a_id, r.b_id) for r in banded.collect()}
+    assert found <= truth  # exact cosine verify => subset of brute force
+    # cos ~ 0.4 pairs of random 64-d vectors are the LSH worst case
+    # (per-plane agreement 0.63 vs 0.50 noise); 12 bands x 4 planes was
+    # measured at ~0.8 recall on this corpus — bound loosely below
+    if truth:
+        assert len(found) / len(truth) >= 0.6
+
+
+def test_embedding_neardup_planted_high_cos(spark):
+    """At a realistic near-dup threshold (cos >= 0.9) the band OR-ing
+    must reach ~perfect recall: plant exact+jittered duplicates among
+    random vectors and require every planted pair found."""
+    from pyspark.sql import functions as F
+
+    from gotrackmaster_spark.operators import dedup as D
+
+    emb = _emb(spark)
+    # planted near-dups: vec_id+10000 is vec scaled by 1.001 with a tiny
+    # deterministic per-dim jitter (cosine ~ 0.9999)
+    jitter = F.expr(
+        "transform(embedding, (x, i) -> CAST(x AS DOUBLE) * 1.001 + "
+        "CAST((vec_id * 64 + i) % 7 AS DOUBLE) / 10000.0)"
+    )
+    dups = emb.limit(20).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        jitter.alias("embedding"),
+    )
+    base = emb.select("vec_id", F.expr(
+        "transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding"))
+    corpus = base.unionByName(dups)
+    found = D.embedding_near_dups(
+        corpus, threshold=0.9, n_bands=12, planes_per_band=6
+    ).collect()
+    pairs = {(r.a_id, r.b_id) for r in found}
+    planted = {(i, i + 10000) for i in
+               [r.vec_id for r in emb.limit(20).collect()]}
+    missing = planted - pairs
+    assert not missing, f"missed planted near-dups: {sorted(missing)[:5]}"
+
+
+def test_jaccard_stop_shingle_cap(spark):
+    """A single corpus-wide hot shingle must NOT produce quadratic
+    candidate pairs: append one common tail phrase to every doc, then
+    compare candidate counts with and without the document-frequency cap
+    (num=0 threshold admits every pair sharing >= 1 shingle, i.e. the raw
+    candidate set of the inverted-index self-join)."""
+    from pyspark.sql import functions as F
+
+    from gotrackmaster_spark.operators import dedup as D
+
+    n = 40
+    docs = _docs(spark).limit(n).select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.lit(" zz common tail phrase repeated in every doc")).alias("text"),
+    )
+    uncapped = D.jaccard_pairs(docs, 0, 1, max_shingle_df=None).count()
+    capped = D.jaccard_pairs(docs, 0, 1, max_shingle_df=10).count()
+    assert uncapped == n * (n - 1) // 2  # hot shingles pair everything
+    assert capped < uncapped / 4  # cap bounds the candidate blowup
