@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_counts": _wrap(Q.q_pip_counts),
         "knn": _wrap(Q.q_knn),
         "duplicate_pairs": _wrap(Q.q_duplicate_pairs),
+        "duplicate_pairs_end": _wrap(Q.q_duplicate_pairs_end),
         "dem_bands": _wrap(Q.q_dem_bands),
         "mercator_tiles": _wrap(Q.q_mercator_tiles),
         "token_stats": _wrap(Q.q_token_stats),
@@ -120,6 +121,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_counts": Q.SQL_PIP_COUNTS,
         "knn": Q.SQL_KNN,
         "duplicate_pairs": Q.SQL_DUPLICATE_PAIRS,
+        "duplicate_pairs_end": Q.SQL_DUPLICATE_PAIRS_END,
         "dem_bands": Q.SQL_DEM_BANDS,
         "mercator_tiles": Q.SQL_MERCATOR_TILES,
         "token_stats": Q.SQL_TOKEN_STATS,

@@ -82,10 +82,17 @@ def main(argv: list[str] | None = None) -> None:
         p = sub.add_parser(name)
         p.add_argument("--track", required=True)
 
-    p = sub.add_parser("duplicate")  # cmd/duplicate.go:49-55
+    p = sub.add_parser("duplicate")  # cmd/duplicate.go:49-56
     p.add_argument("--track", required=True)
     p.add_argument("--startdiff", type=int, default=0)
+    p.add_argument("--enddiff", type=int, default=0)
     p.add_argument("--startDistance", type=int, default=0)
+    p.add_argument("--endDistance", type=int, default=0)
+    p.add_argument("--timeComparator", action="store_true")
+    p.add_argument("--distanceComparator", action="store_true")
+    p.add_argument("--delete", action="store_true",
+                   help="Delete duplicate only when equal creator and quality of track")
+    p.add_argument("--dry-run", action="store_true")
 
     args = ap.parse_args(argv)
     spark = _session(args.cpus)
@@ -158,19 +165,47 @@ def main(argv: list[str] | None = None) -> None:
         spark.stop()
         return
     elif args.cmd == "duplicate":
+        import os
+
         from gotrackmaster_spark.operators.quality import (
             duplicate_candidates,
             track_profiles,
         )
 
-        prof = track_profiles(points)
+        if not (args.startdiff or args.enddiff or args.startDistance or args.endDistance):
+            print("You must specify at least one rule", file=sys.stderr)
+            spark.stop()
+            sys.exit(1)
+        # profiles + creator (from the tracks table) so delete eligibility
+        # (equal creator AND quality, duplicate.go:66-78) is computable
+        prof = track_profiles(points).join(
+            tracks.select("track_id", "creator"), "track_id", "left"
+        )
         pairs = duplicate_candidates(
             prof,
-            start_seconds=float(args.startdiff or 10**9),
-            start_meters=float(args.startDistance or 10**9),
+            start_diff=args.startdiff,
+            end_diff=args.enddiff,
+            start_distance=args.startDistance,
+            end_distance=args.endDistance,
+            time_comparator=args.timeComparator,
+            distance_comparator=args.distanceComparator,
         )
-        for r in pairs.collect():
-            print(f"{r.a_id}\t{r.b_id}\t{r.start_dist_m:.1f}m")
+        rows = pairs.collect()
+        paths = {r.track_id: r.filename
+                 for r in tracks.select("track_id", "filename").collect()}
+        n_del = 0
+        for r in rows:
+            print(f"Duplicate found: {r.a_id} ~ {r.b_id} [{r.status}]")
+            if args.delete and r.delete_ok:
+                # the reference removes the earlier-seen file (sorted scan
+                # order => the canonical smaller id, duplicate.go:69-75)
+                n_del += 1
+                target = paths.get(r.a_id)
+                print(f"Deleting {target}")
+                if not args.dry_run and target:
+                    os.remove(target)
+        print(f"Found {len(rows)} duplicate tracks")
+        print(f"Deleted {n_del} duplicate tracks")
         spark.stop()
         return
     else:  # pragma: no cover

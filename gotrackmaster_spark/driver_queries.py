@@ -577,6 +577,99 @@ WHERE abs(a.start_ts_ns - b.start_ts_ns) <= {int(_DUP_SECONDS * 1e9)}
 
 
 # --------------------------------------------------------------------------
+# J1 (full rule set) — start/end time + position bands, comparator status
+# labels, delete eligibility (cmd/duplicate.go:49-78, :84-206)
+# --------------------------------------------------------------------------
+
+_DUPE_DIFF_S = 7 * 24 * 3600        # --startdiff / --enddiff
+_DUPE_DIST_M = 1_000_000            # --startDistance / --endDistance
+
+
+def _dup_summaries(spark, sf_dir):
+    pts = geo_events(spark, sf_dir)
+    agg = pts.groupBy("user_id").agg(
+        F.min(F.struct("ts", "event_id", "lat", "lon")).alias("s"),
+        F.max(F.struct("ts", "event_id", "lat", "lon")).alias("e"),
+    )
+    return agg.select(
+        F.col("user_id").cast("string").alias("track_id"),
+        (F.unix_micros(F.col("s.ts").cast("timestamp")) * 1000).alias("start_ts_ns"),
+        (F.unix_micros(F.col("e.ts").cast("timestamp")) * 1000).alias("end_ts_ns"),
+        F.col("s.lat").alias("start_lat"),
+        F.col("s.lon").alias("start_lon"),
+        F.col("e.lat").alias("end_lat"),
+        F.col("e.lon").alias("end_lon"),
+        F.concat(F.lit("c"), (F.col("user_id") % 7).cast("string")).alias("creator"),
+        ((F.col("user_id") % 4).cast("double") * 25.0).alias("quality"),
+    )
+
+
+def q_duplicate_pairs_end(spark, sf_dir):
+    from gotrackmaster_spark.operators.spatial import duplicate_pairs_full
+
+    pairs = duplicate_pairs_full(
+        _dup_summaries(spark, sf_dir),
+        start_diff=_DUPE_DIFF_S,
+        end_diff=_DUPE_DIFF_S,
+        start_distance=_DUPE_DIST_M,
+        end_distance=_DUPE_DIST_M,
+        time_comparator=True,
+        distance_comparator=True,
+        level=4,
+        ring=3,
+    )
+    return pairs.select(
+        "a_id", "b_id", "status", "time_match", "pos_match",
+        F.round("start_dist_m", 2).alias("dist_r"),
+        F.round("end_dist_m", 2).alias("end_dist_r"),
+        "delete_ok",
+    )
+
+
+_SQL_SD = f"{haversine_sql('a.start_lat', 'a.start_lon', 'b.start_lat', 'b.start_lon')}"
+_SQL_ED = f"{haversine_sql('a.end_lat', 'a.end_lon', 'b.end_lat', 'b.end_lon')}"
+
+SQL_DUPLICATE_PAIRS_END = f"""
+WITH {GEO_CTE},
+ranked AS (
+  SELECT user_id, ts, lat, lon,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rl
+  FROM geo
+),
+summ AS (
+  SELECT CAST(user_id AS VARCHAR) AS track_id,
+         max(CASE WHEN rn = 1 THEN epoch_us(ts) * 1000 END) AS start_ts_ns,
+         max(CASE WHEN rl = 1 THEN epoch_us(ts) * 1000 END) AS end_ts_ns,
+         max(CASE WHEN rn = 1 THEN lat END) AS start_lat,
+         max(CASE WHEN rn = 1 THEN lon END) AS start_lon,
+         max(CASE WHEN rl = 1 THEN lat END) AS end_lat,
+         max(CASE WHEN rl = 1 THEN lon END) AS end_lon,
+         'c' || CAST(user_id % 7 AS VARCHAR) AS creator,
+         CAST(user_id % 4 AS DOUBLE) * 25.0 AS quality
+  FROM ranked GROUP BY user_id
+),
+verdicts AS (
+  SELECT a.track_id AS a_id, b.track_id AS b_id,
+         abs(a.start_ts_ns - b.start_ts_ns) < {_DUPE_DIFF_S} * CAST(1000000000 AS BIGINT) AS st,
+         abs(a.end_ts_ns - b.end_ts_ns) < {_DUPE_DIFF_S} * CAST(1000000000 AS BIGINT) AS et,
+         {_SQL_SD} < {float(_DUPE_DIST_M)!r} AS sp,
+         {_SQL_ED} < {float(_DUPE_DIST_M)!r} AS ep,
+         round({_SQL_SD}, 2) AS dist_r,
+         round({_SQL_ED}, 2) AS end_dist_r,
+         (a.creator = b.creator AND a.quality = b.quality) AS delete_ok
+  FROM summ a JOIN summ b ON a.track_id < b.track_id
+)
+SELECT a_id, b_id,
+       CASE WHEN st THEN (CASE WHEN et THEN 'start and end time' ELSE 'start time' END)
+            ELSE (CASE WHEN ep THEN 'start and end position' ELSE 'start position' END)
+       END AS status,
+       st AS time_match, sp AS pos_match, dist_r, end_dist_r, delete_ok
+FROM verdicts WHERE st OR sp
+"""
+
+
+# --------------------------------------------------------------------------
 # E4/J2 — raster↔vector: bilinear DEM sampling via broadcast tile join
 # --------------------------------------------------------------------------
 

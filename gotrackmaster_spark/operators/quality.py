@@ -111,46 +111,31 @@ def track_profiles(
 
 def duplicate_candidates(
     profiles: DataFrame,
-    start_seconds: float = 3600.0,
-    start_meters: float = 1000.0,
-    check_end: bool = False,
-    end_seconds: float = 3600.0,
-    end_meters: float = 1000.0,
+    start_diff: int = 0,
+    end_diff: int = 0,
+    start_distance: int = 0,
+    end_distance: int = 0,
+    time_comparator: bool = False,
+    distance_comparator: bool = False,
     level: int = 6,
     ring: int = 2,
 ) -> DataFrame:
-    """J1 over real track profiles (cmd/duplicate.go:84-206): the start
-    bands via the cell-bucketed self-join, optional AND of the end bands
-    (cmd/duplicate.go:163-183), canonical (a < b) pairs."""
-    from pyspark.sql import functions as F
+    """J1 over track profiles with the reference's FULL rule set — thin
+    wrapper over ``spatial.duplicate_pairs_full`` (cmd/duplicate.go:49-64
+    flags, :84-206 loop semantics).  If ``profiles`` carries ``creator``
+    and ``quality`` columns, the output's ``delete_ok`` flag marks pairs
+    the reference's ``--delete`` would remove (equal creator + quality,
+    duplicate.go:66-78)."""
+    from gotrackmaster_spark.operators.spatial import duplicate_pairs_full
 
-    from gotrackmaster_spark.functions.geodesy import haversine_col
-    from gotrackmaster_spark.operators.spatial import duplicate_join
-
-    pairs = duplicate_join(
-        profiles.select("track_id", "start_ts_ns", "start_lat", "start_lon"),
-        start_seconds,
-        start_meters,
+    return duplicate_pairs_full(
+        profiles,
+        start_diff=start_diff,
+        end_diff=end_diff,
+        start_distance=start_distance,
+        end_distance=end_distance,
+        time_comparator=time_comparator,
+        distance_comparator=distance_comparator,
         level=level,
         ring=ring,
     )
-    if not check_end:
-        return pairs
-    ends = profiles.select("track_id", "end_ts_ns", "end_lat", "end_lon")
-    j = (
-        pairs.join(ends.withColumnRenamed("track_id", "a_id")
-                   .withColumnRenamed("end_ts_ns", "a_ets")
-                   .withColumnRenamed("end_lat", "a_elat")
-                   .withColumnRenamed("end_lon", "a_elon"), "a_id")
-        .join(ends.withColumnRenamed("track_id", "b_id")
-              .withColumnRenamed("end_ts_ns", "b_ets")
-              .withColumnRenamed("end_lat", "b_elat")
-              .withColumnRenamed("end_lon", "b_elon"), "b_id")
-    )
-    end_dist = haversine_col(
-        F.col("a_elat"), F.col("a_elon"), F.col("b_elat"), F.col("b_elon")
-    )
-    return j.filter(
-        (F.abs(F.col("a_ets") - F.col("b_ets")) <= F.lit(int(end_seconds * 1e9)))
-        & (end_dist < end_meters)
-    ).select("a_id", "b_id", "start_dist_m")

@@ -461,6 +461,217 @@ def duplicate_join(
     )
 
 
+from gotrackmaster_spark.schemas import GO_ZERO_NS  # noqa: E402
+
+
+def _pos_band_candidates(
+    s: DataFrame, lat_col: str, lon_col: str, level: int, ring: int,
+    id_col: str = "track_id",
+) -> DataFrame:
+    """Cell-bucketed candidate pairs (a_id < b_id) for a position band:
+    one side exploded by the k-ring, equi-join on cell.  Pure candidate
+    generation — callers verify exactly."""
+    a = s.select(
+        F.col(id_col).alias("a_id"),
+        F.col(lat_col).alias("a_lat"),
+        F.col(lon_col).alias("a_lon"),
+    )
+    b = s.select(
+        F.col(id_col).alias("b_id"),
+        F.col(lat_col).alias("b_lat"),
+        F.col(lon_col).alias("b_lon"),
+    )
+
+    def explode_ring(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cells = cell_np(pdf["a_lat"].to_numpy(), pdf["a_lon"].to_numpy(), level)
+            rc = k_ring_np(cells, ring)
+            n, m = rc.shape
+            out = pdf.loc[pdf.index.repeat(m)].reset_index(drop=True)
+            out["cell"] = rc.ravel()
+            yield out.drop_duplicates(subset=["a_id", "cell"])
+
+    a_type = dict(s.dtypes)[id_col]
+    a_ring = a.mapInPandas(
+        explode_ring, f"a_id {a_type}, a_lat double, a_lon double, cell long"
+    )
+    b_cell = b.withColumn("cell", cell_col(F.col("b_lat"), F.col("b_lon"), level))
+    return (
+        a_ring.join(b_cell, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+    )
+
+
+def _time_band_candidates(
+    s: DataFrame, ts_col: str, diff_seconds: int, id_col: str = "track_id"
+) -> DataFrame:
+    """Bucketed candidate pairs for a time band: bucket = ts div diff, one
+    side exploded to {k-1, k, k+1} (any pair with |Δ| < diff lands in
+    adjacent buckets), equi-join on bucket.  No shuffle-side blowup: 3×
+    one side only."""
+    dns = int(diff_seconds) * 1_000_000_000
+    bkt = F.expr(f"{ts_col} div {dns}")
+    a = s.select(
+        F.col(id_col).alias("a_id"),
+        F.explode(F.array(bkt - 1, bkt, bkt + 1)).alias("bkt"),
+    )
+    b = s.select(F.col(id_col).alias("b_id"), bkt.alias("bkt"))
+    return (
+        a.join(b, "bkt")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+    )
+
+
+def duplicate_pairs_full(
+    summaries: DataFrame,
+    start_diff: int = 0,
+    end_diff: int = 0,
+    start_distance: int = 0,
+    end_distance: int = 0,
+    time_comparator: bool = False,
+    distance_comparator: bool = False,
+    level: int = 6,
+    ring: int = 2,
+    id_col: str = "track_id",
+) -> DataFrame:
+    """J1 with the reference's FULL rule set (cmd/duplicate.go:84-206).
+
+    ``summaries(track_id, start_ts_ns, end_ts_ns, start_lat, start_lon,
+    end_lat, end_lon[, creator, quality])``.
+
+    Semantics mirrored literally from the Go loop:
+
+    * validity (duplicate.go:117-131): tracks whose start OR end position
+      is (0,0) never participate; tracks missing a start/end time are
+      skipped only when BOTH time rules are set and NO distance rule is
+      (the reference's exact condition).
+    * time family (duplicate.go:155-175): active when start_diff > 0 —
+      match on |Δstart| < start_diff (checkTime's After/Before are
+      STRICT); `time_comparator` + end_diff only refine the status label
+      to "start and end time", they do NOT gate the match (faithful to
+      the Go control flow).  With start_diff == 0 and end_diff > 0 the
+      band is on the end time.
+    * distance family (duplicate.go:177-197): same shape over Haversine
+      start/end positions, strict `<` per checkPosition.
+    * a pair is a duplicate iff EITHER family matches; ``status`` carries
+      the reference's label with the time family taking priority (it is
+      checked first in the Go loop).
+    * ``delete_ok`` (duplicate.go:66-78): equal creator AND quality — the
+      reference would os.Remove the earlier-seen file, which under its
+      sorted directory scan is ``a_id`` (the canonical smaller id).
+      Emitted as a flag; the engine never deletes inside a query.
+
+    Plan shape: candidate pairs from the ACTIVE primary bands only (cell
+    k-ring equi-join for positions, {k-1,k,k+1} bucket equi-join for
+    times), union + distinct, then one join back to summaries for the
+    exact verify — no cross join at any scale.
+    """
+    if start_diff < 0 or end_diff < 0 or start_distance < 0 or end_distance < 0:
+        raise ValueError("diffs and distances must be non-negative")
+    if not (start_diff or end_diff or start_distance or end_distance):
+        raise ValueError("You must specify at least one rule")
+
+    s = summaries.filter(
+        ~((F.col("start_lat") == 0.0) & (F.col("start_lon") == 0.0))
+        & ~((F.col("end_lat") == 0.0) & (F.col("end_lon") == 0.0))
+    )
+    if start_diff and end_diff and not start_distance and not end_distance:
+        s = s.filter(
+            (F.col("start_ts_ns") != GO_ZERO_NS) & (F.col("end_ts_ns") != GO_ZERO_NS)
+        )
+    s = s.cache()
+
+    cands = []
+    if start_diff:
+        cands.append(_time_band_candidates(s, "start_ts_ns", start_diff, id_col))
+    elif end_diff:
+        cands.append(_time_band_candidates(s, "end_ts_ns", end_diff, id_col))
+    if start_distance:
+        cands.append(_pos_band_candidates(s, "start_lat", "start_lon", level, ring, id_col))
+    elif end_distance:
+        cands.append(_pos_band_candidates(s, "end_lat", "end_lon", level, ring, id_col))
+    cand = cands[0]
+    for c in cands[1:]:
+        cand = cand.unionByName(c)
+    cand = cand.distinct()
+
+    cols = ["start_ts_ns", "end_ts_ns", "start_lat", "start_lon", "end_lat", "end_lon"]
+    has_meta = "creator" in summaries.columns and "quality" in summaries.columns
+    if has_meta:
+        cols += ["creator", "quality"]
+    av = s.select(F.col(id_col).alias("a_id"), *[F.col(c).alias(f"a_{c}") for c in cols])
+    bv = s.select(F.col(id_col).alias("b_id"), *[F.col(c).alias(f"b_{c}") for c in cols])
+    j = cand.join(av, "a_id").join(bv, "b_id")
+
+    def _dt(col: str):
+        # try_subtract: a real-vs-sentinel delta overflows int64 -> NULL ->
+        # predicate false, which is exactly checkTime's verdict for a zero
+        # time against a real one; two zero times still match (delta 0),
+        # faithful to checkTime(zero, zero, sec) == true in the Go code.
+        return F.abs(F.expr(f"try_subtract(a_{col}, b_{col})"))
+
+    start_dist = haversine_col(
+        F.col("a_start_lat"), F.col("a_start_lon"), F.col("b_start_lat"), F.col("b_start_lon")
+    )
+    end_dist = haversine_col(
+        F.col("a_end_lat"), F.col("a_end_lon"), F.col("b_end_lat"), F.col("b_end_lon")
+    )
+    j = j.withColumn("start_dist_m", start_dist).withColumn("end_dist_m", end_dist)
+
+    false_ = F.lit(False)
+    start_t = _dt("start_ts_ns") < F.lit(start_diff * 1_000_000_000) if start_diff else false_
+    end_t = _dt("end_ts_ns") < F.lit(end_diff * 1_000_000_000) if end_diff else false_
+    start_p = F.col("start_dist_m") < F.lit(float(start_distance)) if start_distance else false_
+    end_p = F.col("end_dist_m") < F.lit(float(end_distance)) if end_distance else false_
+
+    if start_diff:
+        time_match = start_t
+        time_status = (
+            F.when(end_t, F.lit("start and end time")).otherwise(F.lit("start time"))
+            if (time_comparator and end_diff)
+            else F.lit("start time")
+        )
+    elif end_diff:
+        time_match = end_t
+        time_status = F.lit("end time")
+    else:
+        time_match = false_
+        time_status = F.lit(None).cast("string")
+    if start_distance:
+        pos_match = start_p
+        pos_status = (
+            F.when(end_p, F.lit("start and end position")).otherwise(F.lit("start position"))
+            if (distance_comparator and end_distance)
+            else F.lit("start position")
+        )
+    elif end_distance:
+        pos_match = end_p
+        pos_status = F.lit("end position")
+    else:
+        pos_match = false_
+        pos_status = F.lit(None).cast("string")
+
+    out = (
+        j.withColumn("time_match", time_match)
+        .withColumn("pos_match", pos_match)
+        .filter(F.col("time_match") | F.col("pos_match"))
+        .withColumn("status", F.when(F.col("time_match"), time_status).otherwise(pos_status))
+    )
+    delete_ok = (
+        (F.col("a_creator") == F.col("b_creator")) & (F.col("a_quality") == F.col("b_quality"))
+        if has_meta
+        else false_
+    )
+    return out.select(
+        "a_id", "b_id", "status", "time_match", "pos_match",
+        "start_dist_m", "end_dist_m", delete_ok.alias("delete_ok"),
+    )
+
+
 def dem_elevation_fix(points: DataFrame, dem: DataFrame) -> DataFrame:
     """ElevationSRTM as a DISTRIBUTED operator (elevation.go:125-157 — the
     reference looks up godem per point; Spark-first this is the E4

@@ -22,9 +22,14 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-# Go's zero time.Time (year 1 Jan 1 UTC) in nanoseconds relative to the Unix
-# epoch; our NULL-timestamp sentinel so kernel arithmetic matches Go exactly.
-GO_ZERO_NS = -62135596800 * 1_000_000_000
+# Missing-timestamp sentinel.  Go's true zero time.Time (year 1 Jan 1 UTC)
+# is -62135596800e9 ns — that does NOT fit in int64 (|x| > 2^63), so it can
+# never ride in a Spark LongType column.  We use int64-min instead; every
+# kernel guards zero times with equality checks before arithmetic (exactly
+# like the Go code's IsZero() guards), and in the unguarded saturating
+# time.Sub paths both sentinels clamp to the identical GO_DUR_MAX/MIN for
+# any real counterpart timestamp, so Go parity is preserved bit-for-bit.
+GO_ZERO_NS = -(1 << 63)
 
 # Saturating bounds of Go's time.Duration (int64 ns); time.Time.Sub clamps.
 GO_DUR_MAX = (1 << 63) - 1

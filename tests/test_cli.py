@@ -73,3 +73,40 @@ def test_cli_simplify_and_joinsegments(tmp_path):
     # command path (parse → kernel → GPX write) is what's under test
     assert 0 < simp.n_points() <= orig.n_points()
     assert 0 < len(joined.tracks[0]) <= len(orig.tracks[0])
+
+
+def test_cli_duplicate_full_flags_and_delete(tmp_path):
+    """duplicate with end bands + comparators + --delete: the copied
+    fixture pairs with itself ("start and end time"), is delete-eligible
+    (same creator + quality), and --delete removes the earlier-seen file
+    (the canonical smaller id) — --dry-run keeps it."""
+    import xml.etree.ElementTree as ET
+
+    src = tmp_path / "tracks"
+    src.mkdir()
+    shutil.copy(FIXTURES["carlos"], src)
+    base = FIXTURES["carlos"].rsplit("/", 1)[-1]
+    copy_name = "a_" + base  # sorts FIRST -> it is the deletion target
+    shutil.copy(FIXTURES["carlos"], src / copy_name)
+
+    args = ["duplicate", "--track", str(src), "--startdiff", "60",
+            "--enddiff", "60", "--startDistance", "100",
+            "--endDistance", "100", "--timeComparator",
+            "--distanceComparator", "--delete"]
+    r = _run([*args, "--dry-run"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "[start and end time]" in r.stdout
+    assert "Found 1 duplicate tracks" in r.stdout
+    assert "Deleted 1 duplicate tracks" in r.stdout
+    assert (src / copy_name).exists()  # dry run never removes
+
+    r2 = _run(args)
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    assert "Deleted 1 duplicate tracks" in r2.stdout
+    assert not (src / copy_name).exists()
+    assert (src / base).exists()
+
+    # no rules -> reference exits with an error (duplicate.go:103-106)
+    r3 = _run(["duplicate", "--track", str(src)])
+    assert r3.returncode != 0
+    assert "at least one rule" in r3.stderr
