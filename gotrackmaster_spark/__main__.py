@@ -94,7 +94,29 @@ def main(argv: list[str] | None = None) -> None:
                    help="Delete duplicate only when equal creator and quality of track")
     p.add_argument("--dry-run", action="store_true")
 
+    p = sub.add_parser("import")  # cmd/import.go:38-42
+    p.add_argument("--track", required=True)
+    p.add_argument("--destination", default="")
+    p.add_argument("--directoryformat", default="")
+    p.add_argument("--archiveformat", default="")
+    p.add_argument("--dry-run", action="store_true")
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "import":
+        # validations precede any Spark work (cmd/import.go:127-138)
+        from gotrackmaster_spark.operators.importer import is_valid_format
+
+        if not args.destination:
+            print("Destination directory is missing", file=sys.stderr)
+            sys.exit(1)
+        if args.directoryformat and not is_valid_format(args.directoryformat):
+            print("Directory format is wrong", file=sys.stderr)
+            sys.exit(1)
+        if not is_valid_format(args.archiveformat):
+            print("Archive format is wrong", file=sys.stderr)
+            sys.exit(1)
+
     spark = _session(args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
     points, tracks = _load(spark, args.track)
@@ -176,10 +198,17 @@ def main(argv: list[str] | None = None) -> None:
             print("You must specify at least one rule", file=sys.stderr)
             spark.stop()
             sys.exit(1)
-        # profiles + creator (from the tracks table) so delete eligibility
-        # (equal creator AND quality, duplicate.go:66-78) is computable
+        # profiles + canonical creator (GetCreator ladder, misc.go:277-362)
+        # so delete eligibility (equal creator AND quality, duplicate.go:
+        # 66-78) compares what the reference compares
+        from gotrackmaster_spark.driver_queries import creator_ladder_col
+
         prof = track_profiles(points).join(
-            tracks.select("track_id", "creator"), "track_id", "left"
+            tracks.select(
+                "track_id", creator_ladder_col(F.col("creator")).alias("creator")
+            ),
+            "track_id",
+            "left",
         )
         pairs = duplicate_candidates(
             prof,
@@ -206,6 +235,55 @@ def main(argv: list[str] | None = None) -> None:
                     os.remove(target)
         print(f"Found {len(rows)} duplicate tracks")
         print(f"Deleted {n_del} duplicate tracks")
+        spark.stop()
+        return
+    elif args.cmd == "import":
+        import os
+        import shutil
+
+        from gotrackmaster_spark.operators.importer import import_plan
+        from gotrackmaster_spark.operators.quality import track_profiles
+        from gotrackmaster_spark.schemas import GO_ZERO_NS
+
+        prof = track_profiles(points)
+        bounds = points.groupBy("track_id").agg(
+            F.min("lat").alias("min_lat"), F.max("lat").alias("max_lat"),
+            F.min("lon").alias("min_lon"), F.max("lon").alias("max_lon"),
+        )
+        # tracks with no start time are skipped (cmd/import.go:158-161);
+        # geocode placeholders substitute as empty strings (documented S5
+        # substitution — no network geocoder in the engine)
+        from gotrackmaster_spark.driver_queries import creator_ladder_col
+
+        summaries = (
+            prof.filter(F.col("start_ts_ns") != GO_ZERO_NS)
+            .join(bounds, "track_id")
+            .join(tracks.select("track_id", "creator", "filename", "file_rank"), "track_id")
+            .select(
+                "track_id",
+                F.timestamp_micros((F.col("start_ts_ns") / 1000).cast("long")).alias("start_ts"),
+                # GetCreator canonicalizes the raw creator (misc.go:277-362)
+                creator_ladder_col(F.col("creator")).alias("creator"),
+                "quality",
+                F.regexp_replace(
+                    F.element_at(F.split(F.col("filename"), "/"), -1),
+                    r"\.[^.]*$", "",
+                ).alias("original"),
+                F.col("classification").alias("kind"),
+                "min_lat", "max_lat", "min_lon", "max_lon",
+                "file_rank",
+            )
+        )
+        plan = import_plan(summaries, args.directoryformat, args.archiveformat)
+        rows = plan.join(
+            tracks.select("track_id", "filename"), "track_id"
+        ).collect()
+        for r in sorted(rows, key=lambda r: (r.file_rank, r.track_id, r.directory, r.archive)):
+            target = f"{args.destination}/{r.directory}/{r.archive}.gpx"
+            print(f"[{r.filename}] -> {target}")
+            if not args.dry_run:
+                os.makedirs(f"{args.destination}/{r.directory}", exist_ok=True)
+                shutil.copyfile(r.filename, target)
         spark.stop()
         return
     else:  # pragma: no cover

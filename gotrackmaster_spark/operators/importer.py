@@ -107,18 +107,31 @@ def import_plan(
         "*", F.explode("degree1").alias("deg1")
     ).select("*", F.explode("degree05").alias("deg5"))
 
+    # Go renders {quality} via %0.0f (cmd/import.go:62); integral quality
+    # columns (synthetic tests) cast cleanly either way.  Geocode fields
+    # substitute as empty strings — the zero geo.Address of a run without
+    # the network geocoder (documented S5 substitution).
+    q = (
+        F.format_string("%.0f", F.col("quality"))
+        if dict(fan.dtypes).get("quality") in ("double", "float")
+        else F.col("quality")
+    )
     cols = {
         "year": F.year("start_ts"),
         "month": F.format_string("%02d", F.month("start_ts")),
         "day": F.format_string("%02d", F.dayofmonth("start_ts")),
         "hour": F.format_string("%02d", F.hour("start_ts")),
         "minute": F.format_string("%02d", F.minute("start_ts")),
+        "country": F.lit(""),
+        "countrycode": F.lit(""),
+        "city": F.lit(""),
+        "state": F.lit(""),
         "degree1": F.col("deg1"),
         "degree0.5": F.col("deg5"),
         "original": F.col("original"),
         "kind": F.col("kind"),
         "creator": F.col("creator"),
-        "quality": F.col("quality"),
+        "quality": q,
     }
     plan = fan.select(
         "track_id",

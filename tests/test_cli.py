@@ -110,3 +110,38 @@ def test_cli_duplicate_full_flags_and_delete(tmp_path):
     r3 = _run(["duplicate", "--track", str(src)])
     assert r3.returncode != 0
     assert "at least one rule" in r3.stderr
+
+
+def test_cli_import_organizes_tracks(tmp_path):
+    """import: templated directory/archive fan-out, file copies into the
+    destination tree, validation errors for bad/missing formats."""
+    src = tmp_path / "tracks"
+    src.mkdir()
+    shutil.copy(FIXTURES["carlos"], src)
+    shutil.copy(FIXTURES["pedraforca"], src)
+    dest = tmp_path / "organized"
+
+    r = _run(["import", "--track", str(src), "--destination", str(dest),
+              "--directoryformat", "{year}/{month}",
+              "--archiveformat", "{original}_{creator}_q{quality}_{degree1}"])
+    assert r.returncode == 0, r.stderr[-2000:]
+    copied = sorted(p.relative_to(dest).as_posix() for p in dest.rglob("*.gpx"))
+    assert copied, r.stdout
+    # every target is year/month/original_creator_qNN_tile.gpx
+    import re
+
+    for c in copied:
+        assert re.fullmatch(r"\d{4}/\d{2}/.+_q\d+_[NS]\d{2}[EW]\d{3}\.gpx", c), c
+    # the fan-out copies each track into every degree1 corner tile dir
+    assert len(copied) >= 2
+
+    # validation parity (cmd/import.go:127-138)
+    r2 = _run(["import", "--track", str(src), "--directoryformat", "{year}",
+               "--archiveformat", "{original}"])
+    assert r2.returncode != 0 and "Destination directory is missing" in r2.stderr
+    r3 = _run(["import", "--track", str(src), "--destination", str(dest),
+               "--archiveformat", "no_placeholders"])
+    assert r3.returncode != 0 and "Archive format is wrong" in r3.stderr
+    r4 = _run(["import", "--track", str(src), "--destination", str(dest),
+               "--directoryformat", "{year}:bad", "--archiveformat", "{original}"])
+    assert r4.returncode != 0 and "Directory format is wrong" in r4.stderr
