@@ -492,6 +492,8 @@ _KNN_K = 5
 
 
 def q_knn(spark, sf_dir):
+    import pyarrow.parquet as pq
+
     from gotrackmaster_spark.operators.spatial import knn_join
 
     pts = geo_events(spark, sf_dir)
@@ -499,7 +501,10 @@ def q_knn(spark, sf_dir):
     qs = pts.filter(F.col("event_id") % 100 == 3).select(
         F.col("event_id").alias("query_id"), "lat", "lon"
     )
-    out = knn_join(qs, data, k=_KNN_K, level=7, ring=2, exclude_self=True)
+    # density sizing from the parquet footer — no extra Spark pass
+    n_data = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    out = knn_join(qs, data, k=_KNN_K, level=7, ring=2, exclude_self=True,
+                   n_data=n_data)
     return out.select(
         "query_id", "data_id", F.col("rank").alias("rnk"),
         F.round("dist_m", 3).alias("dist_r"),

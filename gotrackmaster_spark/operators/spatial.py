@@ -26,12 +26,15 @@ orientation/ray-cast float arithmetic style of
 
 from __future__ import annotations
 
+import logging
 import math
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 from gotrackmaster_spark.functions.cells import (
     cell_col,
@@ -196,6 +199,9 @@ def point_in_polygon_join(
 _M_PER_DEG = math.pi * 6371000.0 / 180.0  # meridian meters/degree on the R=6371km sphere
 
 
+_KNN_PREV_CACHE: list = []  # previous call's persisted top-k (bounded leak)
+
+
 def knn_join(
     queries: DataFrame,
     data: DataFrame,
@@ -206,6 +212,7 @@ def knn_join(
     data_id: str = "data_id",
     round_decimals: int = 3,
     exclude_self: bool = False,
+    n_data: int | None = None,
 ) -> DataFrame:
     """E3 — exact k nearest neighbours of each query point.
 
@@ -237,8 +244,11 @@ def knn_join(
 
     # Expected k-NN radius from global density → per-query ADAPTIVE ring:
     # high-latitude queries (narrow cells in meters) get wider rings instead
-    # of falling back to brute force.
-    n_data = data.count()
+    # of falling back to brute force.  ``n_data`` only sizes that radius —
+    # pass a (rough) row count or density estimate to skip the extra full
+    # pass over the big side; parquet footer counts are free.
+    if n_data is None:
+        n_data = data.count()
     earth_area = 4.0 * math.pi * 6371000.0**2
     target_m = 2.0 * math.sqrt(max(k, 1) / (max(n_data, 1) / earth_area * math.pi))
     lat_cell_deg = 180.0 / (1 << level)
@@ -311,10 +321,16 @@ def knn_join(
     )
     # persist: the windowed top-k feeds three consumers (gate aggregate,
     # exact output, fallback bound) — without it the candidate join +
-    # window re-executes per consumer
+    # window re-executes per consumer.  The cache must outlive this call
+    # (the returned DataFrame reads it), so lifetime is bounded instead:
+    # each call unpersists the PREVIOUS call's cache (repeated bench/CLI
+    # invocations in one JVM no longer accumulate session-lifetime blocks).
+    while _KNN_PREV_CACHE:
+        _KNN_PREV_CACHE.pop().unpersist(blocking=False)
     ranked = cand.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     ).persist()
+    _KNN_PREV_CACHE.append(ranked)
 
     # Exactness gate: the k-th distance must sit inside the per-query
     # guarantee radius (beyond which no non-candidate can lie); the
@@ -342,6 +358,15 @@ def knn_join(
     ).collect()
 
     cols = [query_id, data_id, "dist_m", "rank"]
+    if short_rows:
+        # a non-empty fallback means level/ring under-cover the density —
+        # results stay exact, but make the mis-sizing visible
+        _LOG.warning(
+            "knn_join: %d queries fell back to brute force "
+            "(level=%d ring=%d k=%d target_m=%.0f) — consider a coarser "
+            "level or larger ring for this density",
+            len(short_rows), level, ring, k, target_m,
+        )
     if not short_rows:
         return ranked.select(*cols)
 

@@ -86,25 +86,41 @@ class Catalog:
             writer = writer.partitionBy(partition_col)
         writer.parquet(snap_dir)
 
-        if partition_col:
-            from pyspark.sql import functions as F
+        # Lineage WITHOUT recomputation: row counts come from the written
+        # files' parquet footers (pure metadata, no second Spark job — the
+        # old groupBy().count().collect() re-ran the entire upstream
+        # lineage after the write, doubling every checkpointed stage at
+        # scale).  On a real cluster these are the file-level stats an
+        # Iceberg writer records in its manifests at commit.
+        import urllib.parse
 
-            counts = {
-                str(r[partition_col]): r["n"]
-                for r in df.groupBy(partition_col).agg(F.count("*").alias("n")).collect()
-            }
-            # an attempted partition that produced zero rows is still DONE —
-            # record it so resume converges instead of rescanning it forever
-            for p in attempted_partitions or []:
-                counts.setdefault(str(p), 0)
-        else:
-            counts = {"__all__": df.count()}
+        import pyarrow.parquet as pq
 
         files = []
+        file_stats = []
+        counts: dict[str, int] = {}
         for dirpath, _dirs, fnames in os.walk(snap_dir):
             for f in fnames:
-                if f.endswith(".parquet"):
-                    files.append(os.path.relpath(os.path.join(dirpath, f), snap_dir))
+                if not f.endswith(".parquet"):
+                    continue
+                full = os.path.join(dirpath, f)
+                rel = os.path.relpath(full, snap_dir)
+                rows = pq.ParquetFile(full).metadata.num_rows
+                files.append(rel)
+                if partition_col:
+                    # hive layout: <partition_col>=<url-encoded value>/...
+                    pdir = rel.split(os.sep)[0]
+                    pval = urllib.parse.unquote(pdir.split("=", 1)[1])
+                else:
+                    pval = "__all__"
+                file_stats.append({"path": rel, "rows": rows, "partition": pval})
+                counts[pval] = counts.get(pval, 0) + rows
+        if not partition_col:
+            counts.setdefault("__all__", 0)
+        # an attempted partition that produced zero rows is still DONE —
+        # record it so resume converges instead of rescanning it forever
+        for p in attempted_partitions or []:
+            counts.setdefault(str(p), 0)
 
         manifest = {
             "table": table,
@@ -113,6 +129,7 @@ class Catalog:
             "created_unix": time.time(),
             "data_dir": snap_dir,
             "files": sorted(files),
+            "file_stats": sorted(file_stats, key=lambda s: s["path"]),
             "partition_col": partition_col,
             "partitions": counts,
             "total_rows": sum(counts.values()),

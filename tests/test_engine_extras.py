@@ -50,6 +50,38 @@ def test_checkpoint_commit_resume(spark, tmp_path):
     assert cat.load(spark, "t").count() == 50  # latest = snap 2 (its own data)
 
 
+def test_checkpoint_commit_runs_upstream_once(spark, tmp_path):
+    """commit must NOT recompute the input for lineage counts: an
+    accumulator in the upstream lineage counts exactly one pass over the
+    data (the write), and the manifest's counts/file_stats come from the
+    written parquet footers."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from gotrackmaster_spark.plans.checkpoint import Catalog
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def counted(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    df = (
+        spark.range(100)
+        .select((F.col("id") % 4).cast("string").alias("part"), "id")
+        .mapInPandas(counted, "part string, id long")
+    )
+    cat = Catalog(str(tmp_path))
+    m = cat.commit(df, "once", partition_col="part")
+    assert acc.value == 100, f"upstream ran {acc.value / 100:.0f}x, want 1x"
+    assert m["total_rows"] == 100
+    assert m["partitions"] == {"0": 25, "1": 25, "2": 25, "3": 25}
+    # per-file lineage from the footers
+    assert sum(s["rows"] for s in m["file_stats"]) == 100
+    assert {s["partition"] for s in m["file_stats"]} == {"0", "1", "2", "3"}
+
+
 def test_douglas_peucker_properties():
     from gotrackmaster_spark.kernels.extra import _perp_dist, douglas_peucker_mask
 
