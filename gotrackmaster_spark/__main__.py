@@ -29,23 +29,23 @@ def _session(cpus: str):
 def _load(spark, track_dir: str):
     from gotrackmaster_spark.sources.gpx import (
         discover_gpx_files,
-        gpx_files_to_points_df,
+        gpx_files_to_tables,
     )
 
     files = discover_gpx_files(track_dir)
     if not files:
         print("no GPX files found", file=sys.stderr)
         sys.exit(1)
-    return gpx_files_to_points_df(spark, files)
+    return gpx_files_to_tables(spark, files)
 
 
-def _write_back(points, tracks, out_dir: str, dry_run: bool) -> None:
+def _write_back(points, tracks, waypoints, out_dir: str, dry_run: bool) -> None:
     if dry_run:
         print(f"[dry-run] would write {tracks.count()} GPX files to {out_dir}")
         return
     from gotrackmaster_spark.sources.gpx import write_gpx_files
 
-    n = write_gpx_files(points, tracks, out_dir)
+    n = write_gpx_files(points, tracks, out_dir, waypoints_df=waypoints)
     print(f"wrote {n} GPX files to {out_dir}")
 
 
@@ -119,7 +119,7 @@ def main(argv: list[str] | None = None) -> None:
 
     spark = _session(args.cpus)
     spark.sparkContext.setLogLevel("ERROR")
-    points, tracks = _load(spark, args.track)
+    points, tracks, waypoints = _load(spark, args.track)
     out_dir = getattr(args, "out", None) or (args.track.rstrip("/") + "_fixed")
 
     from pyspark.sql import functions as F
@@ -289,7 +289,7 @@ def main(argv: list[str] | None = None) -> None:
     else:  # pragma: no cover
         raise SystemExit(f"unknown command {args.cmd}")
 
-    _write_back(fixed, tracks, out_dir, args.dry_run)
+    _write_back(fixed, tracks, waypoints, out_dir, args.dry_run)
     spark.stop()
 
 

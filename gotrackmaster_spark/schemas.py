@@ -67,6 +67,24 @@ DEFECTS_SCHEMA = StructType(
     ]
 )
 
+# Top-level GPX waypoints (Wpt[] in the reference's model tree,
+# github.com/twpayne/go-gpx via /root/reference/cmd/root.go): carried as a
+# separate table so repair pipelines over the points table cannot drop them
+# and the S3 sink can re-emit them losslessly.
+WAYPOINTS_SCHEMA = StructType(
+    [
+        StructField("track_id", StringType(), False),
+        StructField("wpt_idx", IntegerType(), False),
+        StructField("lat", DoubleType(), True),
+        StructField("lon", DoubleType(), True),
+        StructField("ele", DoubleType(), True),       # null = no <ele>
+        StructField("ts", TimestampType(), True),
+        StructField("ts_ns", LongType(), True),
+        StructField("name", StringType(), True),
+        StructField("link_href", StringType(), True),
+    ]
+)
+
 TRACKS_SCHEMA = StructType(
     [
         StructField("track_id", StringType(), False),

@@ -29,6 +29,8 @@ class ParsedTrack:
     creator: str
     # segments[trk_no][seg_no] = list of (lat, lon, ele, ts_ns)
     tracks: list[list[list[tuple[float, float, float, int]]]] = field(default_factory=list)
+    # top-level waypoints: (lat, lon, ele|None, ts_ns, name|None, link|None)
+    waypoints: list[tuple] = field(default_factory=list)
 
     def n_points(self) -> int:
         return sum(len(s) for t in self.tracks for s in t)
@@ -62,6 +64,18 @@ def parse_gpx_file(path: str, track_id: str | None = None) -> ParsedTrack:
     creator = root.get("creator", "")
     tid = track_id or path.rsplit("/", 1)[-1]
     parsed = ParsedTrack(track_id=tid, creator=creator)
+    for wpt in root.findall(f"{_NS}wpt"):
+        lat = float(wpt.get("lat", "0"))
+        lon = float(wpt.get("lon", "0"))
+        ele_el = wpt.find(f"{_NS}ele")
+        ele = float(ele_el.text) if ele_el is not None and ele_el.text else None
+        time_el = wpt.find(f"{_NS}time")
+        ts_ns = parse_time_ns(time_el.text if time_el is not None else None)
+        name_el = wpt.find(f"{_NS}name")
+        name = name_el.text if name_el is not None else None
+        link_el = wpt.find(f"{_NS}link")
+        link = link_el.get("href") if link_el is not None else None
+        parsed.waypoints.append((lat, lon, ele, ts_ns, name, link))
     for trk in root.findall(f"{_NS}trk"):
         segs = []
         for seg in trk.findall(f"{_NS}trkseg"):
@@ -96,21 +110,46 @@ def track_to_rows(parsed: ParsedTrack) -> list[tuple]:
     return rows
 
 
+def waypoint_rows(parsed: ParsedTrack) -> list[tuple]:
+    """Flatten waypoints to WAYPOINTS_SCHEMA rows."""
+    rows = []
+    for i, (lat, lon, ele, ts_ns, name, link) in enumerate(parsed.waypoints):
+        if ts_ns == GO_ZERO_NS:
+            ts = None
+        else:
+            ts = _dt.datetime.fromtimestamp(ts_ns / 1e9, tz=_dt.timezone.utc).replace(tzinfo=None)
+        rows.append((parsed.track_id, i, lat, lon, ele, ts, ts_ns, name, link))
+    return rows
+
+
 def gpx_files_to_points_df(spark, paths: list[str]):
     """Parse GPX files into a points DataFrame (POINTS_SCHEMA)."""
-    from gotrackmaster_spark.schemas import POINTS_SCHEMA
+    points, tracks, _w = gpx_files_to_tables(spark, paths)
+    return points, tracks
+
+
+def gpx_files_to_tables(spark, paths: list[str]):
+    """Full ETL: (points, tracks, waypoints) DataFrames — waypoints ride a
+    separate table so repair pipelines over points can't lose them (Wpt[]
+    passthrough, reference model tree via go-gpx)."""
+    from gotrackmaster_spark.schemas import (
+        POINTS_SCHEMA,
+        TRACKS_SCHEMA,
+        WAYPOINTS_SCHEMA,
+    )
 
     rows: list[tuple] = []
     creators: list[tuple] = []
+    wrows: list[tuple] = []
     for rank, p in enumerate(sorted(paths)):
         parsed = parse_gpx_file(p)
         rows.extend(track_to_rows(parsed))
         creators.append((parsed.track_id, parsed.creator, p, rank))
+        wrows.extend(waypoint_rows(parsed))
     points = spark.createDataFrame(rows, POINTS_SCHEMA)
-    from gotrackmaster_spark.schemas import TRACKS_SCHEMA
-
     tracks = spark.createDataFrame(creators, TRACKS_SCHEMA)
-    return points, tracks
+    waypoints = spark.createDataFrame(wrows, WAYPOINTS_SCHEMA)
+    return points, tracks, waypoints
 
 
 # ------------------------------------------------------------------ sink ---
@@ -135,14 +174,19 @@ def _fmt_time_ns(ts_ns: int) -> str:
     return base + "Z"
 
 
-def points_to_gpx_xml(rows, creator: str = "gotrackmaster-spark") -> str:
+def points_to_gpx_xml(rows, creator: str = "gotrackmaster-spark",
+                      waypoints=None) -> str:
     """Serialize one track's rows (POINTS_SCHEMA tuples/Rows, any order) to
     indented GPX 1.1 XML — the reference's writeGPX sink
     (/root/reference/cmd/root.go:45-67: xml.Header + two-space indent).
+    ``waypoints``: WAYPOINTS_SCHEMA rows re-emitted ahead of the tracks
+    (GPX 1.1 element order: wpt then trk).
 
     The engine-native sink is a new table snapshot (plans.checkpoint);
     this exists so a user of the reference can still export GPX files.
     """
+    from xml.sax.saxutils import escape, quoteattr
+
     from gotrackmaster_spark.schemas import GO_ZERO_NS
 
     nest: dict[int, dict[int, list]] = {}
@@ -153,6 +197,17 @@ def points_to_gpx_xml(rows, creator: str = "gotrackmaster-spark") -> str:
         f'<gpx version="1.1" creator="{creator}" '
         'xmlns="http://www.topografix.com/GPX/1/1">'
     )
+    for w in sorted(waypoints or [], key=lambda w: w.wpt_idx):
+        out.append(f'  <wpt lat="{_fmt_float(w.lat)}" lon="{_fmt_float(w.lon)}">')
+        if w.ele is not None:
+            out.append(f"    <ele>{_fmt_float(w.ele)}</ele>")
+        if w.ts_ns is not None and w.ts_ns != GO_ZERO_NS:
+            out.append(f"    <time>{_fmt_time_ns(w.ts_ns)}</time>")
+        if w.name is not None:
+            out.append(f"    <name>{escape(w.name)}</name>")
+        if w.link_href is not None:
+            out.append(f"    <link href={quoteattr(w.link_href)}/>")
+        out.append("  </wpt>")
     for trk_no in sorted(nest):
         out.append("  <trk>")
         for seg_no in sorted(nest[trk_no]):
@@ -171,20 +226,31 @@ def points_to_gpx_xml(rows, creator: str = "gotrackmaster-spark") -> str:
     return "\n".join(out)
 
 
-def write_gpx_files(points_df, tracks_df, out_dir: str) -> int:
+def write_gpx_files(points_df, tracks_df, out_dir: str, waypoints_df=None) -> int:
     """Distributed GPX export: one file per track via applyInPandas over
     track groups (each file is one group — the reference's per-file loop
-    inverted).  Returns the number of files written."""
+    inverted).  ``waypoints_df`` (WAYPOINTS_SCHEMA) re-emits each track's
+    top-level waypoints so a parse → repair → write round trip is lossless.
+    Returns the number of files written."""
     import os
 
     import pandas as pd
 
     creators = {r.track_id: r.creator for r in tracks_df.collect()}
+    # waypoints are rare and tiny (handfuls per file) — collect + broadcast
+    # by closure keeps the sink a single applyInPandas pass
+    wpts: dict[str, list] = {}
+    if waypoints_df is not None:
+        for r in waypoints_df.collect():
+            wpts.setdefault(r.track_id, []).append(r)
     os.makedirs(out_dir, exist_ok=True)
 
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
         rows = list(pdf.sort_values(["trk_no", "seg_no", "pt_idx"]).itertuples())
-        xml_text = points_to_gpx_xml(rows, creators.get(key[0], "gotrackmaster-spark"))
+        xml_text = points_to_gpx_xml(
+            rows, creators.get(key[0], "gotrackmaster-spark"),
+            waypoints=wpts.get(key[0]),
+        )
         safe = str(key[0]).replace("/", "_")
         path = os.path.join(out_dir, f"{safe}.gpx")
         with open(path, "w") as f:

@@ -38,3 +38,29 @@ def test_discover_gpx_files():
     assert len(found) == 4
     assert all(f.endswith(".gpx") for f in found)
     assert found == sorted(found)
+
+
+def test_waypoint_roundtrip_lossless(spark, tmp_path):
+    """Wpt[] passthrough: parse fixtures WITH waypoints, write back via the
+    sink, re-parse — every waypoint field survives (lat/lon/ele/time/name/
+    link), including a waypoint-less fixture emitting none."""
+    from gotrackmaster_spark.sources.gpx import (
+        gpx_files_to_tables,
+        parse_gpx_file,
+        write_gpx_files,
+    )
+
+    srcs = [FIXTURES["carlos"], FIXTURES["benitandus"], FIXTURES["pedraforca"]]
+    pts, tracks, wpts = gpx_files_to_tables(spark, srcs)
+    n_wpt = {r.track_id: 0 for r in tracks.collect()}
+    for r in wpts.collect():
+        n_wpt[r.track_id] += 1
+    assert n_wpt[FIXTURES["carlos"].rsplit("/", 1)[-1]] == 24
+    assert n_wpt[FIXTURES["benitandus"].rsplit("/", 1)[-1]] == 7
+    assert n_wpt[FIXTURES["pedraforca"].rsplit("/", 1)[-1]] == 0
+
+    n = write_gpx_files(pts, tracks, str(tmp_path), waypoints_df=wpts)
+    assert n == 3
+    for src in srcs:
+        out_file = str(tmp_path / (src.rsplit("/", 1)[-1] + ".gpx"))
+        assert parse_gpx_file(out_file).waypoints == parse_gpx_file(src).waypoints
