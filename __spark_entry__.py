@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bounds_tiles": _wrap(Q.q_bounds_tiles),
         "cell_parent_counts": _wrap(Q.q_cell_parent_counts),
         "speed_defect_counts": _wrap(Q.q_speed_defect_counts),
+        "distance_quality_base": _wrap(Q.q_distance_quality_base),
         "time_quality": _wrap(Q.q_time_quality),
         "creator_counts": _wrap(Q.q_creator_counts),
         "pip_counts": _wrap(Q.q_pip_counts),
@@ -116,6 +117,7 @@ def oracle_sql() -> dict[str, str]:
         "bounds_tiles": Q.SQL_BOUNDS_TILES,
         "cell_parent_counts": Q.SQL_CELL_PARENT_COUNTS,
         "speed_defect_counts": Q.SQL_SPEED_DEFECT_COUNTS,
+        "distance_quality_base": Q.SQL_DISTANCE_QUALITY_BASE,
         "time_quality": Q.SQL_TIME_QUALITY,
         "creator_counts": Q.SQL_CREATOR_COUNTS,
         "pip_counts": Q.SQL_PIP_COUNTS,

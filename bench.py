@@ -190,6 +190,10 @@ def main() -> None:
         "rows": rows,
         "rows_per_sec": round(rows / timings["flagship_spatial"], 1),
         "cpus": int(CPUS),
+        # the suite numbers are only interpretable against the machine's
+        # EFFECTIVE capacity at measurement time (sandbox interference
+        # makes nproc nominal) — carry the probe inside the bench line
+        "cpu_capacity_probe": _cpu_capacity_probe(ns=(1, int(CPUS))),
     }
     print(json.dumps(out))
     spark.stop()
@@ -253,7 +257,7 @@ def _scaling_job(spark, sf_dir):
     return both, n
 
 
-def _cpu_capacity_probe() -> dict:
+def _cpu_capacity_probe(ns: tuple = (1, 8, 16, 32)) -> dict:
     """Fixed-work-per-process probe: how many EFFECTIVE cores the sandbox
     actually delivers (cgroup/steal/turbo effects make nproc=32 nominal).
     Reported alongside efficiency so the N→4N numbers are interpretable."""
@@ -266,18 +270,18 @@ def _cpu_capacity_probe() -> dict:
         return x
 
     out = {}
-    for n in (1, 8, 16, 32):
+    for n in ns:
         t0 = time.perf_counter()
         ps = [multiprocessing.Process(target=burn, args=(0,)) for _ in range(n)]
         [p.start() for p in ps]
         [p.join() for p in ps]
         out[n] = round(time.perf_counter() - t0, 2)
-    base = out[1]
-    return {
-        "wall_by_nproc": out,
-        "effective_cores_at_32": round(32 * base / out[32], 1),
-        "effective_cores_at_16": round(16 * base / out[16], 1),
-    }
+    base = out[min(ns)]
+    res = {"wall_by_nproc": out}
+    for n in ns:
+        if n > min(ns):
+            res[f"effective_cores_at_{n}"] = round(n * base / out[n], 1)
+    return res
 
 
 def scaling() -> None:

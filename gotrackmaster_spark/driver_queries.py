@@ -257,6 +257,58 @@ FROM pairs GROUP BY user_id
 
 
 # --------------------------------------------------------------------------
+# A2 (SQL-expressible slice) — DistanceQuality's pairwise-distance sum and
+# step-penalty base (distance.go:453-475: total 2D distance, step = d/n,
+# 100 − 12·[step>30] − 6·[step>8]).  The defect-count deductions that
+# complete A2 are sequential kernels (pinned to fixtures in
+# tests/test_kernel_sweep.py); this oracle pins everything else.
+# --------------------------------------------------------------------------
+
+def q_distance_quality_base(spark, sf_dir):
+    from pyspark.sql import Window
+
+    pts = geo_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    d = distance_2d_col(
+        F.lag("lat").over(w), F.lag("lon").over(w), F.col("lat"), F.col("lon")
+    )
+    per = pts.select("user_id", d.alias("leg"))
+    agg = per.groupBy("user_id").agg(
+        F.sum("leg").alias("dist"), F.count("*").alias("n_points")
+    )
+    step = F.round(F.col("dist") / F.col("n_points"), 6)
+    return agg.select(
+        "user_id",
+        F.round("dist", 1).alias("dist_r"),
+        "n_points",
+        (
+            F.lit(100.0)
+            - F.when(step > 30.0, 12.0).otherwise(0.0)
+            - F.when(step > 8.0, 6.0).otherwise(0.0)
+        ).alias("base_quality"),
+    )
+
+
+SQL_DISTANCE_QUALITY_BASE = f"""
+WITH {GEO_CTE},
+per AS (
+  SELECT user_id,
+         {distance_2d_sql('lag(lat) OVER w', 'lag(lon) OVER w', 'lat', 'lon')} AS leg
+  FROM geo
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+agg AS (
+  SELECT user_id, sum(leg) AS dist, count(*) AS n_points FROM per GROUP BY user_id
+)
+SELECT user_id, round(dist, 1) AS dist_r, n_points,
+       CAST(100.0 - (CASE WHEN round(dist / n_points, 6) > 30.0 THEN 12.0 ELSE 0.0 END)
+                  - (CASE WHEN round(dist / n_points, 6) > 8.0 THEN 6.0 ELSE 0.0 END)
+       AS DOUBLE) AS base_quality
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
 # A3 — TimeQuality per track (trackmaster/time.go:108-132, exact integer
 # arithmetic, num>total→0, integer division).  Invalid/zero/backwards times
 # are synthesized deterministically from event_id.
