@@ -64,6 +64,13 @@ def parse_gpx_file(path: str, track_id: str | None = None) -> ParsedTrack:
     creator = root.get("creator", "")
     tid = track_id or path.rsplit("/", 1)[-1]
     parsed = ParsedTrack(track_id=tid, creator=creator)
+    _parse_gpx_tree(root, parsed)
+    return parsed
+
+
+def _parse_gpx_tree(root, parsed: ParsedTrack) -> None:
+    """Walk an already-parsed GPX element tree into ``parsed`` (shared by
+    the driver-path and executor-path scanners)."""
     for wpt in root.findall(f"{_NS}wpt"):
         lat = float(wpt.get("lat", "0"))
         lon = float(wpt.get("lon", "0"))
@@ -90,7 +97,6 @@ def parse_gpx_file(path: str, track_id: str | None = None) -> ParsedTrack:
                 pts.append((lat, lon, ele, ts_ns))
             segs.append(pts)
         parsed.tracks.append(segs)
-    return parsed
 
 
 def track_to_rows(parsed: ParsedTrack) -> list[tuple]:
@@ -284,3 +290,119 @@ def discover_gpx_files(root_dir: str) -> list[str]:
             if b"<?xml" in head or b"<gpx" in head:
                 out.append(full)
     return sorted(out)
+
+
+# -------------------------------------------------- distributed bulk scan ---
+
+SCAN_SCHEMA = (
+    "track_id string, creator string, filename string, "
+    "points array<struct<trk_no:int,seg_no:int,pt_idx:int,"
+    "lat:double,lon:double,ele:double,ts_ns:long>>, "
+    "waypoints array<struct<wpt_idx:int,lat:double,lon:double,ele:double,"
+    "ts_ns:long,name:string,link_href:string>>"
+)
+
+
+def gpx_scan_distributed(spark, root_dir: str):
+    """S1/S2 at engine scale: parse GPX files on the EXECUTORS.
+
+    The driver-side ETL (`gpx_files_to_points_df`) parses in the driver
+    process — fine for a directory, a bottleneck for 10⁶ files.  Here the
+    file LISTING and the file BYTES are both distributed:
+    ``spark.read.format("binaryFile")`` scans the tree (recursive,
+    ``*.gpx`` pushed down as a path filter, so executors read only
+    matching files), and each Arrow batch parses its files with the same
+    stdlib parser the driver ETL uses — one composite row per file
+    carrying the nested points/waypoints arrays.
+
+    Returns the composite DataFrame (SCAN_SCHEMA).  Extract the three
+    normalized tables with `scan_points` / `scan_tracks` /
+    `scan_waypoints`; persist (or `Catalog.commit`) the composite first
+    if you need more than one of them, so each file is parsed once.
+    """
+    import pandas as pd
+
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.gpx")
+        .option("recursiveFileLookup", "true")
+        .load(root_dir)
+        .select("path", "content")
+    )
+
+    def parse_batch(batches):
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("track_id", "creator", "filename", "points", "waypoints")}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                # binaryFile paths are URIs (file:/…) — strip the scheme
+                fs_path = path.split("://", 1)[-1] if "://" in path else path
+                if fs_path.startswith("file:"):
+                    fs_path = fs_path[5:]
+                try:
+                    root = ET.fromstring(bytes(content))
+                except ET.ParseError:
+                    continue  # mirrors the reference's readTrack err→skip
+                tid = fs_path.rsplit("/", 1)[-1]
+                parsed = ParsedTrack(track_id=tid, creator=root.get("creator", ""))
+                _parse_gpx_tree(root, parsed)
+                pts = [
+                    {"trk_no": r[1], "seg_no": r[2], "pt_idx": r[3],
+                     "lat": r[4], "lon": r[5], "ele": r[6], "ts_ns": r[8]}
+                    for r in track_to_rows(parsed)
+                ]
+                wps = [
+                    {"wpt_idx": r[1], "lat": r[2], "lon": r[3], "ele": r[4],
+                     "ts_ns": r[6], "name": r[7], "link_href": r[8]}
+                    for r in waypoint_rows(parsed)
+                ]
+                out["track_id"].append(tid)
+                out["creator"].append(parsed.creator)
+                out["filename"].append(fs_path)
+                out["points"].append(pts)
+                out["waypoints"].append(wps)
+            yield pd.DataFrame(out)
+
+    return bf.mapInPandas(parse_batch, SCAN_SCHEMA)
+
+
+def scan_points(scan_df):
+    """Explode a `gpx_scan_distributed` composite into POINTS_SCHEMA."""
+    from pyspark.sql import functions as F
+
+    p = scan_df.select("track_id", F.explode("points").alias("p"))
+    ts = F.when(
+        F.col("p.ts_ns") != GO_ZERO_NS,
+        F.timestamp_micros(F.expr("p.ts_ns div 1000")),
+    )
+    return p.select(
+        "track_id", "p.trk_no", "p.seg_no", "p.pt_idx",
+        "p.lat", "p.lon", "p.ele", ts.alias("ts"), "p.ts_ns",
+    )
+
+
+def scan_tracks(scan_df):
+    """TRACKS_SCHEMA from a composite scan; file_rank = rank of the path
+    in sorted order (the reference's sorted directory walk)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.orderBy("filename")
+    return scan_df.select("track_id", "creator", "filename").withColumn(
+        "file_rank", (F.row_number().over(w) - 1).cast("int")
+    )
+
+
+def scan_waypoints(scan_df):
+    """WAYPOINTS_SCHEMA from a composite scan."""
+    from pyspark.sql import functions as F
+
+    wdf = scan_df.select("track_id", F.explode("waypoints").alias("w"))
+    ts = F.when(
+        F.col("w.ts_ns") != GO_ZERO_NS,
+        F.timestamp_micros(F.expr("w.ts_ns div 1000")),
+    )
+    return wdf.select(
+        "track_id", "w.wpt_idx", "w.lat", "w.lon", "w.ele",
+        ts.alias("ts"), "w.ts_ns", "w.name", "w.link_href",
+    )

@@ -64,3 +64,32 @@ def test_waypoint_roundtrip_lossless(spark, tmp_path):
     for src in srcs:
         out_file = str(tmp_path / (src.rsplit("/", 1)[-1] + ".gpx"))
         assert parse_gpx_file(out_file).waypoints == parse_gpx_file(src).waypoints
+
+
+def test_distributed_scan_matches_driver_etl(spark):
+    """S1/S2 scale path: binaryFile + mapInPandas executor-side parse must
+    produce EXACTLY the driver ETL's three tables (points incl. ts_ns,
+    tracks incl. sorted file_rank, waypoints) over the fixture tree."""
+    from gotrackmaster_spark.sources.gpx import (
+        discover_gpx_files,
+        gpx_files_to_tables,
+        gpx_scan_distributed,
+        scan_points,
+        scan_tracks,
+        scan_waypoints,
+    )
+
+    root = "/root/reference/testdata"
+    d_pts, d_trk, d_wpt = gpx_files_to_tables(spark, discover_gpx_files(root))
+    scan = gpx_scan_distributed(spark, root).cache()
+
+    def rows(df, cols):
+        return sorted(tuple(r) for r in df.select(*cols).collect())
+
+    pcols = ["track_id", "trk_no", "seg_no", "pt_idx", "lat", "lon", "ele", "ts", "ts_ns"]
+    assert rows(scan_points(scan), pcols) == rows(d_pts, pcols)
+    wcols = ["track_id", "wpt_idx", "lat", "lon", "ele", "ts", "ts_ns", "name", "link_href"]
+    assert rows(scan_waypoints(scan), wcols) == rows(d_wpt, wcols)
+    tcols = ["track_id", "creator", "filename", "file_rank"]
+    assert rows(scan_tracks(scan), tcols) == rows(d_trk, tcols)
+    scan.unpersist()
