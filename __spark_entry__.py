@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _wrap(Q.q_simhash_near_dups),
         "embedding_topk": _wrap(Q.q_embedding_topk),
         "embedding_lsh_topk": _wrap(Q.q_embedding_lsh_topk),
+        "embedding_ivf_topk": _wrap(Q.q_embedding_ivf_topk),
         "embedding_neardup": _wrap(Q.q_embedding_neardup),
         "lang_quality": _wrap(Q.q_lang_quality),
         "position_start_end": _wrap(Q.q_position_start_end),
@@ -134,6 +135,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dups": Q.SQL_SIMHASH_NEAR_DUPS,
         "embedding_topk": Q.SQL_EMBEDDING_TOPK,
         "embedding_lsh_topk": Q.SQL_EMBEDDING_LSH_TOPK,
+        "embedding_ivf_topk": Q.SQL_EMBEDDING_IVF_TOPK,
         "embedding_neardup": Q.SQL_EMBEDDING_NEARDUP,
         "lang_quality": Q.SQL_LANG_QUALITY,
         "position_start_end": Q.SQL_POSITION_START_END,

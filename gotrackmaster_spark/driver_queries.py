@@ -1323,6 +1323,16 @@ def q_embedding_neardup(spark, sf_dir):
 SQL_EMBEDDING_NEARDUP = D.sql_embedding_near_dups(0.4)
 
 
+def q_embedding_ivf_topk(spark, sf_dir):
+    """FAISS-style IVF ANN: exact-int64 nearest-centroid assignment, nprobe
+    probe lists per query, exact cosine rerank — the second scale path for
+    similarity search next to the hyperplane LSH variant."""
+    return D.embedding_ivf_topk(_t(spark, sf_dir, "embeddings"), k=10, query_mod=50)
+
+
+SQL_EMBEDDING_IVF_TOPK = D.sql_embedding_ivf_topk(k=10, query_mod=50)
+
+
 def q_embedding_lsh_topk(spark, sf_dir):
     """Bucketed ANN top-k (single-table hyperplane LSH, exact in-bucket
     rerank) — the scale path for similarity search, oracle-replayed

@@ -495,6 +495,170 @@ SELECT q_id, n_id, cos_r, CAST(rn AS INT) AS rnk FROM ranked WHERE rn <= {k}
 """
 
 
+# ------------------------------------------------------------- IVF ANN ---
+# FAISS-style IVF: coarse centroids partition the vector space; a query
+# probes only its nprobe nearest lists and reranks exactly inside them.
+# Everything that decides BUCKET MEMBERSHIP is exact int64 arithmetic on
+# Q_SCALE-quantized vectors (squared L2 to each centroid, ties to the
+# smallest centroid index), so the DuckDB oracle replays assignments and
+# probe sets identically; only the final rerank is float (round 6, the
+# proven-stable cross-engine pattern).
+
+IVF_NLIST = 16
+IVF_NPROBE = 4
+IVF_CENT_EVERY = 31   # centroids = first nlist vectors with id % 31 == 7
+IVF_CENT_OFF = 7
+
+
+def _quantize_py(vec) -> list[int]:
+    import math
+
+    return [int(math.floor(float(x) * Q_SCALE)) for x in vec]
+
+
+def _qvec_spark(vec_col: str) -> str:
+    return (
+        f"transform({vec_col}, x -> "
+        f"CAST(floor(CAST(x AS DOUBLE) * {Q_SCALE}.0) AS BIGINT))"
+    )
+
+
+def _d2_spark(qv_col: str, cent: list[int]) -> str:
+    arr = ", ".join(f"CAST({c} AS BIGINT)" for c in cent)
+    return (
+        f"aggregate(zip_with({qv_col}, array({arr}), (a, b) -> (a - b) * (a - b)), "
+        f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+def ivf_centroids(emb: DataFrame, nlist: int = IVF_NLIST,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> list[list[int]]:
+    """Deterministic 'training': the first nlist vectors (by id) of the
+    id % IVF_CENT_EVERY == IVF_CENT_OFF stratum, quantized.  Collecting
+    nlist×dim ints to the driver is the IVF train step (offline in FAISS
+    too) — O(nlist), not O(n)."""
+    rows = (
+        emb.filter(F.col(id_col) % IVF_CENT_EVERY == IVF_CENT_OFF)
+        .orderBy(id_col)
+        .limit(nlist)
+        .select(vec_col)
+        .collect()
+    )
+    return [_quantize_py(r[0]) for r in rows]
+
+
+def embedding_ivf_topk(
+    emb: DataFrame, k: int = 10, query_mod: int = 50,
+    nlist: int = IVF_NLIST, nprobe: int = IVF_NPROBE,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k via IVF: exact-int64 nearest-centroid
+    assignment buckets the vectors; each query probes its nprobe nearest
+    lists (equi-join on list id — no cross join), exact cosine rerank.
+    Recall vs `embedding_topk` measured in tests."""
+    from pyspark.sql import Window
+
+    cents = ivf_centroids(emb, nlist, id_col, vec_col)
+    nlist = len(cents)  # tiny tables may yield fewer
+    d2s = [_d2_spark("qv", c) for c in cents]
+    d_arr = "array(" + ", ".join(d2s) + ")"
+
+    norm = F.sqrt(F.expr(_dot_expr(vec_col, vec_col)))
+    base = emb.select(
+        F.col(id_col), F.col(vec_col), norm.alias("nrm"),
+        F.expr(_qvec_spark(vec_col)).alias("qv"),
+    ).withColumn("d_arr", F.expr(d_arr)).drop("qv")
+    v = base.withColumn(
+        "list_id", F.expr("array_position(d_arr, array_min(d_arr))").cast("int")
+    ).drop("d_arr")
+
+    q = base.filter(F.col(id_col) % query_mod == 0).select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
+        F.col("nrm").alias("q_nrm"), "d_arr",
+    )
+    probes = q.select(
+        "q_id", "q_vec", "q_nrm",
+        F.explode(F.expr(f"sequence(1, {nlist})")).alias("list_id"),
+        F.expr("d_arr").alias("d_arr"),
+    ).withColumn("d2", F.expr("element_at(d_arr, list_id)")).drop("d_arr")
+    wq = Window.partitionBy("q_id").orderBy(F.col("d2").asc(), F.col("list_id").asc())
+    probes = (
+        probes.withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= nprobe)
+        .select("q_id", "q_vec", "q_nrm", F.col("list_id").cast("int").alias("list_id"))
+    )
+
+    pairs = F.broadcast(probes).join(v, "list_id").filter(F.col(id_col) != F.col("q_id"))
+    cos = F.expr(_dot_expr("q_vec", vec_col)) / (F.col("q_nrm") * F.col("nrm"))
+    pairs = pairs.withColumn("cos_r", F.round(cos, 6))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_r").desc(), F.col(id_col).asc())
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", F.col(id_col).alias("n_id"), "cos_r", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+
+def sql_embedding_ivf_topk(k: int = 10, query_mod: int = 50,
+                           nlist: int = IVF_NLIST, nprobe: int = IVF_NPROBE,
+                           dim: int = 64) -> str:
+    """DuckDB twin: recomputes the SAME centroids from the table (CTE) and
+    replays assignment/probing with identical exact int64 arithmetic."""
+    qv = (
+        f"list_transform(generate_series(1, {dim}), i -> "
+        f"CAST(floor(CAST(embedding[i] AS DOUBLE) * {Q_SCALE}.0) AS BIGINT))"
+    )
+    d2 = (
+        f"list_sum(list_transform(generate_series(1, {dim}), i -> "
+        f"(v.qv[i] - c.qv[i]) * (v.qv[i] - c.qv[i])))"
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm,
+         {qv} AS qv
+  FROM embeddings
+),
+cent AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS list_id, qv
+  FROM base WHERE vec_id % {IVF_CENT_EVERY} = {IVF_CENT_OFF}
+  ORDER BY vec_id LIMIT {nlist}
+),
+dists AS (
+  SELECT v.vec_id, c.list_id, CAST({d2} AS BIGINT) AS d2
+  FROM base v, cent c
+),
+assign AS (
+  SELECT vec_id, list_id FROM (
+    SELECT vec_id, list_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rn
+    FROM dists
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS q_id, list_id FROM (
+    SELECT vec_id, list_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, list_id) AS rn
+    FROM dists WHERE vec_id % {query_mod} = 0
+  ) WHERE rn <= {nprobe}
+),
+pairs AS (
+  SELECT p.q_id, v.vec_id AS n_id,
+         round(list_dot_product(qb.e, v.e) / (qb.nrm * v.nrm), 6) AS cos_r
+  FROM probes p
+  JOIN assign a ON a.list_id = p.list_id
+  JOIN base v ON v.vec_id = a.vec_id AND v.vec_id <> p.q_id
+  JOIN base qb ON qb.vec_id = p.q_id
+),
+ranked AS (
+  SELECT q_id, n_id, cos_r,
+         row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, n_id) AS rn
+  FROM pairs
+)
+SELECT q_id, n_id, cos_r, CAST(rn AS INT) AS rnk FROM ranked WHERE rn <= {k}
+"""
+
+
 # Band-OR parameters for embedding_near_dups.  NOTE on the defaults: the
 # test corpus' near-dup pairs sit just above cos 0.4 (random-vector tail),
 # the worst case for sign-LSH (per-plane agreement 0.63 vs 0.50 noise), so

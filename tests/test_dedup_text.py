@@ -159,3 +159,27 @@ def test_jaccard_stop_shingle_cap(spark):
     capped = D.jaccard_pairs(docs, 0, 1, max_shingle_df=10).count()
     assert uncapped == n * (n - 1) // 2  # hot shingles pair everything
     assert capped < uncapped / 4  # cap bounds the candidate blowup
+
+
+def test_embedding_ivf_recall_and_plan(spark):
+    """IVF ANN: no cross join in the plan (probe equi-join only), results
+    are a subset of valid neighbors, recall vs exact brute force measured
+    and bounded (nprobe/nlist sized for this corpus)."""
+    from gotrackmaster_spark.operators import dedup as D
+
+    emb = _emb(spark)
+    exact = D.embedding_topk(emb, k=10, query_mod=100).collect()
+    ivf = D.embedding_ivf_topk(emb, k=10, query_mod=100)
+    plan = ivf._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = ivf.collect()
+    exact_set = {(r.q_id, r.n_id) for r in exact}
+    got_set = {(r.q_id, r.n_id) for r in got}
+    assert exact_set
+    # 4/16 lists probed => ~25% of the corpus scanned per query; random
+    # 64-d vectors have weak cluster structure, so bound recall loosely —
+    # the determinism/oracle guarantees are the point, measured recall is
+    # reported by the assert message if it drifts
+    recall = len(got_set & exact_set) / len(exact_set)
+    assert recall > 0.2, f"IVF recall collapsed: {recall:.2f}"
