@@ -57,3 +57,57 @@ def test_incremental_tile_counts_matches_batch(spark, tmp_path):
     want = {(r.ws, r.tile): (r.n_points, r.n_cells) for r in want_df.collect()}
     assert got == want
     assert len(got) > 100
+
+
+def test_streaming_track_bounds_matches_batch(spark, tmp_path):
+    """applyInPandasWithState per-track state: the LAST update-mode row per
+    track (the one carrying the full point count) must equal the batch
+    bounds aggregation; multiple micro-batches exercise state carry-over."""
+    from pyspark.sql import functions as F
+
+    from gotrackmaster_spark.streaming.track_state import streaming_track_bounds
+
+    base = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    pts = (
+        base.withColumn("lat", (F.col("event_id") * F.lit(2654435761)) % 1600000 / 10000.0 - 80.0)
+        .withColumn("lon", (F.col("event_id") * F.lit(40503) + 7) % 3600000 / 10000.0 - 180.0)
+        .withColumn("ts_ns", F.unix_micros(F.col("ts").cast("timestamp")) * 1000)
+        .select("user_id", "lat", "lon", "ts_ns")
+    )
+    src_dir = str(tmp_path / "in")
+    pts.filter(F.col("ts_ns") % 3 == 0).write.parquet(src_dir)
+    pts.filter(F.col("ts_ns") % 3 != 0).write.mode("append").parquet(src_dir)
+
+    stream = spark.readStream.schema(pts.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src_dir)
+    out = streaming_track_bounds(stream)
+    q = (
+        out.writeStream.format("memory").queryName("track_state")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.sql("SELECT * FROM track_state").collect()
+    assert rows
+    # keep the most complete update per track (monotone n_points)
+    last = {}
+    for r in rows:
+        if r.user_id not in last or r.n_points > last[r.user_id].n_points:
+            last[r.user_id] = r
+
+    want = {
+        r.user_id: r
+        for r in pts.groupBy("user_id").agg(
+            F.count("*").alias("n"),
+            F.min("lat").alias("mla"), F.max("lat").alias("xla"),
+            F.min("lon").alias("mlo"), F.max("lon").alias("xlo"),
+            F.min("ts_ns").alias("mts"), F.max("ts_ns").alias("xts"),
+        ).collect()
+    }
+    assert set(last) == set(want)
+    for uid, w in want.items():
+        g = last[uid]
+        assert (g.n_points, g.min_lat, g.max_lat, g.min_lon, g.max_lon,
+                g.min_ts_ns, g.max_ts_ns) == (w.n, w.mla, w.xla, w.mlo,
+                                              w.xlo, w.mts, w.xts), uid
