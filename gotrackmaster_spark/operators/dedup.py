@@ -37,6 +37,20 @@ from gotrackmaster_spark.functions.text import (
     shingles_sql,
 )
 
+_SHINGLE_PREV_CACHE: list = []  # previous call's cached shingle table
+
+
+def _bounded_cache(df: DataFrame) -> DataFrame:
+    """Cache with bounded lifetime: evict the previous call's cached
+    shingle table so repeated invocations in one JVM (bench/CLI loops)
+    don't accumulate session-lifetime storage blocks."""
+    while _SHINGLE_PREV_CACHE:
+        _SHINGLE_PREV_CACHE.pop().unpersist(blocking=False)
+    df = df.cache()
+    _SHINGLE_PREV_CACHE.append(df)
+    return df
+
+
 # ------------------------------------------------------------ exact dedup ---
 
 def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -104,7 +118,7 @@ def jaccard_pairs(
             .select("shingle_h")
         )
         sh = sh.join(F.broadcast(hot), "shingle_h", "left_anti")
-    sh = sh.cache()
+    sh = _bounded_cache(sh)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("a_id"), "shingle_h")
     b = sh.select(F.col(id_col).alias("b_id"), "shingle_h")
@@ -206,7 +220,7 @@ def minhash_lsh_dups(
     """LSH candidates verified with exact Jaccard (no false positives; the
     probabilistic part only affects recall, which the LSH test measures
     against `jaccard_pairs`)."""
-    sh = doc_shingles(docs, text_col, id_col).cache()
+    sh = _bounded_cache(doc_shingles(docs, text_col, id_col))
     sig = minhash_signatures(docs, text_col, id_col)
     cand = lsh_candidate_pairs(sig, id_col)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))

@@ -200,6 +200,7 @@ _M_PER_DEG = math.pi * 6371000.0 / 180.0  # meridian meters/degree on the R=6371
 
 
 _KNN_PREV_CACHE: list = []  # previous call's persisted top-k (bounded leak)
+_DUP_PREV_CACHE: list = []  # previous duplicate call's cached summaries
 
 
 def knn_join(
@@ -608,7 +609,13 @@ def duplicate_pairs_full(
         s = s.filter(
             (F.col("start_ts_ns") != GO_ZERO_NS) & (F.col("end_ts_ns") != GO_ZERO_NS)
         )
+    # cache: the (track-level, small) summary feeds up to 4 consumers (two
+    # band joins + both verify sides); bounded lifetime — each call evicts
+    # the previous call's cache, same pattern as knn_join.
+    while _DUP_PREV_CACHE:
+        _DUP_PREV_CACHE.pop().unpersist(blocking=False)
     s = s.cache()
+    _DUP_PREV_CACHE.append(s)
 
     cands = []
     if start_diff:
