@@ -638,7 +638,9 @@ WHERE abs(a.start_ts_ns - b.start_ts_ns) <= {int(_DUP_SECONDS * 1e9)}
 # labels, delete eligibility (cmd/duplicate.go:49-78, :84-206)
 # --------------------------------------------------------------------------
 
-_DUPE_DIFF_S = 7 * 24 * 3600        # --startdiff / --enddiff
+# 1-hour bands: start times at sf0.01 spread over ~2 days, so this keeps
+# the time family selective (~10 % of pairs) instead of degenerate
+_DUPE_DIFF_S = 3600                 # --startdiff / --enddiff
 _DUPE_DIST_M = 1_000_000            # --startDistance / --endDistance
 
 
