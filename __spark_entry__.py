@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_pairs": _wrap(Q.q_duplicate_pairs),
         "duplicate_pairs_end": _wrap(Q.q_duplicate_pairs_end),
         "dem_bands": _wrap(Q.q_dem_bands),
+        "srtm_accuracy": _wrap(Q.q_srtm_accuracy),
         "mercator_tiles": _wrap(Q.q_mercator_tiles),
         "token_stats": _wrap(Q.q_token_stats),
         "doc_fingerprints": _wrap(Q.q_doc_fingerprints),
@@ -126,6 +127,7 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_pairs": Q.SQL_DUPLICATE_PAIRS,
         "duplicate_pairs_end": Q.SQL_DUPLICATE_PAIRS_END,
         "dem_bands": Q.SQL_DEM_BANDS,
+        "srtm_accuracy": Q.SQL_SRTM_ACCURACY,
         "mercator_tiles": Q.SQL_MERCATOR_TILES,
         "token_stats": Q.SQL_TOKEN_STATS,
         "doc_fingerprints": Q.SQL_DOC_FINGERPRINTS,

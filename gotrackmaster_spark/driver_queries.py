@@ -794,6 +794,100 @@ FROM interp GROUP BY 1
 
 
 # --------------------------------------------------------------------------
+# A4 (SQL-expressible, distributed) — ElevationSRTMAccuracy
+# (elevation.go:159-215): per-point DEM compare with the elevation-banded
+# max1/max2 ladder, ±inf/NaN zero-elevation quirks, num>total→0 and the
+# integer floor-division score — over the broadcast synthetic-DEM join.
+# --------------------------------------------------------------------------
+
+def q_srtm_accuracy(spark, sf_dir):
+    from gotrackmaster_spark.operators.spatial import bilinear_dem_join
+
+    pts = geo_events(spark, sf_dir).select("user_id", "lat", "lon", "ele")
+    j = bilinear_dem_join(pts, synthetic_dem(spark))
+    elev = F.col("dem_ele")
+    max1 = (
+        F.when(elev > 3000.0, 2.0).when(elev > 2000.0, 3.0)
+        .when(elev > 1000.0, 4.0).when(elev > 500.0, 6.0)
+        .when(elev > 250.0, 8.0).otherwise(9.0)
+    )
+    max2 = (
+        F.when(elev > 3000.0, 15.0).when(elev > 2000.0, 20.0)
+        .when(elev > 1000.0, 30.0).when(elev > 500.0, 35.0)
+        .when(elev > 250.0, 40.0).otherwise(45.0)
+    )
+    diff100 = F.abs(elev - F.col("ele")) * 100
+    e = diff100 / elev
+    # elevation == 0: Go's ZeroDivisionError path — diff 0 ⇒ NaN (no
+    # penalty), diff > 0 ⇒ +inf (both penalties)
+    n1 = F.when(elev == 0.0, F.when(diff100 == 0.0, 0).otherwise(1)).when(
+        e > max1, 1
+    ).otherwise(0)
+    n4 = F.when(elev == 0.0, F.when(diff100 == 0.0, 0).otherwise(1)).when(
+        e > max2, 1
+    ).otherwise(0)
+    per = j.groupBy("user_id").agg(
+        F.sum(n1 + n4 * 4).alias("num"), F.count("*").alias("total")
+    )
+    score = (
+        F.when(F.col("num") > F.col("total"), 0)
+        .when(F.col("total") == 0, 0)
+        .otherwise(F.lit(100) - F.expr("(num * 100) div total"))
+    )
+    return per.select(
+        "user_id", score.cast("int").alias("srtm_accuracy"), "total"
+    )
+
+
+_SRTM_INTERP = f"""
+    ({_dem_corner_sql('la', 'lo')}) * (1 - (lat - la)) * (1 - (lon - lo))
+    + ({_dem_corner_sql('la', 'lo + 1')}) * (1 - (lat - la)) * (lon - lo)
+    + ({_dem_corner_sql('la + 1', 'lo')}) * (lat - la) * (1 - (lon - lo))
+    + ({_dem_corner_sql('la + 1', 'lo + 1')}) * (lat - la) * (lon - lo)
+"""
+
+SQL_SRTM_ACCURACY = f"""
+WITH {GEO_CTE},
+pt AS (
+  SELECT user_id, lat, lon, ele,
+         CAST(floor(lat) AS BIGINT) AS la, CAST(floor(lon) AS BIGINT) AS lo
+  FROM geo
+),
+interp AS (
+  SELECT user_id, ele, {_SRTM_INTERP} AS dem_ele FROM pt
+),
+flags AS (
+  SELECT user_id,
+    CASE WHEN dem_ele = 0.0
+         THEN (CASE WHEN abs(dem_ele - ele) * 100 = 0.0 THEN 0 ELSE 1 END)
+         WHEN abs(dem_ele - ele) * 100 / dem_ele >
+              (CASE WHEN dem_ele > 3000.0 THEN 2.0 WHEN dem_ele > 2000.0 THEN 3.0
+                    WHEN dem_ele > 1000.0 THEN 4.0 WHEN dem_ele > 500.0 THEN 6.0
+                    WHEN dem_ele > 250.0 THEN 8.0 ELSE 9.0 END)
+         THEN 1 ELSE 0 END AS n1,
+    CASE WHEN dem_ele = 0.0
+         THEN (CASE WHEN abs(dem_ele - ele) * 100 = 0.0 THEN 0 ELSE 1 END)
+         WHEN abs(dem_ele - ele) * 100 / dem_ele >
+              (CASE WHEN dem_ele > 3000.0 THEN 15.0 WHEN dem_ele > 2000.0 THEN 20.0
+                    WHEN dem_ele > 1000.0 THEN 30.0 WHEN dem_ele > 500.0 THEN 35.0
+                    WHEN dem_ele > 250.0 THEN 40.0 ELSE 45.0 END)
+         THEN 1 ELSE 0 END AS n4
+  FROM interp
+),
+per AS (
+  SELECT user_id, CAST(sum(n1 + n4 * 4) AS BIGINT) AS num,
+         count(*) AS total
+  FROM flags GROUP BY user_id
+)
+SELECT user_id,
+       CAST(CASE WHEN num > total THEN 0 WHEN total = 0 THEN 0
+                 ELSE 100 - ((num * 100) // total) END AS INT) AS srtm_accuracy,
+       total
+FROM per
+"""
+
+
+# --------------------------------------------------------------------------
 # E4 — web-mercator z/x/y tile counts (zoom 6)
 # --------------------------------------------------------------------------
 

@@ -248,3 +248,27 @@ def test_track_profiles_without_timestamps(spark, tmp_path):
     assert row.start_ts_ns == GO_ZERO_NS and row.end_ts_ns == GO_ZERO_NS
     assert row.time_quality == 0  # no valid times
     assert row.n_points == 20
+
+
+def test_srtm_accuracy_query_matches_kernel(spark):
+    """The distributed A4 query (broadcast DEM join + banded penalty
+    ladder in SQL expressions) must reproduce the Go-parity kernel's
+    score for the same points."""
+    from gotrackmaster_spark.driver_queries import q_srtm_accuracy
+    from gotrackmaster_spark.kernels import quality as KQ
+    from gotrackmaster_spark.kernels import track as K
+    from gotrackmaster_spark.operators.quality import synthetic_dem_lookup
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.user_id: (r.srtm_accuracy, r.total)
+           for r in q_srtm_accuracy(spark, sf).collect()}
+
+    from gotrackmaster_spark.driver_queries import geo_events
+    pts = geo_events(spark, sf).select("user_id", "lat", "lon", "ele").collect()
+    by_user: dict = {}
+    for r in pts:
+        by_user.setdefault(r.user_id, []).append(K.Pt(r.lat, r.lon, r.ele, 0))
+    for uid, seg in by_user.items():
+        score, ok = KQ.elevation_srtm_accuracy([seg], synthetic_dem_lookup)
+        assert ok
+        assert got[uid] == (score, len(seg)), uid
