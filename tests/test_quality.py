@@ -272,3 +272,29 @@ def test_srtm_accuracy_query_matches_kernel(spark):
         score, ok = KQ.elevation_srtm_accuracy([seg], synthetic_dem_lookup)
         assert ok
         assert got[uid] == (score, len(seg)), uid
+
+
+def test_time_band_candidates_straddle_zero(spark):
+    """_time_band_candidates buckets with `div` (truncation toward zero):
+    bucket 0's preimage is (-diff, diff) — twice as wide — but every pair
+    with |delta| < diff must still land within one bucket of each other.
+    Pin it with timestamps straddling the epoch."""
+    from gotrackmaster_spark.operators.spatial import _time_band_candidates
+
+    diff = 60  # seconds
+    dns = diff * 10**9
+    ts = [-2 * dns - 5, -dns - 1, -dns + 1, -5, 0, 5, dns - 1, dns + 1, 2 * dns + 5]
+    rows = [(f"t{i}", t) for i, t in enumerate(ts)]
+    df = spark.createDataFrame(rows, "track_id string, start_ts_ns long")
+    cand = {
+        (r.a_id, r.b_id)
+        for r in _time_band_candidates(df, "start_ts_ns", diff).collect()
+    }
+    want = {
+        (f"t{i}", f"t{j}")
+        for i in range(len(ts))
+        for j in range(i + 1, len(ts))
+        if abs(ts[i] - ts[j]) < dns
+    }
+    missing = want - cand
+    assert not missing, f"pigeonhole violated near zero: {sorted(missing)}"
