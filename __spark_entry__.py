@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_quality": _wrap(Q.q_lang_quality),
         "position_start_end": _wrap(Q.q_position_start_end),
         "image_stats": _wrap(Q.q_image_stats),
+        "image_tiles": _wrap(Q.q_image_tiles),
         "import_paths": _wrap(Q.q_import_paths),
         "scalar_ops": _wrap(Q.q_scalar_ops),
         "tz_localized": _wrap(Q.q_tz_localized),
@@ -142,6 +143,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_quality": Q.SQL_LANG_QUALITY,
         "position_start_end": Q.SQL_POSITION_START_END,
         "image_stats": Q.SQL_IMAGE_STATS,
+        "image_tiles": Q.SQL_IMAGE_TILES,
         "import_paths": Q.SQL_IMPORT_PATHS,
         "scalar_ops": Q.SQL_SCALAR_OPS,
         "tz_localized": Q.SQL_TZ_LOCALIZED,

@@ -1176,6 +1176,62 @@ FROM documents
 """
 
 # --------------------------------------------------------------------------
+# North-star E2E fusion — geotagged IMAGE table → decode → degree-tile +
+# cell assignment → per-tile aggregate (the "every image is geotagged and
+# assigned to tiles" pipeline over the input_hint-shaped table, verified
+# end-to-end: the oracle recomputes decode-derived pixel sums from the
+# closed-form generator AND the tile/cell assignment from the geotags).
+# --------------------------------------------------------------------------
+
+def q_image_tiles(spark, sf_dir):
+    from gotrackmaster_spark.operators.images import decode_stats, synthesize_images
+
+    imgs = synthesize_images(spark, sf_dir, w=_IMG_W, h=_IMG_H)
+    st = decode_stats(imgs).withColumn(
+        "img_key", F.substring("image_id", 4, 8).cast("long")
+    )
+    lat = (F.col("img_key") * F.lit(2654435761)) % 1600000 / 10000.0 - 80.0
+    lon = (F.col("img_key") * F.lit(40503) + 7) % 3600000 / 10000.0 - 180.0
+    tagged = st.withColumn("tile", tile_name_col(lat, lon, 1.0)).withColumn(
+        "cell5", F.shiftright(cell_col(lat, lon, 12), 14)
+    )
+    return tagged.groupBy("tile").agg(
+        F.count("*").alias("n_images"),
+        F.sum("pixel_sum").alias("tot_pix"),
+        F.countDistinct("cell5").alias("n_cells"),
+        F.sum("caption_len").alias("sum_caption"),
+    )
+
+
+SQL_IMAGE_TILES = f"""
+WITH per_image AS (
+  SELECT doc_id,
+         ((doc_id * 2654435761) % 1600000) / 10000.0 - 80.0 AS lat,
+         ((doc_id * 40503 + 7) % 3600000) / 10000.0 - 180.0 AS lon,
+         CASE WHEN doc_id % 3 = 2
+              THEN list_sum(list_transform(generate_series(0, {_N_PIX - 1}),
+                            i -> {_PIX} - ({_PIX}) % 4))
+              ELSE list_sum(list_transform(generate_series(0, {_N_PIX - 1}),
+                            i -> {_PIX}))
+         END AS pixel_sum,
+         length(text) AS caption_len
+  FROM documents
+),
+tagged AS (
+  SELECT {tile_name_sql('lat', 'lon', 1.0)} AS tile,
+         ({cell_sql('lat', 'lon', 12)} >> 14) AS cell5,
+         pixel_sum, caption_len
+  FROM per_image
+)
+SELECT tile, count(*) AS n_images,
+       CAST(sum(pixel_sum) AS BIGINT) AS tot_pix,
+       count(DISTINCT cell5) AS n_cells,
+       CAST(sum(caption_len) AS BIGINT) AS sum_caption
+FROM tagged GROUP BY tile
+"""
+
+
+# --------------------------------------------------------------------------
 # P6 + T2/T3 + S7 — import plan: path templating over the corner-tile
 # fan-out with first-wins duplicate suppression (cmd/import.go)
 # --------------------------------------------------------------------------

@@ -148,6 +148,61 @@ class Catalog:
         m = self.manifest(table, snapshot_id)
         return spark.read.parquet(m["data_dir"])
 
+    def load_as_of(self, spark: SparkSession, table: str, as_of_unix: float) -> DataFrame:
+        """Time travel: read the latest snapshot committed at or before
+        ``as_of_unix`` (Iceberg's ``TIMESTAMP AS OF``)."""
+        best = None
+        for sid in self.snapshots(table):
+            m = self.manifest(table, sid)
+            if m["created_unix"] <= as_of_unix:
+                best = sid
+        if best is None:
+            raise FileNotFoundError(
+                f"no snapshot of {table!r} at or before {as_of_unix}"
+            )
+        return self.load(spark, table, best)
+
+    def rollback(self, table: str, snapshot_id: int) -> dict:
+        """Publish a NEW manifest that points at an old snapshot's data —
+        readers of 'latest' see the old state, history is preserved, no
+        data files move (Iceberg's rollback semantics)."""
+        old = self.manifest(table, snapshot_id)
+        snaps = self.snapshots(table)
+        sid = snaps[-1] + 1
+        manifest = dict(
+            old,
+            snapshot_id=sid,
+            parent_id=snaps[-1],
+            created_unix=time.time(),
+            metrics=dict(old.get("metrics") or {}, rolled_back_from=snapshot_id),
+        )
+        log = self._log_dir(table)
+        tmp = os.path.join(log, f".{sid:08d}.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.rename(tmp, os.path.join(log, f"{sid:08d}.json"))
+        return manifest
+
+    def expire_snapshots(self, table: str, keep_last: int = 2) -> list[int]:
+        """Retention: drop all but the newest ``keep_last`` manifests and
+        delete data directories no kept manifest references (a rolled-back
+        snapshot's data survives while any live manifest points at it).
+        Returns the expired snapshot ids."""
+        import shutil
+
+        snaps = self.snapshots(table)
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        expired = snaps[:-keep_last] if len(snaps) > keep_last else []
+        kept = [s for s in snaps if s not in expired]
+        live_dirs = {self.manifest(table, s)["data_dir"] for s in kept}
+        for sid in expired:
+            m = self.manifest(table, sid)
+            os.remove(os.path.join(self._log_dir(table), f"{sid:08d}.json"))
+            if m["data_dir"] not in live_dirs and os.path.isdir(m["data_dir"]):
+                shutil.rmtree(m["data_dir"])
+        return expired
+
     def processed_partitions(self, table: str) -> set[str]:
         """Union over the full snapshot chain — a later incremental commit
         must not reset earlier snapshots' progress."""

@@ -129,3 +129,43 @@ def test_extra_fix_operators_spark(spark):
     assert 2 <= n_dp < n0
     assert hampel_fix(pts).count() <= n0
     assert zscore_fix(pts).count() <= n0
+
+
+def test_checkpoint_time_travel_rollback_expire(spark, tmp_path):
+    """Iceberg lifecycle semantics on the snapshot log: TIMESTAMP-AS-OF
+    reads, rollback publishes a new manifest over old data, and retention
+    expires manifests without deleting data a live (rolled-back) manifest
+    still references."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gotrackmaster_spark.plans.checkpoint import Catalog
+
+    cat = Catalog(str(tmp_path))
+    df = spark.range(30).select(
+        (F.col("id") % 3).cast("string").alias("part"), "id"
+    )
+    m1 = cat.commit(df.filter("part = '0'"), "t", partition_col="part")
+    m2 = cat.commit(df.filter("part in ('0','1')"), "t", partition_col="part")
+    m3 = cat.commit(df, "t", partition_col="part")
+
+    # time travel: between m1 and m2 commits -> m1's state
+    assert cat.load_as_of(spark, "t", m1["created_unix"]).count() == 10
+    assert cat.load_as_of(spark, "t", m2["created_unix"] + 1e-3).count() == 20
+    assert cat.load(spark, "t").count() == 30
+
+    # rollback to m2: latest now reads m2's data; history intact
+    m4 = cat.rollback("t", m2["snapshot_id"])
+    assert m4["snapshot_id"] == 4 and m4["data_dir"] == m2["data_dir"]
+    assert cat.load(spark, "t").count() == 20
+    assert cat.load(spark, "t", m3["snapshot_id"]).count() == 30
+
+    # expire all but the last 2 (m3, m4): m1's data dir goes, m2's data
+    # dir SURVIVES because the rollback manifest m4 references it
+    expired = cat.expire_snapshots("t", keep_last=2)
+    assert expired == [1, 2]
+    assert not os.path.isdir(m1["data_dir"])
+    assert os.path.isdir(m2["data_dir"])
+    assert cat.load(spark, "t").count() == 20
+    assert cat.snapshots("t") == [3, 4]
