@@ -1049,7 +1049,9 @@ def q_lang_quality(spark, sf_dir):
         "doc_id",
         lang_pred_col("text").alias("pred_lang"),
         quality_score_col("text").alias("quality"),
-        bpe_token_count_col("text").alias("bpe_tokens"),
+        # long: DuckDB's twin is BIGINT — keep widths identical so any
+        # typed-hash driver comparison stays width-proof
+        bpe_token_count_col("text").cast("long").alias("bpe_tokens"),
     )
 
 
