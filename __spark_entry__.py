@@ -105,6 +105,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "import_paths": _wrap(Q.q_import_paths),
         "scalar_ops": _wrap(Q.q_scalar_ops),
         "tz_localized": _wrap(Q.q_tz_localized),
+        "radius_join": _wrap(Q.q_radius_join),
+        "zonal_stats": _wrap(Q.q_zonal_stats),
+        "repetition_stats": _wrap(Q.q_repetition_stats),
+        "heavy_hitters": _wrap(Q.q_heavy_hitters),
+        "filter_funnel": _wrap(Q.q_filter_funnel),
         # kernel-pipeline profile (sequential data-dependent kernels — not
         # SQL-expressible; the driver records the weaker rows-only check,
         # exact semantics are fixture-tested in tests/test_quality.py)
@@ -147,5 +152,10 @@ def oracle_sql() -> dict[str, str]:
         "import_paths": Q.SQL_IMPORT_PATHS,
         "scalar_ops": Q.SQL_SCALAR_OPS,
         "tz_localized": Q.SQL_TZ_LOCALIZED,
+        "radius_join": Q.SQL_RADIUS_JOIN,
+        "zonal_stats": Q.SQL_ZONAL_STATS,
+        "repetition_stats": Q.SQL_REPETITION_STATS,
+        "heavy_hitters": Q.SQL_HEAVY_HITTERS,
+        "filter_funnel": Q.SQL_FILTER_FUNNEL,
         # "track_profiles" intentionally has no oracle (non-SQL-expressible)
     }

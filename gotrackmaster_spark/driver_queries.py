@@ -1495,3 +1495,252 @@ def q_embedding_lsh_topk(spark, sf_dir):
 
 
 SQL_EMBEDDING_LSH_TOPK = D.sql_embedding_lsh_topk(k=10, query_mod=50)
+
+
+# --------------------------------------------------------------------------
+# E8 — circle-range join: events within a fixed haversine radius of a POI
+# set, via broadcast cell-covering candidates + codegen haversine refine
+# (operators/spatial.py::within_radius_join).  The oracle is the O(N·M)
+# brute force — any covering/prune bug hash-mismatches here.
+# --------------------------------------------------------------------------
+
+_POI_N = 40
+_POI_RADIUS_M = 300000.0
+
+
+def poi_centers(spark) -> DataFrame:
+    """Deterministic synthetic POI set (integer arithmetic, SQL-mirrored)."""
+    return spark.range(_POI_N).select(
+        F.col("id").alias("poi_id"),
+        (((F.col("id") * 7919) % 1500) / 10.0 - 75.0).alias("lat"),
+        (((F.col("id") * 104729) % 3600) / 10.0 - 180.0).alias("lon"),
+    )
+
+
+def q_radius_join(spark, sf_dir):
+    from gotrackmaster_spark.operators.spatial import within_radius_join
+
+    pts = geo_events(spark, sf_dir).select("event_id", "lat", "lon")
+    hits = within_radius_join(
+        pts, poi_centers(spark), _POI_RADIUS_M, level=7, id_col="poi_id"
+    )
+    return hits.groupBy("poi_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.min("dist_m"), 2).alias("min_dist_r"),
+        F.sum("event_id").alias("sum_event_id"),
+    )
+
+
+_POI_DIST = haversine_sql("p.lat", "p.lon", "g.lat", "g.lon")
+
+SQL_RADIUS_JOIN = f"""
+WITH {GEO_CTE},
+poi AS (
+  SELECT i AS poi_id,
+         ((i * 7919) % 1500) / 10.0 - 75.0 AS lat,
+         ((i * 104729) % 3600) / 10.0 - 180.0 AS lon
+  FROM range({_POI_N}) t(i)
+)
+SELECT p.poi_id, count(*) AS n_events,
+       round(min({_POI_DIST}), 2) AS min_dist_r,
+       CAST(sum(g.event_id) AS BIGINT) AS sum_event_id
+FROM geo g JOIN poi p ON {_POI_DIST} < {_POI_RADIUS_M!r}
+GROUP BY p.poi_id
+"""
+
+
+# --------------------------------------------------------------------------
+# E2×E4 — zonal statistics: bilinear DEM elevation aggregated per polygon
+# (the PIP join feeding the raster join — raster↔vector composability).
+# --------------------------------------------------------------------------
+
+def q_zonal_stats(spark, sf_dir):
+    from gotrackmaster_spark.operators.spatial import (
+        bilinear_dem_join,
+        point_in_polygon_join,
+    )
+
+    pts = geo_events(spark, sf_dir).select("event_id", "lat", "lon")
+    hits = point_in_polygon_join(pts, rect_polygons(spark, sf_dir), level=7)
+    j = bilinear_dem_join(hits, synthetic_dem(spark))
+    return j.groupBy("poly_id").agg(
+        F.count("*").alias("n_points"),
+        F.round(F.avg("dem_ele"), 4).alias("avg_ele"),
+        F.round(F.min("dem_ele"), 4).alias("min_ele"),
+        F.round(F.max("dem_ele"), 4).alias("max_ele"),
+    )
+
+
+SQL_ZONAL_STATS = f"""
+WITH {GEO_CTE},
+rects AS ({_RECT_SQL}),
+hit AS (
+  SELECT r.poly_id, g.lat, g.lon,
+         CAST(floor(g.lat) AS BIGINT) AS la, CAST(floor(g.lon) AS BIGINT) AS lo
+  FROM geo g JOIN rects r
+    ON g.lat > r.lat0 AND g.lat < r.lat1 AND g.lon > r.lon0 AND g.lon < r.lon1
+),
+interp AS (
+  SELECT poly_id,
+    ({_dem_corner_sql('la', 'lo')}) * (1 - (lat - la)) * (1 - (lon - lo))
+    + ({_dem_corner_sql('la', 'lo + 1')}) * (1 - (lat - la)) * (lon - lo)
+    + ({_dem_corner_sql('la + 1', 'lo')}) * (lat - la) * (1 - (lon - lo))
+    + ({_dem_corner_sql('la + 1', 'lo + 1')}) * (lat - la) * (lon - lo) AS dem_ele
+  FROM hit
+)
+SELECT poly_id, count(*) AS n_points,
+       round(avg(dem_ele), 4) AS avg_ele,
+       round(min(dem_ele), 4) AS min_ele,
+       round(max(dem_ele), 4) AS max_ele
+FROM interp GROUP BY poly_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Training-data QC — Gopher/FineWeb-style repetition metrics, corpus
+# heavy-hitters, and the filter funnel.  All metrics are integer-exact
+# (counts + integer-ratio comparisons) so the oracle hash-matches by
+# construction; plans are explode → two-stage partial agg, fully
+# distributed (the only shuffles are on (doc_id, token) then doc_id).
+# --------------------------------------------------------------------------
+
+def _per_doc_token_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, n_tok, max_tf, n_types) via token-frequency agg."""
+    toks = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "source", "tok").agg(F.count("*").alias("c"))
+    return tf.groupBy("doc_id", "source").agg(
+        F.sum("c").alias("n_tok"),
+        F.max("c").alias("max_tf"),
+        F.count("*").alias("n_types"),
+    )
+
+
+_SQL_PER_DOC = """
+tok AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tf AS (SELECT doc_id, source, tok, count(*) AS c FROM tok GROUP BY 1, 2, 3),
+per_doc AS (
+  SELECT doc_id, source, CAST(sum(c) AS BIGINT) AS n_tok,
+         max(c) AS max_tf, count(*) AS n_types
+  FROM tf GROUP BY 1, 2
+)
+"""
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Per-source repetition profile: top-token mass, type counts,
+    duplicate-bigram counts, and the Gopher-style repetitive-doc counter
+    (top token >= 10% of the doc)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = _per_doc_token_stats(docs)
+    ptoks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bgs = (
+        ptoks.withColumn("nxt", F.lead("tok").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "tok", "nxt").alias("bg"))
+    )
+    per_doc_bg = (
+        bgs.groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg((F.sum("c") - F.count("*")).alias("dup_bigrams"))
+    )
+    joined = per_doc.join(per_doc_bg, "doc_id", "left").fillna(
+        {"dup_bigrams": 0}
+    )
+    return joined.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("max_tf").alias("sum_max_tf"),
+        F.sum("n_types").alias("sum_types"),
+        F.sum("dup_bigrams").alias("sum_dup_bigrams"),
+        F.sum(
+            F.when(F.col("max_tf") * 10 >= F.col("n_tok"), 1).otherwise(0)
+        ).alias("n_repetitive"),
+    )
+
+
+SQL_REPETITION_STATS = f"""
+WITH {_SQL_PER_DOC},
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(l) - 1),
+                               i -> l[i] || ' ' || l[i + 1])) AS bg
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+),
+bgf AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+per_doc_bg AS (
+  SELECT doc_id, CAST(sum(c) - count(*) AS BIGINT) AS dup_bigrams
+  FROM bgf GROUP BY doc_id
+)
+SELECT p.source, count(*) AS n_docs,
+       CAST(sum(p.max_tf) AS BIGINT) AS sum_max_tf,
+       CAST(sum(p.n_types) AS BIGINT) AS sum_types,
+       CAST(sum(coalesce(b.dup_bigrams, 0)) AS BIGINT) AS sum_dup_bigrams,
+       CAST(sum(CASE WHEN p.max_tf * 10 >= p.n_tok THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repetitive
+FROM per_doc p LEFT JOIN per_doc_bg b USING (doc_id)
+GROUP BY p.source
+"""
+
+
+def q_heavy_hitters(spark, sf_dir):
+    """Corpus top-20 tokens (total order: count desc, token asc).  Scale
+    path: partial map-side agg collapses each partition to its vocabulary
+    before the single shuffle; for open vocabularies at 100 TB swap the
+    exact agg for a count-min sketch + candidate re-count — the exact
+    form here doubles as that pipeline's verifier."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    return (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.col("tok"))
+        .limit(20)
+    )
+
+
+SQL_HEAVY_HITTERS = """
+SELECT tok, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+GROUP BY tok ORDER BY n DESC, tok LIMIT 20
+"""
+
+
+def q_filter_funnel(spark, sf_dir):
+    """Training-data filter funnel: first-failing-rule attribution per
+    (source, reason) — the keep/drop accounting a corpus-curation pipeline
+    reports per shard."""
+    per_doc = _per_doc_token_stats(_t(spark, sf_dir, "documents"))
+    reason = (
+        F.when(F.col("n_tok") < 20, F.lit("too_short"))
+        .when(F.col("n_tok") > 90, F.lit("too_long"))
+        .when(F.col("max_tf") * 10 >= F.col("n_tok"), F.lit("repetitive"))
+        .when(F.col("n_types") * 3 < F.col("n_tok"), F.lit("low_diversity"))
+        .otherwise(F.lit("keep"))
+    )
+    return (
+        per_doc.withColumn("reason", reason)
+        .groupBy("source", "reason")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+SQL_FILTER_FUNNEL = f"""
+WITH {_SQL_PER_DOC}
+SELECT source,
+       CASE WHEN n_tok < 20 THEN 'too_short'
+            WHEN n_tok > 90 THEN 'too_long'
+            WHEN max_tf * 10 >= n_tok THEN 'repetitive'
+            WHEN n_types * 3 < n_tok THEN 'low_diversity'
+            ELSE 'keep' END AS reason,
+       count(*) AS n_docs
+FROM per_doc GROUP BY 1, 2
+"""

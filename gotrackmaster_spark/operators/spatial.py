@@ -41,7 +41,11 @@ from gotrackmaster_spark.functions.cells import (
     cell_np,
     k_ring_np,
 )
-from gotrackmaster_spark.functions.geodesy import haversine_col, haversine_np
+from gotrackmaster_spark.functions.geodesy import (
+    EARTH_RADIUS,
+    haversine_col,
+    haversine_np,
+)
 
 
 # --------------------------------------------------------------- E2: PIP ---
@@ -701,6 +705,121 @@ def duplicate_pairs_full(
     return out.select(
         "a_id", "b_id", "status", "time_match", "pos_match",
         "start_dist_m", "end_dist_m", delete_ok.alias("delete_ok"),
+    )
+
+
+# ------------------------------------------- E8: circle-range join ---------
+
+def circle_covering(
+    centers: DataFrame,
+    radius_m: float,
+    level: int,
+    id_col: str = "center_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Explode each center into the cells of its radius-``radius_m``
+    circle's conservative bbox at ``level`` — pure Column bit math, no
+    Python (unlike :func:`polygon_covering`, a circle's covering is
+    closed-form, so it stays inside whole-stage codegen).
+
+    Bounds (superset guarantee): the central angle between two points is
+    ≥ |Δφ|, so the lat half-width ``r/R`` is exact; from
+    ``hav(c) ≥ cos φ1 · cos φ2 · hav(Δλ)`` the lon half-width is
+    ``2·asin(sin(r/2R)/cos φ_max)``, clamped to a full longitude wrap when
+    the asin argument reaches 1 (circle crosses a pole's cap).  A 1e-9°
+    pad absorbs float rounding at cell boundaries.
+
+    Output: ``(cell long, <id_col>, c_lat, c_lon)`` — one row per
+    (center, covering cell); distinct cells per center by construction
+    (the wrapped index range is capped at one full revolution).
+    """
+    n = 1 << level
+    r_rad = radius_m / float(EARTH_RADIUS)
+    dlat_deg = math.degrees(r_rad) + 1e-9
+    lat = F.col(lat_col)
+    lon = F.col(lon_col)
+    phi_max = F.least(F.abs(lat) + F.lit(dlat_deg), F.lit(90.0))
+    ratio = F.lit(math.sin(r_rad / 2.0)) / F.cos(F.radians(phi_max))
+    dlon_deg = F.when(ratio >= 1.0, F.lit(180.0)).otherwise(
+        F.degrees(F.lit(2.0) * F.asin(ratio)) + F.lit(1e-9)
+    )
+    nf = F.lit(float(n))
+    j0 = F.greatest(
+        F.floor((lat - dlat_deg + 90.0) / 180.0 * nf).cast("long"), F.lit(0)
+    )
+    j1 = F.least(
+        F.floor((lat + dlat_deg + 90.0) / 180.0 * nf).cast("long"), F.lit(n - 1)
+    )
+    i0 = F.floor((lon - dlon_deg + 180.0) / 360.0 * nf).cast("long")
+    i1 = F.least(
+        F.floor((lon + dlon_deg + 180.0) / 360.0 * nf).cast("long"),
+        i0 + F.lit(n - 1),
+    )
+    cov = (
+        centers.select(
+            F.col(id_col),
+            lat.alias("c_lat"),
+            lon.alias("c_lon"),
+            i0.alias("i0"),
+            i1.alias("i1"),
+            F.explode(F.sequence(j0, j1)).alias("jj"),
+        )
+        .select(
+            id_col,
+            "c_lat",
+            "c_lon",
+            "jj",
+            F.explode(F.sequence(F.col("i0"), F.col("i1"))).alias("ii_raw"),
+        )
+        .withColumn("ii", F.pmod(F.col("ii_raw"), F.lit(n)))
+    )
+    from gotrackmaster_spark.functions.cells import _spread_col
+
+    cell = (
+        F.lit(1 << (2 * level))
+        .cast("long")
+        .bitwiseOR(_spread_col(F.col("ii")))
+        .bitwiseOR(F.shiftleft(_spread_col(F.col("jj")), 1))
+    )
+    return cov.select(cell.alias("cell"), id_col, "c_lat", "c_lon")
+
+
+def within_radius_join(
+    points: DataFrame,
+    centers: DataFrame,
+    radius_m: float,
+    level: int,
+    id_col: str = "center_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Circle-range join: every (point, center) pair with
+    ``haversine < radius_m``, via broadcast cell-covering candidates +
+    exact JVM-side haversine refine.  The range-query sibling of the kNN
+    probe (E3) and PIP join (E2): same candidate machinery, fixed-radius
+    predicate instead of top-k / containment.
+
+    Plan at scale: the big ``points`` side is scanned once, gets its cell
+    (codegen bit math), hash-joins against the broadcast covering, and
+    filters on the codegen haversine — no shuffle of ``points``, no Python
+    anywhere.  Cell fan-in per point = number of overlapping center
+    bboxes, independent of table size.
+
+    Output: all ``points`` columns + ``<id_col>`` + ``dist_m``.
+    """
+    cov = circle_covering(centers, radius_m, level, id_col, lat_col, lon_col)
+    pts = points.withColumn(
+        "__cell", cell_col(F.col(lat_col), F.col(lon_col), level)
+    )
+    j = pts.join(F.broadcast(cov), pts["__cell"] == cov["cell"])
+    d = haversine_col(
+        F.col("c_lat"), F.col("c_lon"), pts[lat_col], pts[lon_col]
+    )
+    return (
+        j.where(d < F.lit(float(radius_m)))
+        .withColumn("dist_m", d)
+        .drop("__cell", "cell", "c_lat", "c_lon")
     )
 
 

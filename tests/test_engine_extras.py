@@ -169,3 +169,74 @@ def test_checkpoint_time_travel_rollback_expire(spark, tmp_path):
     assert os.path.isdir(m2["data_dir"])
     assert cat.load(spark, "t").count() == 20
     assert cat.snapshots("t") == [3, 4]
+
+
+def test_within_radius_join_matches_brute_force(spark):
+    """E8 covering must be a strict superset of the circle: compare the
+    cell-bucketed join against the O(N*M) brute force on adversarial
+    centers — near-polar (lon half-width blows past 90 deg), antimeridian
+    (index wraparound), and equatorial."""
+    from pyspark.sql import functions as F
+
+    from gotrackmaster_spark.driver_queries import geo_events
+    from gotrackmaster_spark.functions.geodesy import haversine_col
+    from gotrackmaster_spark.operators.spatial import within_radius_join
+
+    pts = geo_events(spark, "/root/testdata/sf0.001").select(
+        "event_id", "lat", "lon"
+    )
+    centers = spark.createDataFrame(
+        [
+            (0, 79.5, 179.95),
+            (1, -79.5, -179.95),
+            (2, 0.0, 0.0),
+            (3, 78.0, 12.3),
+            (4, -45.0, 100.0),
+        ],
+        "center_id long, lat double, lon double",
+    )
+    for radius, level in [(500_000.0, 7), (150_000.0, 9)]:
+        got = {
+            (r.center_id, r.event_id)
+            for r in within_radius_join(
+                pts, centers, radius, level=level
+            ).collect()
+        }
+        c = centers.select(
+            F.col("center_id"),
+            F.col("lat").alias("c_lat"),
+            F.col("lon").alias("c_lon"),
+        )
+        brute = pts.crossJoin(F.broadcast(c)).where(
+            haversine_col(
+                F.col("c_lat"), F.col("c_lon"), F.col("lat"), F.col("lon")
+            )
+            < radius
+        )
+        want = {(r.center_id, r.event_id) for r in brute.collect()}
+        assert got == want
+        assert len(want) > 0
+
+
+def test_within_radius_join_plan_shape(spark):
+    """The plan must broadcast the covering and never shuffle the points
+    side: no Exchange between the parquet scan and the join, no
+    CartesianProduct, no Python eval anywhere."""
+    from gotrackmaster_spark.driver_queries import (
+        _POI_RADIUS_M,
+        geo_events,
+        poi_centers,
+        q_radius_join,
+    )
+    from gotrackmaster_spark.operators.spatial import within_radius_join
+
+    pts = geo_events(spark, "/root/testdata/sf0.001").select(
+        "event_id", "lat", "lon"
+    )
+    hits = within_radius_join(
+        pts, poi_centers(spark), _POI_RADIUS_M, level=7, id_col="poi_id"
+    )
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
