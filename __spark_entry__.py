@@ -110,6 +110,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _wrap(Q.q_repetition_stats),
         "heavy_hitters": _wrap(Q.q_heavy_hitters),
         "filter_funnel": _wrap(Q.q_filter_funnel),
+        "asof_state": _wrap(Q.q_asof_state),
+        "sessionized": _wrap(Q.q_sessionized),
+        "value_percentiles": _wrap(Q.q_value_percentiles),
         # kernel-pipeline profile (sequential data-dependent kernels — not
         # SQL-expressible; the driver records the weaker rows-only check,
         # exact semantics are fixture-tested in tests/test_quality.py)
@@ -157,5 +160,8 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": Q.SQL_REPETITION_STATS,
         "heavy_hitters": Q.SQL_HEAVY_HITTERS,
         "filter_funnel": Q.SQL_FILTER_FUNNEL,
+        "asof_state": Q.SQL_ASOF_STATE,
+        "sessionized": Q.SQL_SESSIONIZED,
+        "value_percentiles": Q.SQL_VALUE_PERCENTILES,
         # "track_profiles" intentionally has no oracle (non-SQL-expressible)
     }

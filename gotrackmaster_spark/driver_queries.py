@@ -1744,3 +1744,110 @@ SELECT source,
        count(*) AS n_docs
 FROM per_doc GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# Time-series operators — as-of join (verified by DuckDB's native ASOF
+# LEFT JOIN) and gap sessionization (operators/timeseries.py).
+# --------------------------------------------------------------------------
+
+def q_asof_state(spark, sf_dir):
+    """Each event joined to the latest 'checkpoint' (every 20th event's
+    value, deduped per (user, ts)) at or before it — ASOF LEFT semantics."""
+    from gotrackmaster_spark.operators.timeseries import as_of_join
+
+    ev = _t(spark, sf_dir, "events")
+    chk = (
+        ev.where(F.col("event_id") % 20 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("state_value"))
+    )
+    left = ev.select("event_id", "user_id", "ts")
+    out = as_of_join(left, chk, key="user_id", ts_col="ts", value_cols=["state_value"])
+    return out.select("event_id", "user_id", "state_value")
+
+
+SQL_ASOF_STATE = """
+WITH chk AS (
+  SELECT user_id, ts, max(value) AS state_value
+  FROM events WHERE event_id % 20 = 0 GROUP BY user_id, ts
+)
+SELECT e.event_id, e.user_id, chk.state_value
+FROM events e ASOF LEFT JOIN chk
+  ON e.user_id = chk.user_id AND e.ts >= chk.ts
+"""
+
+
+_SESSION_GAP_US = 43_200_000_000  # 12 h
+
+
+def q_sessionized(spark, sf_dir):
+    """Gap-based sessionization (12 h) + per-session aggregates."""
+    from gotrackmaster_spark.operators.timeseries import sessionize
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    s = sessionize(ev, key="user_id", ts_col="ts", gap_us=_SESSION_GAP_US,
+                   order_tiebreak="event_id")
+    return s.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+        F.round(F.sum("value"), 4).alias("sum_value_r"),
+    )
+
+
+SQL_SESSIONIZED = f"""
+WITH o AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS tus,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+s AS (
+  SELECT user_id, event_id, value,
+         CAST(sum(CASE WHEN prev IS NULL OR tus - prev > {_SESSION_GAP_US}
+                       THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY tus, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1 AS session_no
+  FROM o
+)
+SELECT user_id, session_no, count(*) AS n_events,
+       min(event_id) AS first_event, max(event_id) AS last_event,
+       round(sum(value), 4) AS sum_value_r
+FROM s GROUP BY 1, 2
+"""
+
+
+def q_value_percentiles(spark, sf_dir):
+    """Exact rank-selected p50/p90 per event type (row_number selection —
+    identical integer index formula in both engines, so the picked values
+    are bit-equal; no interpolation).  Scale: one shuffle on event_type;
+    for high-cardinality keys the same selection runs after a
+    repartitionByRange on (key, value)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    ranked = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("event_type"))
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max("n").alias("n_events"),
+        F.max(F.when(F.expr("rn = (n + 1) div 2"), F.col("value"))).alias("p50"),
+        F.max(F.when(F.expr("rn = (9 * n + 9) div 10"), F.col("value"))).alias("p90"),
+    )
+
+
+SQL_VALUE_PERCENTILES = """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+)
+SELECT event_type, max(n) AS n_events,
+       max(CASE WHEN rn = (n + 1) // 2 THEN value END) AS p50,
+       max(CASE WHEN rn = (9 * n + 9) // 10 THEN value END) AS p90
+FROM ranked GROUP BY event_type
+"""

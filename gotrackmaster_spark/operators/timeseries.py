@@ -1,0 +1,97 @@
+"""Time-series operators: as-of join and gap sessionization.
+
+The reference's analytics are per-track time series (its kernels scan
+points ordered by timestamp — ``/root/reference/trackmaster/time.go:80-83``)
+but it has no cross-table temporal join; these operators provide the two
+standard time-series primitives a track/event store needs at engine scale:
+
+* :func:`as_of_join` — every left row joined to the latest right row at or
+  before its timestamp (per key).  Spark has no ASOF join operator; the
+  classic distributed formulation is tag → union → ordered window
+  back-fill, which costs exactly ONE shuffle on the key (the same
+  sort-merge exchange a direct join would pay) and no Python.
+* :func:`sessionize` — split each key's event stream into sessions at
+  gaps > ``gap`` (lag + cumulative sum over one window; one shuffle).
+
+Both are SQL-expressible, so the driver queries carry exact DuckDB oracles
+(DuckDB's native ``ASOF LEFT JOIN`` verifies ``as_of_join``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """For every ``left`` row, attach ``value_cols`` from the latest
+    ``right`` row with ``right.ts <= left.ts`` for the same ``key``
+    (NULLs when no such row exists — ASOF LEFT semantics).
+
+    ``right`` must be unique per (key, ts) — dedupe upstream, or ties make
+    any engine's pick arbitrary.  Right rows sort BEFORE left rows at
+    equal timestamps, so an exactly-simultaneous right row is visible to
+    the left row (<= semantics, matching DuckDB ``ASOF JOIN ... >=``).
+
+    Plan: union of the two tagged sides → window back-fill ordered by
+    (ts, side) per key → filter back to left rows.  One exchange on
+    ``key`` total; the window's sort rides the same shuffle.  At 100 TB
+    both sides usually already arrive bucketed by key, making the
+    exchange a local sort.
+    """
+    lcols = left.columns
+    l = left
+    for v in value_cols:
+        l = l.withColumn(v, F.lit(None).cast(dict(right.dtypes)[v]))
+    l = l.withColumn("_side", F.lit(1))
+    r = right.select(
+        key, ts_col, *value_cols, F.lit(0).alias("_side")
+    )
+    for c in lcols:
+        if c not in (key, ts_col) and c not in value_cols:
+            r = r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    u = l.unionByName(r)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for v in value_cols:
+        u = u.withColumn(v, F.last(v, ignorenulls=True).over(w))
+    return u.filter(F.col("_side") == 1).drop("_side")
+
+
+def sessionize(
+    events: DataFrame,
+    key: str,
+    ts_col: str,
+    gap_us: int,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Assign a per-key session index: a new session starts when the gap
+    to the previous event exceeds ``gap_us`` microseconds.
+
+    Output: input columns + ``session_no`` (0-based per key, in time
+    order).  Deterministic given a total order — pass ``order_tiebreak``
+    (e.g. an id column) when timestamps can tie.
+
+    Plan: lag + running sum over one key-partitioned window — a single
+    shuffle; session aggregates downstream reuse the same partitioning.
+    """
+    order = [F.col(ts_col).asc()]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak).asc())
+    w = Window.partitionBy(key).orderBy(*order)
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev = F.lag(ts_us).over(w)
+    is_new = F.when(
+        prev.isNull() | ((ts_us - prev) > F.lit(gap_us)), F.lit(1)
+    ).otherwise(F.lit(0))
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return events.withColumn("session_no", F.sum(is_new).over(wc) - 1)

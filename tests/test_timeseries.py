@@ -1,0 +1,114 @@
+"""Time-series operators: as-of join + sessionization semantics, and the
+cell-range layout's predicate-pushdown contract."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+
+def _ts(s: str):
+    return datetime.fromisoformat(s)
+
+
+def test_as_of_join_semantics(spark):
+    """Hand-built frame: <=-semantics (simultaneous right row visible),
+    back-fill across gaps, NULL before the first right row, key isolation."""
+    from gotrackmaster_spark.operators.timeseries import as_of_join
+
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01T00:00:00")),  # before any right row
+            (2, 10, _ts("2024-01-01T01:00:00")),  # == right ts → visible
+            (3, 10, _ts("2024-01-01T05:00:00")),  # back-fill from 01:00
+            (4, 10, _ts("2024-01-01T07:00:00")),  # after second right row
+            (5, 20, _ts("2024-01-01T09:00:00")),  # other key: only its rows
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01T01:00:00"), 1.5),
+            (10, _ts("2024-01-01T06:00:00"), 2.5),
+            (20, _ts("2024-01-01T02:00:00"), 9.0),
+        ],
+        "user_id long, ts timestamp, state_value double",
+    )
+    out = {
+        r.event_id: r.state_value
+        for r in as_of_join(
+            left, right, key="user_id", ts_col="ts", value_cols=["state_value"]
+        ).collect()
+    }
+    assert out == {1: None, 2: 1.5, 3: 1.5, 4: 2.5, 5: 9.0}
+
+
+def test_sessionize_semantics(spark):
+    from gotrackmaster_spark.operators.timeseries import sessionize
+
+    ev = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01T00:00:00")),
+            (2, 10, _ts("2024-01-01T00:30:00")),  # 30 min gap → same session
+            (3, 10, _ts("2024-01-01T02:00:01")),  # > 1.5 h gap → new session
+            (4, 10, _ts("2024-01-01T03:30:01")),  # exactly the gap → same
+            (5, 20, _ts("2024-01-01T00:00:00")),  # other key restarts at 0
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    gap_us = int(1.5 * 3600 * 1e6)
+    out = {
+        r.event_id: r.session_no
+        for r in sessionize(
+            ev, key="user_id", ts_col="ts", gap_us=gap_us, order_tiebreak="event_id"
+        ).collect()
+    }
+    assert out == {1: 0, 2: 0, 3: 1, 4: 1, 5: 0}
+
+
+def test_as_of_join_single_exchange(spark):
+    """The union+window formulation must cost exactly one exchange on the
+    key — no join operator, no extra shuffle."""
+    from gotrackmaster_spark.operators.timeseries import as_of_join
+
+    left = spark.range(100).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 5).alias("user_id"),
+        F.timestamp_micros(F.col("id") * 1_000_000).alias("ts"),
+    )
+    right = spark.range(10).select(
+        (F.col("id") % 5).alias("user_id"),
+        F.timestamp_micros(F.col("id") * 7_000_000).alias("ts"),
+        (F.col("id") * 1.0).alias("state_value"),
+    )
+    out = as_of_join(left, right, "user_id", "ts", ["state_value"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_cell_range_layout_pushes_predicates(spark, tmp_path):
+    """A cell-range predicate on a cell-range-partitioned parquet table
+    must reach the scan (PushedFilters) so sorted row groups prune; the
+    filtered read must also be exact."""
+    from gotrackmaster_spark.driver_queries import geo_events
+    from gotrackmaster_spark.functions.cells import cell_col
+    from gotrackmaster_spark.operators.skew import repartition_by_cell_range
+
+    pts = geo_events(spark, "/root/testdata/sf0.001").select(
+        "event_id", "lat", "lon"
+    ).withColumn("cell", cell_col(F.col("lat"), F.col("lon"), 12))
+    path = str(tmp_path / "cells")
+    repartition_by_cell_range(pts, "cell", 8).write.parquet(path)
+
+    back = spark.read.parquet(path)
+    lo, hi = (
+        back.agg(F.min("cell"), F.max("cell")).first()
+    )
+    mid = (lo + hi) // 2
+    q = back.filter((F.col("cell") >= F.lit(lo)) & (F.col("cell") < F.lit(mid)))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "GreaterThanOrEqual(cell" in plan
+    expect = pts.filter((F.col("cell") >= F.lit(lo)) & (F.col("cell") < F.lit(mid))).count()
+    assert q.count() == expect and expect > 0
