@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_state": _wrap(Q.q_asof_state),
         "sessionized": _wrap(Q.q_sessionized),
         "value_percentiles": _wrap(Q.q_value_percentiles),
+        "cms_estimates": _wrap(Q.q_cms_estimates),
         # kernel-pipeline profile (sequential data-dependent kernels — not
         # SQL-expressible; the driver records the weaker rows-only check,
         # exact semantics are fixture-tested in tests/test_quality.py)
@@ -163,5 +164,6 @@ def oracle_sql() -> dict[str, str]:
         "asof_state": Q.SQL_ASOF_STATE,
         "sessionized": Q.SQL_SESSIONIZED,
         "value_percentiles": Q.SQL_VALUE_PERCENTILES,
+        "cms_estimates": Q.SQL_CMS_ESTIMATES,
         # "track_profiles" intentionally has no oracle (non-SQL-expressible)
     }

@@ -1851,3 +1851,38 @@ SELECT event_type, max(n) AS n_events,
        max(CASE WHEN rn = (9 * n + 9) // 10 THEN value END) AS p90
 FROM ranked GROUP BY event_type
 """
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch (functions/sketch.py) — deterministic bounded-memory
+# heavy-hitter estimates, probed at the exact top-20 tokens.  est_n >= n
+# always (CMS over-counts); both engines build the identical grid.
+# --------------------------------------------------------------------------
+
+def q_cms_estimates(spark, sf_dir):
+    from gotrackmaster_spark.functions.sketch import cms_build, cms_estimate
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    cms = cms_build(toks)
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.col("tok"))
+        .limit(20)
+    )
+    return cms_estimate(cms, top)
+
+
+def _sql_cms_estimates() -> str:
+    from gotrackmaster_spark.functions.sketch import cms_sql
+
+    tok_src = "SELECT unnest(string_split(text, ' ')) AS tok FROM documents"
+    probe_src = (
+        f"SELECT tok, count(*) AS exact_n FROM ({tok_src}) "
+        "GROUP BY tok ORDER BY exact_n DESC, tok LIMIT 20"
+    )
+    return f"WITH {cms_sql(tok_src, probe_src)} SELECT * FROM est"
+
+
+SQL_CMS_ESTIMATES = _sql_cms_estimates()

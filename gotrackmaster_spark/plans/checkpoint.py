@@ -70,12 +70,18 @@ class Catalog:
         partition_col: str | None = None,
         extra_metrics: dict | None = None,
         attempted_partitions: list[str] | None = None,
+        stats_cols: list[str] | None = None,
     ) -> dict:
         """Write df as the next snapshot of ``table``; returns the manifest.
 
         Lineage: per-partition row counts are computed in the SAME job
         shape as the write (one aggregate over the output), recorded under
         ``partitions`` in the manifest.
+
+        ``stats_cols``: numeric columns whose per-file min/max are read
+        from the parquet footers into the manifest (Iceberg's file-level
+        column stats) — :meth:`load_pruned` uses them to skip whole files
+        on range predicates without opening them.
         """
         snaps = self.snapshots(table)
         sid = (snaps[-1] + 1) if snaps else 1
@@ -105,7 +111,8 @@ class Catalog:
                     continue
                 full = os.path.join(dirpath, f)
                 rel = os.path.relpath(full, snap_dir)
-                rows = pq.ParquetFile(full).metadata.num_rows
+                md = pq.ParquetFile(full).metadata
+                rows = md.num_rows
                 files.append(rel)
                 if partition_col:
                     # hive layout: <partition_col>=<url-encoded value>/...
@@ -113,7 +120,27 @@ class Catalog:
                     pval = urllib.parse.unquote(pdir.split("=", 1)[1])
                 else:
                     pval = "__all__"
-                file_stats.append({"path": rel, "rows": rows, "partition": pval})
+                entry = {"path": rel, "rows": rows, "partition": pval}
+                if stats_cols:
+                    col_stats: dict[str, dict] = {}
+                    for rg in range(md.num_row_groups):
+                        for ci in range(md.num_columns):
+                            cmd = md.row_group(rg).column(ci)
+                            name = cmd.path_in_schema
+                            if name not in stats_cols:
+                                continue
+                            st = cmd.statistics
+                            if st is None or not st.has_min_max:
+                                continue
+                            prev = col_stats.get(name)
+                            mn, mx = st.min, st.max
+                            if prev is None:
+                                col_stats[name] = {"min": mn, "max": mx}
+                            else:
+                                prev["min"] = min(prev["min"], mn)
+                                prev["max"] = max(prev["max"], mx)
+                    entry["stats"] = col_stats
+                file_stats.append(entry)
                 counts[pval] = counts.get(pval, 0) + rows
         if not partition_col:
             counts.setdefault("__all__", 0)
@@ -147,6 +174,38 @@ class Catalog:
     def load(self, spark: SparkSession, table: str, snapshot_id: int | None = None) -> DataFrame:
         m = self.manifest(table, snapshot_id)
         return spark.read.parquet(m["data_dir"])
+
+    def load_pruned(
+        self,
+        spark: SparkSession,
+        table: str,
+        col: str,
+        lo,
+        hi,
+        snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Read only the snapshot files whose manifest [min, max] range for
+        ``col`` overlaps ``[lo, hi]``, then apply the exact predicate —
+        semantically identical to ``load().filter(col BETWEEN lo AND hi)``
+        but non-overlapping files are never opened (Iceberg manifest-level
+        file pruning; combine with
+        ``operators.skew.repartition_by_cell_range`` at write time so cell
+        ranges land disjoint).  Files committed without stats for ``col``
+        are conservatively read."""
+        from pyspark.sql import functions as F
+
+        m = self.manifest(table, snapshot_id)
+        keep = []
+        for fs in m["file_stats"]:
+            st = (fs.get("stats") or {}).get(col)
+            if st is None or (st["max"] >= lo and st["min"] <= hi):
+                keep.append(os.path.join(m["data_dir"], fs["path"]))
+        pred_src = spark.read.option("basePath", m["data_dir"])
+        if not keep:
+            df = spark.read.parquet(m["data_dir"]).limit(0)
+        else:
+            df = pred_src.parquet(*keep)
+        return df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
 
     def load_as_of(self, spark: SparkSession, table: str, as_of_unix: float) -> DataFrame:
         """Time travel: read the latest snapshot committed at or before

@@ -240,3 +240,62 @@ def test_within_radius_join_plan_shape(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_catalog_load_pruned_skips_files(spark, tmp_path):
+    """Manifest column stats must let a range read skip non-overlapping
+    files entirely (fewer inputFiles), while matching load().filter()."""
+    from pyspark.sql import functions as F
+
+    from gotrackmaster_spark.driver_queries import geo_events
+    from gotrackmaster_spark.functions.cells import cell_col
+    from gotrackmaster_spark.operators.skew import repartition_by_cell_range
+    from gotrackmaster_spark.plans.checkpoint import Catalog
+
+    cat = Catalog(str(tmp_path))
+    pts = geo_events(spark, "/root/testdata/sf0.001").select(
+        "event_id", "lat", "lon"
+    ).withColumn("cell", cell_col(F.col("lat"), F.col("lon"), 12))
+    m = cat.commit(
+        repartition_by_cell_range(pts, "cell", 8), "cells", stats_cols=["cell"]
+    )
+    assert all("cell" in (fs.get("stats") or {}) for fs in m["file_stats"])
+
+    full = cat.load(spark, "cells")
+    lo, hi = full.agg(F.min("cell"), F.max("cell")).first()
+    mid = (lo + hi) // 2
+
+    pruned = cat.load_pruned(spark, "cells", "cell", lo, mid)
+    n_all = len(full.inputFiles())
+    n_pruned = len(pruned.inputFiles())
+    assert n_pruned < n_all, (n_pruned, n_all)
+    want = full.filter((F.col("cell") >= lo) & (F.col("cell") <= mid))
+    assert pruned.count() == want.count() > 0
+    # disjoint range → zero files, empty result, schema intact
+    empty = cat.load_pruned(spark, "cells", "cell", hi + 1, hi + 2)
+    assert empty.count() == 0 and set(empty.columns) == set(full.columns)
+
+
+def test_cms_overcounts_bounded(spark):
+    """CMS invariants: est_n >= exact_n for every probed token, and the
+    over-count stays within the 2N/width bound at the default geometry."""
+    from pyspark.sql import functions as F
+
+    from gotrackmaster_spark.functions.sketch import (
+        CMS_WIDTH,
+        cms_build,
+        cms_estimate,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    n_total = toks.count()
+    cms = cms_build(toks)
+    assert cms.count() <= 4 * CMS_WIDTH
+    exact = toks.groupBy("tok").agg(F.count("*").alias("exact_n"))
+    est = cms_estimate(cms, exact).collect()
+    assert len(est) > 0
+    bound = 2.0 * n_total / CMS_WIDTH
+    for r in est:
+        assert r.est_n >= r.exact_n
+        assert r.est_n - r.exact_n <= bound, (r.tok, r.est_n, r.exact_n)
