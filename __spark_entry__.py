@@ -114,6 +114,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionized": _wrap(Q.q_sessionized),
         "value_percentiles": _wrap(Q.q_value_percentiles),
         "cms_estimates": _wrap(Q.q_cms_estimates),
+        "tile_pyramid": _wrap(Q.q_tile_pyramid),
+        "geohash_counts": _wrap(Q.q_geohash_counts),
         # kernel-pipeline profile (sequential data-dependent kernels — not
         # SQL-expressible; the driver records the weaker rows-only check,
         # exact semantics are fixture-tested in tests/test_quality.py)
@@ -165,5 +167,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionized": Q.SQL_SESSIONIZED,
         "value_percentiles": Q.SQL_VALUE_PERCENTILES,
         "cms_estimates": Q.SQL_CMS_ESTIMATES,
+        "tile_pyramid": Q.SQL_TILE_PYRAMID,
+        "geohash_counts": Q.SQL_GEOHASH_COUNTS,
         # "track_profiles" intentionally has no oracle (non-SQL-expressible)
     }

@@ -1886,3 +1886,74 @@ def _sql_cms_estimates() -> str:
 
 
 SQL_CMS_ESTIMATES = _sql_cms_estimates()
+
+
+# --------------------------------------------------------------------------
+# E4 — tile-pyramid rollup: base mercator-tile counts rolled up z8 → z4
+# (functions/tiles.py::tile_pyramid; exact via the nested-floor identity).
+# --------------------------------------------------------------------------
+
+_PYR_BASE_Z = 8
+_PYR_MIN_Z = 4
+
+
+def q_tile_pyramid(spark, sf_dir):
+    from gotrackmaster_spark.functions.tiles import tile_pyramid
+
+    tx, ty = mercator_tile_cols(F.col("lat"), F.col("lon"), _PYR_BASE_Z)
+    base = (
+        geo_events(spark, sf_dir)
+        .select(tx.alias("tx"), ty.alias("ty"))
+        .groupBy("tx", "ty")
+        .agg(F.count("*").alias("n"))
+    )
+    return tile_pyramid(base, _PYR_BASE_Z, _PYR_MIN_Z)
+
+
+def _sql_tile_pyramid() -> str:
+    mx, my = mercator_tile_sql("lat", "lon", _PYR_BASE_Z)
+    levels = [f"SELECT {_PYR_BASE_Z} AS z, tx, ty, n FROM base"]
+    for z in range(_PYR_BASE_Z - 1, _PYR_MIN_Z - 1, -1):
+        s = 1 << (_PYR_BASE_Z - z)
+        levels.append(
+            f"SELECT {z} AS z, tx // {s} AS tx, ty // {s} AS ty, "
+            f"CAST(sum(n) AS BIGINT) AS n FROM base GROUP BY 2, 3"
+        )
+    body = " UNION ALL ".join(levels)
+    return f"""
+WITH {GEO_CTE},
+base AS (SELECT {mx} AS tx, {my} AS ty, count(*) AS n FROM geo GROUP BY 1, 2)
+{body}
+"""
+
+
+SQL_TILE_PYRAMID = _sql_tile_pyramid()
+
+
+# --------------------------------------------------------------------------
+# T4 — geohash encoding (base32 interop format next to degree tiles,
+# mercator z/x/y and Z-order cells): per-prefix counts at precision 4.
+# --------------------------------------------------------------------------
+
+def q_geohash_counts(spark, sf_dir):
+    from gotrackmaster_spark.functions.tiles import geohash_col
+
+    return (
+        geo_events(spark, sf_dir)
+        .select(geohash_col(F.col("lat"), F.col("lon"), 4).alias("gh"))
+        .groupBy("gh")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _sql_geohash_counts() -> str:
+    from gotrackmaster_spark.functions.tiles import geohash_sql
+
+    return f"""
+WITH {GEO_CTE}
+SELECT {geohash_sql('lat', 'lon', 4)} AS gh, count(*) AS n
+FROM geo GROUP BY 1
+"""
+
+
+SQL_GEOHASH_COUNTS = _sql_geohash_counts()

@@ -145,3 +145,103 @@ def mercator_tile_sql(lat: str, lon: str, zoom: int) -> tuple[str, str]:
         f"least(greatest(CAST(floor((1.0 - ln(tan({lat_rad}) + (1.0/cos({lat_rad})))/pi()) / 2.0 * {n!r}) AS BIGINT), 0), {int(n) - 1})"
     )
     return x, y
+
+
+# ------------------------------------------------------------ pyramid ------
+
+def tile_pyramid(counts, z_base: int, z_min: int):
+    """Roll a per-tile aggregate up a slippy-map pyramid: ``counts(tx, ty,
+    n)`` at ``z_base`` → union of levels ``z_min..z_base`` as ``(z, tx,
+    ty, n)``.
+
+    Exact by the nested-floor identity ``floor(2^z·f) = floor(2^{z_base}·f)
+    >> (z_base − z)`` (clamping commutes: saturated indices stay saturated
+    one level up).  Each level aggregates the PREVIOUS level — log-depth
+    lineage, and every shuffle is over an already-collapsed tile set
+    (≤ 4^z rows), so the full pyramid costs barely more than the base
+    aggregation alone at any data scale.
+    """
+    frames = [counts.select(F.lit(z_base).alias("z"), "tx", "ty", "n")]
+    cur = counts
+    for z in range(z_base - 1, z_min - 1, -1):
+        cur = (
+            cur.groupBy(
+                F.shiftright(F.col("tx"), 1).alias("tx"),
+                F.shiftright(F.col("ty"), 1).alias("ty"),
+            )
+            .agg(F.sum("n").alias("n"))
+        )
+        frames.append(cur.select(F.lit(z).alias("z"), "tx", "ty", "n"))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+# ------------------------------------------------------------ geohash ------
+
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_col(lat: Column, lon: Column, precision: int) -> Column:
+    """Standard geohash (base32, lon-bit-first interleave) as a Column —
+    pure bit math + substring, fully codegen.  ``precision`` in [1, 10]
+    (50 bits max keeps every intermediate < 2^63)."""
+    if not 1 <= precision <= 10:
+        raise ValueError("precision must be in [1, 10]")
+    total = 5 * precision
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+    ix = F.floor((lon + 180.0) / 360.0 * F.lit(float(1 << lon_bits))).cast("long")
+    iy = F.floor((lat + 90.0) / 180.0 * F.lit(float(1 << lat_bits))).cast("long")
+    ix = F.least(F.greatest(ix, F.lit(0)), F.lit((1 << lon_bits) - 1))
+    iy = F.least(F.greatest(iy, F.lit(0)), F.lit((1 << lat_bits) - 1))
+    # interleave MSB-first, lon first: bit (total-1-k) of the code is
+    # lon-bit (lon_bits-1-k/2) for even k, lat-bit (lat_bits-1-(k-1)/2) odd
+    code = F.lit(0).cast("long")
+    for k in range(total):
+        if k % 2 == 0:
+            src, src_bit = ix, lon_bits - 1 - k // 2
+        else:
+            src, src_bit = iy, lat_bits - 1 - (k - 1) // 2
+        bit = F.shiftright(src, src_bit).bitwiseAND(F.lit(1))
+        code = code.bitwiseOR(F.shiftleft(bit, total - 1 - k))
+    chars = [
+        F.substring(
+            F.lit(_GEOHASH32),
+            (F.shiftright(code, total - 5 * (c + 1)).bitwiseAND(F.lit(31)) + 1).cast(
+                "int"
+            ),
+            1,
+        )
+        for c in range(precision)
+    ]
+    return F.concat(*chars)
+
+
+def geohash_sql(lat: str, lon: str, precision: int) -> str:
+    """The identical geohash as a DuckDB SQL expression."""
+    total = 5 * precision
+    lon_bits = (total + 1) // 2
+    lat_bits = total // 2
+    ix = (
+        f"least(greatest(CAST(floor((({lon}) + 180.0) / 360.0 * "
+        f"{float(1 << lon_bits)!r}) AS BIGINT), 0), {(1 << lon_bits) - 1})"
+    )
+    iy = (
+        f"least(greatest(CAST(floor((({lat}) + 90.0) / 180.0 * "
+        f"{float(1 << lat_bits)!r}) AS BIGINT), 0), {(1 << lat_bits) - 1})"
+    )
+    terms = []
+    for k in range(total):
+        if k % 2 == 0:
+            src, src_bit = ix, lon_bits - 1 - k // 2
+        else:
+            src, src_bit = iy, lat_bits - 1 - (k - 1) // 2
+        terms.append(f"(((({src}) >> {src_bit}) & 1) << {total - 1 - k})")
+    code = "(" + " | ".join(terms) + ")"
+    chars = [
+        f"substring('{_GEOHASH32}', CAST((({code} >> {total - 5 * (c + 1)}) & 31) + 1 AS INT), 1)"
+        for c in range(precision)
+    ]
+    return "(" + " || ".join(chars) + ")"

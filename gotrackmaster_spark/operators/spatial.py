@@ -147,6 +147,7 @@ def point_in_polygon_join(
     polygons: DataFrame,
     level: int = 7,
     point_cols: tuple[str, str] = ("lat", "lon"),
+    broadcast_covering: bool = True,
 ) -> DataFrame:
     """E2 — every (point, polygon) pair where the point is inside.
 
@@ -158,11 +159,21 @@ def point_in_polygon_join(
         → mapInPandas ray-cast refine
 
     No shuffle of the points side; covering is broadcast.
+
+    ``broadcast_covering=False`` is the big-big path: when the polygon
+    layer's covering does not fit an executor (continent-scale admin
+    layers at fine levels), both sides shuffle-hash-join on ``cell``
+    instead — one exchange of each side, co-partitioned on the same
+    spatially-local key, so AQE's skew split can cut hot cells.  Results
+    are identical; only the exchange strategy changes.
     """
     lat_c, lon_c = point_cols
     cov = polygon_covering(polygons, level)
     pts = points.withColumn("cell", cell_col(F.col(lat_c), F.col(lon_c), level))
-    cand = pts.join(F.broadcast(cov), "cell", "inner")
+    if broadcast_covering:
+        cand = pts.join(F.broadcast(cov), "cell", "inner")
+    else:
+        cand = pts.join(cov.hint("shuffle_hash"), "cell", "inner")
 
     out_cols = [
         f.name for f in cand.schema.fields if f.name not in ("ring", "cell", "full")
