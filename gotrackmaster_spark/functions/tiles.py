@@ -156,26 +156,31 @@ def tile_pyramid(counts, z_base: int, z_min: int):
 
     Exact by the nested-floor identity ``floor(2^z·f) = floor(2^{z_base}·f)
     >> (z_base − z)`` (clamping commutes: saturated indices stay saturated
-    one level up).  Each level aggregates the PREVIOUS level — log-depth
-    lineage, and every shuffle is over an already-collapsed tile set
-    (≤ 4^z rows), so the full pyramid costs barely more than the base
-    aggregation alone at any data scale.
+    one level up).
+
+    Single-pass plan: each base tile row EXPLODES into its (z, parent)
+    tuple per level, then ONE groupBy over all levels — one scan and two
+    exchanges total regardless of level count.  (The naive
+    level-aggregates-level union re-executed the base aggregation once
+    per level: 5 scans for a z8→z4 pyramid, no ReusedExchange.)  The
+    explode fans out only the already-collapsed base tile set, ≤ 4^z_base
+    rows, so shuffle volume stays trivial next to the base aggregation.
     """
-    frames = [counts.select(F.lit(z_base).alias("z"), "tx", "ty", "n")]
-    cur = counts
-    for z in range(z_base - 1, z_min - 1, -1):
-        cur = (
-            cur.groupBy(
-                F.shiftright(F.col("tx"), 1).alias("tx"),
-                F.shiftright(F.col("ty"), 1).alias("ty"),
+    levels = F.array(
+        *[
+            F.struct(
+                F.lit(z).alias("z"),
+                F.shiftright(F.col("tx"), z_base - z).alias("tx"),
+                F.shiftright(F.col("ty"), z_base - z).alias("ty"),
             )
-            .agg(F.sum("n").alias("n"))
-        )
-        frames.append(cur.select(F.lit(z).alias("z"), "tx", "ty", "n"))
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    return out
+            for z in range(z_base, z_min - 1, -1)
+        ]
+    )
+    return (
+        counts.select(F.explode(levels).alias("l"), "n")
+        .groupBy("l.z", "l.tx", "l.ty")
+        .agg(F.sum("n").alias("n"))
+    )
 
 
 # ------------------------------------------------------------ geohash ------
