@@ -116,6 +116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_estimates": _wrap(Q.q_cms_estimates),
         "tile_pyramid": _wrap(Q.q_tile_pyramid),
         "geohash_counts": _wrap(Q.q_geohash_counts),
+        "props_stats": _wrap(Q.q_props_stats),
+        "table_profile": _wrap(Q.q_table_profile),
         # kernel-pipeline profile (sequential data-dependent kernels — not
         # SQL-expressible; the driver records the weaker rows-only check,
         # exact semantics are fixture-tested in tests/test_quality.py)
@@ -169,5 +171,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_estimates": Q.SQL_CMS_ESTIMATES,
         "tile_pyramid": Q.SQL_TILE_PYRAMID,
         "geohash_counts": Q.SQL_GEOHASH_COUNTS,
+        "props_stats": Q.SQL_PROPS_STATS,
+        "table_profile": Q.SQL_TABLE_PROFILE,
         # "track_profiles" intentionally has no oracle (non-SQL-expressible)
     }

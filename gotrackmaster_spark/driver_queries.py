@@ -1957,3 +1957,64 @@ FROM geo GROUP BY 1
 
 
 SQL_GEOHASH_COUNTS = _sql_geohash_counts()
+
+
+# --------------------------------------------------------------------------
+# Semi-structured columns — JSON property extraction (Spark
+# get_json_object vs DuckDB json_extract_string; values re-typed to INT so
+# the comparison is integer-exact).
+# --------------------------------------------------------------------------
+
+def q_props_stats(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type", F.floor(F.col("k") / 10).cast("int").alias("k_band"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.countDistinct("k").alias("n_distinct_k"),
+        )
+    )
+
+
+SQL_PROPS_STATS = """
+SELECT event_type,
+       CAST(floor(CAST(json_extract_string(props, '$.k') AS INT) / 10) AS INT) AS k_band,
+       count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       count(DISTINCT CAST(json_extract_string(props, '$.k') AS INT)) AS n_distinct_k
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# Data profiling — per-column null/distinct counts over `documents`
+# (the pre-ingest audit a curation pipeline runs on every new shard).
+# --------------------------------------------------------------------------
+
+def q_table_profile(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pieces = []
+    for c in ["doc_id", "text", "lang", "source", "n_chars"]:
+        pieces.append(
+            docs.agg(
+                F.lit(c).alias("col_name"),
+                F.count("*").alias("n_rows"),
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias("n_null"),
+                F.countDistinct(c).alias("n_distinct"),
+            )
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+SQL_TABLE_PROFILE = " UNION ALL ".join(
+    f"SELECT '{c}' AS col_name, count(*) AS n_rows, "
+    f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, "
+    f"count(DISTINCT {c}) AS n_distinct FROM documents"
+    for c in ["doc_id", "text", "lang", "source", "n_chars"]
+)

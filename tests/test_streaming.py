@@ -111,3 +111,47 @@ def test_streaming_track_bounds_matches_batch(spark, tmp_path):
         assert (g.n_points, g.min_lat, g.max_lat, g.min_lon, g.max_lon,
                 g.min_ts_ns, g.max_ts_ns) == (w.n, w.mla, w.xla, w.mlo,
                                               w.xlo, w.mts, w.xts), uid
+
+
+def test_streaming_sessions_matches_batch(spark, tmp_path):
+    """session_window over a file-source stream (complete mode,
+    availableNow, multiple micro-batches) must equal the same aggregation
+    run in batch on the full input."""
+    from pyspark.sql import functions as F
+
+    from gotrackmaster_spark.streaming.sessions import session_aggregates
+
+    base = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    src_dir = str(tmp_path / "in")
+    base.filter(F.col("event_id") % 2 == 0).write.parquet(src_dir)
+    base.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src_dir)
+    )
+    agg = session_aggregates(stream, gap="6 hours", watermark="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+    want = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in session_aggregates(
+            spark.read.parquet(src_dir).select(*base.columns), gap="6 hours"
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > 100
