@@ -229,6 +229,7 @@ def knn_join(
     round_decimals: int = 3,
     exclude_self: bool = False,
     n_data: int | None = None,
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """E3 — exact k nearest neighbours of each query point.
 
@@ -323,7 +324,13 @@ def knn_join(
         f"{query_id} {qid_type}, q_lat double, q_lon double, guarantee_m double, cell long",
     )
     d_cell = d.withColumn("cell", cell_col(F.col("d_lat"), F.col("d_lon"), level))
-    cand = d_cell.join(F.broadcast(q_ring), "cell", "inner")
+    # big-query path (broadcast_queries=False): when the exploded ring set
+    # itself is too large for one executor, shuffle-hash both sides on the
+    # spatially-local cell key instead — same results, one exchange each
+    if broadcast_queries:
+        cand = d_cell.join(F.broadcast(q_ring), "cell", "inner")
+    else:
+        cand = d_cell.join(q_ring.hint("shuffle_hash"), "cell", "inner")
     if exclude_self:
         cand = cand.filter(F.col(data_id) != F.col(query_id))
 

@@ -221,6 +221,35 @@ class Catalog:
             )
         return self.load(spark, table, best)
 
+    def compact(
+        self,
+        spark: SparkSession,
+        table: str,
+        num_files: int,
+        sort_col: str | None = None,
+        stats_cols: list[str] | None = None,
+    ) -> dict:
+        """Small-file compaction: rewrite the latest snapshot's data into
+        ``num_files`` files as a NEW snapshot (readers on older snapshots
+        are untouched; ``expire_snapshots`` reclaims the old files later —
+        Iceberg's rewrite_data_files action).  ``sort_col`` range-partitions
+        + sorts the rewrite (e.g. the cell ID) so the compacted files carry
+        tight min/max ranges for :meth:`load_pruned`."""
+        df = self.load(spark, table)
+        if sort_col:
+            df = df.repartitionByRange(num_files, df[sort_col]).sortWithinPartitions(
+                sort_col
+            )
+        else:
+            df = df.coalesce(num_files)
+        prev = self.manifest(table)
+        return self.commit(
+            df,
+            table,
+            extra_metrics={"compacted_from": prev["snapshot_id"]},
+            stats_cols=stats_cols,
+        )
+
     def rollback(self, table: str, snapshot_id: int) -> dict:
         """Publish a NEW manifest that points at an old snapshot's data —
         readers of 'latest' see the old state, history is preserved, no

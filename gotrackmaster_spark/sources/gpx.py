@@ -303,7 +303,7 @@ SCAN_SCHEMA = (
 )
 
 
-def gpx_scan_distributed(spark, root_dir: str):
+def gpx_scan_distributed(spark, root_dir: str, with_errors: bool = False):
     """S1/S2 at engine scale: parse GPX files on the EXECUTORS.
 
     The driver-side ETL (`gpx_files_to_points_df`) parses in the driver
@@ -319,6 +319,13 @@ def gpx_scan_distributed(spark, root_dir: str):
     normalized tables with `scan_points` / `scan_tracks` /
     `scan_waypoints`; persist (or `Catalog.commit`) the composite first
     if you need more than one of them, so each file is parsed once.
+
+    ``with_errors=True`` QUARANTINES malformed files instead of silently
+    skipping them (the reference's readTrack err→skip,
+    `/root/reference/lib/filedir.go` loop): bad files yield a row with
+    empty arrays and the parse message in an ``error`` column, so a
+    10⁶-file ingest can report/route rejects without failing the job —
+    filter ``error IS NULL`` for the clean set.
     """
     import pandas as pd
 
@@ -331,9 +338,11 @@ def gpx_scan_distributed(spark, root_dir: str):
     )
 
     def parse_batch(batches):
+        cols = ("track_id", "creator", "filename", "points", "waypoints")
+        if with_errors:
+            cols = cols + ("error",)
         for pdf in batches:
-            out = {k: [] for k in
-                   ("track_id", "creator", "filename", "points", "waypoints")}
+            out = {k: [] for k in cols}
             for path, content in zip(pdf["path"], pdf["content"]):
                 # binaryFile paths are URIs (file:/…) — strip the scheme
                 fs_path = path.split("://", 1)[-1] if "://" in path else path
@@ -341,8 +350,17 @@ def gpx_scan_distributed(spark, root_dir: str):
                     fs_path = fs_path[5:]
                 try:
                     root = ET.fromstring(bytes(content))
-                except ET.ParseError:
-                    continue  # mirrors the reference's readTrack err→skip
+                except ET.ParseError as e:
+                    # mirrors the reference's readTrack err→skip; quarantine
+                    # the reject instead when asked to
+                    if with_errors:
+                        out["track_id"].append(fs_path.rsplit("/", 1)[-1])
+                        out["creator"].append("")
+                        out["filename"].append(fs_path)
+                        out["points"].append([])
+                        out["waypoints"].append([])
+                        out["error"].append(str(e))
+                    continue
                 tid = fs_path.rsplit("/", 1)[-1]
                 parsed = ParsedTrack(track_id=tid, creator=root.get("creator", ""))
                 _parse_gpx_tree(root, parsed)
@@ -361,9 +379,18 @@ def gpx_scan_distributed(spark, root_dir: str):
                 out["filename"].append(fs_path)
                 out["points"].append(pts)
                 out["waypoints"].append(wps)
-            yield pd.DataFrame(out)
+                if with_errors:
+                    out["error"].append(None)
+            # a batch whose files ALL failed to parse produces an empty
+            # dict; an empty pd.DataFrame infers float64 columns, which
+            # Arrow cannot convert to list<struct> — yield nothing instead
+            # (previously this crashed the whole job when a partition held
+            # only malformed files)
+            if out["track_id"]:
+                yield pd.DataFrame(out)
 
-    return bf.mapInPandas(parse_batch, SCAN_SCHEMA)
+    schema = SCAN_SCHEMA + (", error string" if with_errors else "")
+    return bf.mapInPandas(parse_batch, schema)
 
 
 def scan_points(scan_df):

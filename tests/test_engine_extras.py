@@ -299,3 +299,88 @@ def test_cms_overcounts_bounded(spark):
     for r in est:
         assert r.est_n >= r.exact_n
         assert r.est_n - r.exact_n <= bound, (r.tok, r.est_n, r.exact_n)
+
+
+def test_catalog_compact(spark, tmp_path):
+    """Compaction rewrites the latest snapshot into fewer, range-sorted
+    files as a NEW snapshot with identical rows; old snapshots survive
+    until expiration."""
+    from pyspark.sql import functions as F
+
+    from gotrackmaster_spark.driver_queries import geo_events
+    from gotrackmaster_spark.functions.cells import cell_col
+    from gotrackmaster_spark.plans.checkpoint import Catalog
+
+    cat = Catalog(str(tmp_path))
+    pts = geo_events(spark, "/root/testdata/sf0.001").select(
+        "event_id", "lat", "lon"
+    ).withColumn("cell", cell_col(F.col("lat"), F.col("lon"), 12))
+    cat.commit(pts.repartition(16), "t", stats_cols=["cell"])
+    n_before = len(cat.load(spark, "t").inputFiles())
+    assert n_before >= 16
+
+    m = cat.compact(spark, "t", num_files=4, sort_col="cell", stats_cols=["cell"])
+    assert m["metrics"]["compacted_from"] == 1
+    after = cat.load(spark, "t")
+    assert len(after.inputFiles()) == 4
+    assert after.count() == pts.count()
+    # compacted layout prunes: half the cell range must skip >= 1 file
+    lo, hi = after.agg(F.min("cell"), F.max("cell")).first()
+    pruned = cat.load_pruned(spark, "t", "cell", lo, (lo + hi) // 2)
+    assert len(pruned.inputFiles()) < 4
+    # old snapshot still loadable until expired
+    assert cat.load(spark, "t", snapshot_id=1).count() == pts.count()
+
+
+def test_knn_join_shuffle_query_variant(spark):
+    """broadcast_queries=False must return the identical kNN result with a
+    shuffle-hash candidate join."""
+    from gotrackmaster_spark.driver_queries import geo_events
+    from gotrackmaster_spark.operators.spatial import knn_join
+
+    pts = geo_events(spark, "/root/testdata/sf0.001").select(
+        "event_id", "lat", "lon"
+    )
+    qs = pts.where(pts.event_id % 100 == 0).withColumnRenamed(
+        "event_id", "query_id"
+    )
+    d = pts.withColumnRenamed("event_id", "data_id")
+    a = knn_join(qs, d, k=3, level=6, ring=1, exclude_self=False, n_data=1000)
+    b = knn_join(
+        qs, d, k=3, level=6, ring=1, exclude_self=False, n_data=1000,
+        broadcast_queries=False,
+    )
+    ra = {(r.query_id, r.rank): r.data_id for r in a.collect()}
+    rb = {(r.query_id, r.rank): r.data_id for r in b.collect()}
+    assert ra == rb and len(ra) > 0
+
+
+def test_gpx_scan_quarantine(spark, tmp_path):
+    """with_errors=True must surface malformed files as quarantine rows
+    instead of dropping them silently."""
+    import shutil
+
+    from gotrackmaster_spark.sources.gpx import gpx_scan_distributed
+
+    src = str(tmp_path / "gpx")
+    import os
+
+    os.makedirs(src)
+    shutil.copy(
+        "/root/reference/testdata/2020-10-03_09-05_Sat_pedraforca.gpx", src
+    )
+    with open(f"{src}/broken.gpx", "w") as f:
+        f.write("<gpx><trk><unclosed></gpx>")
+
+    scan = gpx_scan_distributed(spark, src, with_errors=True)
+    rows = {r.track_id: r for r in scan.collect()}
+    assert rows["broken.gpx"].error is not None
+    assert rows["broken.gpx"].points == []
+    good = rows["2020-10-03_09-05_Sat_pedraforca.gpx"]
+    assert good.error is None and len(good.points) > 0
+
+    # default mode: silent skip (reference parity) — only the good file
+    default = gpx_scan_distributed(spark, src).collect()
+    assert {r.track_id for r in default} == {
+        "2020-10-03_09-05_Sat_pedraforca.gpx"
+    }
