@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "position_start_end": _wrap(Q.q_position_start_end),
         "image_stats": _wrap(Q.q_image_stats),
         "image_tiles": _wrap(Q.q_image_tiles),
+        "phash_near_dups": _wrap(Q.q_phash_near_dups),
         "import_paths": _wrap(Q.q_import_paths),
         "scalar_ops": _wrap(Q.q_scalar_ops),
         "tz_localized": _wrap(Q.q_tz_localized),
@@ -157,6 +158,7 @@ def oracle_sql() -> dict[str, str]:
         "position_start_end": Q.SQL_POSITION_START_END,
         "image_stats": Q.SQL_IMAGE_STATS,
         "image_tiles": Q.SQL_IMAGE_TILES,
+        "phash_near_dups": Q.SQL_PHASH_NEAR_DUPS,
         "import_paths": Q.SQL_IMPORT_PATHS,
         "scalar_ops": Q.SQL_SCALAR_OPS,
         "tz_localized": Q.SQL_TZ_LOCALIZED,

@@ -1234,6 +1234,99 @@ FROM tagged GROUP BY tile
 
 
 # --------------------------------------------------------------------------
+# E7 image near-dup — phash banded join over base images + planted variants.
+# The variants go through the REAL payload path (decode → bump every 97th
+# byte by +8 → re-encode → re-phash); the oracle replays the integer-exact
+# 64-bit average-hash (bit k = 64·S_k > ΣS over block luma sums) from the
+# closed-form pixel generator for both populations, then brute-forces all
+# pairs — so a wrong hash, a wrong band split, or a lost candidate all
+# hash-mismatch.
+# --------------------------------------------------------------------------
+
+_PH_EVERY = 5  # every 5th image gets a planted near-dup variant
+_PH_MAXHAM = 10
+
+
+def q_phash_near_dups(spark, sf_dir):
+    from gotrackmaster_spark.operators.images import (
+        phash_near_dups,
+        synthesize_image_variants,
+        synthesize_images,
+    )
+
+    imgs = synthesize_images(spark, sf_dir, w=_IMG_W, h=_IMG_H)
+    cols = ["img_key", "image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+    both = imgs.select(*cols).unionByName(
+        synthesize_image_variants(imgs, every=_PH_EVERY)
+    )
+    return phash_near_dups(both, max_hamming=_PH_MAXHAM)
+
+
+def _phash_bs_sql(pix: str) -> str:
+    """DuckDB expression for the 64 block luma sums of the integer-exact
+    average-hash, given a pixel expression ``pix`` in terms of lambda var
+    ``f`` (flat byte index) and the outer column ``doc_id``.  Mirrors
+    images.phash64_batch: luma = (299R+587G+114B)//1000 over an 8×8 block
+    grid (blocks are h/8×w/8 strips)."""
+    h8, w8 = _IMG_H // 8, _IMG_W // 8  # 3 x 4 pixels per block
+    y = f"((k // 8) * {h8} + (t // {w8}))"
+    x = f"((k % 8) * {w8} + (t % {w8}))"
+    f0 = f"(3 * (({y}) * {_IMG_W} + ({x})))"
+    luma = (
+        f"((299 * ({pix.replace('{f}', f0)}) "
+        f"+ 587 * ({pix.replace('{f}', f'({f0} + 1)')}) "
+        f"+ 114 * ({pix.replace('{f}', f'({f0} + 2)')})) // 1000)"
+    )
+    return (
+        f"list_transform(generate_series(0, 63), k -> "
+        f"list_sum(list_transform(generate_series(0, {h8 * w8 - 1}), t -> {luma})))"
+    )
+
+
+# phash from the 64 block sums: bit k set iff 64·S_k > ΣS; bit 63 carries
+# the int64 sign (numpy's 1<<63 weight wraps signed — replayed exactly)
+_PHASH_FROM_BS = (
+    "CAST(CASE WHEN 64 * bs[64] > tot THEN -9223372036854775807 - 1 ELSE 0 END "
+    "+ list_sum(list_transform(generate_series(1, 63), k -> "
+    "CASE WHEN 64 * bs[k] > tot THEN (CAST(1 AS BIGINT) << (k - 1)) ELSE 0 END)) "
+    "AS BIGINT)"
+)
+
+
+# decoded pixel at flat index {f}: generator, then qnt4 quantization
+_PIX_F = "((doc_id * 31 + ({f}) * 2654435761) % 256)"
+_PIX_DEC = (
+    f"(CASE WHEN doc_id % 3 = 2 THEN {_PIX_F} - ({_PIX_F}) % 4 ELSE {_PIX_F} END)"
+)
+# base phash is over the ORIGINAL (pre-encode) pixels, variant phash over
+# the decoded-then-bumped pixels — exactly what the Spark path computes
+_PIX_VAR = f"(CASE WHEN ({{f}}) % 97 = 0 THEN ({_PIX_DEC} + 8) % 256 ELSE {_PIX_DEC} END)"
+
+SQL_PHASH_NEAR_DUPS = f"""
+WITH base_bs AS (
+  SELECT doc_id, {_phash_bs_sql(_PIX_F)} AS bs FROM documents
+),
+var_bs AS (
+  SELECT doc_id, {_phash_bs_sql(_PIX_VAR)} AS bs
+  FROM documents WHERE doc_id % {_PH_EVERY} = 0
+),
+base AS (
+  SELECT format('img{{:08d}}', doc_id) AS image_id, {_PHASH_FROM_BS} AS phash
+  FROM (SELECT doc_id, bs, list_sum(bs) AS tot FROM base_bs)
+),
+vars AS (
+  SELECT format('var{{:08d}}', doc_id) AS image_id, {_PHASH_FROM_BS} AS phash
+  FROM (SELECT doc_id, bs, list_sum(bs) AS tot FROM var_bs)
+),
+all_imgs AS (SELECT * FROM base UNION ALL SELECT * FROM vars)
+SELECT a.image_id AS a_id, b.image_id AS b_id,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM all_imgs a JOIN all_imgs b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {_PH_MAXHAM}
+"""
+
+
+# --------------------------------------------------------------------------
 # P6 + T2/T3 + S7 — import plan: path templating over the corner-tile
 # fan-out with first-wins duplicate suppression (cmd/import.go)
 # --------------------------------------------------------------------------

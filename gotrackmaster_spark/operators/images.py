@@ -60,13 +60,19 @@ def decode_image(data: bytes, w: int, h: int, fmt: str) -> np.ndarray:
 def phash64_batch(pixels: np.ndarray) -> np.ndarray:
     """Vectorized 8×8 average-hash over a (B, h, w, 3) uint8 batch →
     (B,) int64.  Luma block means vs their per-image mean; w, h divisible
-    by 8 (the synthesizer guarantees it)."""
+    by 8 (the synthesizer guarantees it).
+
+    INTEGER-EXACT on purpose: bit k is ``64·S_k > ΣS`` over integer block
+    sums — the same predicate as "block mean > grand mean" but with no
+    float rounding, so the DuckDB oracle (``SQL_PHASH_NEAR_DUPS``) can
+    replay the hash bit-for-bit from the closed-form pixel generator."""
     b, h, w, _ = pixels.shape
     p = pixels.astype(np.int64)
     luma = (299 * p[..., 0] + 587 * p[..., 1] + 114 * p[..., 2]) // 1000
-    blocks = luma.reshape(b, 8, h // 8, 8, w // 8).mean(axis=(2, 4))  # (B, 8, 8)
-    bits = (blocks > blocks.mean(axis=(1, 2), keepdims=True)).astype(np.int64)
-    weights = np.int64(1) << np.arange(64, dtype=np.int64)
+    sums = luma.reshape(b, 8, h // 8, 8, w // 8).sum(axis=(2, 4))  # (B, 8, 8)
+    total = sums.sum(axis=(1, 2), keepdims=True)
+    bits = (64 * sums > total).astype(np.int64)
+    weights = np.int64(1) << np.arange(64, dtype=np.int64)  # bit 63 wraps signed
     return (bits.reshape(b, 64) * weights[None, :]).sum(axis=1)
 
 
@@ -138,6 +144,60 @@ def synthesize_images(
         .withColumn("track_id", (F.col("img_key") % 150).cast("string"))
         .withColumn("pt_idx", (F.col("img_key") / 150).cast("int"))
     )
+
+
+_VAR_DELTA = 8
+_VAR_STRIDE = 97
+
+
+def synthesize_image_variants(
+    images: DataFrame, every: int = 5, delta: int = _VAR_DELTA, stride: int = _VAR_STRIDE
+) -> DataFrame:
+    """Planted near-duplicate variants of every ``every``-th image, produced
+    through the REAL payload path: decode bytes → bump every ``stride``-th
+    flat byte by ``delta`` (mod 256) → re-encode → re-phash.  The variant's
+    pixels differ from the base's *decoded* pixels in ~h·w·3/stride bytes,
+    so its phash lands within a few Hamming bits of the base — the planted
+    ground truth for ``phash_near_dups``.  Deterministic and closed-form
+    (pixel generator + quantizer + this bump), so the DuckDB oracle replays
+    the variant hash exactly."""
+
+    cand = images.filter((F.col("img_key") % every) == 0)
+
+    def bump(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for key, data, w, h, fmt, caption in zip(
+                pdf["img_key"], pdf["bytes"], pdf["w"], pdf["h"], pdf["fmt"], pdf["caption"]
+            ):
+                px = decode_image(bytes(data), int(w), int(h), fmt).copy()
+                flat = px.reshape(-1).astype(np.int64)
+                flat[::stride] = (flat[::stride] + delta) % 256
+                px2 = flat.astype(np.uint8).reshape(px.shape)
+                out.append(
+                    {
+                        "img_key": int(key),
+                        "image_id": f"var{int(key):08d}",
+                        "bytes": encode_image(px2, fmt),
+                        "w": int(w),
+                        "h": int(h),
+                        "fmt": fmt,
+                        "caption": caption,
+                        "phash": phash64(px2),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    schema = (
+        "img_key long, image_id string, bytes binary, w int, h int, "
+        "fmt string, caption string, phash long"
+    )
+    base_cols = cand.select(
+        "img_key", "image_id", "bytes", "w", "h", "fmt", "caption", "phash"
+    )
+    return base_cols.mapInPandas(bump, schema)
 
 
 # ------------------------------------------------------------- decode pass ---

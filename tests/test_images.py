@@ -122,6 +122,37 @@ def test_phash_near_dups_pigeonhole(spark):
     assert fast == brute
 
 
+def test_image_variants_are_planted_near_dups(spark):
+    """Every variant goes through decode → bump → re-encode and must land
+    within a few Hamming bits of its base; the payload itself must still
+    decode to exactly the bumped pixels (lossless for raw/png; qnt4 bytes
+    re-encode losslessly because the bump preserves multiples of 4)."""
+    from pyspark.sql import functions as F
+
+    from gotrackmaster_spark.operators.images import (
+        decode_image,
+        phash64,
+        synthesize_image_variants,
+        synthesize_images,
+    )
+
+    imgs = synthesize_images(spark, SF_DIR).limit(60).cache()
+    var = synthesize_image_variants(imgs, every=5)
+    j = (
+        imgs.select(F.col("img_key").alias("k"), F.col("phash").alias("base_ph"))
+        .join(var, F.col("k") == F.col("img_key"))
+        .select("img_key", "base_ph", "phash", "bytes", "w", "h", "fmt")
+    )
+    rows = j.collect()
+    assert rows, "no variants produced"
+    for r in rows:
+        ham = bin((r.base_ph ^ r.phash) & (2**64 - 1)).count("1")
+        assert ham <= 12, f"variant too far from base: {ham}"
+        px = decode_image(bytes(r.bytes), r.w, r.h, r.fmt)
+        assert phash64(px) == r.phash  # payload round-trips to its own hash
+    imgs.unpersist()
+
+
 def test_images_table_checkpoint_cell_layout(spark, tmp_path):
     """North-rule input shape end-to-end: the image+caption table, cell
     indexed, written cell-range-partitioned through the snapshot catalog,
