@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_counts": _wrap(Q.q_tile_counts),
         "bounds_tiles": _wrap(Q.q_bounds_tiles),
         "cell_parent_counts": _wrap(Q.q_cell_parent_counts),
+        "s2_cell_counts": _wrap(Q.q_s2_cell_counts),
         "speed_defect_counts": _wrap(Q.q_speed_defect_counts),
         "distance_quality_base": _wrap(Q.q_distance_quality_base),
         "time_quality": _wrap(Q.q_time_quality),
@@ -133,6 +134,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_counts": Q.SQL_TILE_COUNTS,
         "bounds_tiles": Q.SQL_BOUNDS_TILES,
         "cell_parent_counts": Q.SQL_CELL_PARENT_COUNTS,
+        "s2_cell_counts": Q.SQL_S2_CELL_COUNTS,
         "speed_defect_counts": Q.SQL_SPEED_DEFECT_COUNTS,
         "distance_quality_base": Q.SQL_DISTANCE_QUALITY_BASE,
         "time_quality": Q.SQL_TIME_QUALITY,

@@ -1234,6 +1234,54 @@ FROM tagged GROUP BY tile
 
 
 # --------------------------------------------------------------------------
+# E1b — S2-style cube-face Hilbert cells (functions/s2.py): per level-5
+# parent cell, point count + distinct level-8 children + face.  Exercises
+# the full chain (face selection, quadratic st, Hilbert walk, trailing-
+# marker parent) in both engines; hash equality proves the CTE chain and
+# the Column unroll compute the identical curve.
+# --------------------------------------------------------------------------
+
+_S2_LEVEL = 8
+_S2_UP = 3  # aggregate at level 5
+
+
+def q_s2_cell_counts(spark, sf_dir):
+    from gotrackmaster_spark.functions.s2 import s2_parent, with_s2_cell
+
+    pts = geo_events(spark, sf_dir)
+    cells = with_s2_cell(pts, F.col("lat"), F.col("lon"), _S2_LEVEL)
+    return (
+        cells.withColumn("s2_p", s2_parent(F.col("s2_cell"), _S2_UP))
+        .groupBy("s2_p")
+        .agg(
+            F.count("*").alias("n_pts"),
+            F.countDistinct("s2_cell").alias("n_child"),
+            F.first(
+                F.shiftright("s2_cell", 2 * _S2_LEVEL).bitwiseAND(F.lit(7)).cast("int")
+            ).alias("face"),
+        )
+    )
+
+
+def _sql_s2_cell_counts() -> str:
+    from gotrackmaster_spark.functions.s2 import s2_sql_ctes
+
+    ctes = s2_sql_ctes("lat", "lon", _S2_LEVEL, "geo", "event_id")
+    return f"""
+WITH {GEO_CTE},
+{ctes}
+SELECT (s2_cell >> {2 * _S2_UP}) AS s2_p,
+       count(*) AS n_pts,
+       count(DISTINCT s2_cell) AS n_child,
+       CAST(min((s2_cell >> {2 * _S2_LEVEL}) & 7) AS INT) AS face
+FROM s2done GROUP BY 1
+"""
+
+
+SQL_S2_CELL_COUNTS = _sql_s2_cell_counts()
+
+
+# --------------------------------------------------------------------------
 # E7 image near-dup — phash banded join over base images + planted variants.
 # The variants go through the REAL payload path (decode → bump every 97th
 # byte by +8 → re-encode → re-phash); the oracle replays the integer-exact
