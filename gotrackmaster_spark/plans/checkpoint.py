@@ -34,6 +34,59 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _scan_snapshot_files(
+    snap_dir: str, partition_col: str | None, stats_cols: list[str] | None
+):
+    """Walk a written snapshot dir and harvest lineage from parquet FOOTERS
+    only (no Spark job): per-file rows + optional per-column min/max, plus
+    per-partition row counts.  Returns (files, file_stats, counts)."""
+    import urllib.parse
+
+    import pyarrow.parquet as pq
+
+    files: list[str] = []
+    file_stats: list[dict] = []
+    counts: dict[str, int] = {}
+    for dirpath, _dirs, fnames in os.walk(snap_dir):
+        for f in fnames:
+            if not f.endswith(".parquet"):
+                continue
+            full = os.path.join(dirpath, f)
+            rel = os.path.relpath(full, snap_dir)
+            md = pq.ParquetFile(full).metadata
+            rows = md.num_rows
+            files.append(rel)
+            if partition_col:
+                # hive layout: <partition_col>=<url-encoded value>/...
+                pdir = rel.split(os.sep)[0]
+                pval = urllib.parse.unquote(pdir.split("=", 1)[1])
+            else:
+                pval = "__all__"
+            entry = {"path": rel, "rows": rows, "partition": pval}
+            if stats_cols:
+                col_stats: dict[str, dict] = {}
+                for rg in range(md.num_row_groups):
+                    for ci in range(md.num_columns):
+                        cmd = md.row_group(rg).column(ci)
+                        name = cmd.path_in_schema
+                        if name not in stats_cols:
+                            continue
+                        st = cmd.statistics
+                        if st is None or not st.has_min_max:
+                            continue
+                        prev = col_stats.get(name)
+                        mn, mx = st.min, st.max
+                        if prev is None:
+                            col_stats[name] = {"min": mn, "max": mx}
+                        else:
+                            prev["min"] = min(prev["min"], mn)
+                            prev["max"] = max(prev["max"], mx)
+                entry["stats"] = col_stats
+            file_stats.append(entry)
+            counts[pval] = counts.get(pval, 0) + rows
+    return files, file_stats, counts
+
+
 class Catalog:
     def __init__(self, root: str):
         self.root = root
@@ -98,50 +151,9 @@ class Catalog:
         # lineage after the write, doubling every checkpointed stage at
         # scale).  On a real cluster these are the file-level stats an
         # Iceberg writer records in its manifests at commit.
-        import urllib.parse
-
-        import pyarrow.parquet as pq
-
-        files = []
-        file_stats = []
-        counts: dict[str, int] = {}
-        for dirpath, _dirs, fnames in os.walk(snap_dir):
-            for f in fnames:
-                if not f.endswith(".parquet"):
-                    continue
-                full = os.path.join(dirpath, f)
-                rel = os.path.relpath(full, snap_dir)
-                md = pq.ParquetFile(full).metadata
-                rows = md.num_rows
-                files.append(rel)
-                if partition_col:
-                    # hive layout: <partition_col>=<url-encoded value>/...
-                    pdir = rel.split(os.sep)[0]
-                    pval = urllib.parse.unquote(pdir.split("=", 1)[1])
-                else:
-                    pval = "__all__"
-                entry = {"path": rel, "rows": rows, "partition": pval}
-                if stats_cols:
-                    col_stats: dict[str, dict] = {}
-                    for rg in range(md.num_row_groups):
-                        for ci in range(md.num_columns):
-                            cmd = md.row_group(rg).column(ci)
-                            name = cmd.path_in_schema
-                            if name not in stats_cols:
-                                continue
-                            st = cmd.statistics
-                            if st is None or not st.has_min_max:
-                                continue
-                            prev = col_stats.get(name)
-                            mn, mx = st.min, st.max
-                            if prev is None:
-                                col_stats[name] = {"min": mn, "max": mx}
-                            else:
-                                prev["min"] = min(prev["min"], mn)
-                                prev["max"] = max(prev["max"], mx)
-                    entry["stats"] = col_stats
-                file_stats.append(entry)
-                counts[pval] = counts.get(pval, 0) + rows
+        files, file_stats, counts = _scan_snapshot_files(
+            snap_dir, partition_col, stats_cols
+        )
         if not partition_col:
             counts.setdefault("__all__", 0)
         # an attempted partition that produced zero rows is still DONE —
@@ -158,22 +170,239 @@ class Catalog:
             "files": sorted(files),
             "file_stats": sorted(file_stats, key=lambda s: s["path"]),
             "partition_col": partition_col,
+            "partition_type": (
+                df.schema[partition_col].dataType.simpleString()
+                if partition_col
+                else None
+            ),
             "partitions": counts,
             "total_rows": sum(counts.values()),
             "metrics": extra_metrics or {},
         }
+        return self._publish(table, manifest)
+
+    def _publish(self, table: str, manifest: dict) -> dict:
         log = self._log_dir(table)
         os.makedirs(log, exist_ok=True)
+        sid = manifest["snapshot_id"]
         tmp = os.path.join(log, f".{sid:08d}.json.tmp")
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1)
         os.rename(tmp, os.path.join(log, f"{sid:08d}.json"))  # atomic publish
         return manifest
 
+    # ------------------------------------------------------------- merge ---
+    def merge(
+        self,
+        spark: SparkSession,
+        table: str,
+        source: DataFrame,
+        key_cols: list[str],
+        when_matched: str = "update",
+        stats_cols: list[str] | None = None,
+        extra_metrics: dict | None = None,
+    ) -> dict:
+        """Iceberg-style MERGE INTO with partition-level copy-on-write.
+
+        ``when_matched='update'``: upsert — matched target rows are replaced
+        by their source row, unmatched source rows are inserted.
+        ``when_matched='delete'``: matched target rows are deleted (source
+        rows are never inserted in this mode).
+
+        Scale contract: only partitions PRESENT IN THE SOURCE are rewritten;
+        every untouched partition of the current snapshot is carried into
+        the new manifest BY REFERENCE (``reused_partitions``: partition →
+        owning snapshot data dir) — zero data movement, exactly Iceberg's
+        copy-on-write granularity (theirs is per-file; ours is per
+        hive-partition).  The merge join shuffles only the affected
+        partitions plus the source batch, so a 100-partition touch on a
+        100 000-partition table costs 0.1 % of a full rewrite.  Requires
+        the table to have been committed with a ``partition_col``;
+        unpartitioned tables fall back to a documented full rewrite.
+
+        Constraint (same shape as Iceberg copy-on-write with a partition
+        spec): key matching happens within the affected-partition slice, so
+        an update that MOVES a row to a different partition must include
+        the row's old partition in the source batch (otherwise the old row
+        survives untouched alongside the insert).
+        """
+        if when_matched not in ("update", "delete"):
+            raise ValueError("when_matched must be 'update' or 'delete'")
+        from pyspark.sql import functions as F
+
+        m = self.manifest(table)
+        partition_col = m["partition_col"]
+        tgt_cols = self.load(spark, table).limit(0).columns
+        missing = [c for c in tgt_cols if c not in source.columns]
+        if missing:
+            raise ValueError(f"source is missing target columns: {missing}")
+        source = source.select(*tgt_cols)
+
+        if not partition_col:
+            tgt = self.load(spark, table)
+            merged = self._merge_rows(tgt, source, key_cols, when_matched, tgt_cols)
+            return self.commit(
+                merged,
+                table,
+                stats_cols=stats_cols,
+                extra_metrics=dict(extra_metrics or {}, merge_mode=when_matched),
+            )
+
+        # partition-level CoW: which partitions does the source touch?
+        affected = sorted(
+            str(r[0])
+            for r in source.select(F.col(partition_col).cast("string")).distinct().collect()
+        )
+        part_dirs = self._partition_dirs(m)  # pval -> owning data dir
+        rewrite_vals = [p for p in affected if p in part_dirs]
+        insert_only = [p for p in affected if p not in part_dirs]
+
+        tgt = self._read_partitions(spark, m, rewrite_vals)
+        src_mask = F.col(partition_col).cast("string").isin(affected)
+        merged = self._merge_rows(
+            tgt, source.filter(src_mask), key_cols, when_matched, tgt_cols
+        )
+
+        snaps = self.snapshots(table)
+        sid = snaps[-1] + 1
+        snap_dir = os.path.join(self._table_dir(table), f"snap-{sid:08d}")
+        merged.write.mode("errorifexists").partitionBy(partition_col).parquet(snap_dir)
+
+        files, file_stats, counts = _scan_snapshot_files(
+            snap_dir, partition_col, stats_cols
+        )
+        # an affected partition whose rows were all deleted is still DONE
+        for p in rewrite_vals + insert_only:
+            counts.setdefault(p, 0)
+
+        # untouched partitions ride along by reference, stats intact
+        reused: dict[str, str] = {}
+        for pval, owner in part_dirs.items():
+            if pval in affected:
+                continue
+            reused[pval] = owner
+            counts[pval] = m["partitions"].get(pval, 0)
+        for fs in m["file_stats"]:
+            if fs["partition"] in reused:
+                entry = dict(fs)
+                entry["dir"] = reused[fs["partition"]]
+                file_stats.append(entry)
+
+        manifest = {
+            "table": table,
+            "snapshot_id": sid,
+            "parent_id": snaps[-1],
+            "created_unix": time.time(),
+            "data_dir": snap_dir,
+            "files": sorted(files),
+            "file_stats": sorted(file_stats, key=lambda s: s["path"]),
+            "partition_col": partition_col,
+            "partition_type": m.get("partition_type"),
+            "partitions": counts,
+            "reused_partitions": reused,
+            "total_rows": sum(counts.values()),
+            "metrics": dict(
+                extra_metrics or {},
+                merge_mode=when_matched,
+                partitions_rewritten=len(rewrite_vals) + len(insert_only),
+                partitions_reused=len(reused),
+            ),
+        }
+        return self._publish(table, manifest)
+
+    @staticmethod
+    def _merge_rows(
+        tgt: DataFrame,
+        src: DataFrame,
+        key_cols: list[str],
+        when_matched: str,
+        cols: list[str],
+    ) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        if when_matched == "delete":
+            return tgt.join(
+                src.select(*key_cols).distinct(), key_cols, "left_anti"
+            ).select(*cols)
+        # upsert: full outer on keys, source wins where present.  The
+        # list-form join coalesces key columns (USING semantics), so keys
+        # come straight off the joined frame; non-keys via the t/s aliases.
+        t, s = tgt.alias("t"), src.alias("s")
+        joined = t.join(s, key_cols, "full_outer")
+        s_present = F.col(f"s.{key_cols[0]}").isNotNull()
+        out = [F.col(k) for k in key_cols]
+        for c in cols:
+            if c in key_cols:
+                continue
+            out.append(
+                F.when(s_present, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+            )
+        return joined.select(*out).select(*cols)
+
+    def _partition_dirs(self, m: dict) -> dict:
+        """partition value -> data dir of the snapshot owning its files."""
+        reused = m.get("reused_partitions") or {}
+        return {
+            p: reused.get(p, m["data_dir"])
+            for p in m["partitions"]
+        }
+
+    def _read_partitions(
+        self, spark: SparkSession, m: dict, pvals: list[str]
+    ) -> DataFrame:
+        """Read exactly the given partitions of a snapshot, resolving each
+        to its owning dir (post-merge snapshots spread partitions across
+        snapshot dirs).  Empty selection → empty frame with full schema."""
+        import urllib.parse
+
+        from pyspark.sql import functions as F
+
+        partition_col = m["partition_col"]
+        part_dirs = self._partition_dirs(m)
+        by_dir: dict[str, list[str]] = {}
+        for p in pvals:
+            d = part_dirs[p]
+            by_dir.setdefault(d, []).append(p)
+        pieces = []
+        for d, vals in sorted(by_dir.items()):
+            paths = [
+                os.path.join(d, f"{partition_col}={urllib.parse.quote(v, safe='')}")
+                for v in vals
+            ]
+            paths = [p for p in paths if os.path.isdir(p)]
+            if not paths:
+                continue
+            pieces.append(spark.read.option("basePath", d).parquet(*paths))
+        if not pieces:
+            # schema including the partition column, zero rows
+            any_dir = m["data_dir"]
+            out = spark.read.parquet(any_dir).limit(0)
+        else:
+            out = pieces[0]
+            for p in pieces[1:]:
+                out = out.unionByName(p)
+        # hive partition-type inference guesses from the dir strings;
+        # restore the committed logical type recorded in the manifest
+        if m.get("partition_type"):
+            out = out.withColumn(
+                partition_col, F.col(partition_col).cast(m["partition_type"])
+            )
+        return out
+
     # -------------------------------------------------------------- read ---
     def load(self, spark: SparkSession, table: str, snapshot_id: int | None = None) -> DataFrame:
         m = self.manifest(table, snapshot_id)
-        return spark.read.parquet(m["data_dir"])
+        if m.get("reused_partitions"):
+            return self._read_partitions(spark, m, sorted(m["partitions"]))
+        df = spark.read.parquet(m["data_dir"])
+        if m.get("partition_col") and m.get("partition_type"):
+            from pyspark.sql import functions as F
+
+            df = df.withColumn(
+                m["partition_col"],
+                F.col(m["partition_col"]).cast(m["partition_type"]),
+            )
+        return df
 
     def load_pruned(
         self,
@@ -195,16 +424,22 @@ class Catalog:
         from pyspark.sql import functions as F
 
         m = self.manifest(table, snapshot_id)
-        keep = []
+        by_dir: dict[str, list[str]] = {}
         for fs in m["file_stats"]:
             st = (fs.get("stats") or {}).get(col)
             if st is None or (st["max"] >= lo and st["min"] <= hi):
-                keep.append(os.path.join(m["data_dir"], fs["path"]))
-        pred_src = spark.read.option("basePath", m["data_dir"])
-        if not keep:
-            df = spark.read.parquet(m["data_dir"]).limit(0)
+                d = fs.get("dir") or m["data_dir"]
+                by_dir.setdefault(d, []).append(os.path.join(d, fs["path"]))
+        if not by_dir:
+            df = self.load(spark, table, snapshot_id).limit(0)
         else:
-            df = pred_src.parquet(*keep)
+            pieces = [
+                spark.read.option("basePath", d).parquet(*paths)
+                for d, paths in sorted(by_dir.items())
+            ]
+            df = pieces[0]
+            for p in pieces[1:]:
+                df = df.unionByName(p)
         return df.filter((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
 
     def load_as_of(self, spark: SparkSession, table: str, as_of_unix: float) -> DataFrame:
@@ -283,7 +518,13 @@ class Catalog:
             raise ValueError("keep_last must be >= 1")
         expired = snaps[:-keep_last] if len(snaps) > keep_last else []
         kept = [s for s in snaps if s not in expired]
-        live_dirs = {self.manifest(table, s)["data_dir"] for s in kept}
+        live_dirs = set()
+        for s in kept:
+            km = self.manifest(table, s)
+            live_dirs.add(km["data_dir"])
+            # merge snapshots reference older dirs partition-by-partition;
+            # any referenced dir stays alive in full (conservative)
+            live_dirs.update((km.get("reused_partitions") or {}).values())
         for sid in expired:
             m = self.manifest(table, sid)
             os.remove(os.path.join(self._log_dir(table), f"{sid:08d}.json"))

@@ -1,0 +1,157 @@
+"""Catalog.merge — Iceberg-style MERGE INTO with partition-level CoW."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from gotrackmaster_spark.plans.checkpoint import Catalog
+
+
+def _base_rows():
+    return [
+        Row(user_id=str(u), event_id=10 * u + i, value=float(100 * u + i))
+        for u in range(6)
+        for i in range(4)
+    ]
+
+
+def _committed(spark, tmp_path, stats=False):
+    cat = Catalog(str(tmp_path / "cat"))
+    df = spark.createDataFrame(_base_rows())
+    cat.commit(
+        df,
+        "t",
+        partition_col="user_id",
+        stats_cols=["event_id"] if stats else None,
+    )
+    return cat
+
+
+def test_merge_upsert_updates_inserts_and_reuses(spark, tmp_path):
+    cat = _committed(spark, tmp_path)
+    src = spark.createDataFrame(
+        [
+            Row(user_id="1", event_id=11, value=-1.0),   # update existing
+            Row(user_id="1", event_id=99, value=-2.0),   # insert into existing
+            Row(user_id="9", event_id=90, value=-3.0),   # brand-new partition
+        ]
+    )
+    m = cat.merge(spark, "t", src, key_cols=["user_id", "event_id"])
+    assert m["metrics"]["merge_mode"] == "update"
+    assert m["metrics"]["partitions_rewritten"] == 2  # "1" and "9"
+    assert m["metrics"]["partitions_reused"] == 5     # "0","2".."5"
+
+    got = {
+        (r.user_id, r.event_id): r.value for r in cat.load(spark, "t").collect()
+    }
+    expect = {(str(u), 10 * u + i): float(100 * u + i) for u in range(6) for i in range(4)}
+    expect[("1", 11)] = -1.0
+    expect[("1", 99)] = -2.0
+    expect[("9", 90)] = -3.0
+    assert got == expect
+
+    # untouched partitions reference the PARENT snapshot's files on disk
+    parent = cat.manifest("t", m["parent_id"])
+    assert set(m["reused_partitions"].values()) == {parent["data_dir"]}
+    # and the new snapshot dir contains ONLY the rewritten partitions
+    written = {
+        d.split("=", 1)[1]
+        for d in os.listdir(m["data_dir"])
+        if d.startswith("user_id=")
+    }
+    assert written == {"1", "9"}
+
+
+def test_merge_delete_mode(spark, tmp_path):
+    cat = _committed(spark, tmp_path)
+    src = spark.createDataFrame(
+        [Row(user_id="2", event_id=21, value=0.0), Row(user_id="2", event_id=23, value=0.0)]
+    )
+    m = cat.merge(spark, "t", src, key_cols=["user_id", "event_id"], when_matched="delete")
+    assert m["partitions"]["2"] == 2  # 4 - 2 deleted
+    got = sorted(
+        r.event_id for r in cat.load(spark, "t").filter("user_id = '2'").collect()
+    )
+    assert got == [20, 22]
+    # delete mode never inserts
+    assert cat.load(spark, "t").count() == 6 * 4 - 2
+
+
+def test_merge_unpartitioned_full_rewrite(spark, tmp_path):
+    cat = Catalog(str(tmp_path / "cat"))
+    df = spark.createDataFrame([Row(k=i, v=i * 1.0) for i in range(10)])
+    cat.commit(df, "u")
+    src = spark.createDataFrame([Row(k=3, v=-3.0), Row(k=42, v=-42.0)])
+    cat.merge(spark, "u", src, key_cols=["k"])
+    got = {r.k: r.v for r in cat.load(spark, "u").collect()}
+    assert got[3] == -3.0 and got[42] == -42.0 and got[7] == 7.0
+    assert len(got) == 11
+
+
+def test_merge_chain_resolves_through_intermediate_snapshots(spark, tmp_path):
+    """Partition ownership must resolve transitively: after merging 'A'
+    then 'B', partition 'A' lives in snap2, 'B' in snap3, the rest in
+    snap1 — and a third merge must read each from its true owner."""
+    cat = _committed(spark, tmp_path)
+    cat.merge(
+        spark,
+        "t",
+        spark.createDataFrame([Row(user_id="0", event_id=1, value=-1.0)]),
+        key_cols=["user_id", "event_id"],
+    )
+    m3 = cat.merge(
+        spark,
+        "t",
+        spark.createDataFrame([Row(user_id="3", event_id=31, value=-31.0)]),
+        key_cols=["user_id", "event_id"],
+    )
+    dirs = set(m3["reused_partitions"].values())
+    assert len(dirs) == 2  # snap1 (bulk) + snap2 (partition "0")
+    got = {(r.user_id, r.event_id): r.value for r in cat.load(spark, "t").collect()}
+    assert got[("0", 1)] == -1.0
+    assert got[("3", 31)] == -31.0
+    assert got[("5", 52)] == 502.0
+    assert len(got) == 6 * 4  # both merges update existing keys
+
+    # expire down to the latest snapshot: every dir it references survives
+    cat.expire_snapshots("t", keep_last=1)
+    still = {(r.user_id, r.event_id): r.value for r in cat.load(spark, "t").collect()}
+    assert still == got
+
+
+def test_merge_keeps_file_stats_for_pruning(spark, tmp_path):
+    cat = _committed(spark, tmp_path, stats=True)
+    cat.merge(
+        spark,
+        "t",
+        spark.createDataFrame([Row(user_id="4", event_id=41, value=0.5)]),
+        key_cols=["user_id", "event_id"],
+        stats_cols=["event_id"],
+    )
+    m = cat.manifest("t")
+    # reused entries carried their stats + owning dir
+    reused_entries = [fs for fs in m["file_stats"] if "dir" in fs]
+    assert reused_entries and all("stats" in fs for fs in reused_entries)
+    pruned = cat.load_pruned(spark, "t", "event_id", 20, 23)
+    assert sorted(r.event_id for r in pruned.collect()) == [20, 21, 22, 23]
+    # only partition-2 files are opened
+    opened = pruned.inputFiles()
+    assert opened and all("user_id=2" in f for f in opened)
+
+
+def test_merge_rejects_bad_mode_and_missing_cols(spark, tmp_path):
+    cat = _committed(spark, tmp_path)
+    src = spark.createDataFrame([Row(user_id="1", event_id=11, value=0.0)])
+    with pytest.raises(ValueError):
+        cat.merge(spark, "t", src, key_cols=["user_id", "event_id"], when_matched="upsert")
+    with pytest.raises(ValueError):
+        cat.merge(
+            spark,
+            "t",
+            src.drop("value"),
+            key_cols=["user_id", "event_id"],
+        )
