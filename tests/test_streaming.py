@@ -155,3 +155,52 @@ def test_streaming_sessions_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert len(got) > 100
+
+
+def test_streaming_ingest_dedup_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark over a file stream: duplicates planted
+    WITHIN the watermark horizon (including across micro-batches) are
+    dropped; the surviving set equals the batch distinct-by-key result."""
+    from pyspark.sql import functions as F
+
+    from gotrackmaster_spark.streaming.dedup import content_key, dedup_stream
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .withColumn("ts", F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id") % 600))
+        .select("doc_id", "text", "ts")
+    )
+    src_dir = str(tmp_path / "in")
+    # batch 1: all docs; batch 2: a re-crawl of every 3rd doc under a NEW
+    # doc_id (same text, same event-time window) -> content duplicates
+    docs.write.parquet(src_dir)
+    recrawl = docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    recrawl.write.mode("append").parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src_dir)
+        .withColumn("ckey", content_key("text"))
+    )
+    out = dedup_stream(stream, ["ckey"], ts_col="ts", watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("deduped_docs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.sql("SELECT * FROM deduped_docs")
+    n_in = spark.read.parquet(src_dir).count()
+    n_got = got.count()
+    n_distinct = (
+        spark.read.parquet(src_dir).select(F.xxhash64("text").alias("k")).distinct().count()
+    )
+    assert n_got == n_distinct < n_in
+    # one surviving row per content key
+    assert got.groupBy("ckey").count().filter("count > 1").count() == 0
