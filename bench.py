@@ -128,7 +128,9 @@ def bench_queries():
         "duplicate_pairs": Q.q_duplicate_pairs,
         "dem_bands": Q.q_dem_bands,
         "mercator_tiles": Q.q_mercator_tiles,
+        "s2_cell_counts": Q.q_s2_cell_counts,
         "image_decode_10k": _image_decode,
+        "phash_near_dups": Q.q_phash_near_dups,
         "salted_skew_join": _salted_skew_join,
     }
 

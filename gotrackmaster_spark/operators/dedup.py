@@ -310,6 +310,30 @@ SELECT doc_id, ({acc}) AS simhash FROM sums
 """
 
 
+def band_stack(
+    sig: DataFrame, id_col: str, hash_col: str, masks: list[int]
+) -> DataFrame:
+    """(id, hash) → one row per (chunk, chunk_val) band via a SINGLE
+    inline-generated explode — one scan of the signature source no matter
+    how many chunks, where a per-chunk unionByName re-evaluated the whole
+    upstream subtree once per chunk (chunks× scans / synthesis at scale)."""
+    entries = [
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.col(hash_col).bitwiseAND(F.lit(m)).alias("chunk_val"),
+        )
+        for c, m in enumerate(masks)
+    ]
+    return sig.select(
+        F.col(id_col), F.col(hash_col), F.explode(F.array(*entries)).alias("_e")
+    ).select(
+        id_col,
+        hash_col,
+        F.col("_e.chunk").alias("chunk"),
+        F.col("_e.chunk_val").alias("chunk_val"),
+    )
+
+
 def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Pairs within Hamming distance ≤ max_hamming of the 30-bit simhash.
@@ -323,15 +347,10 @@ def simhash_near_dups(docs: DataFrame, max_hamming: int = 3,
     # chunk max_hamming an all-zero mask for max_hamming >= 8, degenerating
     # that band join to all-pairs (correct but O(n^2) candidates).
     starts = [c * N_SIMHASH_BITS // chunks for c in range(chunks + 1)]
-    stacked = None
-    for c in range(chunks):
-        lo, hi = starts[c], starts[c + 1]
-        mask = ((1 << (hi - lo)) - 1) << lo
-        part = sig.select(
-            F.col(id_col), F.col("simhash"), F.lit(c).alias("chunk"),
-            F.col("simhash").bitwiseAND(F.lit(mask)).alias("chunk_val"),
-        )
-        stacked = part if stacked is None else stacked.unionByName(part)
+    masks = [
+        ((1 << (starts[c + 1] - starts[c])) - 1) << starts[c] for c in range(chunks)
+    ]
+    stacked = band_stack(sig, id_col, "simhash", masks)
     a = stacked.select(F.col(id_col).alias("a_id"), F.col("simhash").alias("a_sh"), "chunk", "chunk_val")
     b = stacked.select(F.col(id_col).alias("b_id"), F.col("simhash").alias("b_sh"), "chunk", "chunk_val")
     cand = (

@@ -146,6 +146,20 @@ def synthesize_images(
     )
 
 
+_SIG_PREV_CACHE: list = []  # previous phash_near_dups call's signature cache
+
+
+def _bound_sig_cache(df: DataFrame) -> DataFrame:
+    """Cache with bounded lifetime (same policy as dedup._bounded_cache):
+    evict the previous call's signatures so bench/CLI loops in one JVM
+    don't accumulate storage blocks."""
+    while _SIG_PREV_CACHE:
+        _SIG_PREV_CACHE.pop().unpersist(blocking=False)
+    df = df.cache()
+    _SIG_PREV_CACHE.append(df)
+    return df
+
+
 _VAR_DELTA = 8
 _VAR_STRIDE = 97
 
@@ -289,23 +303,28 @@ def roundtrip_check(images: DataFrame) -> DataFrame:
 
 def phash_near_dups(images: DataFrame, max_hamming: int = 10) -> DataFrame:
     """Near-duplicate images by phash Hamming distance — chunked band join
-    (pigeonhole over max_hamming+1 chunks), same shape as SimHash dedup."""
+    (pigeonhole over max_hamming+1 chunks), same shape as SimHash dedup.
+
+    The (image_id, phash) signature is tiny (16 B/row) next to the image
+    payloads it derives from, so it is persisted across the self-join's
+    two sides: the decode/synthesis subtree runs ONCE, not once per side
+    (the cache is dropped when the session-bounded pool rotates, same
+    policy as the text-dedup shingle cache)."""
+    from gotrackmaster_spark.operators.dedup import band_stack
+
     chunks = max_hamming + 1
     # even bit split over exactly 64 bits; the top chunk's mask includes bit
     # 63 → wrap to signed int64 for F.lit / LongType
     starts = [c * 64 // chunks for c in range(chunks)] + [64]
-    sig = images.select("image_id", "phash")
-    stacked = None
+    masks = []
     for c in range(chunks):
-        width = starts[c + 1] - starts[c]
-        mask = ((1 << width) - 1) << starts[c]
+        mask = ((1 << (starts[c + 1] - starts[c])) - 1) << starts[c]
         if mask >= 1 << 63:
             mask -= 1 << 64
-        part = sig.select(
-            "image_id", "phash", F.lit(c).alias("chunk"),
-            F.col("phash").bitwiseAND(F.lit(mask)).alias("chunk_val"),
-        )
-        stacked = part if stacked is None else stacked.unionByName(part)
+        masks.append(mask)
+    sig = images.select("image_id", "phash")
+    sig = _bound_sig_cache(sig)
+    stacked = band_stack(sig, "image_id", "phash", masks)
     a = stacked.select(F.col("image_id").alias("a_id"), F.col("phash").alias("a_ph"), "chunk", "chunk_val")
     b = stacked.select(F.col("image_id").alias("b_id"), F.col("phash").alias("b_ph"), "chunk", "chunk_val")
     cand = (
