@@ -143,6 +143,10 @@ def with_s2_cell(
     unrolled as chained intermediate columns (linear-size plan, all
     whole-stage codegen; no Python).  Identical arithmetic to s2_cell_np."""
     pi = F.lit(_PI)
+    # stage the trig/face intermediates as REAL columns: each is referenced
+    # several times downstream, and Catalyst's CollapseProject keeps
+    # multiply-referenced non-cheap expressions staged instead of inlining
+    # (one tan/cos/sin evaluation each, compact codegen)
     side = (
         F.when((lon >= -45.0) & (lon < 45.0), F.lit(0))
         .when((lon >= 45.0) & (lon < 135.0), F.lit(1))
@@ -156,23 +160,37 @@ def with_s2_cell(
         .otherwise(F.lit(180.0))
     )
     dlon0 = lon - center
-    dlon = F.when(dlon0 < -180.0, dlon0 + 360.0).otherwise(dlon0)
-    t = F.tan(lat / F.lit(180.0) * pi)
-    c = F.cos(dlon / F.lit(180.0) * pi)
-    north = t > c
-    south = t < -c
-    face = F.when(north, F.lit(4)).when(south, F.lit(5)).otherwise(side)
-    at = F.abs(t)
-    safe = F.when(north | south, at).otherwise(F.lit(1.0))
-    u = (
-        F.when(north | south, F.sin(lon / F.lit(180.0) * pi) / safe)
-        .otherwise(F.tan(dlon / F.lit(180.0) * pi))
+    df = (
+        df.withColumn("__s2lat", lat)
+        .withColumn("__s2lon", lon)
+        .withColumn("__s2side", side)
+        .withColumn("__s2dlon", F.when(dlon0 < -180.0, dlon0 + 360.0).otherwise(dlon0))
+        .withColumn("__s2t", F.tan(F.col("__s2lat") / F.lit(180.0) * pi))
+        .withColumn("__s2c", F.cos(F.col("__s2dlon") / F.lit(180.0) * pi))
     )
-    v = (
-        F.when(north, -F.cos(lon / F.lit(180.0) * pi) / safe)
-        .when(south, F.cos(lon / F.lit(180.0) * pi) / safe)
-        .otherwise(t / c)
+    t, c = F.col("__s2t"), F.col("__s2c")
+    df = (
+        df.withColumn("__s2n", t > c)
+        .withColumn("__s2s", t < -c)
     )
+    north, south = F.col("__s2n"), F.col("__s2s")
+    lonc = F.col("__s2lon")
+    safe = F.when(north | south, F.abs(t)).otherwise(F.lit(1.0))
+    df = (
+        df.withColumn(
+            "__s2u",
+            F.when(north | south, F.sin(lonc / F.lit(180.0) * pi) / safe).otherwise(
+                F.tan(F.col("__s2dlon") / F.lit(180.0) * pi)
+            ),
+        )
+        .withColumn(
+            "__s2v",
+            F.when(north, -F.cos(lonc / F.lit(180.0) * pi) / safe)
+            .when(south, F.cos(lonc / F.lit(180.0) * pi) / safe)
+            .otherwise(t / c),
+        )
+    )
+    face = F.when(north, F.lit(4)).when(south, F.lit(5)).otherwise(F.col("__s2side"))
 
     def st(x: Column) -> Column:
         return F.when(
@@ -181,8 +199,14 @@ def with_s2_cell(
 
     n = 1 << level
     nf = float(n)
-    qi = F.least(F.greatest(F.floor(st(u) * F.lit(nf)).cast("long"), F.lit(0)), F.lit(n - 1))
-    qj = F.least(F.greatest(F.floor(st(v) * F.lit(nf)).cast("long"), F.lit(0)), F.lit(n - 1))
+    qi = F.least(
+        F.greatest(F.floor(st(F.col("__s2u")) * F.lit(nf)).cast("long"), F.lit(0)),
+        F.lit(n - 1),
+    )
+    qj = F.least(
+        F.greatest(F.floor(st(F.col("__s2v")) * F.lit(nf)).cast("long"), F.lit(0)),
+        F.lit(n - 1),
+    )
 
     fcol, icol, jcol, dcol = "__s2f", "__s2i", "__s2j", "__s2d"
     df = (
@@ -190,6 +214,10 @@ def with_s2_cell(
         .withColumn(icol, qi)
         .withColumn(jcol, qj)
         .withColumn(dcol, F.lit(0).cast("long"))
+        .drop(
+            "__s2lat", "__s2lon", "__s2side", "__s2dlon", "__s2t", "__s2c",
+            "__s2n", "__s2s", "__s2u", "__s2v",
+        )
     )
     s = 1 << (level - 1)
     while s > 0:
