@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_pyramid": _wrap(Q.q_tile_pyramid),
         "geohash_counts": _wrap(Q.q_geohash_counts),
         "props_stats": _wrap(Q.q_props_stats),
+        "merge_upsert": _wrap(Q.q_merge_upsert),
         "table_profile": _wrap(Q.q_table_profile),
         # kernel-pipeline profile (sequential data-dependent kernels — not
         # SQL-expressible; the driver records the weaker rows-only check,
@@ -176,6 +177,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_pyramid": Q.SQL_TILE_PYRAMID,
         "geohash_counts": Q.SQL_GEOHASH_COUNTS,
         "props_stats": Q.SQL_PROPS_STATS,
+        "merge_upsert": Q.SQL_MERGE_UPSERT,
         "table_profile": Q.SQL_TABLE_PROFILE,
         # "track_profiles" intentionally has no oracle (non-SQL-expressible)
     }

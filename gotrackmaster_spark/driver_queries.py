@@ -2159,3 +2159,99 @@ SQL_TABLE_PROFILE = " UNION ALL ".join(
     f"count(DISTINCT {c}) AS n_distinct FROM documents"
     for c in ["doc_id", "text", "lang", "source", "n_chars"]
 )
+
+
+# --------------------------------------------------------------------------
+# E6b — MERGE INTO end-to-end (plans/checkpoint.py::Catalog.merge): commit
+# a partitioned base table derived from events, merge an update+insert
+# batch with partition-level copy-on-write, and aggregate the merged
+# result.  The oracle replays the MERGE as its relational definition — a
+# FULL OUTER JOIN where source rows win — so a lost insert, a surviving
+# stale row, or a partition dropped by the CoW bookkeeping all
+# hash-mismatch.  (The catalog writes into a fresh temp dir per call;
+# the query itself is deterministic.)
+# --------------------------------------------------------------------------
+
+_MERGE_NPART = 10  # partition key = user_id % 10
+
+
+def _merge_base(spark, sf_dir):
+    return geo_events(spark, sf_dir).select(
+        "event_id",
+        (F.col("user_id") % _MERGE_NPART).cast("string").alias("part"),
+        F.col("value").cast("double").alias("value"),
+    )
+
+
+def _merge_source(spark, sf_dir):
+    ev = geo_events(spark, sf_dir)
+    updates = ev.filter(F.col("event_id") % 7 == 0).select(
+        "event_id",
+        (F.col("user_id") % _MERGE_NPART).cast("string").alias("part"),
+        (F.col("value") * -1.0).cast("double").alias("value"),
+    )
+    inserts = ev.filter(F.col("event_id") % 11 == 0).select(
+        (F.col("event_id") + 10_000_000).alias("event_id"),
+        (F.col("user_id") % _MERGE_NPART).cast("string").alias("part"),
+        F.lit(1.5).alias("value"),
+    )
+    return updates.unionByName(inserts)
+
+
+def q_merge_upsert(spark, sf_dir):
+    import tempfile
+
+    from gotrackmaster_spark.plans.checkpoint import Catalog
+
+    cat = Catalog(tempfile.mkdtemp(prefix="merge_oracle_"))
+    cat.commit(_merge_base(spark, sf_dir), "t", partition_col="part")
+    cat.merge(
+        spark,
+        "t",
+        _merge_source(spark, sf_dir),
+        key_cols=["part", "event_id"],
+    )
+    return (
+        cat.load(spark, "t")
+        .groupBy("part")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).alias("n_updated"),
+            F.sum(F.when(F.col("event_id") >= 10_000_000, 1).otherwise(0)).alias(
+                "n_inserted"
+            ),
+        )
+    )
+
+
+SQL_MERGE_UPSERT = f"""
+WITH {GEO_CTE},
+base AS (
+  SELECT event_id, CAST(user_id % {_MERGE_NPART} AS VARCHAR) AS part,
+         CAST(value AS DOUBLE) AS value
+  FROM geo
+),
+src AS (
+  SELECT event_id, CAST(user_id % {_MERGE_NPART} AS VARCHAR) AS part,
+         CAST(value * -1.0 AS DOUBLE) AS value
+  FROM geo WHERE event_id % 7 = 0
+  UNION ALL
+  SELECT event_id + 10000000 AS event_id,
+         CAST(user_id % {_MERGE_NPART} AS VARCHAR) AS part,
+         1.5 AS value
+  FROM geo WHERE event_id % 11 = 0
+),
+merged AS (
+  SELECT coalesce(s.part, b.part) AS part,
+         coalesce(s.event_id, b.event_id) AS event_id,
+         CASE WHEN s.event_id IS NOT NULL THEN s.value ELSE b.value END AS value
+  FROM base b FULL OUTER JOIN src s
+    ON b.part = s.part AND b.event_id = s.event_id
+)
+SELECT part, count(*) AS n_rows,
+       round(sum(value), 4) AS sum_value,
+       CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+       CAST(sum(CASE WHEN event_id >= 10000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted
+FROM merged GROUP BY part
+"""
