@@ -121,6 +121,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_stats": _wrap(Q.q_props_stats),
         "merge_upsert": _wrap(Q.q_merge_upsert),
         "table_profile": _wrap(Q.q_table_profile),
+        "slope_stats": _wrap(Q.q_slope_stats),
+        "erratic_outliers": _wrap(Q.q_erratic_outliers),
+        "hex_cell_counts": _wrap(Q.q_hex_cell_counts),
         # kernel-pipeline profile (sequential data-dependent kernels — not
         # SQL-expressible; the driver records the weaker rows-only check,
         # exact semantics are fixture-tested in tests/test_quality.py)
@@ -178,6 +181,9 @@ def oracle_sql() -> dict[str, str]:
         "geohash_counts": Q.SQL_GEOHASH_COUNTS,
         "props_stats": Q.SQL_PROPS_STATS,
         "merge_upsert": Q.SQL_MERGE_UPSERT,
+        "slope_stats": Q.SQL_SLOPE_STATS,
+        "erratic_outliers": Q.SQL_ERRATIC_OUTLIERS,
+        "hex_cell_counts": Q.SQL_HEX_CELL_COUNTS,
         "table_profile": Q.SQL_TABLE_PROFILE,
         # "track_profiles" intentionally has no oracle (non-SQL-expressible)
     }

@@ -2255,3 +2255,195 @@ SELECT part, count(*) AS n_rows,
        CAST(sum(CASE WHEN event_id >= 10000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted
 FROM merged GROUP BY part
 """
+
+
+# --------------------------------------------------------------------------
+# North-star "slope computation" — per-leg grade (Δele over haversine run,
+# in %) with ascent/descent totals, max/avg slope, and steep-leg counts per
+# track.  Pure window+agg (one shuffle, codegen haversine) — the slope
+# stage of the GPX analytics ladder (north_star: "Haversine distance,
+# max-speed and slope computation") as a standalone oracle-checked query.
+# --------------------------------------------------------------------------
+
+_STEEP_PCT = 0.01  # |grade| threshold in % over the synthetic global walk
+
+
+def q_slope_stats(spark, sf_dir):
+    from pyspark.sql import Window
+
+    pts = geo_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dele = F.col("ele") - F.lag("ele").over(w)
+    leg = haversine_col(
+        F.lag("lat").over(w), F.lag("lon").over(w), F.col("lat"), F.col("lon")
+    )
+    legs = pts.select("user_id", dele.alias("dele"), leg.alias("leg_m")).withColumn(
+        "slope_pct",
+        F.when(F.col("leg_m") > 0, F.col("dele") / F.col("leg_m") * 100.0),
+    )
+    return legs.groupBy("user_id").agg(
+        F.sum(F.when(F.col("dele") > 0, F.col("dele")).otherwise(0.0)).alias("ascent_m"),
+        F.sum(F.when(F.col("dele") < 0, -F.col("dele")).otherwise(0.0)).alias("descent_m"),
+        F.round(F.max("slope_pct"), 9).alias("max_slope_pct"),
+        F.round(F.avg("slope_pct"), 8).alias("avg_slope_pct"),
+        F.count(F.when(F.abs(F.col("slope_pct")) > _STEEP_PCT, 1)).alias("n_steep"),
+    )
+
+
+SQL_SLOPE_STATS = f"""
+WITH {GEO_CTE},
+legs AS (
+  SELECT user_id,
+         ele - lag(ele) OVER w AS dele,
+         {haversine_sql('lag(lat) OVER w', 'lag(lon) OVER w', 'lat', 'lon')} AS leg_m
+  FROM geo
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sl AS (
+  SELECT user_id, dele,
+         CASE WHEN leg_m > 0 THEN dele / leg_m * 100.0 END AS slope_pct
+  FROM legs
+)
+SELECT user_id,
+       sum(CASE WHEN dele > 0 THEN dele ELSE 0.0 END) AS ascent_m,
+       sum(CASE WHEN dele < 0 THEN -dele ELSE 0.0 END) AS descent_m,
+       round(max(slope_pct), 9) AS max_slope_pct,
+       round(avg(slope_pct), 8) AS avg_slope_pct,
+       count(CASE WHEN abs(slope_pct) > {_STEEP_PCT!r} THEN 1 END) AS n_steep
+FROM sl GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# North-star "Hampel/z-score erratic-point removal" — the engine path runs
+# the REAL numpy kernels (operators.repair.hampel_fix / zscore_fix inside
+# applyInPandas); the oracle replays both filters exactly in SQL:
+#   * Hampel: truncated ±5 window, median + MAD via sorted window lists
+#     (integer-valued ele ⇒ medians exact; threshold 1.5·(1.4826·MAD)
+#     multiplies in the kernel's order, so the doubles are bit-equal);
+#   * z-score: mu exact (integer sum / n), sd = sqrt(mean dev²) mirrored
+#     formula-for-formula.
+# Any drift in the kernels' edge handling or threshold math hash-fails.
+# --------------------------------------------------------------------------
+
+_ERR_SIGMAS = 1.5
+
+
+def q_erratic_outliers(spark, sf_dir):
+    from gotrackmaster_spark.operators.repair import hampel_fix, zscore_fix
+
+    pts = synthetic_tracks(spark, sf_dir)
+    base = pts.groupBy("track_id").agg(F.count("*").alias("n_points"))
+    h = (
+        hampel_fix(pts, window=5, n_sigmas=_ERR_SIGMAS)
+        .groupBy("track_id")
+        .agg(F.count("*").alias("nh"))
+    )
+    z = (
+        zscore_fix(pts, n_sigmas=_ERR_SIGMAS)
+        .groupBy("track_id")
+        .agg(F.count("*").alias("nz"))
+    )
+    return (
+        base.join(h, "track_id", "left")
+        .join(z, "track_id", "left")
+        .select(
+            "track_id",
+            "n_points",
+            F.coalesce("nh", F.lit(0)).cast("long").alias("n_hampel_kept"),
+            F.coalesce("nz", F.lit(0)).cast("long").alias("n_zscore_kept"),
+        )
+    )
+
+
+SQL_ERRATIC_OUTLIERS = """
+WITH tracks AS (
+  SELECT CAST(user_id AS VARCHAR) AS track_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS pt_idx,
+         CAST(((event_id * 13) % 400) AS DOUBLE) + 100.0 AS ele
+  FROM events
+),
+win AS (
+  SELECT track_id, ele,
+         list_sort(list(ele) OVER (PARTITION BY track_id ORDER BY pt_idx
+                   ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)) AS s
+  FROM tracks
+),
+med AS (
+  SELECT track_id, ele, s, len(s) AS m,
+         CASE WHEN len(s) % 2 = 1 THEN s[(len(s) + 1) // 2]
+              ELSE (s[len(s) // 2] + s[len(s) // 2 + 1]) / 2.0 END AS medv
+  FROM win
+),
+mad AS (
+  SELECT track_id, ele, medv, m,
+         list_sort(list_transform(s, v -> abs(v - medv))) AS d
+  FROM med
+),
+hflag AS (
+  SELECT track_id, ele, medv,
+         CASE WHEN m % 2 = 1 THEN d[(m + 1) // 2]
+              ELSE (d[m // 2] + d[m // 2 + 1]) / 2.0 END AS madv
+  FROM mad
+),
+hsum AS (
+  SELECT track_id, count(*) AS n_points,
+         CAST(sum(CASE WHEN (1.4826 * madv) > 0
+                        AND abs(ele - medv) > 1.5 * (1.4826 * madv)
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_h_out
+  FROM hflag GROUP BY track_id
+),
+zmu AS (
+  SELECT track_id, avg(ele) AS mu FROM tracks GROUP BY track_id
+),
+zstats AS (
+  SELECT t.track_id, z.mu AS mu,
+         sqrt(avg((t.ele - z.mu) * (t.ele - z.mu))) AS sd
+  FROM tracks t JOIN zmu z ON t.track_id = z.track_id
+  GROUP BY t.track_id, z.mu
+),
+zsum AS (
+  SELECT t.track_id,
+         CAST(sum(CASE WHEN s.sd > 0 AND abs(t.ele - s.mu) > 1.5 * s.sd
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_z_out
+  FROM tracks t JOIN zstats s ON t.track_id = s.track_id
+  GROUP BY t.track_id
+)
+SELECT h.track_id, h.n_points,
+       h.n_points - h.n_h_out AS n_hampel_kept,
+       h.n_points - z.n_z_out AS n_zscore_kept
+FROM hsum h JOIN zsum z ON h.track_id = z.track_id
+"""
+
+
+# --------------------------------------------------------------------------
+# H3-style hexagonal cell assignment (functions/hex.py) — the hexagonal
+# half of the north rule's "H3/S2 tiles", as batched Column bit/float math
+# (codegen, zero Python).  Cube-rounding uses floor(x+0.5) + a fixed
+# comparison order so numpy, Spark and DuckDB agree bit-for-bit; the
+# oracle recomputes both resolutions from scratch, so any drift in the
+# axial transform or the rounding repair hash-fails.
+# --------------------------------------------------------------------------
+
+from gotrackmaster_spark.functions.hex import hex_col, hex_sql  # noqa: E402
+
+
+def q_hex_cell_counts(spark, sf_dir):
+    pts = geo_events(spark, sf_dir)
+    return (
+        pts.select(
+            hex_col(F.col("lat"), F.col("lon"), 3).alias("hex3"),
+            hex_col(F.col("lat"), F.col("lon"), 5).alias("hex5"),
+        )
+        .groupBy("hex3", "hex5")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_HEX_CELL_COUNTS = f"""
+WITH {GEO_CTE}
+SELECT {hex_sql('lat', 'lon', 3)} AS hex3,
+       {hex_sql('lat', 'lon', 5)} AS hex5,
+       count(*) AS n
+FROM geo GROUP BY 1, 2
+"""
