@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "creator_counts": _wrap(Q.q_creator_counts),
         "pip_counts": _wrap(Q.q_pip_counts),
         "knn": _wrap(Q.q_knn),
+        "knn_hex": _wrap(Q.q_knn_hex),
         "duplicate_pairs": _wrap(Q.q_duplicate_pairs),
         "duplicate_pairs_end": _wrap(Q.q_duplicate_pairs_end),
         "dem_bands": _wrap(Q.q_dem_bands),
@@ -145,6 +146,7 @@ def oracle_sql() -> dict[str, str]:
         "creator_counts": Q.SQL_CREATOR_COUNTS,
         "pip_counts": Q.SQL_PIP_COUNTS,
         "knn": Q.SQL_KNN,
+        "knn_hex": Q.SQL_KNN_HEX,
         "duplicate_pairs": Q.SQL_DUPLICATE_PAIRS,
         "duplicate_pairs_end": Q.SQL_DUPLICATE_PAIRS_END,
         "dem_bands": Q.SQL_DEM_BANDS,

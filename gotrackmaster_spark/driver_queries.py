@@ -563,6 +563,51 @@ def q_knn(spark, sf_dir):
     )
 
 
+_KNN_HEX_K = 4
+
+
+def q_knn_hex(spark, sf_dir):
+    """E3b — kNN via H3-style hex k-ring expansion with SORT-MERGE
+    refinement (the north star's literal operator).  Exact: seam/polar
+    queries fall back to the bounded brute-force phase."""
+    import pyarrow.parquet as pq
+
+    from gotrackmaster_spark.operators.spatial import hex_knn_join
+
+    pts = geo_events(spark, sf_dir)
+    data = pts.select(F.col("event_id").alias("data_id"), "lat", "lon")
+    qs = pts.filter(F.col("event_id") % 100 == 7).select(
+        F.col("event_id").alias("query_id"), "lat", "lon"
+    )
+    n_data = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    out = hex_knn_join(qs, data, k=_KNN_HEX_K, res=3, ring=1,
+                       exclude_self=True, n_data=n_data, sort_merge=True)
+    return out.select(
+        "query_id", "data_id", F.col("rank").alias("rnk"),
+        F.round("dist_m", 3).alias("dist_r"),
+    )
+
+
+SQL_KNN_HEX = f"""
+WITH {GEO_CTE},
+q AS (SELECT event_id AS query_id, lat AS q_lat, lon AS q_lon FROM geo
+      WHERE event_id % 100 = 7),
+d AS (SELECT event_id AS data_id, lat AS d_lat, lon AS d_lon FROM geo),
+pairs AS (
+  SELECT query_id, data_id,
+         round({haversine_sql('q_lat', 'q_lon', 'd_lat', 'd_lon')}, 3) AS dist_r
+  FROM q CROSS JOIN d WHERE data_id <> query_id
+),
+ranked AS (
+  SELECT query_id, data_id, dist_r,
+         row_number() OVER (PARTITION BY query_id ORDER BY dist_r, data_id) AS rn
+  FROM pairs
+)
+SELECT query_id, data_id, CAST(rn AS INT) AS rnk, dist_r
+FROM ranked WHERE rn <= {_KNN_HEX_K}
+"""
+
+
 SQL_KNN = f"""
 WITH {GEO_CTE},
 q AS (SELECT event_id AS query_id, lat AS q_lat, lon AS q_lon FROM geo

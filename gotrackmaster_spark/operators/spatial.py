@@ -331,6 +331,37 @@ def knn_join(
         cand = d_cell.join(F.broadcast(q_ring), "cell", "inner")
     else:
         cand = d_cell.join(q_ring.hint("shuffle_hash"), "cell", "inner")
+
+    return _rank_with_exact_fallback(
+        q, d, cand,
+        k=k, query_id=query_id, data_id=data_id, qid_type=qid_type,
+        round_decimals=round_decimals, exclude_self=exclude_self,
+        warn_ctx=f"level={level} ring={ring} k={k} target_m={target_m:.0f}",
+    )
+
+
+def _rank_with_exact_fallback(
+    q: DataFrame,
+    d: DataFrame,
+    cand: DataFrame,
+    *,
+    k: int,
+    query_id: str,
+    data_id: str,
+    qid_type: str,
+    round_decimals: int,
+    exclude_self: bool,
+    warn_ctx: str = "",
+) -> DataFrame:
+    """Shared phase 2 of the kNN operators (`knn_join`, `hex_knn_join`):
+    exact-Haversine refinement + per-query top-k over the candidate set,
+    exactness gate against the per-query ``guarantee_m``, and a bounded
+    brute-force pass for under-covered queries.
+
+    ``cand`` carries (query_id, data_id, q_lat, q_lon, d_lat, d_lon,
+    guarantee_m); ``q``/``d`` are the original (un-exploded) sides used
+    for the fallback cross join.
+    """
     if exclude_self:
         cand = cand.filter(F.col(data_id) != F.col(query_id))
 
@@ -382,18 +413,17 @@ def knn_join(
 
     cols = [query_id, data_id, "dist_m", "rank"]
     if short_rows:
-        # a non-empty fallback means level/ring under-cover the density —
+        # a non-empty fallback means the grid under-covers the density —
         # results stay exact, but make the mis-sizing visible
         _LOG.warning(
-            "knn_join: %d queries fell back to brute force "
-            "(level=%d ring=%d k=%d target_m=%.0f) — consider a coarser "
-            "level or larger ring for this density",
-            len(short_rows), level, ring, k, target_m,
+            "knn: %d queries fell back to brute force (%s) — consider a "
+            "coarser grid or larger ring for this density",
+            len(short_rows), warn_ctx,
         )
     if not short_rows:
         return ranked.select(*cols)
 
-    spark = queries.sparkSession
+    spark = q.sparkSession
     short = spark.createDataFrame(
         [(r[0], r[1]) for r in short_rows], f"{query_id} {qid_type}, bf_bound double"
     )
@@ -416,6 +446,139 @@ def knn_join(
         F.broadcast(short.select(query_id)), query_id, "left_anti"
     )
     return good.select(*cols).unionByName(bf_ranked.select(*cols))
+
+
+def hex_knn_join(
+    queries: DataFrame,
+    data: DataFrame,
+    k: int,
+    res: int = 4,
+    ring: int = 1,
+    query_id: str = "query_id",
+    data_id: str = "data_id",
+    round_decimals: int = 3,
+    exclude_self: bool = False,
+    n_data: int | None = None,
+    sort_merge: bool = True,
+) -> DataFrame:
+    """E3b — exact kNN via H3-style hex k-ring expansion with sort-merge
+    refinement (the north star's literal phrasing: "kNN queries via H3
+    k-ring expansion with sort-merge refinement").
+
+    Same two-phase exactness contract as `knn_join`, on the hexagonal
+    lattice of ``functions.hex``: each query explodes to its hex k-ring
+    (1 + 3r(r+1) cells at resolution ``res``), candidates come from an
+    equi-join on the hex cell ID — by default executed as a SORT-MERGE
+    join (both sides exchanged + sorted on the spatially-local cell key;
+    the strategy for query sets whose exploded rings are too large to
+    broadcast), ``sort_merge=False`` broadcasts the exploded ring side
+    instead — and refinement is exact Haversine + per-query top-k.
+
+    Exactness guarantee on the planar hex lattice: the set of hexes at
+    grid distance ≤ r around the query's hex is a large hexagon whose
+    inradius is ≥ (3/2)·s·r (center spacing 2a = √3·s, big-hex inradius
+    r·√3·a = (3/2)·s·r), so any point in a hex at grid distance > r lies
+    at plane (degree-space Euclidean) distance ≥ ρ = s·(1.5·(r+1) − 2)
+    from every point of the query hex.  Plane → ground lower bound: the
+    offset's larger component is ≥ ρ/√2, giving
+    ``min(ρ/√2·M_PER_DEG, 2R·asin(cos φw · sin(ρ/√2 / 2)))`` with
+    φw = min(90°, |lat| + ρ/√2) — same case split as `knn_join`'s square
+    guarantee.  Because the hex grid does NOT wrap at ±180° (points just
+    across the seam are spherically close but in plane-distant hexes),
+    the guarantee is additionally clamped by the query's spherical
+    distance to the seam meridian, ``R·asin(cos φ · sin(min(g, 90°)))``
+    with g = 180° − |lon| (cross-track distance to a meridian; any
+    cross-seam point has lon separation ≥ g).  Seam-adjacent queries
+    therefore fall back to the exact brute-force phase — results are
+    exact everywhere, and the fallback count is logged.
+
+    Output: (query_id, data_id, dist_m, rank) — identical to `knn_join`.
+    """
+    from gotrackmaster_spark.functions.hex import SIZES, hex_col, hex_kring_np, hex_np
+
+    q = queries.select(query_id, F.col("lat").alias("q_lat"), F.col("lon").alias("q_lon"))
+    d = data.select(data_id, F.col("lat").alias("d_lat"), F.col("lon").alias("d_lon"))
+    spark_parallelism = d.sparkSession.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < spark_parallelism:
+        d = d.repartition(spark_parallelism * 2)
+
+    if n_data is None:
+        n_data = data.count()
+    earth_area = 4.0 * math.pi * 6371000.0**2
+    target_m = 2.0 * math.sqrt(max(k, 1) / (max(n_data, 1) / earth_area * math.pi))
+    size = SIZES[res]
+    max_ring = 8
+    _R = 6371000.0
+    _SQRT2 = math.sqrt(2.0)
+
+    def _hex_guarantee(abs_lat_deg: np.ndarray, r: int) -> np.ndarray:
+        rho = size * (1.5 * (r + 1.0) - 2.0)  # plane lower bound, degrees
+        if rho <= 0.0:
+            return np.zeros_like(abs_lat_deg)
+        comp = rho / _SQRT2
+        d_lat = comp * _M_PER_DEG
+        worst = np.minimum(90.0, abs_lat_deg + comp)
+        half = min(math.radians(comp) / 2.0, math.pi / 2.0)
+        d_lon = 2.0 * _R * np.arcsin(np.cos(np.radians(worst)) * math.sin(half))
+        return np.minimum(d_lat, d_lon)
+
+    def explode_ring(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qlat = pdf["q_lat"].to_numpy()
+            qlon = pdf["q_lon"].to_numpy()
+            abs_lat = np.abs(qlat)
+            # smallest ring whose guarantee covers the target radius
+            r = np.full(len(pdf), max_ring, dtype=np.int64)
+            for rv in range(max_ring - 1, ring - 1, -1):
+                r = np.where(_hex_guarantee(abs_lat, rv) >= target_m, rv, r)
+            g = np.zeros(len(pdf))
+            for rv in np.unique(r):
+                m = r == rv
+                g[m] = _hex_guarantee(abs_lat[m], int(rv))
+            # seam clamp: planar lattice, no lon wrap (see docstring)
+            g_seam = np.radians(np.minimum(180.0 - np.abs(qlon), 90.0))
+            g = np.minimum(
+                g, _R * np.arcsin(np.cos(np.radians(abs_lat)) * np.sin(g_seam))
+            )
+            guarantee = g - 10.0 ** (-round_decimals)
+            cells = hex_np(qlat, qlon, res)
+            frames = []
+            for rv in np.unique(r):
+                m = r == rv
+                rc = hex_kring_np(cells[m], int(rv))  # (nm, 3rv²+3rv+1)
+                nm, mm = rc.shape
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            query_id: np.repeat(pdf[query_id].to_numpy()[m], mm),
+                            "q_lat": np.repeat(qlat[m], mm),
+                            "q_lon": np.repeat(qlon[m], mm),
+                            "guarantee_m": np.repeat(guarantee[m], mm),
+                            "cell": rc.ravel(),
+                        }
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    qid_type = dict(queries.dtypes)[query_id]
+    q_ring = q.mapInPandas(
+        explode_ring,
+        f"{query_id} {qid_type}, q_lat double, q_lon double, guarantee_m double, cell long",
+    )
+    d_cell = d.withColumn("cell", hex_col(F.col("d_lat"), F.col("d_lon"), res))
+    if sort_merge:
+        cand = d_cell.join(q_ring.hint("merge"), "cell", "inner")
+    else:
+        cand = d_cell.join(F.broadcast(q_ring), "cell", "inner")
+
+    return _rank_with_exact_fallback(
+        q, d, cand,
+        k=k, query_id=query_id, data_id=data_id, qid_type=qid_type,
+        round_decimals=round_decimals, exclude_self=exclude_self,
+        warn_ctx=f"hex res={res} ring={ring} k={k} target_m={target_m:.0f}",
+    )
 
 
 # ----------------------------------------------------- E4: raster↔vector ---

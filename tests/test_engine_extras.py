@@ -355,6 +355,61 @@ def test_knn_join_shuffle_query_variant(spark):
     assert ra == rb and len(ra) > 0
 
 
+def test_hex_knn_join_matches_square(spark):
+    """hex k-ring kNN (sort-merge refinement) must equal the square-grid
+    kNN — both carry the exactness guarantee, so they agree rank-for-rank."""
+    from gotrackmaster_spark.driver_queries import geo_events
+    from gotrackmaster_spark.operators.spatial import hex_knn_join, knn_join
+
+    pts = geo_events(spark, "/root/testdata/sf0.001").select(
+        "event_id", "lat", "lon"
+    )
+    qs = pts.where(pts.event_id % 100 == 0).withColumnRenamed(
+        "event_id", "query_id"
+    )
+    d = pts.withColumnRenamed("event_id", "data_id")
+    a = knn_join(qs, d, k=3, level=6, ring=1, exclude_self=False, n_data=1000)
+    b = hex_knn_join(qs, d, k=3, res=3, ring=1, exclude_self=False, n_data=1000)
+    ra = {(r.query_id, r.rank): r.data_id for r in a.collect()}
+    rb = {(r.query_id, r.rank): r.data_id for r in b.collect()}
+    assert ra == rb and len(ra) > 0
+
+
+def test_hex_knn_seam_and_pole_exact(spark):
+    """Seam-adjacent and polar queries must stay exact: the planar hex grid
+    does not wrap at ±180°, so the guarantee clamp must push those queries
+    into the brute-force phase instead of returning planar-ring results."""
+    import numpy as np
+
+    from gotrackmaster_spark.functions.geodesy import haversine_np
+    from gotrackmaster_spark.operators.spatial import hex_knn_join
+
+    rng = np.random.default_rng(7)
+    n = 400
+    lats = rng.uniform(-89.9, 89.9, n)
+    lons = rng.uniform(-180.0, 180.0, n)
+    lats[:20] = rng.uniform(60.0, 89.5, 20)  # polar cluster
+    lons[20:40] = np.where(rng.random(20) < 0.5, -179.99, 179.99)  # seam pairs
+    rows = [(int(i), float(lats[i]), float(lons[i])) for i in range(n)]
+    d = spark.createDataFrame(rows, "data_id int, lat double, lon double")
+    q = spark.createDataFrame(
+        [(i, la, lo) for i, la, lo in rows[:60]],
+        "query_id int, lat double, lon double",
+    )
+    out = hex_knn_join(q, d, k=3, res=3, ring=1, exclude_self=True, n_data=n)
+    got = {(r.query_id, r.rank): r.data_id for r in out.collect()}
+    assert len(got) == 60 * 3
+    for qi in range(60):
+        dist = haversine_np(
+            np.full(n, lats[qi]), np.full(n, lons[qi]), lats, lons
+        )
+        order = sorted(
+            (round(float(dist[j]), 3), j) for j in range(n) if j != qi
+        )
+        for rank, (_, j) in enumerate(order[:3], 1):
+            assert got[(qi, rank)] == j, (qi, rank)
+
+
 def test_gpx_scan_quarantine(spark, tmp_path):
     """with_errors=True must surface malformed files as quarantine rows
     instead of dropping them silently."""
