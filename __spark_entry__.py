@@ -124,6 +124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": _wrap(Q.q_table_profile),
         "slope_stats": _wrap(Q.q_slope_stats),
         "erratic_outliers": _wrap(Q.q_erratic_outliers),
+        "dp_simplify": _wrap(Q.q_dp_simplify),
         "hex_cell_counts": _wrap(Q.q_hex_cell_counts),
         # kernel-pipeline profile (sequential data-dependent kernels — not
         # SQL-expressible; the driver records the weaker rows-only check,
@@ -185,6 +186,7 @@ def oracle_sql() -> dict[str, str]:
         "merge_upsert": Q.SQL_MERGE_UPSERT,
         "slope_stats": Q.SQL_SLOPE_STATS,
         "erratic_outliers": Q.SQL_ERRATIC_OUTLIERS,
+        "dp_simplify": Q.SQL_DP_SIMPLIFY,
         "hex_cell_counts": Q.SQL_HEX_CELL_COUNTS,
         "table_profile": Q.SQL_TABLE_PROFILE,
         # "track_profiles" intentionally has no oracle (non-SQL-expressible)

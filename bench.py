@@ -125,6 +125,7 @@ def bench_queries():
         "cell_parent_counts": Q.q_cell_parent_counts,
         "speed_defect_counts": Q.q_speed_defect_counts,
         "knn": Q.q_knn,
+        "knn_hex": Q.q_knn_hex,
         "duplicate_pairs": Q.q_duplicate_pairs,
         "dem_bands": Q.q_dem_bands,
         "mercator_tiles": Q.q_mercator_tiles,

@@ -2462,6 +2462,146 @@ FROM hsum h JOIN zsum z ON h.track_id = z.track_id
 
 
 # --------------------------------------------------------------------------
+# North-star "Douglas-Peucker track simplification" — the engine path runs
+# the REAL recursive numpy kernel (kernels.extra.douglas_peucker_mask via
+# operators.repair.douglas_peucker_fix, applyInPandas per track); the
+# oracle replays the EXACT recursion as a DuckDB recursive CTE:
+#   * the input track uses DYADIC steps (k/8192 — exactly representable
+#     doubles), so the windowed cumulative-sum coordinates are bit-equal
+#     in both engines regardless of each engine's summation order;
+#   * each (i, j) segment row computes the interior perpendicular
+#     distances with the kernel's exact op order (equirectangular plane
+#     scaled by cos(lat1), clamp-to-segment), takes first-argmax
+#     (list_position = numpy argmax tie order) and splits when
+#     dmax > ε — any drift in the kernel's split rule, tie-breaking,
+#     or distance math hash-fails;
+#   * the output pins the exact keep-mask per track: count + Σidx + Σidx²
+#     of kept 0-based indices.
+# --------------------------------------------------------------------------
+
+_DP_EPS = 0.02
+
+
+def dp_tracks(spark, sf_dir):
+    """Random-walk tracks with DYADIC (k/8192) steps: every partial sum is
+    an exact double, making the cumulative-sum lat/lon independent of
+    summation order — the property the DP oracle's bit-equality rests on."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    dlat = ((F.col("event_id") * 2654435761) % 201 - 100).cast("double") / 8192.0
+    dlon = ((F.col("event_id") * 40503 + 11) % 201 - 100).cast("double") / 8192.0
+    base_lat = ((F.col("user_id") * 617) % 120).cast("double") - 60.0
+    base_lon = ((F.col("user_id") * 1009) % 300).cast("double") - 150.0
+    return (
+        ev.select("event_id", "user_id")
+        .withColumn("pt_idx", (F.row_number().over(w) - 1).cast("int"))
+        .withColumn("lat", base_lat + F.sum(dlat).over(w))
+        .withColumn("lon", base_lon + F.sum(dlon).over(w))
+        .withColumn("ele", ((F.col("event_id") * 13) % 400).cast("double") + 100.0)
+        .withColumn("ts_ns", (F.lit(1700000000) + F.col("user_id") + F.col("pt_idx") * 60) * F.lit(1_000_000_000))
+        .withColumn("ts", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long")))
+        .withColumn("track_id", F.col("user_id").cast("string"))
+        .withColumn("trk_no", F.lit(0))
+        .withColumn("seg_no", F.lit(0))
+        .select("track_id", "trk_no", "seg_no", "pt_idx", "lat", "lon", "ele", "ts", "ts_ns")
+    )
+
+
+def q_dp_simplify(spark, sf_dir):
+    from gotrackmaster_spark.operators.repair import douglas_peucker_keep
+
+    pts = dp_tracks(spark, sf_dir)
+    base = pts.groupBy("track_id").agg(F.count("*").alias("n_points"))
+    kept = douglas_peucker_keep(pts, _DP_EPS)
+    idx = F.col("pt_idx").cast("long")
+    agg = kept.groupBy("track_id").agg(
+        F.count("*").alias("n_kept"),
+        F.sum(idx).alias("kept_idx_sum"),
+        F.sum(idx * idx).alias("kept_idx_sq"),
+    )
+    return base.join(agg, "track_id").select(
+        "track_id", "n_points", "n_kept", "kept_idx_sum", "kept_idx_sq"
+    )
+
+
+def _dp_perp_lambda() -> str:
+    """The kernel's `_perp_dist` (kernels/extra.py:17-33) as a DuckDB list
+    lambda over 1-based indices i (seg start), j (seg end), x (interior):
+    identical double ops in identical order."""
+    cosw = "cos(la[i] / 180.0 * pi())"
+    xx = f"((lo[x] - lo[i]) * {cosw})"
+    yy = "(la[x] - la[i])"
+    ex = f"((lo[j] - lo[i]) * {cosw})"
+    ey = "(la[j] - la[i])"
+    seg2 = f"({ex} * {ex} + {ey} * {ey})"
+    t = f"least(greatest(({xx} * {ex} + {yy} * {ey}) / {seg2}, 0.0), 1.0)"
+    dx = f"({xx} - {t} * {ex})"
+    dy = f"({yy} - {t} * {ey})"
+    return (
+        f"CASE WHEN {seg2} = 0 THEN sqrt({xx} * {xx} + {yy} * {yy}) "
+        f"ELSE sqrt({dx} * {dx} + {dy} * {dy}) END"
+    )
+
+
+# NOTE the `kept` CTE dedups via an explicit DISTINCT subquery: inside a
+# WITH RECURSIVE block DuckDB treats a bare `a UNION b` CTE over the
+# recursive table with UNION-ALL semantics (observed on 1.x), so the
+# standard spelling silently multi-counts segment endpoints.
+SQL_DP_SIMPLIFY = f"""
+WITH RECURSIVE pts AS (
+  SELECT user_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS pt_idx,
+         (CAST((user_id * 617) % 120 AS DOUBLE) - 60.0)
+           + sum(CAST((event_id * 2654435761) % 201 - 100 AS DOUBLE) / 8192.0)
+             OVER (PARTITION BY user_id ORDER BY event_id) AS lat,
+         (CAST((user_id * 1009) % 300 AS DOUBLE) - 150.0)
+           + sum(CAST((event_id * 40503 + 11) % 201 - 100 AS DOUBLE) / 8192.0)
+             OVER (PARTITION BY user_id ORDER BY event_id) AS lon
+  FROM events
+),
+arr AS (
+  SELECT user_id, CAST(count(*) AS INT) AS n,
+         list(lat ORDER BY pt_idx) AS la,
+         list(lon ORDER BY pt_idx) AS lo
+  FROM pts GROUP BY user_id
+),
+segs AS (
+  SELECT user_id, la, lo, 1 AS i, n AS j FROM arr
+  UNION ALL
+  SELECT user_id, la, lo,
+         CASE WHEN u.s = 0 THEN t.i ELSE t.k END AS i,
+         CASE WHEN u.s = 0 THEN t.k ELSE t.j END AS j
+  FROM (
+    SELECT user_id, la, lo, i, j,
+           i + CAST(list_position(ds, list_max(ds)) AS INT) AS k,
+           list_max(ds) AS dmax
+    FROM (
+      SELECT user_id, la, lo, i, j,
+             list_transform(generate_series(i + 1, j - 1), x -> {_dp_perp_lambda()}) AS ds
+      FROM segs WHERE j > i + 1
+    )
+  ) t
+  CROSS JOIN (SELECT unnest([0, 1]) AS s) u
+  WHERE t.dmax > {_DP_EPS!r}
+),
+kept AS (
+  SELECT DISTINCT user_id, ki FROM (
+    SELECT user_id, i AS ki FROM segs UNION ALL SELECT user_id, j AS ki FROM segs
+  )
+)
+SELECT CAST(a.user_id AS VARCHAR) AS track_id,
+       CAST(a.n AS BIGINT) AS n_points,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(k.ki - 1) AS BIGINT) AS kept_idx_sum,
+       CAST(sum(CAST(k.ki - 1 AS BIGINT) * CAST(k.ki - 1 AS BIGINT)) AS BIGINT) AS kept_idx_sq
+FROM arr a JOIN kept k ON a.user_id = k.user_id
+GROUP BY a.user_id, a.n
+"""
+
+
+# --------------------------------------------------------------------------
 # H3-style hexagonal cell assignment (functions/hex.py) — the hexagonal
 # half of the north rule's "H3/S2 tiles", as batched Column bit/float math
 # (codegen, zero Python).  Cube-rounding uses floor(x+0.5) + a fixed

@@ -258,6 +258,27 @@ def douglas_peucker_fix(df: DataFrame, epsilon_deg: float = 0.0001) -> DataFrame
     return _seg_fix(df, run)
 
 
+def douglas_peucker_keep(df: DataFrame, epsilon_deg: float) -> DataFrame:
+    """DP keep-mask as (seg key, pt_idx) rows with the ORIGINAL pt_idx
+    (`douglas_peucker_fix` renumbers points on output via `_pts_frame`);
+    used by index-pinned audits like the `dp_simplify` driver query."""
+    from gotrackmaster_spark.kernels.extra import douglas_peucker_mask
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("pt_idx")
+        keep = douglas_peucker_mask(
+            pdf["lat"].to_numpy(), pdf["lon"].to_numpy(), epsilon_deg
+        )
+        out = pdf.loc[keep, ["pt_idx"]].copy()
+        out.insert(0, "track_id", key[0])
+        out.insert(1, "trk_no", key[1])
+        out.insert(2, "seg_no", key[2])
+        return out
+
+    schema = "track_id string, trk_no int, seg_no int, pt_idx int"
+    return df.groupBy(*_SEG_KEY).applyInPandas(fn, schema)
+
+
 def hampel_fix(df: DataFrame, window: int = 5, n_sigmas: float = 3.0,
                column: str = "ele") -> DataFrame:
     """North-star extra: drop Hampel outliers of `column` per segment."""
