@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionized": _wrap(Q.q_sessionized),
         "value_percentiles": _wrap(Q.q_value_percentiles),
         "cms_estimates": _wrap(Q.q_cms_estimates),
+        "distinct_sketch": _wrap(Q.q_distinct_sketch),
         "tile_pyramid": _wrap(Q.q_tile_pyramid),
         "geohash_counts": _wrap(Q.q_geohash_counts),
         "props_stats": _wrap(Q.q_props_stats),
@@ -180,6 +181,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionized": Q.SQL_SESSIONIZED,
         "value_percentiles": Q.SQL_VALUE_PERCENTILES,
         "cms_estimates": Q.SQL_CMS_ESTIMATES,
+        "distinct_sketch": Q.SQL_DISTINCT_SKETCH,
         "tile_pyramid": Q.SQL_TILE_PYRAMID,
         "geohash_counts": Q.SQL_GEOHASH_COUNTS,
         "props_stats": Q.SQL_PROPS_STATS,

@@ -2075,6 +2075,75 @@ SQL_CMS_ESTIMATES = _sql_cms_estimates()
 
 
 # --------------------------------------------------------------------------
+# KMV distinct-count sketch (functions/sketch.py) — bounded-memory
+# per-group cardinality from the k smallest distinct hashes, estimator
+# (k−1)·P // h_(k) (INTEGER division → bit-exact across engines), exact
+# distinct carried alongside so accuracy is visible in the result.
+# --------------------------------------------------------------------------
+
+_BIGRAM_EXPR = (
+    "CASE WHEN size(a) < 2 THEN array() "
+    "ELSE transform(sequence(1, size(a) - 1), "
+    "i -> concat(element_at(a, i), ' ', element_at(a, i + 1))) END"
+)
+
+
+def q_distinct_sketch(spark, sf_dir):
+    """Per-language bigram-vocabulary cardinality via the KMV sketch
+    (~900 distinct bigrams per lang at sf0.01 — well above k=64, so the
+    (k−1)·P//h_(k) estimator path is what the oracle checks), with the
+    exact distinct count alongside."""
+    from gotrackmaster_spark.functions.sketch import (
+        KMV_K,
+        kmv_distinct,
+        kmv_hash_expr,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.split("text", " ").alias("a")
+    ).select("lang", F.explode(F.expr(_BIGRAM_EXPR)).alias("tok"))
+    items = toks.withColumn("h", F.expr(kmv_hash_expr("tok")))
+    sk = kmv_distinct(items, "lang", "h", k=KMV_K)
+    exact = toks.groupBy("lang").agg(F.countDistinct("tok").alias("n_exact"))
+    return sk.join(exact, "lang").select("lang", "est_distinct", "n_exact")
+
+
+def _sql_distinct_sketch() -> str:
+    from gotrackmaster_spark.functions.sketch import KMV_K, P, kmv_hash_sql
+
+    return f"""
+WITH arrs AS (SELECT lang, string_split(text, ' ') AS a FROM documents),
+toks AS (
+  SELECT lang,
+         unnest(list_transform(generate_series(1, len(a) - 1),
+                               i -> a[i] || ' ' || a[i + 1])) AS tok
+  FROM arrs
+),
+hs AS (SELECT DISTINCT lang, {kmv_hash_sql('tok')} AS h FROM toks),
+ranked AS (
+  SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+  FROM hs
+),
+topk AS (SELECT * FROM ranked WHERE rn <= {KMV_K}),
+agg AS (
+  SELECT lang, count(*) AS n_h,
+         max(CASE WHEN rn = {KMV_K} THEN h END) AS hk
+  FROM topk GROUP BY lang
+),
+ex AS (SELECT lang, count(DISTINCT tok) AS n_exact FROM toks GROUP BY lang)
+SELECT a.lang,
+       CAST(CASE WHEN a.hk IS NULL THEN a.n_h
+                 ELSE {(KMV_K - 1) * P} // a.hk END AS BIGINT) AS est_distinct,
+       CAST(e.n_exact AS BIGINT) AS n_exact
+FROM agg a JOIN ex e ON a.lang = e.lang
+"""
+
+
+SQL_DISTINCT_SKETCH = _sql_distinct_sketch()
+
+
+# --------------------------------------------------------------------------
 # E4 — tile-pyramid rollup: base mercator-tile counts rolled up z8 → z4
 # (functions/tiles.py::tile_pyramid; exact via the nested-floor identity).
 # --------------------------------------------------------------------------

@@ -140,3 +140,94 @@ est AS (
   GROUP BY ALL
 )
 """
+
+
+# ------------------------------------------------------------------ KMV ---
+#
+# K-minimum-values (bottom-k) distinct-count sketch — the bounded-memory
+# cardinality path for open vocabularies at 100 TB (Bar-Yossef et al. 2002;
+# Beyer et al. 2007).  est = (k−1)·P // h_(k) over the k smallest DISTINCT
+# hash values (integer division: the estimator is integer-exact, so the
+# DuckDB oracle reproduces it bit-for-bit); groups with < k distinct
+# hashes report their exact distinct-hash count.
+#
+# Like the CMS above the hash is explicit modular arithmetic with a SQL
+# twin, making the approximate sketch hash-CHECKABLE: both engines build
+# the identical bottom-k set.
+
+KMV_K = 64
+_KMV_A = 48271
+_KMV_B = 2147483647 % P
+
+
+def kmv_hash_expr(tok_expr: str) -> str:
+    """Spark SQL expression for the KMV hash of a token (uniform on [0, P))."""
+    return f"(({_KMV_A} * {h0_spark_expr(tok_expr)} + {_KMV_B}) % {P})"
+
+
+def kmv_hash_sql(tok_expr: str) -> str:
+    """The identical KMV hash as a DuckDB SQL expression."""
+    return f"(({_KMV_A} * {h0_sql(tok_expr)} + {_KMV_B}) % {P})"
+
+
+def kmv_distinct(
+    items: DataFrame,
+    group_col: str,
+    hash_col: str = "h",
+    k: int = KMV_K,
+    prune_rows: int = 65536,
+) -> DataFrame:
+    """Per-group distinct-count estimate from the k minimum distinct hashes.
+
+    Scale shape: a per-partition bounded PRE-FILTER (vectorized pandas —
+    each partition emits at most k smallest distinct hashes per group it
+    saw, with state pruned whenever the accumulator exceeds
+    ``prune_rows``) feeds one dedup + rank over ≤ k · partitions rows per
+    group.  Correct by the KMV merge property: the global bottom-k of a
+    union is contained in the union of per-partition bottom-k sets —
+    the result is INDEPENDENT of partitioning (pinned in tests).
+
+    Output: ``(group_col, est_distinct long)``.
+    """
+    import pandas as pd
+
+    dtypes = dict(items.dtypes)
+
+    def prefilter(batches):
+        acc = None
+        for pdf in batches:
+            cur = pdf[[group_col, hash_col]].drop_duplicates()
+            acc = cur if acc is None else pd.concat(
+                [acc, cur], ignore_index=True
+            ).drop_duplicates()
+            if len(acc) > prune_rows:
+                acc = (
+                    acc.sort_values(hash_col)
+                    .groupby(group_col, sort=False)
+                    .head(k)
+                )
+        if acc is not None and len(acc):
+            yield (
+                acc.sort_values(hash_col).groupby(group_col, sort=False).head(k)
+            )
+
+    cand = items.select(group_col, hash_col).mapInPandas(
+        prefilter, f"{group_col} {dtypes[group_col]}, {hash_col} {dtypes[hash_col]}"
+    )
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(hash_col)
+    ranked = (
+        cand.distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+    agg = ranked.groupBy(group_col).agg(
+        F.count("*").alias("n_h"),
+        F.max(F.when(F.col("rn") == k, F.col(hash_col))).alias("hk"),
+    )
+    est = F.when(F.col("hk").isNull(), F.col("n_h")).otherwise(
+        F.expr(f"{(k - 1) * P} DIV hk")
+    )
+    return agg.select(group_col, est.cast("long").alias("est_distinct"))

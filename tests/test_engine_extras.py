@@ -410,6 +410,47 @@ def test_hex_knn_seam_and_pole_exact(spark):
             assert got[(qi, rank)] == j, (qi, rank)
 
 
+def test_kmv_distinct_partition_invariant_and_accurate(spark):
+    """KMV sketch must be independent of partitioning (the bottom-k merge
+    property the per-partition pre-filter relies on) and within the
+    standard-error envelope of the exact count."""
+    from pyspark.sql import functions as F
+
+    from gotrackmaster_spark.functions.sketch import (
+        KMV_K,
+        kmv_distinct,
+        kmv_hash_expr,
+    )
+
+    from gotrackmaster_spark.driver_queries import _BIGRAM_EXPR
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    toks = docs.select("lang", F.split("text", " ").alias("a")).select(
+        "lang", F.explode(F.expr(_BIGRAM_EXPR)).alias("tok")
+    )
+    items = toks.withColumn("h", F.expr(kmv_hash_expr("tok")))
+    a = {
+        r.lang: r.est_distinct
+        for r in kmv_distinct(items.repartition(1), "lang", "h").collect()
+    }
+    b = {
+        r.lang: r.est_distinct
+        for r in kmv_distinct(items.repartition(16), "lang", "h").collect()
+    }
+    assert a == b and len(a) > 0
+    exact = {
+        r.lang: r.n
+        for r in toks.groupBy("lang")
+        .agg(F.countDistinct("tok").alias("n"))
+        .collect()
+    }
+    assert all(n >= KMV_K for n in exact.values())  # estimator path exercised
+    for lang, est in a.items():
+        n = exact[lang]
+        # k=64 → relative std err 1/sqrt(k-2) ≈ 12.7 %; 0.5 ≈ 4σ
+        assert abs(est - n) / n < 0.5, (lang, est, n)
+
+
 def test_gpx_scan_quarantine(spark, tmp_path):
     """with_errors=True must surface malformed files as quarantine rows
     instead of dropping them silently."""
