@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_percentiles": _wrap(Q.q_value_percentiles),
         "cms_estimates": _wrap(Q.q_cms_estimates),
         "distinct_sketch": _wrap(Q.q_distinct_sketch),
+        "stratified_sample": _wrap(Q.q_stratified_sample),
         "tile_pyramid": _wrap(Q.q_tile_pyramid),
         "geohash_counts": _wrap(Q.q_geohash_counts),
         "props_stats": _wrap(Q.q_props_stats),
@@ -182,6 +183,7 @@ def oracle_sql() -> dict[str, str]:
         "value_percentiles": Q.SQL_VALUE_PERCENTILES,
         "cms_estimates": Q.SQL_CMS_ESTIMATES,
         "distinct_sketch": Q.SQL_DISTINCT_SKETCH,
+        "stratified_sample": Q.SQL_STRATIFIED_SAMPLE,
         "tile_pyramid": Q.SQL_TILE_PYRAMID,
         "geohash_counts": Q.SQL_GEOHASH_COUNTS,
         "props_stats": Q.SQL_PROPS_STATS,

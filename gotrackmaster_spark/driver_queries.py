@@ -2144,6 +2144,61 @@ SQL_DISTINCT_SKETCH = _sql_distinct_sketch()
 
 
 # --------------------------------------------------------------------------
+# Deterministic stratified sample (operators/sampling.py) — hash-order
+# bottom-n per group: the sample is a pure function of the data, identical
+# across partitionings, cluster sizes and engines (unlike rand()-based
+# sampling).  The oracle draws the SAME n docs per language.
+# --------------------------------------------------------------------------
+
+_SAMPLE_N = 10
+
+
+def q_stratified_sample(spark, sf_dir):
+    from gotrackmaster_spark.functions.sketch import kmv_hash_expr
+    from gotrackmaster_spark.operators.sampling import bottom_n_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    items = docs.select(
+        "lang",
+        "doc_id",
+        F.expr(kmv_hash_expr("CAST(doc_id AS STRING)")).alias("h"),
+    )
+    samp = bottom_n_sample(items, "lang", "h", "doc_id", n=_SAMPLE_N)
+    return samp.groupBy("lang").agg(
+        F.count("*").alias("n_sampled"),
+        F.sum("doc_id").alias("id_sum"),
+        F.min("doc_id").alias("id_min"),
+        F.max("doc_id").alias("id_max"),
+    )
+
+
+def _sql_stratified_sample() -> str:
+    from gotrackmaster_spark.functions.sketch import kmv_hash_sql
+
+    return f"""
+WITH hs AS (
+  SELECT lang, doc_id, {kmv_hash_sql("CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents
+),
+ranked AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+  FROM hs
+),
+samp AS (SELECT lang, doc_id FROM ranked WHERE rn <= {_SAMPLE_N})
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_sampled,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(min(doc_id) AS BIGINT) AS id_min,
+       CAST(max(doc_id) AS BIGINT) AS id_max
+FROM samp GROUP BY lang
+"""
+
+
+SQL_STRATIFIED_SAMPLE = _sql_stratified_sample()
+
+
+# --------------------------------------------------------------------------
 # E4 — tile-pyramid rollup: base mercator-tile counts rolled up z8 → z4
 # (functions/tiles.py::tile_pyramid; exact via the nested-floor identity).
 # --------------------------------------------------------------------------

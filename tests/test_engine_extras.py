@@ -410,6 +410,27 @@ def test_hex_knn_seam_and_pole_exact(spark):
             assert got[(qi, rank)] == j, (qi, rank)
 
 
+def test_hex_knn_plan_is_sort_merge(spark):
+    """The hex kNN's candidate join must plan as a SortMergeJoin on the
+    hex cell key (the north star's 'k-ring expansion with sort-merge
+    refinement') with no CartesianProduct; the only nested-loop operator
+    allowed is the broadcast-gated brute-force fallback branch."""
+    from gotrackmaster_spark.driver_queries import geo_events
+    from gotrackmaster_spark.operators.spatial import hex_knn_join
+
+    pts = geo_events(spark, "/root/testdata/sf0.001").select(
+        "event_id", "lat", "lon"
+    )
+    qs = pts.where(pts.event_id % 100 == 0).withColumnRenamed(
+        "event_id", "query_id"
+    )
+    d = pts.withColumnRenamed("event_id", "data_id")
+    out = hex_knn_join(qs, d, k=3, res=3, ring=1, exclude_self=False, n_data=1000)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_kmv_distinct_partition_invariant_and_accurate(spark):
     """KMV sketch must be independent of partitioning (the bottom-k merge
     property the per-partition pre-filter relies on) and within the
@@ -449,6 +470,35 @@ def test_kmv_distinct_partition_invariant_and_accurate(spark):
         n = exact[lang]
         # k=64 → relative std err 1/sqrt(k-2) ≈ 12.7 %; 0.5 ≈ 4σ
         assert abs(est - n) / n < 0.5, (lang, est, n)
+
+
+def test_bottom_n_sample_partition_invariant(spark):
+    """The hash-order sample must be a pure function of the data: identical
+    rows whether the input sits in 1 or 16 partitions, exactly n per group
+    (for groups with ≥ n keys), no duplicates."""
+    from pyspark.sql import functions as F
+
+    from gotrackmaster_spark.functions.sketch import kmv_hash_expr
+    from gotrackmaster_spark.operators.sampling import bottom_n_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    items = docs.select(
+        "lang", "doc_id",
+        F.expr(kmv_hash_expr("CAST(doc_id AS STRING)")).alias("h"),
+    )
+    a = sorted(
+        (r.lang, r.doc_id)
+        for r in bottom_n_sample(items.repartition(1), "lang", "h", "doc_id", 7).collect()
+    )
+    b = sorted(
+        (r.lang, r.doc_id)
+        for r in bottom_n_sample(items.repartition(16), "lang", "h", "doc_id", 7).collect()
+    )
+    assert a == b and len(a) == len(set(a))
+    from collections import Counter
+
+    per_group = Counter(g for g, _ in a)
+    assert all(c == 7 for c in per_group.values())
 
 
 def test_gpx_scan_quarantine(spark, tmp_path):
