@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_quality": _wrap(Q.q_time_quality),
         "creator_counts": _wrap(Q.q_creator_counts),
         "pip_counts": _wrap(Q.q_pip_counts),
+        "pip_counts_hex": _wrap(Q.q_pip_counts_hex),
         "knn": _wrap(Q.q_knn),
         "knn_hex": _wrap(Q.q_knn_hex),
         "duplicate_pairs": _wrap(Q.q_duplicate_pairs),
@@ -148,6 +149,7 @@ def oracle_sql() -> dict[str, str]:
         "time_quality": Q.SQL_TIME_QUALITY,
         "creator_counts": Q.SQL_CREATOR_COUNTS,
         "pip_counts": Q.SQL_PIP_COUNTS,
+        "pip_counts_hex": Q.SQL_PIP_COUNTS_HEX,
         "knn": Q.SQL_KNN,
         "knn_hex": Q.SQL_KNN_HEX,
         "duplicate_pairs": Q.SQL_DUPLICATE_PAIRS,

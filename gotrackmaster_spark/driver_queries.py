@@ -535,6 +535,22 @@ GROUP BY r.poly_id
 """
 
 
+def q_pip_counts_hex(spark, sf_dir):
+    """E2 on the hexagonal lattice — H3-style polyfill covering + hex cell
+    assignment; the inclusion result is grid-independent, so the oracle is
+    the SAME brute-force rect join as `pip_counts` (any covering or
+    assignment bug on the hex path hash-fails against it)."""
+    from gotrackmaster_spark.operators.spatial import point_in_polygon_join
+
+    pts = geo_events(spark, sf_dir).select("event_id", "lat", "lon")
+    polys = rect_polygons(spark, sf_dir)
+    hits = point_in_polygon_join(pts, polys, level=4, grid="hex")
+    return hits.groupBy("poly_id").agg(F.count("*").alias("n_points"))
+
+
+SQL_PIP_COUNTS_HEX = SQL_PIP_COUNTS
+
+
 # --------------------------------------------------------------------------
 # E3 — kNN via k-ring candidates + exact fallback, vs brute-force oracle.
 # Ranking is (round(dist_m, 3), data_id) in both engines.

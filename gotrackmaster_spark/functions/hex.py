@@ -84,6 +84,15 @@ def hex_np(lat, lon, res: int) -> np.ndarray:
     )
 
 
+def hex_from_qr_np(q, r, res: int) -> np.ndarray:
+    """(q, r) axial arrays -> packed int64 hex IDs at resolution ``res``."""
+    q = np.asarray(q, dtype=np.int64)
+    r = np.asarray(r, dtype=np.int64)
+    return (
+        (np.int64(res) << _RES_SHIFT) | ((q + _OFF) << _Q_SHIFT) | (r + _OFF)
+    )
+
+
 def hex_to_qr_np(cell) -> tuple[np.ndarray, np.ndarray, int]:
     """hex IDs -> (q, r, res). Assumes uniform res."""
     cell = np.asarray(cell, dtype=np.int64)

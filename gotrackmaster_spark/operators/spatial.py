@@ -122,6 +122,91 @@ def polygon_covering(polygons: DataFrame, level: int) -> DataFrame:
     return polygons.mapInPandas(gen, schema)
 
 
+def hex_polygon_covering(polygons: DataFrame, res: int) -> DataFrame:
+    """H3-style "polyfill": explode each polygon into the hex cells of its
+    bbox at resolution ``res``, classified full/boundary with the SAME
+    conservative rule as `polygon_covering`, on hex geometry: a hex is
+    ``full`` iff its center and all 6 corners are inside AND no ring
+    edge's bbox overlaps the hex's bbox (pointy-top: center ± (√3/2·s, s)).
+    Candidate hexes are those whose bbox overlaps the polygon bbox —
+    cube-rounding assignment (`hex_np`) is the Voronoi of the hex lattice,
+    so any hex containing an inside point necessarily qualifies: no
+    misses, false boundaries only cost a refine pass.
+
+    Output: ``(cell long, poly_id, full boolean, ring)`` — drop-in for
+    the covering side of `point_in_polygon_join`.
+    """
+    from gotrackmaster_spark.functions.hex import SIZES, hex_from_qr_np
+
+    s = SIZES[res]
+    rt3 = math.sqrt(3.0)
+    half_w = rt3 / 2.0 * s  # hex bbox half-width; half-height is s
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"cell": [], "poly_id": [], "full": [], "ring": []}
+            for pid, ring in zip(pdf["poly_id"], pdf["ring"]):
+                rl = np.array([p["lat"] for p in ring])
+                rx = np.array([p["lon"] for p in ring])
+                lat_lo, lat_hi = rl.min(), rl.max()
+                lon_lo, lon_hi = rx.min(), rx.max()
+                r0 = int(math.floor((lat_lo - s) / (1.5 * s)))
+                r1 = int(math.ceil((lat_hi + s) / (1.5 * s)))
+
+                def q_of(lon, r):
+                    return lon / (rt3 * s) - r / 2.0
+
+                q0 = int(math.floor(min(q_of(lon_lo - s, r0), q_of(lon_lo - s, r1))))
+                q1 = int(math.ceil(max(q_of(lon_hi + s, r0), q_of(lon_hi + s, r1))))
+                qq, rr = np.meshgrid(
+                    np.arange(q0, q1 + 1, dtype=np.int64),
+                    np.arange(r0, r1 + 1, dtype=np.int64),
+                    indexing="ij",
+                )
+                qq = qq.ravel()
+                rr = rr.ravel()
+                cy = 1.5 * rr * s
+                cx = rt3 * (qq + rr / 2.0) * s
+                keep = (
+                    (cx - half_w <= lon_hi) & (cx + half_w >= lon_lo)
+                    & (cy - s <= lat_hi) & (cy + s >= lat_lo)
+                )
+                qq, rr, cx, cy = qq[keep], rr[keep], cx[keep], cy[keep]
+                cells = hex_from_qr_np(qq, rr, res)
+                # center + 6 pointy-top corners inside?
+                corners = [
+                    (cy, cx),
+                    (cy + s, cx), (cy - s, cx),
+                    (cy + s / 2.0, cx + half_w), (cy - s / 2.0, cx + half_w),
+                    (cy + s / 2.0, cx - half_w), (cy - s / 2.0, cx - half_w),
+                ]
+                corners_in = np.ones(len(cx), dtype=bool)
+                for la, lo in corners:
+                    corners_in &= _ray_cast_np(la, lo, rl, rx)
+                e_lat_lo = np.minimum(rl, np.roll(rl, 1))
+                e_lat_hi = np.maximum(rl, np.roll(rl, 1))
+                e_lon_lo = np.minimum(rx, np.roll(rx, 1))
+                e_lon_hi = np.maximum(rx, np.roll(rx, 1))
+                overlap = (
+                    (e_lat_lo[None, :] <= (cy + s)[:, None])
+                    & (e_lat_hi[None, :] >= (cy - s)[:, None])
+                    & (e_lon_lo[None, :] <= (cx + half_w)[:, None])
+                    & (e_lon_hi[None, :] >= (cx - half_w)[:, None])
+                ).any(axis=1)
+                full = corners_in & ~overlap
+                out["cell"].extend(cells.tolist())
+                out["poly_id"].extend([pid] * len(cells))
+                out["full"].extend(full.tolist())
+                out["ring"].extend([ring] * len(cells))
+            yield pd.DataFrame(out)
+
+    schema = (
+        "cell long, poly_id string, full boolean, "
+        "ring array<struct<lat:double,lon:double>>"
+    )
+    return polygons.mapInPandas(gen, schema)
+
+
 def _ray_cast_np(lat: np.ndarray, lon: np.ndarray, ring_lats, ring_lons) -> np.ndarray:
     """Even-odd ray casting (ray toward +lon).  Vectorized over points for
     ONE ring.  Half-open edge rule ``(lat_i > y) != (lat_j > y)`` — the same
@@ -148,6 +233,7 @@ def point_in_polygon_join(
     level: int = 7,
     point_cols: tuple[str, str] = ("lat", "lon"),
     broadcast_covering: bool = True,
+    grid: str = "z",
 ) -> DataFrame:
     """E2 — every (point, polygon) pair where the point is inside.
 
@@ -166,10 +252,24 @@ def point_in_polygon_join(
     instead — one exchange of each side, co-partitioned on the same
     spatially-local key, so AQE's skew split can cut hot cells.  Results
     are identical; only the exchange strategy changes.
+
+    ``grid="hex"`` runs the identical plan on the hexagonal lattice
+    (`hex_polygon_covering` + `functions.hex.hex_col`, ``level`` = hex
+    resolution) — results are grid-independent (pinned in tests).
     """
     lat_c, lon_c = point_cols
-    cov = polygon_covering(polygons, level)
-    pts = points.withColumn("cell", cell_col(F.col(lat_c), F.col(lon_c), level))
+    if grid == "hex":
+        from gotrackmaster_spark.functions.hex import hex_col
+
+        cov = hex_polygon_covering(polygons, level)
+        pts = points.withColumn(
+            "cell", hex_col(F.col(lat_c), F.col(lon_c), level)
+        )
+    else:
+        cov = polygon_covering(polygons, level)
+        pts = points.withColumn(
+            "cell", cell_col(F.col(lat_c), F.col(lon_c), level)
+        )
     if broadcast_covering:
         cand = pts.join(F.broadcast(cov), "cell", "inner")
     else:

@@ -431,6 +431,37 @@ def test_hex_knn_plan_is_sort_merge(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_pip_join_grid_equivalence(spark):
+    """PIP results must be identical on the Z-order and hex lattices (the
+    lattice only shapes candidate generation), and the hex polyfill must
+    actually produce FULL cells at a resolution finer than the polygons
+    (so the no-Python fast path is exercised, not just boundary refine)."""
+    from pyspark.sql import functions as F
+
+    from gotrackmaster_spark.driver_queries import geo_events, rect_polygons
+    from gotrackmaster_spark.operators.spatial import (
+        hex_polygon_covering,
+        point_in_polygon_join,
+    )
+
+    pts = geo_events(spark, "/root/testdata/sf0.001").select(
+        "event_id", "lat", "lon"
+    )
+    polys = rect_polygons(spark, "/root/testdata/sf0.001")
+    a = sorted(
+        (r.event_id, r.poly_id)
+        for r in point_in_polygon_join(pts, polys, level=6).collect()
+    )
+    b = sorted(
+        (r.event_id, r.poly_id)
+        for r in point_in_polygon_join(pts, polys, level=4, grid="hex").collect()
+    )
+    assert a == b and len(a) > 0
+    cov = hex_polygon_covering(polys, 4)
+    n_full = cov.filter(F.col("full")).count()
+    assert n_full > 0, "hex polyfill produced no full cells at res 4"
+
+
 def test_kmv_distinct_partition_invariant_and_accurate(spark):
     """KMV sketch must be independent of partitioning (the bottom-k merge
     property the per-partition pre-filter relies on) and within the
