@@ -77,11 +77,7 @@ def _cube_round_np(q, r):
 def hex_np(lat, lon, res: int) -> np.ndarray:
     """lat/lon arrays -> int64 hex cell IDs at resolution ``res``."""
     q, r = _cube_round_np(*_axial_np(lat, lon, SIZES[res]))
-    return (
-        (np.int64(res) << _RES_SHIFT)
-        | ((q + _OFF) << _Q_SHIFT)
-        | (r + _OFF)
-    )
+    return hex_from_qr_np(q, r, res)
 
 
 def hex_from_qr_np(q, r, res: int) -> np.ndarray:
@@ -126,11 +122,7 @@ def hex_kring_np(cell, k: int) -> np.ndarray:
     dr = np.array([o[1] for o in offs], dtype=np.int64)
     qq = q[:, None] + dq[None, :]
     rr = r[:, None] + dr[None, :]
-    return (
-        (np.int64(res) << _RES_SHIFT)
-        | ((qq + _OFF) << _Q_SHIFT)
-        | (rr + _OFF)
-    )
+    return hex_from_qr_np(qq, rr, res)
 
 
 def hex_distance_np(a, b) -> np.ndarray:

@@ -170,6 +170,53 @@ def kmv_hash_sql(tok_expr: str) -> str:
     return f"(({_KMV_A} * {h0_sql(tok_expr)} + {_KMV_B}) % {P})"
 
 
+def bounded_bottom_k_prefilter(
+    items: DataFrame,
+    group_col: str,
+    sort_cols: list[str],
+    n: int,
+    prune_rows: int = 65536,
+) -> DataFrame:
+    """Per-partition bounded bottom-n pre-filter shared by `kmv_distinct`
+    and `operators.sampling.bottom_n_sample`: accumulate DISTINCT rows
+    (over all of ``items``' columns), prune to the n smallest rows per
+    group (ordered by ``sort_cols``) whenever the accumulator exceeds
+    ``prune_rows``, and emit the partition's final bottom-n per group.
+
+    Sound for any consumer that re-ranks the union globally with the
+    same ordering: the global bottom-n of a union is contained in the
+    union of per-partition bottom-n sets, so the downstream result is
+    independent of partitioning (pinned in tests of both consumers).
+    State is bounded by ``prune_rows`` + one Arrow batch.
+    """
+    import pandas as pd
+
+    dtypes = dict(items.dtypes)
+    cols = list(items.columns)
+
+    def prefilter(batches):
+        acc = None
+        for pdf in batches:
+            cur = pdf[cols].drop_duplicates()
+            acc = cur if acc is None else pd.concat(
+                [acc, cur], ignore_index=True
+            ).drop_duplicates()
+            if len(acc) > prune_rows:
+                acc = (
+                    acc.sort_values(sort_cols)
+                    .groupby(group_col, sort=False)
+                    .head(n)
+                )
+        if acc is not None and len(acc):
+            yield (
+                acc.sort_values(sort_cols).groupby(group_col, sort=False).head(n)
+            )
+
+    return items.mapInPandas(
+        prefilter, ", ".join(f"{c} {dtypes[c]}" for c in cols)
+    )
+
+
 def kmv_distinct(
     items: DataFrame,
     group_col: str,
@@ -179,40 +226,15 @@ def kmv_distinct(
 ) -> DataFrame:
     """Per-group distinct-count estimate from the k minimum distinct hashes.
 
-    Scale shape: a per-partition bounded PRE-FILTER (vectorized pandas —
-    each partition emits at most k smallest distinct hashes per group it
-    saw, with state pruned whenever the accumulator exceeds
-    ``prune_rows``) feeds one dedup + rank over ≤ k · partitions rows per
-    group.  Correct by the KMV merge property: the global bottom-k of a
-    union is contained in the union of per-partition bottom-k sets —
-    the result is INDEPENDENT of partitioning (pinned in tests).
+    Scale shape: the bounded per-partition pre-filter
+    (`bounded_bottom_k_prefilter` — at most k smallest distinct hashes
+    per group per partition) feeds one dedup + rank over ≤ k · partitions
+    rows per group; partition-invariant by the KMV merge property.
 
     Output: ``(group_col, est_distinct long)``.
     """
-    import pandas as pd
-
-    dtypes = dict(items.dtypes)
-
-    def prefilter(batches):
-        acc = None
-        for pdf in batches:
-            cur = pdf[[group_col, hash_col]].drop_duplicates()
-            acc = cur if acc is None else pd.concat(
-                [acc, cur], ignore_index=True
-            ).drop_duplicates()
-            if len(acc) > prune_rows:
-                acc = (
-                    acc.sort_values(hash_col)
-                    .groupby(group_col, sort=False)
-                    .head(k)
-                )
-        if acc is not None and len(acc):
-            yield (
-                acc.sort_values(hash_col).groupby(group_col, sort=False).head(k)
-            )
-
-    cand = items.select(group_col, hash_col).mapInPandas(
-        prefilter, f"{group_col} {dtypes[group_col]}, {hash_col} {dtypes[hash_col]}"
+    cand = bounded_bottom_k_prefilter(
+        items.select(group_col, hash_col), group_col, [hash_col], k, prune_rows
     )
 
     from pyspark.sql import Window

@@ -37,33 +37,14 @@ def bottom_n_sample(
     key, the tie-break).  Output: ``(group_col, hash_col, key_col)`` of
     the sampled rows.
     """
-    import pandas as pd
+    from gotrackmaster_spark.functions.sketch import bounded_bottom_k_prefilter
 
-    dtypes = dict(items.dtypes)
-    cols = [group_col, hash_col, key_col]
-
-    def prefilter(batches):
-        acc = None
-        for pdf in batches:
-            cur = pdf[cols].drop_duplicates()
-            acc = cur if acc is None else pd.concat(
-                [acc, cur], ignore_index=True
-            ).drop_duplicates()
-            if len(acc) > prune_rows:
-                acc = (
-                    acc.sort_values([hash_col, key_col])
-                    .groupby(group_col, sort=False)
-                    .head(n)
-                )
-        if acc is not None and len(acc):
-            yield (
-                acc.sort_values([hash_col, key_col])
-                .groupby(group_col, sort=False)
-                .head(n)
-            )
-
-    cand = items.select(*cols).mapInPandas(
-        prefilter, ", ".join(f"{c} {dtypes[c]}" for c in cols)
+    cand = bounded_bottom_k_prefilter(
+        items.select(group_col, hash_col, key_col),
+        group_col,
+        [hash_col, key_col],
+        n,
+        prune_rows,
     )
 
     from pyspark.sql import Window

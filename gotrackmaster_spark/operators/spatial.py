@@ -257,6 +257,8 @@ def point_in_polygon_join(
     (`hex_polygon_covering` + `functions.hex.hex_col`, ``level`` = hex
     resolution) — results are grid-independent (pinned in tests).
     """
+    if grid not in ("z", "hex"):
+        raise ValueError(f"grid must be 'z' or 'hex', got {grid!r}")
     lat_c, lon_c = point_cols
     if grid == "hex":
         from gotrackmaster_spark.functions.hex import hex_col
@@ -318,6 +320,100 @@ _KNN_PREV_CACHE: list = []  # previous call's persisted top-k (bounded leak)
 _DUP_PREV_CACHE: list = []  # previous duplicate call's cached summaries
 
 
+def _knn_phase1(
+    queries: DataFrame,
+    data: DataFrame,
+    *,
+    k: int,
+    n_data: int | None,
+    query_id: str,
+    data_id: str,
+    round_decimals: int,
+    ring: int,
+    cell_fn,
+    kring_fn,
+    guarantee_fn,
+    clamp_fn=None,
+    max_ring: int = 8,
+):
+    """Shared phase 1 of the kNN operators (`knn_join`, `hex_knn_join`):
+    project the two sides, size the expected k-NN radius from the global
+    density, and explode each query to its ADAPTIVE ring of grid cells
+    (the smallest ring in [ring, max_ring] whose exact guarantee covers
+    the target radius).  The lattice is injected: ``cell_fn(lat, lon)``
+    assigns cells, ``kring_fn(cells, r)`` enumerates the ring,
+    ``guarantee_fn(abs_lat, r)`` lower-bounds the ground distance to any
+    point outside the ring, and the optional ``clamp_fn(g, qlat, qlon)``
+    tightens it for lattice-specific blind spots (the hex seam).
+
+    Returns ``(q, d, q_ring, target_m, qid_type)``.
+
+    ``n_data`` only sizes the target radius — pass a (rough) row count or
+    density estimate to skip the extra full pass over the big side;
+    parquet footer counts are free.
+    """
+    q = queries.select(query_id, F.col("lat").alias("q_lat"), F.col("lon").alias("q_lon"))
+    d = data.select(data_id, F.col("lat").alias("d_lat"), F.col("lon").alias("d_lon"))
+    # single-file parquet sources arrive as 1 input split — spread the data
+    # side so the candidate join / distance evaluation parallelizes (cheap:
+    # one narrow shuffle of (id, lat, lon))
+    spark_parallelism = d.sparkSession.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < spark_parallelism:
+        d = d.repartition(spark_parallelism * 2)
+
+    if n_data is None:
+        n_data = data.count()
+    earth_area = 4.0 * math.pi * 6371000.0**2
+    target_m = 2.0 * math.sqrt(max(k, 1) / (max(n_data, 1) / earth_area * math.pi))
+
+    def explode_ring(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qlat = pdf["q_lat"].to_numpy()
+            qlon = pdf["q_lon"].to_numpy()
+            abs_lat = np.abs(qlat)
+            # smallest ring whose exact guarantee covers the target radius
+            r = np.full(len(pdf), max_ring, dtype=np.int64)
+            for rv in range(max_ring - 1, ring - 1, -1):
+                r = np.where(guarantee_fn(abs_lat, rv) >= target_m, rv, r)
+            g = np.zeros(len(pdf))
+            for rv in np.unique(r):
+                m = r == rv
+                g[m] = guarantee_fn(abs_lat[m], int(rv))
+            if clamp_fn is not None:
+                g = clamp_fn(g, qlat, qlon)
+            guarantee = g - 10.0 ** (-round_decimals)
+            cells = cell_fn(qlat, qlon)
+            frames = []
+            for rv in np.unique(r):
+                m = r == rv
+                rc = kring_fn(cells[m], int(rv))
+                nm, mm = rc.shape
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            query_id: np.repeat(pdf[query_id].to_numpy()[m], mm),
+                            "q_lat": np.repeat(qlat[m], mm),
+                            "q_lon": np.repeat(qlon[m], mm),
+                            "guarantee_m": np.repeat(guarantee[m], mm),
+                            "cell": rc.ravel(),
+                        }
+                    )
+                )
+            out = pd.concat(frames, ignore_index=True)
+            # square k-rings can repeat cells after lon wrap / lat clamp;
+            # hex rings are duplicate-free (no-op there)
+            yield out.drop_duplicates(subset=[query_id, "cell"])
+
+    qid_type = dict(queries.dtypes)[query_id]
+    q_ring = q.mapInPandas(
+        explode_ring,
+        f"{query_id} {qid_type}, q_lat double, q_lon double, guarantee_m double, cell long",
+    )
+    return q, d, q_ring, target_m, qid_type
+
+
 def knn_join(
     queries: DataFrame,
     data: DataFrame,
@@ -350,28 +446,9 @@ def knn_join(
 
     Output: (query_id, data_id, dist_m, rank).
     """
-    q = queries.select(query_id, F.col("lat").alias("q_lat"), F.col("lon").alias("q_lon"))
-    d = data.select(data_id, F.col("lat").alias("d_lat"), F.col("lon").alias("d_lon"))
-    # single-file parquet sources arrive as 1 input split — spread the data
-    # side so the candidate join / distance evaluation parallelizes (cheap:
-    # one narrow shuffle of (id, lat, lon))
-    spark_parallelism = d.sparkSession.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < spark_parallelism:
-        d = d.repartition(spark_parallelism * 2)
-
-    # Expected k-NN radius from global density → per-query ADAPTIVE ring:
-    # high-latitude queries (narrow cells in meters) get wider rings instead
-    # of falling back to brute force.  ``n_data`` only sizes that radius —
-    # pass a (rough) row count or density estimate to skip the extra full
-    # pass over the big side; parquet footer counts are free.
-    if n_data is None:
-        n_data = data.count()
-    earth_area = 4.0 * math.pi * 6371000.0**2
-    target_m = 2.0 * math.sqrt(max(k, 1) / (max(n_data, 1) / earth_area * math.pi))
     lat_cell_deg = 180.0 / (1 << level)
     lon_cell_deg = 360.0 / (1 << level)
     lat_cell_m = lat_cell_deg * _M_PER_DEG
-    max_ring = 8
     _R = 6371000.0
 
     def _guarantee(abs_lat_deg: np.ndarray, r) -> np.ndarray:
@@ -386,42 +463,13 @@ def knn_join(
         d_lon = 2.0 * _R * np.arcsin(np.cos(np.radians(worst)) * np.sin(half))
         return np.minimum(d_lat, d_lon)
 
-    def explode_ring(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            qlat = pdf["q_lat"].to_numpy()
-            qlon = pdf["q_lon"].to_numpy()
-            abs_lat = np.abs(qlat)
-            # smallest ring whose exact guarantee covers the target radius
-            r = np.full(len(pdf), max_ring, dtype=np.int64)
-            for rv in range(max_ring - 1, ring - 1, -1):
-                r = np.where(_guarantee(abs_lat, rv) >= target_m, rv, r)
-            guarantee = _guarantee(abs_lat, r) - 10.0 ** (-round_decimals)
-            cells = cell_np(qlat, qlon, level)
-            frames = []
-            for rv in np.unique(r):
-                m = r == rv
-                rc = k_ring_np(cells[m], int(rv))  # (nm, (2rv+1)^2)
-                nm, mm = rc.shape
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            query_id: np.repeat(pdf[query_id].to_numpy()[m], mm),
-                            "q_lat": np.repeat(qlat[m], mm),
-                            "q_lon": np.repeat(qlon[m], mm),
-                            "guarantee_m": np.repeat(guarantee[m], mm),
-                            "cell": rc.ravel(),
-                        }
-                    )
-                )
-            out = pd.concat(frames, ignore_index=True)
-            yield out.drop_duplicates(subset=[query_id, "cell"])
-
-    qid_type = dict(queries.dtypes)[query_id]
-    q_ring = q.mapInPandas(
-        explode_ring,
-        f"{query_id} {qid_type}, q_lat double, q_lon double, guarantee_m double, cell long",
+    q, d, q_ring, target_m, qid_type = _knn_phase1(
+        queries, data,
+        k=k, n_data=n_data, query_id=query_id, data_id=data_id,
+        round_decimals=round_decimals, ring=ring,
+        cell_fn=lambda la, lo: cell_np(la, lo, level),
+        kring_fn=k_ring_np,
+        guarantee_fn=_guarantee,
     )
     d_cell = d.withColumn("cell", cell_col(F.col("d_lat"), F.col("d_lon"), level))
     # big-query path (broadcast_queries=False): when the exploded ring set
@@ -504,8 +552,15 @@ def _rank_with_exact_fallback(
     # execute eagerly, so leaving it as lineage would re-run the candidate
     # window once per consumer — materializing it here also populates the
     # `ranked` cache for the main pass.
-    short_rows = per_q.filter(
-        (F.col("n_cand") < k) | (F.col("kth_dist") > F.col("g_m"))
+    # LEFT-join from the query side: a query whose ring cells hold NO
+    # (non-self) data points has no row in per_q at all — it must still
+    # reach the brute-force phase (n_cand NULL → unbounded bf scan), not
+    # silently vanish from the output.
+    per_q_all = q.select(query_id).join(per_q, query_id, "left")
+    short_rows = per_q_all.filter(
+        F.col("n_cand").isNull()
+        | (F.col("n_cand") < k)
+        | (F.col("kth_dist") > F.col("g_m"))
     ).select(
         query_id,
         F.when(F.col("n_cand") >= k, F.col("kth_dist") + 2 * step).alias("bf_bound"),
@@ -596,18 +651,7 @@ def hex_knn_join(
     """
     from gotrackmaster_spark.functions.hex import SIZES, hex_col, hex_kring_np, hex_np
 
-    q = queries.select(query_id, F.col("lat").alias("q_lat"), F.col("lon").alias("q_lon"))
-    d = data.select(data_id, F.col("lat").alias("d_lat"), F.col("lon").alias("d_lon"))
-    spark_parallelism = d.sparkSession.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < spark_parallelism:
-        d = d.repartition(spark_parallelism * 2)
-
-    if n_data is None:
-        n_data = data.count()
-    earth_area = 4.0 * math.pi * 6371000.0**2
-    target_m = 2.0 * math.sqrt(max(k, 1) / (max(n_data, 1) / earth_area * math.pi))
     size = SIZES[res]
-    max_ring = 8
     _R = 6371000.0
     _SQRT2 = math.sqrt(2.0)
 
@@ -622,50 +666,21 @@ def hex_knn_join(
         d_lon = 2.0 * _R * np.arcsin(np.cos(np.radians(worst)) * math.sin(half))
         return np.minimum(d_lat, d_lon)
 
-    def explode_ring(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            qlat = pdf["q_lat"].to_numpy()
-            qlon = pdf["q_lon"].to_numpy()
-            abs_lat = np.abs(qlat)
-            # smallest ring whose guarantee covers the target radius
-            r = np.full(len(pdf), max_ring, dtype=np.int64)
-            for rv in range(max_ring - 1, ring - 1, -1):
-                r = np.where(_hex_guarantee(abs_lat, rv) >= target_m, rv, r)
-            g = np.zeros(len(pdf))
-            for rv in np.unique(r):
-                m = r == rv
-                g[m] = _hex_guarantee(abs_lat[m], int(rv))
-            # seam clamp: planar lattice, no lon wrap (see docstring)
-            g_seam = np.radians(np.minimum(180.0 - np.abs(qlon), 90.0))
-            g = np.minimum(
-                g, _R * np.arcsin(np.cos(np.radians(abs_lat)) * np.sin(g_seam))
-            )
-            guarantee = g - 10.0 ** (-round_decimals)
-            cells = hex_np(qlat, qlon, res)
-            frames = []
-            for rv in np.unique(r):
-                m = r == rv
-                rc = hex_kring_np(cells[m], int(rv))  # (nm, 3rv²+3rv+1)
-                nm, mm = rc.shape
-                frames.append(
-                    pd.DataFrame(
-                        {
-                            query_id: np.repeat(pdf[query_id].to_numpy()[m], mm),
-                            "q_lat": np.repeat(qlat[m], mm),
-                            "q_lon": np.repeat(qlon[m], mm),
-                            "guarantee_m": np.repeat(guarantee[m], mm),
-                            "cell": rc.ravel(),
-                        }
-                    )
-                )
-            yield pd.concat(frames, ignore_index=True)
+    def _seam_clamp(g, qlat, qlon):
+        # planar lattice, no lon wrap (see docstring)
+        g_seam = np.radians(np.minimum(180.0 - np.abs(qlon), 90.0))
+        return np.minimum(
+            g, _R * np.arcsin(np.cos(np.radians(np.abs(qlat))) * np.sin(g_seam))
+        )
 
-    qid_type = dict(queries.dtypes)[query_id]
-    q_ring = q.mapInPandas(
-        explode_ring,
-        f"{query_id} {qid_type}, q_lat double, q_lon double, guarantee_m double, cell long",
+    q, d, q_ring, target_m, qid_type = _knn_phase1(
+        queries, data,
+        k=k, n_data=n_data, query_id=query_id, data_id=data_id,
+        round_decimals=round_decimals, ring=ring,
+        cell_fn=lambda la, lo: hex_np(la, lo, res),
+        kring_fn=hex_kring_np,
+        guarantee_fn=_hex_guarantee,
+        clamp_fn=_seam_clamp,
     )
     d_cell = d.withColumn("cell", hex_col(F.col("d_lat"), F.col("d_lon"), res))
     if sort_merge:

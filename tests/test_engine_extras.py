@@ -431,6 +431,23 @@ def test_hex_knn_plan_is_sort_merge(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_knn_isolated_query_not_dropped(spark):
+    """A query whose ring cells contain no (non-self) data points must
+    still get its k neighbours via the brute-force phase — not vanish
+    from the output (regression: the short-query gate was derived from
+    the candidate set, which has no row for such queries)."""
+    from gotrackmaster_spark.operators.spatial import hex_knn_join, knn_join
+
+    d = spark.createDataFrame(
+        [(1, 10.0, 10.0), (2, 50.0, 120.0), (3, 50.1, 120.1)],
+        "data_id int, lat double, lon double",
+    )
+    q = spark.createDataFrame([(1, 10.0, 10.0)], "query_id int, lat double, lon double")
+    for fn, kw in ((knn_join, {"level": 6, "ring": 1}), (hex_knn_join, {"res": 3, "ring": 1})):
+        rows = fn(q, d, k=1, exclude_self=True, n_data=3, **kw).collect()
+        assert len(rows) == 1 and rows[0]["data_id"] == 2, (fn.__name__, rows)
+
+
 def test_pip_join_grid_equivalence(spark):
     """PIP results must be identical on the Z-order and hex lattices (the
     lattice only shapes candidate generation), and the hex polyfill must
