@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_estimates": _wrap(Q.q_cms_estimates),
         "distinct_sketch": _wrap(Q.q_distinct_sketch),
         "stratified_sample": _wrap(Q.q_stratified_sample),
+        "interval_events": _wrap(Q.q_interval_events),
         "tile_pyramid": _wrap(Q.q_tile_pyramid),
         "geohash_counts": _wrap(Q.q_geohash_counts),
         "props_stats": _wrap(Q.q_props_stats),
@@ -186,6 +187,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_estimates": Q.SQL_CMS_ESTIMATES,
         "distinct_sketch": Q.SQL_DISTINCT_SKETCH,
         "stratified_sample": Q.SQL_STRATIFIED_SAMPLE,
+        "interval_events": Q.SQL_INTERVAL_EVENTS,
         "tile_pyramid": Q.SQL_TILE_PYRAMID,
         "geohash_counts": Q.SQL_GEOHASH_COUNTS,
         "props_stats": Q.SQL_PROPS_STATS,

@@ -2215,6 +2215,61 @@ SQL_STRATIFIED_SAMPLE = _sql_stratified_sample()
 
 
 # --------------------------------------------------------------------------
+# Temporal interval join (operators/timeseries.py::interval_join) — the
+# time analogue of the E8 circle-range join: bucketed candidates (pure
+# codegen), broadcast interval side, exact half-open refine.  Intervals
+# synthesized from `nation` keys over the events' January-2024 span;
+# oracle = brute-force inequality join.
+# --------------------------------------------------------------------------
+
+_IV_EPOCH = 1704067200          # 2024-01-01T00:00:00Z
+_IV_STEP_S = 90000              # 25 h between interval starts
+_IV_UNIT_US = 25_200_000_000    # 7 h duration unit
+_IV_BUCKET_S = 6 * 3600
+
+
+def q_interval_events(spark, sf_dir):
+    from gotrackmaster_spark.operators.timeseries import interval_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    nat = _t(spark, sf_dir, "nation")
+    nk = F.col("n_nationkey").cast("long")
+    iv = nat.select(
+        nk.alias("iv_id"),
+        ((F.lit(_IV_EPOCH) + nk * _IV_STEP_S) * F.lit(1_000_000)).alias("t0_us"),
+    ).withColumn(
+        "t1_us",
+        F.col("t0_us") + (F.col("iv_id") % 5 + 1) * F.lit(_IV_UNIT_US),
+    )
+    j = interval_join(ev, iv, _IV_BUCKET_S, ts_col="ts_us")
+    return j.groupBy("iv_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("event_id").alias("ev_sum"),
+    )
+
+
+SQL_INTERVAL_EVENTS = f"""
+WITH iv AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS iv_id,
+         ({_IV_EPOCH} + CAST(n_nationkey AS BIGINT) * {_IV_STEP_S}) * 1000000 AS t0_us
+  FROM nation
+),
+iv2 AS (
+  SELECT iv_id, t0_us, t0_us + (iv_id % 5 + 1) * {_IV_UNIT_US} AS t1_us FROM iv
+),
+ev AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events)
+SELECT i.iv_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(e.event_id) AS BIGINT) AS ev_sum
+FROM iv2 i JOIN ev e ON i.t0_us <= e.ts_us AND e.ts_us < i.t1_us
+GROUP BY i.iv_id
+"""
+
+
+# --------------------------------------------------------------------------
 # E4 — tile-pyramid rollup: base mercator-tile counts rolled up z8 → z4
 # (functions/tiles.py::tile_pyramid; exact via the nested-floor identity).
 # --------------------------------------------------------------------------

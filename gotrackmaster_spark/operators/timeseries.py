@@ -95,3 +95,42 @@ def sessionize(
     ).otherwise(F.lit(0))
     wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return events.withColumn("session_no", F.sum(is_new).over(wc) - 1)
+
+
+def interval_join(
+    events: DataFrame,
+    intervals: DataFrame,
+    bucket_s: int,
+    ts_col: str = "ts_us",
+    t0_col: str = "t0_us",
+    t1_col: str = "t1_us",
+    broadcast_intervals: bool = True,
+) -> DataFrame:
+    """Temporal interval join: every (event, interval) pair with
+    ``t0 <= ts < t1`` (half-open), timestamps in integer µs.
+
+    The temporal analogue of the spatial circle-range join (E8):
+    intervals explode to their covered time buckets (``sequence`` — pure
+    codegen, no Python), events carry ``ts DIV bucket``; candidates come
+    from a broadcast equi-join on the bucket, refined by the exact
+    inequality filter.  The (big) events side never shuffles; candidate
+    fan-in per event is the number of intervals overlapping its bucket,
+    so size ``bucket_s`` near the median interval length.
+    ``broadcast_intervals=False`` shuffle-hash-joins both sides on the
+    bucket for interval sets too large to broadcast.
+    """
+    b = int(bucket_s) * 1_000_000
+    iv = intervals.withColumn(
+        "bucket",
+        F.explode(
+            F.expr(f"sequence({t0_col} DIV {b}, ({t1_col} - 1) DIV {b})")
+        ),
+    )
+    ev = events.withColumn("bucket", F.expr(f"{ts_col} DIV {b}"))
+    if broadcast_intervals:
+        j = ev.join(F.broadcast(iv), "bucket", "inner")
+    else:
+        j = ev.join(iv.hint("shuffle_hash"), "bucket", "inner")
+    return j.filter(
+        (F.col(t0_col) <= F.col(ts_col)) & (F.col(ts_col) < F.col(t1_col))
+    ).drop("bucket")

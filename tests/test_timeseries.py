@@ -112,3 +112,39 @@ def test_cell_range_layout_pushes_predicates(spark, tmp_path):
     assert "PushedFilters: [" in plan and "GreaterThanOrEqual(cell" in plan
     expect = pts.filter((F.col("cell") >= F.lit(lo)) & (F.col("cell") < F.lit(mid))).count()
     assert q.count() == expect and expect > 0
+
+
+def test_interval_join_matches_brute_force(spark):
+    """Bucketed interval join must equal the brute-force inequality join
+    for every bucket size, including intervals spanning many buckets and
+    events exactly at t0 (included) / t1 (excluded); no CartesianProduct
+    in the plan."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from gotrackmaster_spark.operators.timeseries import interval_join
+
+    rng = np.random.default_rng(11)
+    ev_rows = [(int(i), int(rng.integers(0, 10_000_000))) for i in range(400)]
+    iv_rows = []
+    for j in range(20):
+        t0 = int(rng.integers(0, 9_000_000))
+        iv_rows.append((j, t0, t0 + int(rng.integers(1, 2_000_000))))
+    # edge pins: one event exactly at an interval's t0 and one at a t1
+    ev_rows.append((400, iv_rows[0][1]))
+    ev_rows.append((401, iv_rows[1][2]))
+    ev = spark.createDataFrame(ev_rows, "event_id long, ts_us long")
+    iv = spark.createDataFrame(iv_rows, "iv_id long, t0_us long, t1_us long")
+
+    expect = sorted(
+        (e, i)
+        for e, t in ev_rows
+        for i, t0, t1 in iv_rows
+        if t0 <= t < t1
+    )
+    for bucket_s in (1, 3):  # 1 s and 3 s buckets (ts in µs)
+        out = interval_join(ev, iv, bucket_s)
+        got = sorted((r.event_id, r.iv_id) for r in out.collect())
+        assert got == expect, bucket_s
+    plan = interval_join(ev, iv, 1)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
