@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": _wrap(Q.q_jaccard_pairs),
         "minhash_band_pairs": _wrap(Q.q_minhash_band_pairs),
         "simhash_near_dups": _wrap(Q.q_simhash_near_dups),
+        "dup_components": _wrap(Q.q_dup_components),
         "embedding_topk": _wrap(Q.q_embedding_topk),
         "embedding_lsh_topk": _wrap(Q.q_embedding_lsh_topk),
         "embedding_ivf_topk": _wrap(Q.q_embedding_ivf_topk),
@@ -164,6 +165,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": Q.SQL_JACCARD_PAIRS,
         "minhash_band_pairs": Q.SQL_MINHASH_BAND_PAIRS,
         "simhash_near_dups": Q.SQL_SIMHASH_NEAR_DUPS,
+        "dup_components": Q.SQL_DUP_COMPONENTS,
         "embedding_topk": Q.SQL_EMBEDDING_TOPK,
         "embedding_lsh_topk": Q.SQL_EMBEDDING_LSH_TOPK,
         "embedding_ivf_topk": Q.SQL_EMBEDDING_IVF_TOPK,

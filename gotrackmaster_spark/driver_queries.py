@@ -1097,6 +1097,41 @@ def q_simhash_near_dups(spark, sf_dir):
 SQL_SIMHASH_NEAR_DUPS = D.sql_simhash_near_dups(max_hamming=8)
 
 
+def q_dup_components(spark, sf_dir):
+    """Near-dup canonicalization: simhash pair edges → connected
+    components (min-label propagation) → per-cluster size keyed by the
+    canonical (min-id) root.  The oracle replays the same clustering as
+    a recursive-CTE transitive closure over the identical edge set."""
+    from gotrackmaster_spark.operators.graph import connected_components
+
+    pairs = q_simhash_near_dups(spark, sf_dir)
+    comp = connected_components(pairs, "a_id", "b_id")
+    return comp.groupBy(F.col("l").alias("root")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("v").alias("id_sum"),
+    )
+
+
+SQL_DUP_COMPONENTS = f"""
+WITH RECURSIVE ed AS (
+  SELECT a_id AS a, b_id AS b FROM ({SQL_SIMHASH_NEAR_DUPS}) s
+  UNION
+  SELECT b_id, a_id FROM ({SQL_SIMHASH_NEAR_DUPS}) s
+),
+nodes AS (SELECT DISTINCT a AS v FROM ed),
+reach AS (
+  SELECT v, v AS u FROM nodes
+  UNION
+  SELECT r.v, e.b AS u FROM reach r JOIN ed e ON e.a = r.u
+),
+comp AS (SELECT v, min(u) AS root FROM reach GROUP BY v)
+SELECT root,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(v) AS BIGINT) AS id_sum
+FROM comp GROUP BY root
+"""
+
+
 def q_embedding_topk(spark, sf_dir):
     return D.embedding_topk(_t(spark, sf_dir, "embeddings"), k=10, query_mod=50)
 

@@ -183,3 +183,16 @@ def test_embedding_ivf_recall_and_plan(spark):
     # reported by the assert message if it drifts
     recall = len(got_set & exact_set) / len(exact_set)
     assert recall > 0.2, f"IVF recall collapsed: {recall:.2f}"
+
+
+def test_connected_components_hand_graph(spark):
+    """Min-label propagation on a hand graph: two chains and an isolated
+    edge; labels must equal each component's minimum node id."""
+    from gotrackmaster_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(5, 3), (3, 9), (9, 12), (20, 21), (40, 41), (41, 42)],
+        "a_id long, b_id long",
+    )
+    got = {r.v: r.l for r in connected_components(edges).collect()}
+    assert got == {3: 3, 5: 3, 9: 3, 12: 3, 20: 20, 21: 20, 40: 40, 41: 40, 42: 40}
