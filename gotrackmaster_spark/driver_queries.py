@@ -2443,8 +2443,10 @@ SQL_TABLE_PROFILE = " UNION ALL ".join(
 # result.  The oracle replays the MERGE as its relational definition — a
 # FULL OUTER JOIN where source rows win — so a lost insert, a surviving
 # stale row, or a partition dropped by the CoW bookkeeping all
-# hash-mismatch.  (The catalog writes into a fresh temp dir per call;
-# the query itself is deterministic.)
+# hash-mismatch.  (The catalog writes into one deterministic per-process
+# temp dir, wiped at each call, so repeated driver/bench runs in one
+# session don't accumulate base+merged table copies on disk; the query
+# itself is deterministic.)
 # --------------------------------------------------------------------------
 
 _MERGE_NPART = 10  # partition key = user_id % 10
@@ -2474,11 +2476,15 @@ def _merge_source(spark, sf_dir):
 
 
 def q_merge_upsert(spark, sf_dir):
+    import os
+    import shutil
     import tempfile
 
     from gotrackmaster_spark.plans.checkpoint import Catalog
 
-    cat = Catalog(tempfile.mkdtemp(prefix="merge_oracle_"))
+    root = os.path.join(tempfile.gettempdir(), f"merge_oracle_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    cat = Catalog(root)
     cat.commit(_merge_base(spark, sf_dir), "t", partition_col="part")
     cat.merge(
         spark,

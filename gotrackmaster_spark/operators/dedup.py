@@ -103,8 +103,11 @@ def jaccard_pairs(
     Inverted-index plan: explode shingles → drop stop-shingles (document
     frequency > ``max_shingle_df``; a single hot shingle otherwise yields
     a quadratic pair blowup in the self-join) → self-equi-join on shingle
-    hash → per-pair intersection counts → join per-doc set sizes
-    (broadcast).  Set sizes are computed AFTER the cap, so the result is
+    hash → per-pair intersection counts → join per-doc set sizes (a plain
+    shuffle join — ``sizes`` has one row per DOCUMENT, so broadcasting it
+    is an O(corpus) driver/executor allocation at 10⁹ docs; AQE still
+    promotes it to a broadcast join at small scale where it fits).  Set
+    sizes are computed AFTER the cap, so the result is
     exact Jaccard over the capped shingle space — hot shingles carry no
     near-dup signal (they match everything), so capping changes candidate
     cost, not dedup quality; tests/test_dedup_text.py measures both.
@@ -129,8 +132,8 @@ def jaccard_pairs(
         .agg(F.count("*").alias("inter"))
     )
     out = (
-        inter.join(F.broadcast(sizes.withColumnRenamed(id_col, "a_id").withColumnRenamed("sz", "sa")), "a_id")
-        .join(F.broadcast(sizes.withColumnRenamed(id_col, "b_id").withColumnRenamed("sz", "sb")), "b_id")
+        inter.join(sizes.withColumnRenamed(id_col, "a_id").withColumnRenamed("sz", "sa"), "a_id")
+        .join(sizes.withColumnRenamed(id_col, "b_id").withColumnRenamed("sz", "sb"), "b_id")
         .filter(
             F.lit(threshold_den) * F.col("inter")
             >= F.lit(threshold_num) * (F.col("sa") + F.col("sb") - F.col("inter"))
@@ -232,9 +235,11 @@ def minhash_lsh_dups(
         .groupBy("a_id", "b_id")
         .agg(F.count("*").alias("inter"))
     )
+    # sizes is O(corpus) — never force-broadcast it (AQE may still choose
+    # a broadcast join when the post-cap table actually fits).
     return (
-        inter.join(F.broadcast(sizes.withColumnRenamed(id_col, "a_id").withColumnRenamed("sz", "sa")), "a_id")
-        .join(F.broadcast(sizes.withColumnRenamed(id_col, "b_id").withColumnRenamed("sz", "sb")), "b_id")
+        inter.join(sizes.withColumnRenamed(id_col, "a_id").withColumnRenamed("sz", "sa"), "a_id")
+        .join(sizes.withColumnRenamed(id_col, "b_id").withColumnRenamed("sz", "sb"), "b_id")
         .filter(
             F.lit(threshold_den) * F.col("inter")
             >= F.lit(threshold_num) * (F.col("sa") + F.col("sb") - F.col("inter"))
@@ -388,9 +393,22 @@ def _dot_expr(a: str, b: str) -> str:
 def embedding_topk(
     emb: DataFrame, k: int = 10, query_mod: int = 50,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    max_queries: int | None = 10_000,
 ) -> DataFrame:
-    """Brute-force cosine top-k for the query subset (id % query_mod == 0).
-    Ranking by (round(cos, 6) desc, id) — oracle-stable."""
+    """EXACT brute-force cosine top-k for the query subset
+    (id % query_mod == 0).  Ranking by (round(cos, 6) desc, id) —
+    oracle-stable.
+
+    Bounded-Q contract: this is the exact-rerank PRIMITIVE, O(|Q|·N) work
+    via broadcast(Q) ⋈ scan(N) — correct and fully distributed, but only
+    affordable when the query set is small (ground-truth/recall
+    measurement, final rerank of LSH/IVF candidates).  ``max_queries``
+    enforces that contract with a cheap count of the filtered query side
+    (raises ``ValueError`` above the cap; ``None`` disables for tests).
+    For large query sets use :func:`embedding_lsh_topk` /
+    :func:`embedding_ivf_topk` — same output schema, bucketed candidate
+    generation instead of the full scan.
+    """
     from pyspark.sql import Window
 
     norm = F.sqrt(F.expr(_dot_expr(vec_col, vec_col)))
@@ -398,6 +416,15 @@ def embedding_topk(
     q = v.filter(F.col(id_col) % query_mod == 0).select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), F.col("nrm").alias("q_nrm")
     )
+    if max_queries is not None:
+        n_q = q.count()
+        if n_q > max_queries:
+            raise ValueError(
+                f"embedding_topk is the exact brute-force primitive: got "
+                f"{n_q} queries > max_queries={max_queries}; use "
+                f"embedding_lsh_topk/embedding_ivf_topk for large query "
+                f"sets (or raise max_queries explicitly)."
+            )
     pairs = F.broadcast(q).crossJoin(v).filter(F.col(id_col) != F.col("q_id"))
     cos = F.expr(_dot_expr("q_vec", vec_col)) / (F.col("q_nrm") * F.col("nrm"))
     pairs = pairs.withColumn("cos_r", F.round(cos, 6))

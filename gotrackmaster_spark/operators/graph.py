@@ -30,6 +30,8 @@ def connected_components(
     a_col: str = "a_id",
     b_col: str = "b_id",
     max_iter: int = 50,
+    checkpoint_dir: str | None = None,
+    on_nonconverged: str = "raise",
 ) -> DataFrame:
     """Label every node of the (undirected) edge table with its
     component's minimum node id.
@@ -37,27 +39,60 @@ def connected_components(
     Output: ``(v, l)`` — one row per node appearing in any edge, ``l``
     the component root.  Singleton nodes (no edges) are not emitted;
     union the node table back in if they are needed.
-    """
-    e = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    # localCheckpoint, not persist: an iterative loop must TRUNCATE the
-    # logical plan each round — persisted frames keep their full lineage,
-    # so Catalyst re-analyzes a plan that doubles per iteration (the
-    # classic iterative-Spark pitfall) and the upstream edge producer
-    # (e.g. a simhash band join) reappears in every round's plan.
-    bi = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().localCheckpoint(eager=True)
-    labels = (
-        bi.select(F.col("src").alias("v")).distinct().withColumn("l", F.col("v"))
-    ).localCheckpoint(eager=True)
 
+    Checkpointing: each round's labels must TRUNCATE the logical plan —
+    persisted frames keep their full lineage, so Catalyst re-analyzes a
+    plan that doubles per iteration (the classic iterative-Spark pitfall)
+    and the upstream edge producer (e.g. a simhash band join) reappears
+    in every round's plan.  Two modes:
+
+    - ``checkpoint_dir=None`` (default): ``localCheckpoint`` — blocks
+      live on executor local storage.  Fastest; right for local mode and
+      for clusters where a lost executor may simply rerun the job.  NOT
+      executor-loss-tolerant: a dead executor loses its blocks and the
+      truncated lineage cannot recompute them.
+    - ``checkpoint_dir=path``: reliable ``df.checkpoint()`` to a
+      fault-tolerant filesystem (HDFS/S3).  Each round pays a write+read
+      of the label table (O(nodes), tiny next to the edge table), and a
+      1000-executor run survives executor loss.  Use this at 100 TB.
+
+    Convergence: min-label propagation converges in component-diameter
+    rounds.  Near-dup graphs are near-cliques (diameter 2-4), but an
+    adversarial 10⁶-long chain exceeds any fixed ``max_iter`` — returning
+    silently would hand back WRONG clusters, so ``on_nonconverged``
+    controls the failure mode: ``"raise"`` (default, ValueError) or
+    ``"warn"`` (log loudly, return the partial labels).
+    """
+    if on_nonconverged not in ("raise", "warn"):
+        raise ValueError(f"on_nonconverged must be 'raise' or 'warn', got {on_nonconverged!r}")
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _snap(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+        def _snap(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
+    e = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    bi = _snap(
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+    )
+    labels = _snap(
+        bi.select(F.col("src").alias("v")).distinct().withColumn("l", F.col("v"))
+    )
+
+    changed = -1
     for _ in range(max_iter):
         msgs = bi.join(labels, bi["src"] == labels["v"]).select(
             F.col("dst").alias("v"), "l"
         )
-        new = (
+        new = _snap(
             labels.unionByName(msgs).groupBy("v").agg(F.min("l").alias("l"))
-        ).localCheckpoint(eager=True)
+        )
         changed = (
             new.join(labels.withColumnRenamed("l", "l_old"), "v")
             .filter(F.col("l") != F.col("l_old"))
@@ -66,4 +101,16 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    if changed != 0:
+        msg = (
+            f"connected_components did NOT converge in max_iter={max_iter} "
+            f"rounds ({changed} labels still changing) — component diameter "
+            f"exceeds max_iter; labels are WRONG for the unconverged "
+            f"components. Raise max_iter (diameter rounds needed)."
+        )
+        if on_nonconverged == "raise":
+            raise ValueError(msg)
+        import logging
+
+        logging.getLogger(__name__).warning(msg)
     return labels

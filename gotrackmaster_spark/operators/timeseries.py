@@ -100,11 +100,12 @@ def sessionize(
 def interval_join(
     events: DataFrame,
     intervals: DataFrame,
-    bucket_s: int,
+    bucket_s: int | None,
     ts_col: str = "ts_us",
     t0_col: str = "t0_us",
     t1_col: str = "t1_us",
     broadcast_intervals: bool = True,
+    max_fanout: int | None = 100_000,
 ) -> DataFrame:
     """Temporal interval join: every (event, interval) pair with
     ``t0 <= ts < t1`` (half-open), timestamps in integer µs.
@@ -118,12 +119,32 @@ def interval_join(
     so size ``bucket_s`` near the median interval length.
     ``broadcast_intervals=False`` shuffle-hash-joins both sides on the
     bucket for interval sets too large to broadcast.
+
+    Robustness guards (the explode is the scale hazard — one bad interval
+    can fan out without bound):
+
+    - **Inverted intervals** (``t1 <= t0``) match no event, but a naive
+      ``sequence(t0 DIV b, (t1-1) DIV b)`` generates a DESCENDING bucket
+      range — |t0−t1|/b spurious candidate rows per bad interval.  The
+      stop is clamped with ``greatest``, so an inverted interval costs
+      exactly one bucket row (then dies in the refine filter).
+    - **``bucket_s=None``** derives the bucket from the interval table
+      itself (median interval length, one cheap aggregate over the SMALL
+      side) — the fanout-balanced choice when lengths are unknown.
+    - **``max_fanout``** bounds the per-interval explode: a single
+      year-long interval over 1 s buckets is 31.5 M bucket rows from ONE
+      input row.  Intervals whose bucket span exceeds the cap raise
+      ``ValueError`` naming the offender count and the bucket size that
+      would fit (one aggregate over the small side; ``None`` disables).
     """
-    b = int(bucket_s) * 1_000_000
-    iv = intervals.withColumn(
+    b, iv_src = _resolve_bucket(intervals, bucket_s, t0_col, t1_col, max_fanout)
+    iv = iv_src.withColumn(
         "bucket",
         F.explode(
-            F.expr(f"sequence({t0_col} DIV {b}, ({t1_col} - 1) DIV {b})")
+            F.expr(
+                f"sequence({t0_col} DIV {b}, "
+                f"greatest({t0_col} DIV {b}, ({t1_col} - 1) DIV {b}))"
+            )
         ),
     )
     ev = events.withColumn("bucket", F.expr(f"{ts_col} DIV {b}"))
@@ -134,3 +155,45 @@ def interval_join(
     return j.filter(
         (F.col(t0_col) <= F.col(ts_col)) & (F.col(ts_col) < F.col(t1_col))
     ).drop("bucket")
+
+
+def _resolve_bucket(
+    intervals: DataFrame,
+    bucket_s: int | None,
+    t0_col: str,
+    t1_col: str,
+    max_fanout: int | None,
+) -> tuple[int, DataFrame]:
+    """Pick/validate the bucket width (µs).  Both the auto-bucket median
+    and the fanout check are single aggregates over the INTERVAL side —
+    the small side of the join — so the guard never touches the event
+    table."""
+    if bucket_s is None:
+        med = intervals.select(
+            F.expr(
+                f"percentile_approx(greatest({t1_col} - {t0_col}, 1), 0.5)"
+            ).alias("med")
+        ).first()["med"]
+        b = max(int(med or 1_000_000), 1)
+    else:
+        b = int(bucket_s) * 1_000_000
+    if max_fanout is not None:
+        span = F.greatest(
+            (F.col(t1_col) - F.lit(1)) / F.lit(b) - F.col(t0_col) / F.lit(b),
+            F.lit(0.0),
+        )
+        stats = intervals.select(
+            F.sum(F.when(span >= max_fanout, 1).otherwise(0)).alias("n_over"),
+            F.max(span).alias("max_span"),
+        ).first()
+        if stats["n_over"]:
+            worst = int(stats["max_span"] or 0) + 1
+            need_s = max((worst * b) // max_fanout // 1_000_000, 1)
+            raise ValueError(
+                f"interval_join fan-out guard: {stats['n_over']} interval(s) "
+                f"explode to >= {max_fanout} bucket rows each at "
+                f"bucket_s={b // 1_000_000}s (worst: ~{worst} buckets). "
+                f"Use bucket_s >= {need_s}, bucket_s=None (auto), or raise "
+                f"max_fanout explicitly."
+            )
+    return b, intervals

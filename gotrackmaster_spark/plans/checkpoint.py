@@ -327,9 +327,14 @@ class Catalog:
         # upsert: full outer on keys, source wins where present.  The
         # list-form join coalesces key columns (USING semantics), so keys
         # come straight off the joined frame; non-keys via the t/s aliases.
-        t, s = tgt.alias("t"), src.alias("s")
+        # Source presence is detected via a dedicated lit(1) marker, NOT a
+        # key column: a source row with a NULL first key but non-null
+        # remaining keys would otherwise be treated as absent and its
+        # values silently replaced by target-side NULLs.
+        t = tgt.alias("t")
+        s = src.withColumn("__src_marker", F.lit(1)).alias("s")
         joined = t.join(s, key_cols, "full_outer")
-        s_present = F.col(f"s.{key_cols[0]}").isNotNull()
+        s_present = F.col("s.__src_marker").isNotNull()
         out = [F.col(k) for k in key_cols]
         for c in cols:
             if c in key_cols:

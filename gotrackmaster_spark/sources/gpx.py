@@ -237,33 +237,78 @@ def write_gpx_files(points_df, tracks_df, out_dir: str, waypoints_df=None) -> in
     track groups (each file is one group — the reference's per-file loop
     inverted).  ``waypoints_df`` (WAYPOINTS_SCHEMA) re-emits each track's
     top-level waypoints so a parse → repair → write round trip is lossless.
-    Returns the number of files written."""
+    Returns the number of files written.
+
+    Fully distributed — NO driver-side collect: the creator dimension
+    JOINS into the point rows and waypoints ride along as discriminated
+    rows ("kind" column) unioned into the same grouped frame, so a
+    10⁶-track export ships no O(tracks) closure dict to every task.
+    Waypoint counts are handfuls per file, so the union adds negligible
+    rows; each group still materializes exactly one file.
+    """
     import os
 
     import pandas as pd
+    from pyspark.sql import functions as F
 
-    creators = {r.track_id: r.creator for r in tracks_df.collect()}
-    # waypoints are rare and tiny (handfuls per file) — collect + broadcast
-    # by closure keeps the sink a single applyInPandas pass
-    wpts: dict[str, list] = {}
-    if waypoints_df is not None:
-        for r in waypoints_df.collect():
-            wpts.setdefault(r.track_id, []).append(r)
     os.makedirs(out_dir, exist_ok=True)
+    creator_dim = tracks_df.select("track_id", "creator")
+    pts = points_df.join(creator_dim, "track_id", "left").select(
+        "track_id", "creator",
+        F.lit("p").alias("kind"),
+        "trk_no", "seg_no", "pt_idx",
+        "lat", "lon", "ele", "ts_ns",
+        F.lit(None).cast("int").alias("wpt_idx"),
+        F.lit(None).cast("string").alias("wname"),
+        F.lit(None).cast("string").alias("link_href"),
+    )
+    unioned = pts
+    if waypoints_df is not None:
+        w = waypoints_df.join(creator_dim, "track_id", "left").select(
+            "track_id", "creator",
+            F.lit("w").alias("kind"),
+            F.lit(None).cast("int").alias("trk_no"),
+            F.lit(None).cast("int").alias("seg_no"),
+            F.lit(None).cast("int").alias("pt_idx"),
+            "lat", "lon", "ele", "ts_ns",
+            "wpt_idx",
+            F.col("name").alias("wname"),
+            "link_href",
+        )
+        unioned = unioned.unionByName(w)
 
     def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        rows = list(pdf.sort_values(["trk_no", "seg_no", "pt_idx"]).itertuples())
-        xml_text = points_to_gpx_xml(
-            rows, creators.get(key[0], "gotrackmaster-spark"),
-            waypoints=wpts.get(key[0]),
-        )
+        import types
+
+        cr = pdf["creator"].dropna()
+        creator = str(cr.iloc[0]) if len(cr) else "gotrackmaster-spark"
+        p = pdf[pdf["kind"] == "p"]
+        rows = list(p.sort_values(["trk_no", "seg_no", "pt_idx"]).itertuples())
+        wl = None
+        wp = pdf[pdf["kind"] == "w"]
+        if len(wp):
+            # rebuild typed waypoint records (pandas turns nullable cols
+            # into NaN floats; points_to_gpx_xml tests `is not None`)
+            wl = [
+                types.SimpleNamespace(
+                    wpt_idx=int(r["wpt_idx"]),
+                    lat=float(r["lat"]),
+                    lon=float(r["lon"]),
+                    ele=None if pd.isna(r["ele"]) else float(r["ele"]),
+                    ts_ns=None if pd.isna(r["ts_ns"]) else int(r["ts_ns"]),
+                    name=None if pd.isna(r["wname"]) else str(r["wname"]),
+                    link_href=None if pd.isna(r["link_href"]) else str(r["link_href"]),
+                )
+                for r in wp.to_dict("records")
+            ]
+        xml_text = points_to_gpx_xml(rows, creator, waypoints=wl)
         safe = str(key[0]).replace("/", "_")
         path = os.path.join(out_dir, f"{safe}.gpx")
         with open(path, "w") as f:
             f.write(xml_text)
         return pd.DataFrame({"track_id": [key[0]], "path": [path]})
 
-    res = points_df.groupBy("track_id").applyInPandas(fn, "track_id string, path string")
+    res = unioned.groupBy("track_id").applyInPandas(fn, "track_id string, path string")
     return res.count()
 
 

@@ -196,3 +196,88 @@ def test_connected_components_hand_graph(spark):
     )
     got = {r.v: r.l for r in connected_components(edges).collect()}
     assert got == {3: 3, 5: 3, 9: 3, 12: 3, 20: 20, 21: 20, 40: 40, 41: 40, 42: 40}
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir mode (reliable df.checkpoint for executor-loss
+    tolerance at cluster scale) must produce identical labels."""
+    from gotrackmaster_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(5, 3), (3, 9), (9, 12), (20, 21), (40, 41), (41, 42)],
+        "a_id long, b_id long",
+    )
+    got = {
+        r.v: r.l
+        for r in connected_components(
+            edges, checkpoint_dir=str(tmp_path / "ckpt")
+        ).collect()
+    }
+    assert got == {3: 3, 5: 3, 9: 3, 12: 3, 20: 20, 21: 20, 40: 40, 41: 40, 42: 40}
+
+
+def test_connected_components_nonconvergence(spark):
+    """A chain whose diameter exceeds max_iter must NOT silently return
+    wrong labels: default raises; on_nonconverged='warn' logs and returns
+    the partial labels."""
+    import pytest
+
+    from gotrackmaster_spark.operators.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "a_id long, b_id long"
+    )
+    with pytest.raises(ValueError, match="did NOT converge"):
+        connected_components(chain, max_iter=2)
+    partial = connected_components(chain, max_iter=2, on_nonconverged="warn")
+    assert partial.count() == 13  # partial labels returned, loudly
+    # and with enough rounds the same chain converges to root 0
+    full = {r.v: r.l for r in connected_components(chain, max_iter=20).collect()}
+    assert set(full.values()) == {0}
+
+
+def test_embedding_topk_bounded_q_contract(spark):
+    """embedding_topk is the exact brute-force primitive: exceeding
+    max_queries must raise, pointing at the LSH/IVF scale paths."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from gotrackmaster_spark.operators.dedup import embedding_topk
+
+    emb = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") * (i + 1) % 7).cast("float") + 0.5 for i in range(4)]).alias(
+            "embedding"
+        ),
+    )
+    with pytest.raises(ValueError, match="max_queries"):
+        embedding_topk(emb, k=2, query_mod=1, max_queries=5).collect()
+    # under the cap (or with the guard disabled) it runs
+    assert embedding_topk(emb, k=2, query_mod=20, max_queries=5).count() > 0
+    assert embedding_topk(emb, k=2, query_mod=20, max_queries=None).count() > 0
+
+
+def test_dedup_no_per_doc_broadcast_hints(spark):
+    """The O(corpus) per-doc `sizes` table must NOT carry a broadcast
+    hint (10⁹-doc OOM at scale).  jaccard_pairs keeps exactly one hint
+    (the bounded hot-shingle table), minhash_lsh_dups exactly one (the
+    candidate-pair semi-join side)."""
+    from pyspark.sql import functions as F
+
+    from gotrackmaster_spark.operators.dedup import jaccard_pairs, minhash_lsh_dups
+
+    docs = spark.range(30).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta epsilon zeta "), F.col("id").cast("string")).alias("text"),
+    )
+    # with the (bounded, deliberately broadcast) hot-shingle cap disabled,
+    # NO hint may remain anywhere in the jaccard plan — i.e. the per-doc
+    # sizes joins are plain joins
+    jp = jaccard_pairs(docs, max_shingle_df=None)
+    jp_hints = jp._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
+    assert jp_hints == 0, f"jaccard_pairs(no cap) hints: {jp_hints} (want 0)"
+    # minhash keeps exactly one hinted subtree: the bounded candidate-pair
+    # semi-join side (referenced once); the sizes joins carry none
+    mh = minhash_lsh_dups(docs)
+    mh_hints = mh._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
+    assert mh_hints == 1, f"minhash_lsh_dups hints: {mh_hints} (want 1: candidates only)"

@@ -155,3 +155,18 @@ def test_merge_rejects_bad_mode_and_missing_cols(spark, tmp_path):
             src.drop("value"),
             key_cols=["user_id", "event_id"],
         )
+
+
+def test_merge_rows_null_key_source_row(spark):
+    """Source presence is detected via a lit(1) marker, not key_cols[0]:
+    a source row with a NULL first key but non-null remaining keys must
+    keep ITS values instead of being silently nulled by the target side."""
+    tgt = spark.createDataFrame(
+        [Row(k1="a", k2=1, value=10.0), Row(k1="b", k2=2, value=20.0)]
+    )
+    src = spark.createDataFrame(
+        [Row(k1=None, k2=3, value=99.0), Row(k1="a", k2=1, value=11.0)]
+    )
+    out = Catalog._merge_rows(tgt, src, ["k1", "k2"], "upsert", ["k1", "k2", "value"])
+    got = {(r.k1, r.k2): r.value for r in out.collect()}
+    assert got == {("a", 1): 11.0, ("b", 2): 20.0, (None, 3): 99.0}

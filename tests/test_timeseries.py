@@ -148,3 +148,49 @@ def test_interval_join_matches_brute_force(spark):
         assert got == expect, bucket_s
     plan = interval_join(ev, iv, 1)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_interval_join_inverted_interval(spark):
+    """Inverted intervals (t1 <= t0) match nothing AND must not fan out:
+    the sequence stop is clamped, so one bad interval costs one bucket
+    row instead of |t0-t1|/bucket descending rows."""
+    from pyspark.sql import functions as F
+
+    from gotrackmaster_spark.operators.timeseries import interval_join
+
+    ev = spark.createDataFrame([(0, 5_000_000), (1, 500)], "event_id long, ts_us long")
+    iv = spark.createDataFrame(
+        [(0, 10_000_000_000, 0), (1, 4_000_000, 6_000_000)],
+        "iv_id long, t0_us long, t1_us long",
+    )
+    out = interval_join(ev, iv, 1, max_fanout=100)  # fanout guard tight:
+    # the inverted 10^4-bucket-wide interval must count as ONE bucket
+    got = sorted((r.event_id, r.iv_id) for r in out.collect())
+    assert got == [(0, 1)]
+
+
+def test_interval_join_fanout_guard_and_auto_bucket(spark):
+    """One year-long interval at 1 s buckets explodes to 31.5M rows from a
+    single input row — the guard must refuse; bucket_s=None (auto median)
+    and an explicit big bucket must both succeed and agree with brute
+    force."""
+    import pytest
+
+    from gotrackmaster_spark.operators.timeseries import interval_join
+
+    year_us = 365 * 86_400 * 1_000_000
+    ev_rows = [(i, i * year_us // 40) for i in range(40)]
+    iv_rows = [(0, 0, year_us), (1, year_us // 2, year_us // 2 + 7 * 86_400 * 1_000_000)]
+    ev = spark.createDataFrame(ev_rows, "event_id long, ts_us long")
+    iv = spark.createDataFrame(iv_rows, "iv_id long, t0_us long, t1_us long")
+    expect = sorted(
+        (e, i) for e, t in ev_rows for i, t0, t1 in iv_rows if t0 <= t < t1
+    )
+
+    with pytest.raises(ValueError, match="fan-out guard"):
+        interval_join(ev, iv, 1)  # default max_fanout=100k
+
+    for kwargs in ({"bucket_s": None}, {"bucket_s": 86_400 * 30}, {"bucket_s": 1, "max_fanout": None}):
+        out = interval_join(ev, iv, **kwargs)
+        got = sorted((r.event_id, r.iv_id) for r in out.collect())
+        assert got == expect, kwargs
