@@ -72,16 +72,36 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order is DELIBERATE (the driver checks the first 50 entries):
+
+    1. queries with no driver CORRECTNESS row yet (new this round, or
+       registered after position 50 last round) come first;
+    2. then queries whose implementation changed since their last green row;
+    3. then the rest of the oracle-backed suite;
+    4. overflow past 50 = the oldest queries, each green in BOTH r01 and
+       r02 driver runs with code untouched since, followed by the two
+       deliberately rows-only kernel composites.
+    """
     return {
-        "leg_haversine_sum": _wrap(Q.q_leg_haversine_sum),
-        "tile_counts": _wrap(Q.q_tile_counts),
-        "bounds_tiles": _wrap(Q.q_bounds_tiles),
-        "cell_parent_counts": _wrap(Q.q_cell_parent_counts),
+        # -- block 1: no driver row yet (8 from r02 overflow + new A6 slice)
+        "classification_counts": _wrap(Q.q_classification_counts),
+        "dp_simplify": _wrap(Q.q_dp_simplify),
+        "erratic_outliers": _wrap(Q.q_erratic_outliers),
+        "geohash_counts": _wrap(Q.q_geohash_counts),
+        "hex_cell_counts": _wrap(Q.q_hex_cell_counts),
+        "merge_upsert": _wrap(Q.q_merge_upsert),
+        "props_stats": _wrap(Q.q_props_stats),
+        "slope_stats": _wrap(Q.q_slope_stats),
+        "table_profile": _wrap(Q.q_table_profile),
+        # -- block 2: code touched since the last green row (scale fixes)
+        "jaccard_pairs": _wrap(Q.q_jaccard_pairs),
+        "minhash_band_pairs": _wrap(Q.q_minhash_band_pairs),
+        "embedding_topk": _wrap(Q.q_embedding_topk),
+        "dup_components": _wrap(Q.q_dup_components),
+        "interval_events": _wrap(Q.q_interval_events),
+        # -- block 3: the rest of the oracle-backed suite
         "s2_cell_counts": _wrap(Q.q_s2_cell_counts),
-        "speed_defect_counts": _wrap(Q.q_speed_defect_counts),
         "distance_quality_base": _wrap(Q.q_distance_quality_base),
-        "time_quality": _wrap(Q.q_time_quality),
-        "creator_counts": _wrap(Q.q_creator_counts),
         "pip_counts": _wrap(Q.q_pip_counts),
         "pip_counts_hex": _wrap(Q.q_pip_counts_hex),
         "knn": _wrap(Q.q_knn),
@@ -94,16 +114,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _wrap(Q.q_token_stats),
         "doc_fingerprints": _wrap(Q.q_doc_fingerprints),
         "exact_dup_groups": _wrap(Q.q_exact_dup_groups),
-        "jaccard_pairs": _wrap(Q.q_jaccard_pairs),
-        "minhash_band_pairs": _wrap(Q.q_minhash_band_pairs),
         "simhash_near_dups": _wrap(Q.q_simhash_near_dups),
-        "dup_components": _wrap(Q.q_dup_components),
-        "embedding_topk": _wrap(Q.q_embedding_topk),
         "embedding_lsh_topk": _wrap(Q.q_embedding_lsh_topk),
         "embedding_ivf_topk": _wrap(Q.q_embedding_ivf_topk),
         "embedding_neardup": _wrap(Q.q_embedding_neardup),
-        "lang_quality": _wrap(Q.q_lang_quality),
-        "position_start_end": _wrap(Q.q_position_start_end),
         "image_stats": _wrap(Q.q_image_stats),
         "image_tiles": _wrap(Q.q_image_tiles),
         "phash_near_dups": _wrap(Q.q_phash_near_dups),
@@ -121,16 +135,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_estimates": _wrap(Q.q_cms_estimates),
         "distinct_sketch": _wrap(Q.q_distinct_sketch),
         "stratified_sample": _wrap(Q.q_stratified_sample),
-        "interval_events": _wrap(Q.q_interval_events),
         "tile_pyramid": _wrap(Q.q_tile_pyramid),
-        "geohash_counts": _wrap(Q.q_geohash_counts),
-        "props_stats": _wrap(Q.q_props_stats),
-        "merge_upsert": _wrap(Q.q_merge_upsert),
-        "table_profile": _wrap(Q.q_table_profile),
-        "slope_stats": _wrap(Q.q_slope_stats),
-        "erratic_outliers": _wrap(Q.q_erratic_outliers),
-        "dp_simplify": _wrap(Q.q_dp_simplify),
-        "hex_cell_counts": _wrap(Q.q_hex_cell_counts),
+        # -- block 4: deliberate >50 overflow — green in BOTH r01 and r02
+        # driver runs, code untouched since (tests/test_oracle_parity.py
+        # still exercises every entry locally each session)
+        "leg_haversine_sum": _wrap(Q.q_leg_haversine_sum),
+        "tile_counts": _wrap(Q.q_tile_counts),
+        "bounds_tiles": _wrap(Q.q_bounds_tiles),
+        "cell_parent_counts": _wrap(Q.q_cell_parent_counts),
+        "creator_counts": _wrap(Q.q_creator_counts),
+        "speed_defect_counts": _wrap(Q.q_speed_defect_counts),
+        "time_quality": _wrap(Q.q_time_quality),
+        "position_start_end": _wrap(Q.q_position_start_end),
+        "lang_quality": _wrap(Q.q_lang_quality),
         # kernel-pipeline profile (sequential data-dependent kernels — not
         # SQL-expressible; the driver records the weaker rows-only check,
         # exact semantics are fixture-tested in tests/test_quality.py)
@@ -141,6 +158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "classification_counts": Q.SQL_CLASSIFICATION_COUNTS,
         "leg_haversine_sum": Q.SQL_LEG_HAVERSINE_SUM,
         "tile_counts": Q.SQL_TILE_COUNTS,
         "bounds_tiles": Q.SQL_BOUNDS_TILES,

@@ -2868,3 +2868,199 @@ SELECT {hex_sql('lat', 'lon', 3)} AS hex3,
        count(*) AS n
 FROM geo GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# A6 (SQL-expressible slice) — classification label ladder over the
+# middle-80% speed-band aggregate (misc.go:183-245 via
+# kernels/quality.py:classification_track).  The 7-stage repair prefix
+# (FixTimes / MaxSpeed / RemoveStops / RemoveIntersections) is a sequential
+# kernel pinned to fixtures in tests/test_quality.py; this query applies
+# the aggregate + ladder to a deterministic synthetic track table so DuckDB
+# can twin it AND so all 10 labels of the ladder are actually exercised at
+# sf0.01 (the standard geo scatter yields only Motor Sport / Unknown).
+#
+# Track synthesis (exact int64 modular arithmetic → one float multiply, so
+# both engines produce identical float64 bits):
+#   tk   : users with user_id %% 6 == 0 stay singleton tracks (mostly
+#          < MIN_SEGMENT_LENGTH → Unknown, covering the guard); the rest
+#          merge into 25 long tracks (all ≥ 80 points).
+#   step : 1 + (tk·23) %% 64 — sweeps speed 0.44…28.5 m/s so every rung of
+#          the flat-branch ladder (1.6/4.1/7.5/11/25) is hit.
+#   kk   : 0 for tk ≡ 2 (mod 3) (flat branch), else 1..5 — elevation
+#          sawtooth (i·kk mod 60)·0.5 drives the ±0.4 vertical bands and
+#          the elevation/distance ≥ 0.05 mountain gate.
+#
+# Kernel quirks replicated literally (do not rationalize):
+#   * band sums are NON-exclusive — a leg with vert < -0.4 also satisfies
+#     vert <= 0.4, so it contributes to BOTH speed_down and speed_flat
+#     (misc.go:195-205: three independent `if`s);
+#   * secs == 0 → speed = vert = 0 (speed.go:92-99), but length/elevation
+#     still accumulate;
+#   * vertical speed sign: NEGATIVE when climbing (speed.go:96-98), i.e.
+#     vert = (ele_i − ele_{i+1}) / secs;
+#   * middle slice: div = n // 10, pairs (i, i+1) for i in [div, n−div−1]
+#     (misc.go:189-191), only for segments with n ≥ MIN_SEGMENT_LENGTH=80
+#     (definitions.go:57);
+#   * elevation/distance ratio: dist == 0 → +Inf in Go; both engines use
+#     an explicit 1e308 sentinel so the < 0.05 comparison agrees.
+# Only the label + integer counts are output — the float sums never hit
+# the hash, so engine-order summation differences cannot flip a row.
+# --------------------------------------------------------------------------
+
+
+def q_classification_counts(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    base = ev.withColumn(
+        "tk",
+        F.when(F.col("user_id") % 6 == 0, F.col("user_id") + 1000).otherwise(
+            F.col("user_id") % 25
+        ),
+    )
+    w = Window.partitionBy("tk").orderBy("ts", "event_id")
+    idx0 = base.select(
+        "tk",
+        (F.row_number().over(w) - 1).alias("i"),
+        F.count("*").over(Window.partitionBy("tk")).alias("n"),
+    )
+    step = F.lit(1) + (F.col("tk") * 23) % 64
+    kk = F.when(F.col("tk") % 3 == 2, F.lit(0)).otherwise((F.col("tk") % 5) + 1)
+    idx = idx0.select(
+        "tk", "i", "n",
+        (F.lit(-60.0) + (F.col("tk") % 120) + (F.col("i") * step) * F.lit(4.0e-6)).alias("lat"),
+        (
+            F.lit(-150.0)
+            + (F.col("tk") * 37) % 300
+            + ((F.col("i") * F.lit(2654435761)) % 97) * F.lit(1.0e-8)
+        ).alias("lon"),
+        (((F.col("i") * kk) % 60).cast("double") * F.lit(0.5)).alias("ele"),
+        (F.col("i") * F.lit(1000000)).alias("t_us"),
+    )
+    w2 = Window.partitionBy("tk").orderBy("i")
+    pairs = idx.select(
+        "tk", "n", "i",
+        distance_2d_col(
+            F.col("lat"), F.col("lon"), F.lead("lat").over(w2), F.lead("lon").over(w2)
+        ).alias("len"),
+        ((F.lead("t_us").over(w2) - F.col("t_us")) / F.lit(1e6)).alias("secs"),
+        (F.col("ele") - F.lead("ele").over(w2)).alias("delev"),
+    )
+    div = F.expr("n DIV 10")
+    mid = pairs.where(
+        (F.col("n") >= 80) & (F.col("i") >= div) & (F.col("i") < F.col("n") - div)
+    ).select(
+        "tk",
+        F.when(F.col("secs") == 0, 0.0).otherwise(F.col("len") / F.col("secs")).alias("speed"),
+        F.when(F.col("secs") == 0, 0.0).otherwise(F.col("delev") / F.col("secs")).alias("vert"),
+        F.abs("delev").alias("aelev"),
+        "len",
+    )
+    agg = mid.groupBy("tk").agg(
+        F.sum(F.when(F.col("vert") <= 0.4, F.col("speed")).otherwise(0.0)).alias("sflat"),
+        F.sum(F.when(F.col("vert") > 0.4, F.col("speed")).otherwise(0.0)).alias("sup"),
+        F.sum(F.when(F.col("vert") < -0.4, F.col("speed")).otherwise(0.0)).alias("sdown"),
+        F.sum("speed").alias("stot"),
+        F.sum("aelev").alias("elev"),
+        F.sum("len").alias("dist"),
+        F.count("*").alias("total"),
+    )
+    sflat = F.col("sflat") / F.col("total")
+    stot = F.col("stot") / F.col("total")
+    ratio = F.when(F.col("dist") == 0, F.lit(1e308)).otherwise(F.col("elev") / F.col("dist"))
+    label = F.when(
+        ratio < 0.05,
+        F.when(sflat > 25, "Motor Sport")
+        .when(sflat > 11, "Cycling Racing")
+        .when(sflat > 7.5, "Cycling Sport")
+        .when(sflat > 4.1, "Cycling Transport")
+        .when(sflat > 1.6, "Running Sport")
+        .otherwise("Walking Transport"),
+    ).otherwise(
+        F.when((sflat > 3.8) | (stot > 3.8), "Cycling Mountain")
+        .when((sflat > 1.2) | (stot > 1.3), "Running Mountain")
+        .otherwise("Walking Mountain")
+    )
+    lab = agg.select("tk", "total", label.alias("label"))
+    per_track = idx0.groupBy("tk").agg(F.count("*").alias("n_pts"))
+    return per_track.join(lab, "tk", "left").select(
+        F.col("tk").alias("track_id"),
+        "n_pts",
+        F.coalesce(F.col("total"), F.lit(0)).alias("n_mid"),
+        F.coalesce(F.col("label"), F.lit("Unknown")).alias("label"),
+    )
+
+
+SQL_CLASSIFICATION_COUNTS = f"""
+WITH base AS (
+  SELECT CASE WHEN user_id % 6 = 0 THEN user_id + 1000 ELSE user_id % 25 END AS tk,
+         ts, event_id
+  FROM events
+),
+idx0 AS (
+  SELECT tk, row_number() OVER w - 1 AS i, count(*) OVER (PARTITION BY tk) AS n
+  FROM base
+  WINDOW w AS (PARTITION BY tk ORDER BY ts, event_id)
+),
+idx AS (
+  SELECT tk, i, n,
+         -60.0 + (tk % 120) + (i * (1 + (tk * 23) % 64)) * 4.0e-6 AS lat,
+         -150.0 + ((tk * 37) % 300) + ((i * 2654435761) % 97) * 1.0e-8 AS lon,
+         CAST((i * (CASE WHEN tk % 3 = 2 THEN 0 ELSE (tk % 5) + 1 END)) % 60 AS DOUBLE) * 0.5 AS ele,
+         i * 1000000 AS t_us
+  FROM idx0
+),
+pairs AS (
+  SELECT tk, n, i,
+         {distance_2d_sql('lat', 'lon', 'lead(lat) OVER w2', 'lead(lon) OVER w2')} AS len,
+         (lead(t_us) OVER w2 - t_us) / 1e6 AS secs,
+         ele - lead(ele) OVER w2 AS delev
+  FROM idx
+  WINDOW w2 AS (PARTITION BY tk ORDER BY i)
+),
+mid AS (
+  SELECT tk,
+         CASE WHEN secs = 0 THEN 0.0 ELSE len / secs END AS speed,
+         CASE WHEN secs = 0 THEN 0.0 ELSE delev / secs END AS vert,
+         abs(delev) AS aelev, len
+  FROM pairs
+  WHERE n >= 80 AND i >= n // 10 AND i < n - (n // 10)
+),
+agg AS (
+  SELECT tk,
+         sum(CASE WHEN vert <= 0.4 THEN speed ELSE 0.0 END) AS sflat,
+         sum(CASE WHEN vert > 0.4 THEN speed ELSE 0.0 END) AS sup,
+         sum(CASE WHEN vert < -0.4 THEN speed ELSE 0.0 END) AS sdown,
+         sum(speed) AS stot,
+         sum(aelev) AS elev,
+         sum(len) AS dist,
+         count(*) AS total
+  FROM mid GROUP BY tk
+),
+lab AS (
+  SELECT tk, total,
+    CASE WHEN (CASE WHEN dist = 0 THEN 1e308 ELSE elev / dist END) < 0.05 THEN
+      CASE
+        WHEN sflat / total > 25 THEN 'Motor Sport'
+        WHEN sflat / total > 11 THEN 'Cycling Racing'
+        WHEN sflat / total > 7.5 THEN 'Cycling Sport'
+        WHEN sflat / total > 4.1 THEN 'Cycling Transport'
+        WHEN sflat / total > 1.6 THEN 'Running Sport'
+        ELSE 'Walking Transport'
+      END
+    ELSE
+      CASE
+        WHEN sflat / total > 3.8 OR stot / total > 3.8 THEN 'Cycling Mountain'
+        WHEN sflat / total > 1.2 OR stot / total > 1.3 THEN 'Running Mountain'
+        ELSE 'Walking Mountain'
+      END
+    END AS label
+  FROM agg
+)
+SELECT g.tk AS track_id, g.n_pts,
+       coalesce(l.total, 0) AS n_mid,
+       coalesce(l.label, 'Unknown') AS label
+FROM (SELECT tk, count(*) AS n_pts FROM idx0 GROUP BY tk) g
+LEFT JOIN lab l ON g.tk = l.tk
+"""
