@@ -1,0 +1,80 @@
+"""Physical-plan shape pins for the newest composite queries.
+
+Companion to the explain-based asserts in tests/test_dedup_text.py: these
+fail if a future refactor silently reintroduces a scale anti-pattern —
+a cartesian/nested-loop join, a shuffle of the big (events) side of the
+interval join, or a per-level re-scan in the tile pyramid.  String-level
+checks over ``executedPlan().toString()`` (the pre-AQE physical plan, the
+same surface the other plan tests use).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from gotrackmaster_spark import driver_queries as Q
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_interval_events_broadcasts_and_never_shuffles_events(spark):
+    plan = _plan(Q.q_interval_events(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # candidate generation is a broadcast equi-join on the time bucket
+    assert "BroadcastHashJoin" in plan
+    # the only hash shuffle is the final groupBy(iv_id); the events scan
+    # feeds the join directly (big side never exchanges pre-join)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_tile_pyramid_single_scan_two_exchanges(spark):
+    plan = _plan(Q.q_tile_pyramid(spark, SF_DIR))
+    # one scan of events regardless of pyramid depth (z8->z4 = 5 levels):
+    # the explode-then-single-groupBy layout, not a per-level union re-scan
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Generate explode" in plan
+    # base tile aggregation + pyramid aggregation — exactly two shuffles
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "Join" not in plan
+
+
+def test_merge_rows_upsert_join_shape(spark):
+    from gotrackmaster_spark.plans.checkpoint import Catalog
+
+    tgt = spark.createDataFrame(
+        [("a", 1, 10.0), ("b", 2, 20.0)], "k string, id int, value double"
+    )
+    src = spark.createDataFrame(
+        [("a", 1, -1.0), ("c", 3, 30.0)], "k string, id int, value double"
+    )
+    merged = Catalog._merge_rows(
+        tgt, src, ["k", "id"], "update", ["k", "id", "value"]
+    )
+    plan = _plan(merged)
+    # full-outer on the key columns: a shuffled key join, never a
+    # cartesian (full outer cannot broadcast, so SMJ/SHJ is the plan)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+    assert "FullOuter" in plan
+
+
+def test_merge_upsert_load_is_scan_only(spark):
+    # after the merge, reading the table back is parquet scans + the
+    # reporting aggregate — no join machinery leaks into the read path
+    plan = _plan(Q.q_merge_upsert(spark, SF_DIR))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_classification_counts_plan(spark):
+    # windows + one aggregation + the per-track left join (small<->small);
+    # nothing quadratic
+    plan = _plan(Q.q_classification_counts(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
