@@ -96,7 +96,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- block 2: code touched since the last green row (scale fixes)
         "jaccard_pairs": _wrap(Q.q_jaccard_pairs),
         "minhash_band_pairs": _wrap(Q.q_minhash_band_pairs),
-        "embedding_topk": _wrap(Q.q_embedding_topk),
+        # renamed _exact: the registered path is the bounded-Q brute-force
+        # primitive (ValueError above max_queries); the scale paths are
+        # embedding_lsh_topk / embedding_ivf_topk (candidates + exact rerank)
+        "embedding_topk_exact": _wrap(Q.q_embedding_topk),
         "dup_components": _wrap(Q.q_dup_components),
         "interval_events": _wrap(Q.q_interval_events),
         # -- block 3: the rest of the oracle-backed suite
@@ -184,7 +187,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_band_pairs": Q.SQL_MINHASH_BAND_PAIRS,
         "simhash_near_dups": Q.SQL_SIMHASH_NEAR_DUPS,
         "dup_components": Q.SQL_DUP_COMPONENTS,
-        "embedding_topk": Q.SQL_EMBEDDING_TOPK,
+        "embedding_topk_exact": Q.SQL_EMBEDDING_TOPK,
         "embedding_lsh_topk": Q.SQL_EMBEDDING_LSH_TOPK,
         "embedding_ivf_topk": Q.SQL_EMBEDDING_IVF_TOPK,
         "embedding_neardup": Q.SQL_EMBEDDING_NEARDUP,

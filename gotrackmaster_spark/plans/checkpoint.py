@@ -490,6 +490,120 @@ class Catalog:
             stats_cols=stats_cols,
         )
 
+    def compact_partitions(
+        self,
+        spark: SparkSession,
+        table: str,
+        min_files: int = 2,
+        sort_col: str | None = None,
+        stats_cols: list[str] | None = None,
+    ) -> dict:
+        """Partition-level small-file compaction (Iceberg's
+        ``rewrite_data_files`` at the granularity :meth:`merge` already
+        uses for copy-on-write): rewrite ONLY partitions fragmented into
+        ``>= min_files`` data files — each collapses to one file — and
+        carry every other partition into the new manifest BY REFERENCE
+        (zero data movement).
+
+        This is the 100 TB-affordable maintenance pass: a streaming/merge
+        workload fragments a handful of hot partitions per cycle, and
+        :meth:`compact`'s full-table rewrite would move the whole table to
+        fix them.  Here the rewrite job reads and shuffles only the
+        fragmented slice, so cost tracks fragmentation, not table size.
+
+        ``sort_col`` sorts rows within each rewritten partition (e.g. the
+        cell ID) so compacted files regain tight min/max footer ranges for
+        :meth:`load_pruned`.  Unpartitioned tables raise — use
+        :meth:`compact`.  Older snapshots stay readable (time travel);
+        ``expire_snapshots`` reclaims superseded files later.
+        """
+        from pyspark.sql import functions as F
+
+        m = self.manifest(table)
+        partition_col = m["partition_col"]
+        if not partition_col:
+            raise ValueError(
+                "table is unpartitioned: use compact() for a full rewrite"
+            )
+
+        files_per_part: dict[str, int] = {}
+        for fs in m["file_stats"]:
+            files_per_part[fs["partition"]] = files_per_part.get(fs["partition"], 0) + 1
+        fragmented = sorted(
+            p for p, n in files_per_part.items() if n >= min_files
+        )
+        part_dirs = self._partition_dirs(m)
+
+        if not fragmented:
+            # nothing to do — republish the current state with a metrics
+            # note so callers can schedule compaction idempotently
+            snaps = self.snapshots(table)
+            manifest = dict(
+                m,
+                snapshot_id=snaps[-1] + 1,
+                parent_id=snaps[-1],
+                created_unix=time.time(),
+                metrics=dict(
+                    m.get("metrics") or {},
+                    compacted_from=m["snapshot_id"],
+                    partitions_compacted=0,
+                    partitions_reused=len(part_dirs),
+                ),
+            )
+            return self._publish(table, manifest)
+
+        df = self._read_partitions(spark, m, fragmented)
+        # one task (→ one file) per rewritten hive partition; sorting
+        # within the task restores footer min/max locality for pruning
+        df = df.repartition(len(fragmented), partition_col)
+        sort_cols = [partition_col] + ([sort_col] if sort_col else [])
+        df = df.sortWithinPartitions(*sort_cols)
+
+        snaps = self.snapshots(table)
+        sid = snaps[-1] + 1
+        snap_dir = os.path.join(self._table_dir(table), f"snap-{sid:08d}")
+        df.write.mode("errorifexists").partitionBy(partition_col).parquet(snap_dir)
+
+        files, file_stats, counts = _scan_snapshot_files(
+            snap_dir, partition_col, stats_cols
+        )
+        files_before = sum(files_per_part[p] for p in fragmented)
+
+        reused: dict[str, str] = {}
+        for pval, owner in part_dirs.items():
+            if pval in counts:
+                continue
+            reused[pval] = owner
+            counts[pval] = m["partitions"].get(pval, 0)
+        for fs in m["file_stats"]:
+            if fs["partition"] in reused:
+                entry = dict(fs)
+                entry["dir"] = reused[fs["partition"]]
+                file_stats.append(entry)
+
+        manifest = {
+            "table": table,
+            "snapshot_id": sid,
+            "parent_id": snaps[-1],
+            "created_unix": time.time(),
+            "data_dir": snap_dir,
+            "files": sorted(files),
+            "file_stats": sorted(file_stats, key=lambda s: s["path"]),
+            "partition_col": partition_col,
+            "partition_type": m.get("partition_type"),
+            "partitions": counts,
+            "reused_partitions": reused,
+            "total_rows": sum(counts.values()),
+            "metrics": dict(
+                compacted_from=m["snapshot_id"],
+                partitions_compacted=len(fragmented),
+                partitions_reused=len(reused),
+                files_before=files_before,
+                files_after=len(files),
+            ),
+        }
+        return self._publish(table, manifest)
+
     def rollback(self, table: str, snapshot_id: int) -> dict:
         """Publish a NEW manifest that points at an old snapshot's data —
         readers of 'latest' see the old state, history is preserved, no
