@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_stats": _wrap(Q.q_props_stats),
         "slope_stats": _wrap(Q.q_slope_stats),
         "table_profile": _wrap(Q.q_table_profile),
+        "multimodal_near_dups": _wrap(Q.q_multimodal_near_dups),
         # -- block 2: code touched since the last green row (scale fixes)
         "jaccard_pairs": _wrap(Q.q_jaccard_pairs),
         "minhash_band_pairs": _wrap(Q.q_minhash_band_pairs),
@@ -116,7 +117,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mercator_tiles": _wrap(Q.q_mercator_tiles),
         "token_stats": _wrap(Q.q_token_stats),
         "doc_fingerprints": _wrap(Q.q_doc_fingerprints),
-        "exact_dup_groups": _wrap(Q.q_exact_dup_groups),
         "simhash_near_dups": _wrap(Q.q_simhash_near_dups),
         "embedding_lsh_topk": _wrap(Q.q_embedding_lsh_topk),
         "embedding_ivf_topk": _wrap(Q.q_embedding_ivf_topk),
@@ -151,6 +151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_quality": _wrap(Q.q_time_quality),
         "position_start_end": _wrap(Q.q_position_start_end),
         "lang_quality": _wrap(Q.q_lang_quality),
+        "exact_dup_groups": _wrap(Q.q_exact_dup_groups),
         # kernel-pipeline profile (sequential data-dependent kernels — not
         # SQL-expressible; the driver records the weaker rows-only check,
         # exact semantics are fixture-tested in tests/test_quality.py)
@@ -162,6 +163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "classification_counts": Q.SQL_CLASSIFICATION_COUNTS,
+        "multimodal_near_dups": Q.SQL_MULTIMODAL_NEAR_DUPS,
         "leg_haversine_sum": Q.SQL_LEG_HAVERSINE_SUM,
         "tile_counts": Q.SQL_TILE_COUNTS,
         "bounds_tiles": Q.SQL_BOUNDS_TILES,

@@ -3064,3 +3064,96 @@ SELECT g.tk AS track_id, g.n_pts,
 FROM (SELECT tk, count(*) AS n_pts FROM idx0 GROUP BY tk) g
 LEFT JOIN lab l ON g.tk = l.tk
 """
+
+
+# --------------------------------------------------------------------------
+# E7+dedup — JOINT multimodal near-dup: image-signature candidates
+# (phash chunk join, pigeonhole-exact) verified on the caption text
+# (token-set Jaccard).  The north rule's image+caption pairing as one
+# dedup operator: the cheap 64-bit visual signature proposes, the text
+# channel disposes — pairs that look alike but say different things are
+# flagged is_joint = false.  Same candidate topology as phash_near_dups
+# (no cross join; O(pairs) caption joins), so the 100 TB shape is
+# unchanged; captions join by id AFTER candidate pruning, never pairwise.
+# --------------------------------------------------------------------------
+
+_MM_JAC = 0.8
+
+
+def q_multimodal_near_dups(spark, sf_dir):
+    from gotrackmaster_spark.operators.images import (
+        phash_near_dups,
+        synthesize_image_variants,
+        synthesize_images,
+    )
+
+    imgs = synthesize_images(spark, sf_dir, w=_IMG_W, h=_IMG_H)
+    cols = ["img_key", "image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+    both = imgs.select(*cols).unionByName(
+        synthesize_image_variants(imgs, every=_PH_EVERY)
+    )
+    pairs = phash_near_dups(both, max_hamming=_PH_MAXHAM)
+    caps = both.select(
+        "image_id", F.array_distinct(F.split("caption", " ")).alias("toks")
+    )
+    j = pairs.join(
+        caps.select(F.col("image_id").alias("a_id"), F.col("toks").alias("a_toks")),
+        "a_id",
+    ).join(
+        caps.select(F.col("image_id").alias("b_id"), F.col("toks").alias("b_toks")),
+        "b_id",
+    )
+    jac = F.size(F.array_intersect("a_toks", "b_toks")) / F.size(
+        F.array_union("a_toks", "b_toks")
+    )
+    return j.select(
+        "a_id", "b_id", "hamming",
+        F.round(jac, 6).alias("jac_r"),
+        (jac >= F.lit(_MM_JAC)).alias("is_joint"),
+    )
+
+
+_MM_JACCARD_SQL = (
+    "len(list_intersect(ca.toks, cb.toks)) * 1.0 "
+    "/ len(list_distinct(list_concat(ca.toks, cb.toks)))"
+)
+
+SQL_MULTIMODAL_NEAR_DUPS = f"""
+WITH base_bs AS (
+  SELECT doc_id, {_phash_bs_sql(_PIX_F)} AS bs FROM documents
+),
+var_bs AS (
+  SELECT doc_id, {_phash_bs_sql(_PIX_VAR)} AS bs
+  FROM documents WHERE doc_id % {_PH_EVERY} = 0
+),
+base AS (
+  SELECT format('img{{:08d}}', doc_id) AS image_id, {_PHASH_FROM_BS} AS phash
+  FROM (SELECT doc_id, bs, list_sum(bs) AS tot FROM base_bs)
+),
+vars AS (
+  SELECT format('var{{:08d}}', doc_id) AS image_id, {_PHASH_FROM_BS} AS phash
+  FROM (SELECT doc_id, bs, list_sum(bs) AS tot FROM var_bs)
+),
+all_imgs AS (SELECT * FROM base UNION ALL SELECT * FROM vars),
+caps AS (
+  SELECT format('img{{:08d}}', doc_id) AS image_id,
+         list_distinct(string_split(text, ' ')) AS toks
+  FROM documents
+  UNION ALL
+  SELECT format('var{{:08d}}', doc_id),
+         list_distinct(string_split(text, ' '))
+  FROM documents WHERE doc_id % {_PH_EVERY} = 0
+),
+pairs AS (
+  SELECT a.image_id AS a_id, b.image_id AS b_id,
+         CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+  FROM all_imgs a JOIN all_imgs b ON a.image_id < b.image_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= {_PH_MAXHAM}
+)
+SELECT p.a_id, p.b_id, p.hamming,
+       round({_MM_JACCARD_SQL}, 6) AS jac_r,
+       ({_MM_JACCARD_SQL}) >= {_MM_JAC!r} AS is_joint
+FROM pairs p
+JOIN caps ca ON ca.image_id = p.a_id
+JOIN caps cb ON cb.image_id = p.b_id
+"""
