@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slope_stats": _wrap(Q.q_slope_stats),
         "table_profile": _wrap(Q.q_table_profile),
         "multimodal_near_dups": _wrap(Q.q_multimodal_near_dups),
+        "lm_scores": _wrap(Q.q_lm_scores),
         # -- block 2: code touched since the last green row (scale fixes)
         "jaccard_pairs": _wrap(Q.q_jaccard_pairs),
         "minhash_band_pairs": _wrap(Q.q_minhash_band_pairs),
@@ -125,7 +126,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_tiles": _wrap(Q.q_image_tiles),
         "phash_near_dups": _wrap(Q.q_phash_near_dups),
         "import_paths": _wrap(Q.q_import_paths),
-        "scalar_ops": _wrap(Q.q_scalar_ops),
         "tz_localized": _wrap(Q.q_tz_localized),
         "radius_join": _wrap(Q.q_radius_join),
         "zonal_stats": _wrap(Q.q_zonal_stats),
@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "position_start_end": _wrap(Q.q_position_start_end),
         "lang_quality": _wrap(Q.q_lang_quality),
         "exact_dup_groups": _wrap(Q.q_exact_dup_groups),
+        "scalar_ops": _wrap(Q.q_scalar_ops),
         # kernel-pipeline profile (sequential data-dependent kernels — not
         # SQL-expressible; the driver records the weaker rows-only check,
         # exact semantics are fixture-tested in tests/test_quality.py)
@@ -164,6 +165,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "classification_counts": Q.SQL_CLASSIFICATION_COUNTS,
         "multimodal_near_dups": Q.SQL_MULTIMODAL_NEAR_DUPS,
+        "lm_scores": Q.SQL_LM_SCORES,
         "leg_haversine_sum": Q.SQL_LEG_HAVERSINE_SUM,
         "tile_counts": Q.SQL_TILE_COUNTS,
         "bounds_tiles": Q.SQL_BOUNDS_TILES,

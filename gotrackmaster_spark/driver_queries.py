@@ -3157,3 +3157,82 @@ FROM pairs p
 JOIN caps ca ON ca.image_id = p.a_id
 JOIN caps cb ON cb.image_id = p.b_id
 """
+
+
+# --------------------------------------------------------------------------
+# Text pipeline — character-trigram LM quality score (perplexity-style
+# filtering, the CCNet/Gopher "does this read like the corpus?" signal):
+# train = trigram counts over the whole corpus (one groupBy), score = each
+# doc's mean log10 P(c3 | c1c2) with add-one smoothing over a fixed
+# V=256 alphabet.  P's denominator uses prefix-bigram mass derived FROM
+# the trigram counts (sum of C3 over the prefix), so both engines build
+# the identical integer model; only the final mean is float (round 7 —
+# summation-order error ~1e-13, 6 orders below the step).
+#
+# Scale shape: two groupBys over the exploded trigram stream (partial
+# aggregation does the heavy lifting), then equi-joins of the stream
+# against the counts tables — no collect, model stays distributed.
+# Spark quirk guarded: sequence(1, 0) DESCENDS (it is not empty), so docs
+# shorter than 3 chars are filtered before the explode on BOTH sides.
+# --------------------------------------------------------------------------
+
+_LM_V = 256.0
+
+
+def q_lm_scores(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tris = docs.filter(F.length("text") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
+        ).alias("tri"),
+    )
+    c3 = tris.groupBy("tri").agg(F.count("*").alias("n3"))
+    c2 = c3.groupBy(F.substring("tri", 1, 2).alias("bi")).agg(F.sum("n3").alias("n2"))
+    scored = (
+        tris.join(c3, "tri")
+        .withColumn("bi", F.substring("tri", 1, 2))
+        .join(c2, "bi")
+        .select(
+            "doc_id",
+            F.log10((F.col("n3") + 1.0) / (F.col("n2") + F.lit(_LM_V))).alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tri"), F.round(F.avg("lp"), 7).alias("lm_score")
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_tri"),
+        F.coalesce(F.col("lm_score"), F.lit(0.0)).alias("lm_score"),
+    )
+
+
+SQL_LM_SCORES = f"""
+WITH tris AS (
+  SELECT doc_id, substr(text, CAST(i AS INT), 3) AS tri
+  FROM (
+    SELECT doc_id, text,
+           unnest(generate_series(1, length(text) - 2)) AS i
+    FROM documents WHERE length(text) >= 3
+  )
+),
+c3 AS (SELECT tri, count(*) AS n3 FROM tris GROUP BY tri),
+c2 AS (SELECT substr(tri, 1, 2) AS bi, sum(n3) AS n2 FROM c3 GROUP BY 1),
+scored AS (
+  SELECT t.doc_id,
+         log10((c3.n3 + 1.0) / (c2.n2 + {_LM_V!r})) AS lp
+  FROM tris t
+  JOIN c3 USING (tri)
+  JOIN c2 ON c2.bi = substr(t.tri, 1, 2)
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_tri, round(avg(lp), 7) AS lm_score
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_tri, 0) AS n_tri,
+       coalesce(p.lm_score, 0.0) AS lm_score
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN per_doc p USING (doc_id)
+"""
