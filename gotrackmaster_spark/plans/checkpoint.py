@@ -175,6 +175,8 @@ class Catalog:
                 if partition_col
                 else None
             ),
+            "schema_cols": df.columns,
+            "schema_types": {f.name: f.dataType.simpleString() for f in df.schema.fields},
             "partitions": counts,
             "total_rows": sum(counts.values()),
             "metrics": extra_metrics or {},
@@ -201,6 +203,7 @@ class Catalog:
         when_matched: str = "update",
         stats_cols: list[str] | None = None,
         extra_metrics: dict | None = None,
+        evolve_schema: bool = False,
     ) -> dict:
         """Iceberg-style MERGE INTO with partition-level copy-on-write.
 
@@ -225,6 +228,13 @@ class Catalog:
         an update that MOVES a row to a different partition must include
         the row's old partition in the source batch (otherwise the old row
         survives untouched alongside the insert).
+
+        ``evolve_schema=True`` (update mode): columns present in the
+        source but not the target are ADDED (Iceberg schema evolution) —
+        rewritten partitions materialize them, untouched partitions keep
+        their old files and read back as typed NULLs; time travel to
+        older snapshots sees the old schema.  Without the flag, unknown
+        source columns raise.
         """
         if when_matched not in ("update", "delete"):
             raise ValueError("when_matched must be 'update' or 'delete'")
@@ -236,10 +246,35 @@ class Catalog:
         missing = [c for c in tgt_cols if c not in source.columns]
         if missing:
             raise ValueError(f"source is missing target columns: {missing}")
-        source = source.select(*tgt_cols)
+        new_cols = [c for c in source.columns if c not in tgt_cols]
+        if new_cols and evolve_schema and when_matched == "update":
+            # Iceberg-style ADD COLUMN via merge: rewritten partitions
+            # materialize the new columns; untouched partitions keep their
+            # old files and read back as NULL (see _read_partitions);
+            # older snapshots are unaffected (time travel sees the old
+            # schema).  The evolved column list is recorded in the
+            # manifest so readers get a deterministic column order.
+            all_cols = tgt_cols + new_cols
+            _null_patch = {
+                c: F.lit(None).cast(source.schema[c].dataType) for c in new_cols
+            }
+        else:
+            if new_cols and when_matched == "update":
+                raise ValueError(
+                    f"source has columns not in the target: {new_cols}; "
+                    "pass evolve_schema=True to add them (old partitions "
+                    "will read as NULL) or drop them from the source"
+                )
+            # delete mode only consumes keys — extra source columns inert
+            all_cols = tgt_cols
+            _null_patch = {}
+        source = source.select(*all_cols)
+        tgt_cols = all_cols
 
         if not partition_col:
             tgt = self.load(spark, table)
+            for c, nc in _null_patch.items():
+                tgt = tgt.withColumn(c, nc)
             merged = self._merge_rows(tgt, source, key_cols, when_matched, tgt_cols)
             return self.commit(
                 merged,
@@ -258,6 +293,8 @@ class Catalog:
         insert_only = [p for p in affected if p not in part_dirs]
 
         tgt = self._read_partitions(spark, m, rewrite_vals)
+        for c, nc in _null_patch.items():
+            tgt = tgt.withColumn(c, nc)
         src_mask = F.col(partition_col).cast("string").isin(affected)
         merged = self._merge_rows(
             tgt, source.filter(src_mask), key_cols, when_matched, tgt_cols
@@ -298,6 +335,8 @@ class Catalog:
             "file_stats": sorted(file_stats, key=lambda s: s["path"]),
             "partition_col": partition_col,
             "partition_type": m.get("partition_type"),
+            "schema_cols": tgt_cols,
+            "schema_types": {f.name: f.dataType.simpleString() for f in merged.schema.fields},
             "partitions": counts,
             "reused_partitions": reused,
             "total_rows": sum(counts.values()),
@@ -385,7 +424,25 @@ class Catalog:
         else:
             out = pieces[0]
             for p in pieces[1:]:
-                out = out.unionByName(p)
+                # pieces from pre-evolution snapshots may lack columns a
+                # later merge added — they read back as NULL (Iceberg
+                # add-column semantics)
+                out = out.unionByName(p, allowMissingColumns=True)
+            sc = m.get("schema_cols")
+            if sc:
+                from pyspark.sql import functions as F
+
+                types = m.get("schema_types") or {}
+
+                def _missing(c):
+                    col = F.lit(None)
+                    if types.get(c):
+                        col = col.cast(types[c])
+                    return col.alias(c)
+
+                out = out.select(
+                    *[F.col(c) if c in out.columns else _missing(c) for c in sc]
+                )
         # hive partition-type inference guesses from the dir strings;
         # restore the committed logical type recorded in the manifest
         if m.get("partition_type"):
@@ -591,6 +648,8 @@ class Catalog:
             "file_stats": sorted(file_stats, key=lambda s: s["path"]),
             "partition_col": partition_col,
             "partition_type": m.get("partition_type"),
+            "schema_cols": m.get("schema_cols"),
+            "schema_types": m.get("schema_types"),
             "partitions": counts,
             "reused_partitions": reused,
             "total_rows": sum(counts.values()),
