@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": _wrap(Q.q_table_profile),
         "multimodal_near_dups": _wrap(Q.q_multimodal_near_dups),
         "lm_scores": _wrap(Q.q_lm_scores),
+        "decontamination": _wrap(Q.q_decontamination),
         # -- block 2: code touched since the last green row (scale fixes)
         "jaccard_pairs": _wrap(Q.q_jaccard_pairs),
         "minhash_band_pairs": _wrap(Q.q_minhash_band_pairs),
@@ -115,7 +116,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_pairs_end": _wrap(Q.q_duplicate_pairs_end),
         "dem_bands": _wrap(Q.q_dem_bands),
         "srtm_accuracy": _wrap(Q.q_srtm_accuracy),
-        "mercator_tiles": _wrap(Q.q_mercator_tiles),
         "token_stats": _wrap(Q.q_token_stats),
         "doc_fingerprints": _wrap(Q.q_doc_fingerprints),
         "simhash_near_dups": _wrap(Q.q_simhash_near_dups),
@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_quality": _wrap(Q.q_lang_quality),
         "exact_dup_groups": _wrap(Q.q_exact_dup_groups),
         "scalar_ops": _wrap(Q.q_scalar_ops),
+        "mercator_tiles": _wrap(Q.q_mercator_tiles),
         # kernel-pipeline profile (sequential data-dependent kernels — not
         # SQL-expressible; the driver records the weaker rows-only check,
         # exact semantics are fixture-tested in tests/test_quality.py)
@@ -166,6 +167,7 @@ def oracle_sql() -> dict[str, str]:
         "classification_counts": Q.SQL_CLASSIFICATION_COUNTS,
         "multimodal_near_dups": Q.SQL_MULTIMODAL_NEAR_DUPS,
         "lm_scores": Q.SQL_LM_SCORES,
+        "decontamination": Q.SQL_DECONTAMINATION,
         "leg_haversine_sum": Q.SQL_LEG_HAVERSINE_SUM,
         "tile_counts": Q.SQL_TILE_COUNTS,
         "bounds_tiles": Q.SQL_BOUNDS_TILES,

@@ -3236,3 +3236,26 @@ SELECT d.doc_id,
 FROM (SELECT doc_id FROM documents) d
 LEFT JOIN per_doc p USING (doc_id)
 """
+
+
+# --------------------------------------------------------------------------
+# Text pipeline — benchmark decontamination (eval-leak check): corpus docs
+# sharing any word-5-gram shingle with the eval stratum are flagged.
+# Same shingle machinery as jaccard_pairs (functions/text.py); the eval
+# shingle set broadcasts (benchmarks are tiny vs the corpus), the corpus
+# side streams through one equi-join — no corpus shuffle, no pairwise work.
+# --------------------------------------------------------------------------
+
+_DECON_MOD = 40
+
+
+def q_decontamination(spark, sf_dir):
+    from gotrackmaster_spark.operators.dedup import decontaminate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return decontaminate(docs, eval_mod=_DECON_MOD)
+
+
+from gotrackmaster_spark.operators.dedup import sql_decontaminate as _sql_decon  # noqa: E402
+
+SQL_DECONTAMINATION = _sql_decon(_DECON_MOD)

@@ -817,3 +817,71 @@ SELECT c.a_id, c.b_id,
 FROM cand c JOIN v va ON c.a_id = va.vec_id JOIN v vb ON c.b_id = vb.vec_id
 WHERE round(list_dot_product(va.e, vb.e) / (va.nrm * vb.nrm), 6) > {threshold!r}
 """
+
+
+# ------------------------------------------------------- decontamination ---
+
+def decontaminate(
+    docs: DataFrame,
+    eval_mod: int = 40,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-overlap decontamination (the eval-leak check every
+    training-data pipeline runs before a model sees the corpus): flag
+    corpus documents sharing any word-5-gram shingle with the eval set.
+
+    Here the eval set is the ``doc_id % eval_mod == 0`` stratum (a stand-in
+    for the benchmark suite); in production it is the actual benchmark
+    corpus.  Scale shape: the eval shingle set is SMALL by construction
+    (benchmarks are thousands of docs vs a 10⁹-doc corpus), so it
+    broadcasts; the corpus side streams through one equi-join on the
+    shingle hash — no shuffle of the corpus, no pairwise work.
+
+    Returns one row per non-eval document:
+    (doc_id, n_shingles, n_hits, contaminated).
+    """
+    sh = doc_shingles(docs, text_col, id_col)
+    eval_sh = (
+        sh.filter(F.col(id_col) % eval_mod == 0).select("shingle_h").distinct()
+    )
+    corpus = sh.filter(F.col(id_col) % eval_mod != 0)
+    sizes = corpus.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    hits = (
+        corpus.join(F.broadcast(eval_sh), "shingle_h")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    base = docs.filter(F.col(id_col) % eval_mod != 0).select(id_col)
+    return (
+        base.join(sizes, id_col, "left")
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_shingles"), F.lit(0)).alias("n_shingles"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def sql_decontaminate(eval_mod: int = 40) -> str:
+    return f"""
+WITH {_SHINGLES_CTE.strip().rstrip()},
+eval_sh AS (
+  SELECT DISTINCT shingle_h FROM shingles WHERE doc_id % {eval_mod} = 0
+),
+corpus AS (SELECT * FROM shingles WHERE doc_id % {eval_mod} <> 0),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id),
+hits AS (
+  SELECT c.doc_id, count(*) AS n_hits
+  FROM corpus c JOIN eval_sh e USING (shingle_h) GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+       coalesce(s.n_shingles, 0) AS n_shingles,
+       coalesce(h.n_hits, 0) AS n_hits,
+       coalesce(h.n_hits, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % {eval_mod} <> 0) d
+LEFT JOIN sizes s USING (doc_id)
+LEFT JOIN hits h USING (doc_id)
+"""
