@@ -3259,3 +3259,195 @@ def q_decontamination(spark, sf_dir):
 from gotrackmaster_spark.operators.dedup import sql_decontaminate as _sql_decon  # noqa: E402
 
 SQL_DECONTAMINATION = _sql_decon(_DECON_MOD)
+
+
+# --------------------------------------------------------------------------
+# Multimodal driver trio — promotes the mapInPandas payload operators
+# (operators/multimodal.py: resize, video frame-sample, audio features)
+# from plumbing-tests-only to oracle-checked.  All payloads derive from
+# the closed-form generators, so DuckDB can replay decode→transform→
+# aggregate exactly (same contract as SQL_IMAGE_STATS).
+# --------------------------------------------------------------------------
+
+_RS_W, _RS_H = 8, 6  # 32x24 -> 8x6: 4x4 block mean (exact: sum // 16)
+
+
+def q_image_resize_stats(spark, sf_dir):
+    """Decode (raw/png/qnt4) -> 4x4 block-mean resize -> per-image pixel
+    sum of the 8x6 thumbnail.  Exercises resize_images end-to-end; the
+    oracle recomputes the truncated block means from the pixel formula."""
+    import numpy as np
+    import pandas as pd
+
+    from gotrackmaster_spark.operators.images import synthesize_images
+    from gotrackmaster_spark.operators.multimodal import resize_images
+
+    imgs = synthesize_images(spark, sf_dir, w=32, h=24)
+    small = resize_images(
+        imgs.select("image_id", "fmt", "w", "h", "bytes"), out_w=_RS_W, out_h=_RS_H
+    )
+
+    def sums(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            stack = np.stack(
+                [np.frombuffer(b, dtype=np.uint8) for b in pdf["bytes"]]
+            ).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "fmt": pdf["fmt"],
+                    "w": pdf["w"].astype("int32"),
+                    "h": pdf["h"].astype("int32"),
+                    "small_sum": stack.sum(axis=1),
+                }
+            )
+
+    return small.mapInPandas(
+        sums, "image_id string, fmt string, w int, h int, small_sum long"
+    )
+
+
+# out-pixel j in flattened (6, 8, 3): oy = j//24, ox = (j//3)%8, c = j%3;
+# block element b in 0..15: dy = b//4, dx = b%4; source flat index =
+# ((oy*4+dy)*32 + (ox*4+dx))*3 + c.  uint8 cast of a /16 mean truncates,
+# and sum//16 == floor(mean) for non-negative ints.
+_RS_IDX = "(((((j // 24) * 4 + b // 4) * 32) + ((j // 3) % 8) * 4 + b % 4) * 3 + j % 3)"
+_RS_PIX = f"((doc_id * 31 + {_RS_IDX} * 2654435761) % 256)"
+
+SQL_IMAGE_RESIZE_STATS = f"""
+SELECT format('img{{:08d}}', doc_id) AS image_id,
+       ['raw', 'png', 'qnt4'][CAST(doc_id % 3 AS INT) + 1] AS fmt,
+       {_RS_W} AS w, {_RS_H} AS h,
+       CAST(list_sum(list_transform(generate_series(0, {_RS_W * _RS_H * 3 - 1}), j ->
+            list_sum(list_transform(generate_series(0, 15), b ->
+                CASE WHEN doc_id % 3 = 2
+                     THEN {_RS_PIX} - ({_RS_PIX}) % 4
+                     ELSE {_RS_PIX} END)) // 16)) AS BIGINT) AS small_sum
+FROM documents
+"""
+
+
+def q_video_frame_stats(spark, sf_dir):
+    """Synthesize closed-form video payloads (byte t = (key*131 +
+    t*2654435761) % 256, length 64 + key%64, n_frames 1 + key%25), sample
+    every 10th frame via sample_video_frames' deterministic decoder
+    (frame k = payload viewed as a repeating stream offset k), and sum
+    each 16x12x3 frame."""
+    import numpy as np
+    import pandas as pd
+
+    from gotrackmaster_spark.operators.multimodal import sample_video_frames
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("key")
+    )
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for key in pdf["key"]:
+                key = int(key)
+                t = np.arange(64 + key % 64, dtype=np.int64)
+                buf = ((key * 131 + t * 2654435761) % 256).astype(np.uint8)
+                out.append(
+                    {
+                        "video_id": f"vid{key:08d}",
+                        "bytes": buf.tobytes(),
+                        "n_frames": 1 + key % 25,
+                    }
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    videos = docs.mapInPandas(gen, "video_id string, bytes binary, n_frames int")
+    frames = sample_video_frames(videos, every_n=10)
+
+    def sums(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            stack = np.stack(
+                [np.frombuffer(b, dtype=np.uint8) for b in pdf["frame"]]
+            ).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "video_id": pdf["video_id"],
+                    "frame_idx": pdf["frame_idx"].astype("int32"),
+                    "frame_sum": stack.sum(axis=1),
+                }
+            )
+
+    return frames.mapInPandas(sums, "video_id string, frame_idx int, frame_sum long")
+
+
+# tiled payload element (k+u) wraps mod payload length L
+SQL_VIDEO_FRAME_STATS = """
+WITH v AS (
+  SELECT doc_id, 64 + doc_id % 64 AS L, 1 + doc_id % 25 AS nf FROM documents
+),
+f AS (
+  SELECT doc_id, L, unnest(generate_series(0, nf - 1, 10)) AS k FROM v
+)
+SELECT format('vid{:08d}', doc_id) AS video_id,
+       CAST(k AS INT) AS frame_idx,
+       CAST(list_sum(list_transform(generate_series(0, 575), u ->
+            (doc_id * 131 + ((k + u) % L) * 2654435761) % 256)) AS BIGINT) AS frame_sum
+FROM f
+"""
+
+
+def q_audio_window_stats(spark, sf_dir):
+    """Synthesize closed-form int16 PCM (sample j = (key*7 + j*48271) %
+    65536 - 32768, 1 + key%4 windows of 256) and run audio_features:
+    per-window RMS + zero-crossing rate.  Both engines' float paths are
+    exact-until-sqrt (integer squares sum below 2^53), so the doubles are
+    bit-equal."""
+    import numpy as np
+    import pandas as pd
+
+    from gotrackmaster_spark.operators.multimodal import audio_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("key")
+    )
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
+
+    def gen(batches):
+        for pdf in batches:
+            out = []
+            for key in pdf["key"]:
+                key = int(key)
+                j = np.arange(256 * (1 + key % 4), dtype=np.int64)
+                pcm = (((key * 7 + j * 48271) % 65536) - 32768).astype(np.int16)
+                out.append({"audio_id": f"aud{key:08d}", "bytes": pcm.tobytes()})
+            if out:
+                yield pd.DataFrame(out)
+
+    audio = docs.mapInPandas(gen, "audio_id string, bytes binary")
+    return audio_features(audio, frame=256)
+
+
+SQL_AUDIO_WINDOW_STATS = """
+WITH w AS (
+  SELECT doc_id, unnest(generate_series(0, doc_id % 4)) AS win FROM documents
+),
+s AS (
+  SELECT doc_id, win,
+         list_transform(generate_series(0, 255), j ->
+             ((doc_id * 7 + (win * 256 + j) * 48271) % 65536) - 32768) AS xs
+  FROM w
+)
+SELECT format('aud{:08d}', doc_id) AS audio_id,
+       CAST(win AS INT) AS win,
+       sqrt(list_sum(list_transform(xs, x -> CAST(x AS DOUBLE) * x)) / 256.0) AS rms,
+       list_sum(list_transform(generate_series(1, 255), j ->
+           CASE WHEN (xs[j] < 0) != (xs[j + 1] < 0) THEN 1 ELSE 0 END)) / 255.0 AS zcr
+FROM s
+"""
