@@ -99,6 +99,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize_stats": _wrap(Q.q_image_resize_stats),
         "video_frame_stats": _wrap(Q.q_video_frame_stats),
         "audio_window_stats": _wrap(Q.q_audio_window_stats),
+        "doc_chunks": _wrap(Q.q_doc_chunks),
+        "seq_packing": _wrap(Q.q_seq_packing),
         # -- block 2: code touched since the last green row (scale fixes)
         "jaccard_pairs": _wrap(Q.q_jaccard_pairs),
         "minhash_band_pairs": _wrap(Q.q_minhash_band_pairs),
@@ -176,6 +178,8 @@ def oracle_sql() -> dict[str, str]:
         "image_resize_stats": Q.SQL_IMAGE_RESIZE_STATS,
         "video_frame_stats": Q.SQL_VIDEO_FRAME_STATS,
         "audio_window_stats": Q.SQL_AUDIO_WINDOW_STATS,
+        "doc_chunks": Q.SQL_DOC_CHUNKS,
+        "seq_packing": Q.SQL_SEQ_PACKING,
         "leg_haversine_sum": Q.SQL_LEG_HAVERSINE_SUM,
         "tile_counts": Q.SQL_TILE_COUNTS,
         "bounds_tiles": Q.SQL_BOUNDS_TILES,

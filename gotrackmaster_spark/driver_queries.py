@@ -3451,3 +3451,32 @@ SELECT format('aud{:08d}', doc_id) AS audio_id,
            CASE WHEN (xs[j] < 0) != (xs[j + 1] < 0) THEN 1 ELSE 0 END)) / 255.0 AS zcr
 FROM s
 """
+
+
+# --------------------------------------------------------------------------
+# Training-sequence assembly — stride chunking (pure codegen) and greedy
+# next-fit token packing (sharded applyInPandas; recursive-CTE oracle).
+# --------------------------------------------------------------------------
+
+
+def q_doc_chunks(spark, sf_dir):
+    from gotrackmaster_spark.operators.packing import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(docs, chunk_tokens=64, stride_tokens=48)
+
+
+def q_seq_packing(spark, sf_dir):
+    from gotrackmaster_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_sequences(docs, budget=256, n_shards=8)
+
+
+from gotrackmaster_spark.operators.packing import (  # noqa: E402
+    sql_chunk_documents as _sql_chunks,
+    sql_pack_sequences as _sql_pack,
+)
+
+SQL_DOC_CHUNKS = _sql_chunks(chunk_tokens=64, stride_tokens=48)
+SQL_SEQ_PACKING = _sql_pack(budget=256, n_shards=8)
