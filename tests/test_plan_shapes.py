@@ -78,3 +78,24 @@ def test_classification_counts_plan(spark):
     plan = _plan(Q.q_classification_counts(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_doc_chunks_pure_codegen_no_python_no_shuffle(spark):
+    plan = _plan(Q.q_doc_chunks(spark, SF_DIR))
+    # chunking is split/sequence/explode/slice/hash — whole-stage codegen
+    # end to end: no pandas/python eval, no exchange, one scan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "FlatMapsInPandas" not in plan and "MapInPandas" not in plan
+    assert "Exchange" not in plan, plan
+    assert plan.count("Scan parquet") == 1
+    assert "Generate explode" in plan
+
+
+def test_seq_packing_single_shard_shuffle(spark):
+    plan = _plan(Q.q_seq_packing(spark, SF_DIR))
+    # the serial greedy scan distributes by shard: exactly ONE hash
+    # exchange (on the shard key) feeding one FlatMapGroupsInPandas
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "Join" not in plan
