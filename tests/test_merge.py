@@ -170,3 +170,47 @@ def test_merge_rows_null_key_source_row(spark):
     out = Catalog._merge_rows(tgt, src, ["k1", "k2"], "upsert", ["k1", "k2", "value"])
     got = {(r.k1, r.k2): r.value for r in out.collect()}
     assert got == {("a", 1): 11.0, ("b", 2): 20.0, (None, 3): 99.0}
+
+
+def test_load_changes_incremental_scan(spark, tmp_path):
+    cat = _committed(spark, tmp_path)
+    s1 = cat.manifest("t")["snapshot_id"]
+
+    src = spark.createDataFrame(
+        [
+            Row(user_id="1", event_id=11, value=-1.0),  # rewrite partition 1
+            Row(user_id="9", event_id=90, value=-3.0),  # new partition 9
+        ]
+    )
+    cat.merge(spark, "t", src, key_cols=["user_id", "event_id"])
+    s2 = cat.manifest("t")["snapshot_id"]
+
+    # (s1, s2]: exactly the rewritten + inserted partitions, in full
+    delta = cat.load_changes(spark, "t", s1).collect()
+    assert {r["user_id"] for r in delta} == {"1", "9"}
+    assert len(delta) == 4 + 1  # partition 1 rewritten whole + partition 9 insert
+    assert {r["event_id"] for r in delta if r["user_id"] == "1"} == {10, 11, 12, 13}
+
+    # from == to -> empty, schema preserved
+    empty = cat.load_changes(spark, "t", s2, s2)
+    assert empty.count() == 0
+    assert empty.columns == cat.load(spark, "t").columns
+
+    # second merge touching partition 1 again: (s1, s3] sees only the
+    # FINAL files of partition 1 (files-became-live scan, not a changelog)
+    src2 = spark.createDataFrame([Row(user_id="1", event_id=11, value=-7.0)])
+    cat.merge(spark, "t", src2, key_cols=["user_id", "event_id"])
+    s3 = cat.manifest("t")["snapshot_id"]
+    d13 = cat.load_changes(spark, "t", s1, s3).collect()
+    assert {r["user_id"] for r in d13} == {"1", "9"}
+    vals = {r["event_id"]: r["value"] for r in d13 if r["user_id"] == "1"}
+    assert vals[11] == -7.0
+    # (s2, s3] is only the re-rewritten partition
+    d23 = cat.load_changes(spark, "t", s2, s3).collect()
+    assert {r["user_id"] for r in d23} == {"1"}
+
+    # pure-manifest file arithmetic agrees with the frame
+    by_dir = cat.changed_files("t", s2, s3)
+    n_files = sum(len(v) for v in by_dir.values())
+    assert n_files >= 1
+    assert all(rel.endswith(".parquet") for v in by_dir.values() for rel in v)
