@@ -55,3 +55,26 @@ def repartition_by_cell_range(
     else:
         out = df.repartitionByRange(F.col(cell_col_name))
     return out.sortWithinPartitions(cell_col_name)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table hash-bucketed (and per-bucket sorted) on its join
+    key — Spark's co-located layout.  Two tables bucketed the same way
+    (same column, same ``n_buckets``) join with ZERO exchange on either
+    side: each task zips bucket i with bucket i, so the shuffle that
+    dominates repeated big-big joins (points ⋈ points dedup bands,
+    cell ⋈ cell candidate joins) is paid ONCE at write time instead of
+    per query.  Pair with the cell index: bucket on the level-k cell and
+    every downstream spatial self-join over the same key is shuffle-free.
+    """
+    w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.saveAsTable(table)
