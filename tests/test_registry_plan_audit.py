@@ -1,0 +1,37 @@
+"""Registry-wide physical-plan audit: EVERY registered driver query must
+compile without a cartesian product or a row-at-a-time Python UDF, and
+without a BroadcastNestedLoopJoin except the three documented bounded
+cases.  This is the sweep that keeps a future query from silently
+registering an all-pairs or per-row-Python plan.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# BNLJ survives ONLY where it is the documented, bounded contract:
+#  - embedding_topk_exact: the bounded-Q brute-force rerank primitive
+#    (ValueError above max_queries; scale paths are LSH/IVF)
+#  - knn / knn_hex: the zero-candidate fallback for isolated query points
+#    (gated, logged, bounded to the queries that found no ring candidates)
+BNLJ_ALLOWED = {"embedding_topk_exact", "knn", "knn_hex"}
+
+QUERIES = entrymod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_scale_antipattern_in_plan(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product"
+    assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+    if name not in BNLJ_ALLOWED:
+        assert "BroadcastNestedLoopJoin" not in plan, f"{name}: BNLJ"
