@@ -418,9 +418,17 @@ class Catalog:
                 continue
             pieces.append(spark.read.option("basePath", d).parquet(*paths))
         if not pieces:
-            # schema including the partition column, zero rows
-            any_dir = m["data_dir"]
-            out = spark.read.parquet(any_dir).limit(0)
+            # zero rows, schema from the manifest — the snapshot dir may
+            # hold NO parquet files at all (e.g. a delete-merge that
+            # emptied every partition it touched), so reading it back
+            # for the schema would fail with UNABLE_TO_INFER_SCHEMA
+            types = m.get("schema_types") or {}
+            cols = m.get("schema_cols") or list(types)
+            if cols and all(c in types for c in cols):
+                ddl = ", ".join(f"`{c}` {types[c]}" for c in cols)
+                out = spark.createDataFrame([], schema=ddl)
+            else:
+                out = spark.read.parquet(m["data_dir"]).limit(0)
         else:
             out = pieces[0]
             for p in pieces[1:]:
@@ -580,6 +588,102 @@ class Catalog:
                 m["partition_col"], F.col(m["partition_col"]).cast(m["partition_type"])
             )
         return out
+
+    def changed_partitions(
+        self, table: str, from_snapshot: int, to_snapshot: int | None = None
+    ) -> list[str]:
+        """Partition values whose live FILE SET differs between the two
+        snapshots — pure manifest arithmetic.  Catches rewrites, inserts,
+        and fully-emptied partitions (which :meth:`load_changes` cannot:
+        a partition whose every row was deleted leaves no new file).  A
+        compaction rewrites files without changing rows, so it reports
+        its partitions too — spurious for a consumer but never unsound."""
+        fm = self.manifest(table, from_snapshot)
+        tm = self.manifest(table, to_snapshot)
+
+        def by_part(m: dict) -> dict:
+            d: dict[str, set] = {}
+            for p in m["partitions"]:
+                d.setdefault(p, set())
+            for fs in m["file_stats"]:
+                d.setdefault(fs["partition"], set()).add(
+                    (fs.get("dir") or m["data_dir"], fs["path"])
+                )
+            return d
+
+        a, b = by_part(fm), by_part(tm)
+        return sorted(p for p in set(a) | set(b) if a.get(p) != b.get(p))
+
+    def replace_partitions(
+        self,
+        spark: SparkSession,
+        table: str,
+        df: DataFrame,
+        partition_vals: list[str],
+        stats_cols: list[str] | None = None,
+        extra_metrics: dict | None = None,
+    ) -> dict:
+        """Dynamic partition overwrite (Iceberg's ``INSERT OVERWRITE``
+        with a partition spec / ``replacePartitions``): every partition
+        named in ``partition_vals`` is replaced WHOLESALE by ``df``'s
+        rows for it — including being DROPPED if ``df`` has none (the
+        delete case merge-upsert cannot express); all other partitions
+        carry into the new snapshot by reference, zero data movement.
+        Rows of ``df`` outside the named partitions are ignored (the
+        overwrite contract is exactly the named set)."""
+        from pyspark.sql import functions as F
+
+        m = self.manifest(table)
+        partition_col = m["partition_col"]
+        if not partition_col:
+            raise ValueError("replace_partitions requires a partitioned table")
+        vals = sorted(str(v) for v in partition_vals)
+        piece = df.filter(F.col(partition_col).cast("string").isin(vals))
+
+        snaps = self.snapshots(table)
+        sid = snaps[-1] + 1
+        snap_dir = os.path.join(self._table_dir(table), f"snap-{sid:08d}")
+        piece.write.mode("errorifexists").partitionBy(partition_col).parquet(snap_dir)
+
+        files, file_stats, counts = _scan_snapshot_files(
+            snap_dir, partition_col, stats_cols
+        )
+        # named partitions with no rows in df are dropped: absent from
+        # counts, not reused, gone from the new snapshot
+        reused: dict[str, str] = {}
+        for pval, owner in self._partition_dirs(m).items():
+            if pval in vals:
+                continue
+            reused[pval] = owner
+            counts[pval] = m["partitions"].get(pval, 0)
+        for fs in m["file_stats"]:
+            if fs["partition"] in reused:
+                entry = dict(fs)
+                entry["dir"] = reused[fs["partition"]]
+                file_stats.append(entry)
+
+        manifest = {
+            "table": table,
+            "snapshot_id": sid,
+            "parent_id": snaps[-1],
+            "created_unix": time.time(),
+            "data_dir": snap_dir,
+            "files": sorted(files),
+            "file_stats": sorted(file_stats, key=lambda s: s["path"]),
+            "partition_col": partition_col,
+            "partition_type": m.get("partition_type"),
+            "schema_cols": m.get("schema_cols"),
+            "schema_types": m.get("schema_types"),
+            "partitions": counts,
+            "reused_partitions": reused,
+            "total_rows": sum(counts.values()),
+            "metrics": dict(
+                extra_metrics or {},
+                partitions_replaced=len(vals),
+                partitions_reused=len(reused),
+            ),
+        }
+        return self._publish(table, manifest)
 
     def load_as_of(self, spark: SparkSession, table: str, as_of_unix: float) -> DataFrame:
         """Time travel: read the latest snapshot committed at or before
