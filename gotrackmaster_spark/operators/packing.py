@@ -37,6 +37,13 @@ def chunk_documents(
     contract).  Emits (doc_id, chunk_id, n_toks, chunk_h) with ``chunk_h``
     the portable h0 fingerprint of the re-joined window text.
     """
+    if stride_tokens <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride_tokens must be positive")
+    if stride_tokens > chunk_tokens:
+        raise ValueError(
+            f"stride {stride_tokens} > chunk {chunk_tokens} would leave "
+            "token gaps between windows"
+        )
     toks = F.split(F.col("text"), " ")
     out = (
         docs.select("doc_id", toks.alias("toks"))
@@ -106,6 +113,8 @@ def pack_sequences(
 
     Emits one row per document: (shard, doc_id, seq_id, n_toks).
     """
+    if budget <= 0 or n_shards <= 0:
+        raise ValueError("budget and n_shards must be positive")
     import pandas as pd
 
     sized = docs.select(

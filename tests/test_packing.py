@@ -93,3 +93,16 @@ def test_packing_invariant_under_input_partitioning(spark, docs):
         map(tuple, pack_sequences(docs.repartition(13, "text"), 96, 4).collect())
     )
     assert a == b
+
+
+def test_rejects_invalid_params(spark, docs):
+    import pytest as _pytest
+
+    from gotrackmaster_spark.operators.packing import chunk_documents, pack_sequences
+
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=16, stride_tokens=24)
+    with _pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=0, stride_tokens=0)
+    with _pytest.raises(ValueError):
+        pack_sequences(docs, budget=0)
