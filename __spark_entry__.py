@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_window_stats": _wrap(Q.q_audio_window_stats),
         "doc_chunks": _wrap(Q.q_doc_chunks),
         "seq_packing": _wrap(Q.q_seq_packing),
+        "incremental_view": _wrap(Q.q_incremental_view),
         # -- block 2: code touched since the last green row (scale fixes)
         "jaccard_pairs": _wrap(Q.q_jaccard_pairs),
         "minhash_band_pairs": _wrap(Q.q_minhash_band_pairs),
@@ -180,6 +181,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_window_stats": Q.SQL_AUDIO_WINDOW_STATS,
         "doc_chunks": Q.SQL_DOC_CHUNKS,
         "seq_packing": Q.SQL_SEQ_PACKING,
+        "incremental_view": Q.SQL_INCREMENTAL_VIEW,
         "leg_haversine_sum": Q.SQL_LEG_HAVERSINE_SUM,
         "tile_counts": Q.SQL_TILE_COUNTS,
         "bounds_tiles": Q.SQL_BOUNDS_TILES,

@@ -3480,3 +3480,85 @@ from gotrackmaster_spark.operators.packing import (  # noqa: E402
 
 SQL_DOC_CHUNKS = _sql_chunks(chunk_tokens=64, stride_tokens=48)
 SQL_SEQ_PACKING = _sql_pack(budget=256, n_shards=8)
+
+
+# --------------------------------------------------------------------------
+# Incremental materialized view (plans/incremental.py) — commit a base
+# table + a per-partition aggregate view, apply an upsert batch then a
+# delete batch through Catalog.merge, refreshing the view INCREMENTALLY
+# (only changed partitions recomputed) after each.  The oracle computes
+# the final view directly from the fully-merged state, so a hash match
+# proves the incremental path converges to the full recompute.
+# --------------------------------------------------------------------------
+
+
+def _iv_transform(df):
+    return df.groupBy("part").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+
+
+def q_incremental_view(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from gotrackmaster_spark.plans.checkpoint import Catalog
+    from gotrackmaster_spark.plans.incremental import incremental_refresh
+
+    root = os.path.join(tempfile.gettempdir(), f"incr_view_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    cat = Catalog(root)
+    cat.commit(_merge_base(spark, sf_dir), "t", partition_col="part")
+    s0 = cat.manifest("t")["snapshot_id"]
+    cat.commit(_iv_transform(cat.load(spark, "t")), "v", partition_col="part")
+
+    # batch 1: the merge_upsert update+insert source
+    cat.merge(spark, "t", _merge_source(spark, sf_dir), key_cols=["part", "event_id"])
+    m1, _ = incremental_refresh(spark, cat, "t", "v", _iv_transform, s0)
+
+    # batch 2: delete every event_id % 13 == 0 row
+    dels = geo_events(spark, sf_dir).filter(F.col("event_id") % 13 == 0).select(
+        "event_id",
+        (F.col("user_id") % _MERGE_NPART).cast("string").alias("part"),
+        F.lit(0.0).alias("value"),
+    )
+    cat.merge(spark, "t", dels, key_cols=["part", "event_id"], when_matched="delete")
+    incremental_refresh(
+        spark, cat, "t", "v", _iv_transform, m1["metrics"]["src_snapshot_id"]
+    )
+    return cat.load(spark, "v").select("part", "n_rows", "sum_value")
+
+
+SQL_INCREMENTAL_VIEW = f"""
+WITH {GEO_CTE},
+base AS (
+  SELECT event_id, CAST(user_id % {_MERGE_NPART} AS VARCHAR) AS part,
+         CAST(value AS DOUBLE) AS value
+  FROM geo
+),
+src AS (
+  SELECT event_id, CAST(user_id % {_MERGE_NPART} AS VARCHAR) AS part,
+         CAST(value * -1.0 AS DOUBLE) AS value
+  FROM geo WHERE event_id % 7 = 0
+  UNION ALL
+  SELECT event_id + 10000000 AS event_id,
+         CAST(user_id % {_MERGE_NPART} AS VARCHAR) AS part,
+         1.5 AS value
+  FROM geo WHERE event_id % 11 = 0
+),
+merged AS (
+  SELECT coalesce(s.part, b.part) AS part,
+         coalesce(s.event_id, b.event_id) AS event_id,
+         CASE WHEN s.event_id IS NOT NULL THEN s.value ELSE b.value END AS value
+  FROM base b FULL OUTER JOIN src s
+    ON b.part = s.part AND b.event_id = s.event_id
+),
+-- delete keys are raw event ids (< 10M), so inserted (+10M) rows never match
+final AS (
+  SELECT * FROM merged WHERE event_id % 13 != 0 OR event_id >= 10000000
+)
+SELECT part, count(*) AS n_rows, round(sum(value), 4) AS sum_value
+FROM final GROUP BY part
+"""
