@@ -3562,3 +3562,65 @@ final AS (
 SELECT part, count(*) AS n_rows, round(sum(value), 4) AS sum_value
 FROM final GROUP BY part
 """
+
+
+# --------------------------------------------------------------------------
+# E7b — lossy-codec PSNR gate as a driver row (input_hint: "decoded-pixel
+# allclose, PSNR>=40dB for lossy").  The Spark side measures the REAL
+# decode against freshly generated reference pixels (so a codec bug moves
+# the number); the oracle replays the qnt4 quantization error (pix % 4)
+# in closed form.  log10 may differ in the last ULP between engines, so
+# psnr_db is rounded to 1e-6 dB (error ~1e-13 dB).
+# --------------------------------------------------------------------------
+
+
+def q_image_psnr(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from gotrackmaster_spark.operators.images import (
+        decode_image,
+        gen_pixels,
+        synthesize_images,
+    )
+
+    imgs = synthesize_images(spark, sf_dir, w=_IMG_W, h=_IMG_H).filter(
+        F.col("fmt") == "qnt4"
+    )
+
+    def err(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for r in pdf.itertuples(index=False):
+                got = decode_image(r.bytes, r.w, r.h, r.fmt).astype(np.int64)
+                ref = gen_pixels(int(r.img_key), r.w, r.h).astype(np.int64)
+                out.append(
+                    {"image_id": r.image_id, "err_sum": int(((got - ref) ** 2).sum())}
+                )
+            yield pd.DataFrame(out)
+
+    stats = imgs.mapInPandas(err, "image_id string, err_sum long")
+    mse = F.col("err_sum") / F.lit(float(_N_PIX))
+    psnr = F.round(F.lit(10.0) * F.log10(F.lit(255.0 * 255.0) / mse), 6)
+    return stats.select(
+        "image_id",
+        "err_sum",
+        psnr.alias("psnr_db"),
+        (psnr >= 40.0).alias("meets_bar"),
+    )
+
+
+SQL_IMAGE_PSNR = f"""
+WITH q AS (
+  SELECT format('img{{:08d}}', doc_id) AS image_id,
+         CAST(list_sum(list_transform(generate_series(0, {_N_PIX - 1}), i ->
+              (({_PIX}) % 4) * (({_PIX}) % 4))) AS BIGINT) AS err_sum
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT image_id, err_sum,
+       round(10.0 * log10(255.0 * 255.0 / (err_sum / {float(_N_PIX)})), 6) AS psnr_db,
+       round(10.0 * log10(255.0 * 255.0 / (err_sum / {float(_N_PIX)})), 6) >= 40.0 AS meets_bar
+FROM q
+"""
