@@ -136,8 +136,16 @@ def interval_join(
       input row.  Intervals whose bucket span exceeds the cap raise
       ``ValueError`` naming the offender count and the bucket size that
       would fit (one aggregate over the small side; ``None`` disables).
+    - **Broadcast demotion**: the broadcast hint is only honoured while
+      the ESTIMATED exploded side stays under ``_BROADCAST_ROW_CAP``
+      rows; past that (e.g. the guard was disabled on purpose) the join
+      silently demotes to the shuffle-hash path — forcing a multi-GB
+      broadcast build is exactly the failure the hint would cause on a
+      memory-tight driver.
     """
-    b, iv_src = _resolve_bucket(intervals, bucket_s, t0_col, t1_col, max_fanout)
+    b, iv_src, est_rows = _resolve_bucket(
+        intervals, bucket_s, t0_col, t1_col, max_fanout
+    )
     iv = iv_src.withColumn(
         "bucket",
         F.explode(
@@ -148,7 +156,7 @@ def interval_join(
         ),
     )
     ev = events.withColumn("bucket", F.expr(f"{ts_col} DIV {b}"))
-    if broadcast_intervals:
+    if broadcast_intervals and (est_rows is None or est_rows <= _BROADCAST_ROW_CAP):
         j = ev.join(F.broadcast(iv), "bucket", "inner")
     else:
         j = ev.join(iv.hint("shuffle_hash"), "bucket", "inner")
@@ -157,16 +165,23 @@ def interval_join(
     ).drop("bucket")
 
 
+# past this many estimated exploded bucket rows the interval side is no
+# longer broadcast-safe (~100 MB at typical row widths) — demote to the
+# shuffle-hash path instead of forcing a broadcast build that can OOM
+_BROADCAST_ROW_CAP = 2_000_000
+
+
 def _resolve_bucket(
     intervals: DataFrame,
     bucket_s: int | None,
     t0_col: str,
     t1_col: str,
     max_fanout: int | None,
-) -> tuple[int, DataFrame]:
-    """Pick/validate the bucket width (µs).  Both the auto-bucket median
-    and the fanout check are single aggregates over the INTERVAL side —
-    the small side of the join — so the guard never touches the event
+) -> tuple[int, DataFrame, int | None]:
+    """Pick/validate the bucket width (µs) and estimate the exploded row
+    count.  The auto-bucket median, the fanout check, and the size
+    estimate are all single aggregates over the INTERVAL side — the
+    small side of the join — so the guards never touch the event
     table."""
     if bucket_s is None:
         med = intervals.select(
@@ -177,15 +192,17 @@ def _resolve_bucket(
         b = max(int(med or 1_000_000), 1)
     else:
         b = int(bucket_s) * 1_000_000
+    span = F.greatest(
+        (F.col(t1_col) - F.lit(1)) / F.lit(b) - F.col(t0_col) / F.lit(b),
+        F.lit(0.0),
+    )
+    stats = intervals.select(
+        F.sum(F.when(span >= (max_fanout or 0), 1).otherwise(0)).alias("n_over"),
+        F.max(span).alias("max_span"),
+        (F.sum(span) + F.count(F.lit(1))).alias("est_rows"),
+    ).first()
+    est_rows = int(stats["est_rows"] or 0)
     if max_fanout is not None:
-        span = F.greatest(
-            (F.col(t1_col) - F.lit(1)) / F.lit(b) - F.col(t0_col) / F.lit(b),
-            F.lit(0.0),
-        )
-        stats = intervals.select(
-            F.sum(F.when(span >= max_fanout, 1).otherwise(0)).alias("n_over"),
-            F.max(span).alias("max_span"),
-        ).first()
         if stats["n_over"]:
             worst = int(stats["max_span"] or 0) + 1
             need_s = max((worst * b) // max_fanout // 1_000_000, 1)
@@ -196,4 +213,4 @@ def _resolve_bucket(
                 f"Use bucket_s >= {need_s}, bucket_s=None (auto), or raise "
                 f"max_fanout explicitly."
             )
-    return b, intervals
+    return b, intervals, est_rows
