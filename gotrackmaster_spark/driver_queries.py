@@ -551,6 +551,74 @@ def q_pip_counts_hex(spark, sf_dir):
 SQL_PIP_COUNTS_HEX = SQL_PIP_COUNTS
 
 
+def q_pip_antijoin(spark, sf_dir):
+    """E2 complement — coverage gaps: points inside NO polygon, counted per
+    1° tile.  Scale shape: per-cell covering roll-up broadcast, points
+    never expanded or shuffled before the final tile agg (see
+    `point_in_polygon_anti`).  Oracle is brute-force NOT EXISTS over the
+    same rects."""
+    from gotrackmaster_spark.operators.spatial import point_in_polygon_anti
+
+    pts = geo_events(spark, sf_dir).select("event_id", "lat", "lon")
+    polys = rect_polygons(spark, sf_dir)
+    out = point_in_polygon_anti(pts, polys, level=7)
+    return (
+        out.select(tile_name_col(F.col("lat"), F.col("lon"), 1.0).alias("tile"))
+        .groupBy("tile")
+        .agg(F.count("*").alias("n_uncovered"))
+    )
+
+
+SQL_PIP_ANTIJOIN = f"""
+WITH {GEO_CTE},
+rects AS ({_RECT_SQL})
+SELECT {tile_name_sql('lat', 'lon', 1.0)} AS tile, count(*) AS n_uncovered
+FROM geo g
+WHERE NOT EXISTS (
+  SELECT 1 FROM rects r
+  WHERE g.lat > r.lat0 AND g.lat < r.lat1 AND g.lon > r.lon0 AND g.lon < r.lon1
+)
+GROUP BY 1
+"""
+
+
+def q_od_matrix(spark, sf_dir):
+    """Origin–destination flow matrix: each user's first and last event
+    (by ts, event_id) mapped to level-5 cells, flows counted per
+    (o_cell, d_cell).  One shuffle on user_id (struct min/max partial-
+    aggregates map-side), one on the tiny (o,d) pair key."""
+    od = geo_events(spark, sf_dir).groupBy("user_id").agg(
+        F.min(F.struct("ts", "event_id", "lat", "lon")).alias("o"),
+        F.max(F.struct("ts", "event_id", "lat", "lon")).alias("d"),
+    )
+    return (
+        od.select(
+            F.shiftright(cell_col(F.col("o.lat"), F.col("o.lon"), 12), 2 * (12 - 5)).alias("o_cell"),
+            F.shiftright(cell_col(F.col("d.lat"), F.col("d.lon"), 12), 2 * (12 - 5)).alias("d_cell"),
+        )
+        .groupBy("o_cell", "d_cell")
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+SQL_OD_MATRIX = f"""
+WITH {GEO_CTE},
+ranked AS (
+  SELECT user_id, lat, lon,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_o,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM geo
+),
+o AS (SELECT user_id, ({cell_sql('lat', 'lon', 12)} >> {2 * (12 - 5)}) AS o_cell
+      FROM ranked WHERE rn_o = 1),
+d AS (SELECT user_id, ({cell_sql('lat', 'lon', 12)} >> {2 * (12 - 5)}) AS d_cell
+      FROM ranked WHERE rn_d = 1)
+SELECT o.o_cell, d.d_cell, count(*) AS n_users
+FROM o JOIN d ON o.user_id = d.user_id
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # E3 — kNN via k-ring candidates + exact fallback, vs brute-force oracle.
 # Ranking is (round(dist_m, 3), data_id) in both engines.

@@ -311,6 +311,72 @@ def point_in_polygon_join(
     return boundary.mapInPandas(refine, out_schema).unionByName(full_hits)
 
 
+def point_in_polygon_anti(
+    points: DataFrame,
+    polygons: DataFrame,
+    level: int = 7,
+    point_cols: tuple[str, str] = ("lat", "lon"),
+) -> DataFrame:
+    """Spatial ANTI join — the points inside NO polygon (coverage gaps).
+
+    Complement of :func:`point_in_polygon_join` with the SAME inclusion
+    semantics (packed covering + ray-cast refine), but a different scale
+    shape: a naive anti = points ⟕ hits needs a shuffle of the whole
+    points side on the point id.  Instead the packed covering is first
+    collapsed to AT MOST ONE row per cell —
+    ``(cell, any_full, boundary rings)`` — so the broadcast left-outer
+    join can never expand the points side, and the verdict is row-local:
+
+      - no covering row for the cell       → uncovered  (pure codegen)
+      - some polygon fully covers the cell → covered    (pure codegen)
+      - boundary rings only                → ray-cast refine (Arrow)
+
+    Zero exchanges of the points side; the only shuffle is the tiny
+    per-cell covering roll-up (O(covering cells), broadcast after).
+
+    Output: the uncovered input point rows, original columns.
+    """
+    lat_c, lon_c = point_cols
+    cov_cells = polygon_covering(polygons, level).groupBy("cell").agg(
+        F.max(F.col("full").cast("int")).alias("any_full"),
+        F.collect_list(F.when(~F.col("full"), F.col("ring"))).alias("rings"),
+    )
+    pts = points.withColumn(
+        "cell", cell_col(F.col(lat_c), F.col(lon_c), level)
+    )
+    joined = pts.join(F.broadcast(cov_cells), "cell", "left_outer")
+
+    out_cols = list(points.columns)
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}"
+        for f in points.schema.fields
+    )
+
+    clear = joined.filter(F.col("any_full").isNull()).select(*out_cols)
+    boundary = joined.filter(F.col("any_full") == 0)
+
+    def refine(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            lat = pdf[lat_c].to_numpy()
+            lon = pdf[lon_c].to_numpy()
+            covered = np.zeros(len(pdf), dtype=bool)
+            # rings are identical for every row of a cell — vectorize per cell
+            for _cell, idx in pdf.groupby("cell", sort=False).indices.items():
+                for ring in pdf["rings"].iloc[idx[0]]:
+                    rl = np.array([p["lat"] for p in ring])
+                    rx = np.array([p["lon"] for p in ring])
+                    covered[idx] = covered[idx] | _ray_cast_np(
+                        lat[idx], lon[idx], rl, rx
+                    )
+            out = pdf.loc[~covered, out_cols]
+            if len(out):
+                yield out
+
+    return clear.unionByName(boundary.mapInPandas(refine, out_schema))
+
+
 # --------------------------------------------------------------- E3: kNN ---
 
 _M_PER_DEG = math.pi * 6371000.0 / 180.0  # meridian meters/degree on the R=6371km sphere
