@@ -86,6 +86,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- block 1: no driver row yet (8 from r02 overflow + new A6 slice)
         "pip_antijoin": _wrap(Q.q_pip_antijoin),
         "od_matrix": _wrap(Q.q_od_matrix),
+        "poly_overlaps": _wrap(Q.q_poly_overlaps),
+        "dwell_cells": _wrap(Q.q_dwell_cells),
         "classification_counts": _wrap(Q.q_classification_counts),
         "dp_simplify": _wrap(Q.q_dp_simplify),
         "erratic_outliers": _wrap(Q.q_erratic_outliers),
@@ -177,6 +179,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pip_antijoin": Q.SQL_PIP_ANTIJOIN,
         "od_matrix": Q.SQL_OD_MATRIX,
+        "poly_overlaps": Q.SQL_POLY_OVERLAPS,
+        "dwell_cells": Q.SQL_DWELL_CELLS,
         "classification_counts": Q.SQL_CLASSIFICATION_COUNTS,
         "multimodal_near_dups": Q.SQL_MULTIMODAL_NEAR_DUPS,
         "lm_scores": Q.SQL_LM_SCORES,

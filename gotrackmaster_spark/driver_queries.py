@@ -620,6 +620,147 @@ GROUP BY 1, 2
 
 
 # --------------------------------------------------------------------------
+# E2d — polygon↔polygon overlap join (denser customer-keyed rect layer so
+# the overlap set is non-degenerate at test scale; same float recipe as
+# _RECT_SQL so Spark's ring-derived bboxes are bit-identical to the CTE)
+# --------------------------------------------------------------------------
+
+_CUST_RECT_SQL = """
+  SELECT CAST(c_custkey AS VARCHAR) AS poly_id,
+         CAST((CAST(c_custkey AS BIGINT) * 911) % 150 - 75 AS DOUBLE) + 0.00005 AS lat0,
+         CAST((CAST(c_custkey AS BIGINT) * 911) % 150 - 75 AS DOUBLE) + 0.00005
+           + CAST(3 + (c_custkey % 5) AS DOUBLE) AS lat1,
+         CAST((CAST(c_custkey AS BIGINT) * 1931) % 340 - 170 AS DOUBLE) + 0.00005 AS lon0,
+         CAST((CAST(c_custkey AS BIGINT) * 1931) % 340 - 170 AS DOUBLE) + 0.00005
+           + CAST(4 + (c_custkey % 7) AS DOUBLE) AS lon1
+  FROM customer
+"""
+
+
+def cust_rect_polygons(spark, sf_dir) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    n = F.col("c_custkey").cast("long")
+    lat0 = ((n * 911) % 150 - 75).cast("double") + 0.00005
+    lat1 = lat0 + (3 + (n % 5)).cast("double")
+    lon0 = ((n * 1931) % 340 - 170).cast("double") + 0.00005
+    lon1 = lon0 + (4 + (n % 7)).cast("double")
+    ring = F.array(
+        F.struct(lat0.alias("lat"), lon0.alias("lon")),
+        F.struct(lat0.alias("lat"), lon1.alias("lon")),
+        F.struct(lat1.alias("lat"), lon1.alias("lon")),
+        F.struct(lat1.alias("lat"), lon0.alias("lon")),
+    )
+    return cust.select(
+        F.col("c_custkey").cast("string").alias("poly_id"), ring.alias("ring")
+    )
+
+
+def q_poly_overlaps(spark, sf_dir):
+    """E2d — polygon↔polygon overlap join: every pair of polygons whose
+    interiors intersect.  Candidates come from the shared covering cell
+    (two intersecting bboxes always share a bbox-grid cell, so the cell
+    equi-join misses nothing); the exact interior test compares the
+    ring-derived bboxes (exact for the rectilinear layer).  Scale shape:
+    covering explode → single cell equi-join (AQE-skewable) → pair
+    distinct — never all-pairs."""
+    from gotrackmaster_spark.operators.spatial import polygon_covering
+
+    polys = cust_rect_polygons(spark, sf_dir)
+    cov = polygon_covering(polys, level=4).select(
+        "poly_id",
+        "cell",
+        F.array_min(F.transform("ring", lambda p: p["lat"])).alias("lat_lo"),
+        F.array_max(F.transform("ring", lambda p: p["lat"])).alias("lat_hi"),
+        F.array_min(F.transform("ring", lambda p: p["lon"])).alias("lon_lo"),
+        F.array_max(F.transform("ring", lambda p: p["lon"])).alias("lon_hi"),
+    )
+    a, b = cov.alias("a"), cov.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.poly_id") < F.col("b.poly_id"))
+            & (F.col("a.lat_lo") < F.col("b.lat_hi"))
+            & (F.col("a.lat_hi") > F.col("b.lat_lo"))
+            & (F.col("a.lon_lo") < F.col("b.lon_hi"))
+            & (F.col("a.lon_hi") > F.col("b.lon_lo")),
+        )
+        .select(
+            F.col("a.poly_id").alias("poly_a"),
+            F.col("b.poly_id").alias("poly_b"),
+        )
+        .distinct()
+    )
+
+
+SQL_POLY_OVERLAPS = f"""
+WITH rects AS ({_CUST_RECT_SQL})
+SELECT a.poly_id AS poly_a, b.poly_id AS poly_b
+FROM rects a JOIN rects b
+  ON a.poly_id < b.poly_id
+ AND a.lat0 < b.lat1 AND a.lat1 > b.lat0
+ AND a.lon0 < b.lon1 AND a.lon1 > b.lon0
+"""
+
+
+def q_dwell_cells(spark, sf_dir):
+    """Stay-point detection (dwell cells): maximal runs of CONSECUTIVE
+    events (per user, time order) in the same level-3 cell, kept when the
+    run has ≥ 2 points, aggregated per cell.  One exchange for the
+    user_id window, then the run/cell aggregates (both partial-agg
+    map-side)."""
+    from pyspark.sql import Window
+
+    pts = geo_events(spark, sf_dir).select(
+        "user_id", "ts", "event_id",
+        cell_col(F.col("lat"), F.col("lon"), 3).alias("cell"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("cell").over(w)
+    runs = pts.withColumn(
+        "chg", F.when(prev.isNull() | (prev != F.col("cell")), 1).otherwise(0)
+    ).withColumn("run", F.sum("chg").over(w))
+    dwells = (
+        runs.groupBy("user_id", "run", "cell")
+        .agg(F.count("*").alias("n_pts"))
+        .filter(F.col("n_pts") >= 2)
+    )
+    return dwells.groupBy("cell").agg(
+        F.count("*").alias("n_dwells"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.max("n_pts").alias("max_run"),
+    )
+
+
+SQL_DWELL_CELLS = f"""
+WITH {GEO_CTE},
+cells AS (
+  SELECT user_id, ts, event_id, {cell_sql('lat', 'lon', 3)} AS cell FROM geo
+),
+flagged AS (
+  SELECT user_id, ts, event_id, cell,
+         CASE WHEN lag(cell) OVER w IS NULL OR lag(cell) OVER w <> cell
+              THEN 1 ELSE 0 END AS chg
+  FROM cells
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+runs AS (
+  SELECT user_id, cell,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run
+  FROM flagged
+),
+dwells AS (
+  SELECT user_id, run, cell, count(*) AS n_pts
+  FROM runs GROUP BY user_id, run, cell
+  HAVING count(*) >= 2
+)
+SELECT cell, count(*) AS n_dwells, count(DISTINCT user_id) AS n_users,
+       max(n_pts) AS max_run
+FROM dwells GROUP BY cell
+"""
+
+
+# --------------------------------------------------------------------------
 # E3 — kNN via k-ring candidates + exact fallback, vs brute-force oracle.
 # Ranking is (round(dist_m, 3), data_id) in both engines.
 # --------------------------------------------------------------------------

@@ -220,7 +220,7 @@ def _ray_cast_np(lat: np.ndarray, lon: np.ndarray, ring_lats, ring_lons) -> np.n
         yi, xi = ring_lats[i], ring_lons[i]
         yj, xj = ring_lats[j], ring_lons[j]
         cond = (yi > lat) != (yj > lat)
-        with np.errstate(divide="ignore", invalid="ignore"):
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
             x_int = (xj - xi) * (lat - yi) / (yj - yi) + xi
         inside ^= cond & (lon < x_int)
         j = i

@@ -99,3 +99,20 @@ def test_seq_packing_single_shard_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.count("FlatMapGroupsInPandas") == 1
     assert "Join" not in plan
+
+
+def test_poly_overlaps_cell_equijoin_never_all_pairs(spark):
+    plan = _plan(Q.q_poly_overlaps(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # candidates from the shared covering cell (equi-join), then distinct
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_dwell_cells_reuses_user_partitioning(spark):
+    plan = _plan(Q.q_dwell_cells(spark, SF_DIR))
+    assert "Join" not in plan, plan
+    # the run aggregate reuses the window's hashpartitioning(user_id) —
+    # only the window exchange and the final per-cell exchange remain
+    assert plan.count("Exchange hashpartitioning") == 2, plan
