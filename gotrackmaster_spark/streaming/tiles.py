@@ -68,3 +68,50 @@ def incremental_tile_counts(
             "n_cells",
         )
     )
+
+
+def geofence_alerts(
+    stream: DataFrame,
+    polygons: DataFrame,
+    level: int = 7,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming geofence: PIP-join the point stream against a STATIC
+    polygon layer, then windowed per-polygon hit counts.
+
+    The join is `operators.spatial.point_in_polygon_join` unchanged — a
+    stream-static broadcast equi-join on the covering cell plus the
+    Arrow-batched ray-cast refine, so the stream side never shuffles
+    before the windowed aggregate and the polygon covering is built once
+    per micro-batch from the static side.  The watermark is assigned to
+    the surviving event-time column AFTER the join so the stateful window
+    aggregate stays late-data-bounded.
+
+    Output per (window, polygon): (window_start, window_end, poly_id,
+    n_hits, n_cells).
+    """
+    from gotrackmaster_spark.operators.spatial import point_in_polygon_join
+
+    tagged = geotag_stream(stream).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    hits = point_in_polygon_join(
+        tagged.select("event_id", "ts", "lat", "lon", "cell5"), polygons,
+        level=level,
+    )
+    return (
+        hits.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration).alias("w"), F.col("poly_id"))
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.approx_count_distinct("cell5").alias("n_cells"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "poly_id",
+            "n_hits",
+            "n_cells",
+        )
+    )

@@ -204,3 +204,55 @@ def test_streaming_ingest_dedup_bounded_state(spark, tmp_path):
     assert n_got == n_distinct < n_in
     # one surviving row per content key
     assert got.groupBy("ckey").count().filter("count > 1").count() == 0
+
+
+def test_streaming_geofence_matches_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from gotrackmaster_spark import driver_queries as Q
+    from gotrackmaster_spark.streaming.tiles import geofence_alerts, geotag_stream
+
+    batch_src = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    src_dir = str(tmp_path / "gf_in")
+    batch_src.filter(F.col("event_id") % 2 == 0).write.parquet(src_dir)
+    batch_src.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(src_dir)
+
+    polys = Q.rect_polygons(spark, SF_DIR)
+    stream = spark.readStream.schema(batch_src.schema).option(
+        "maxFilesPerTrigger", "2"
+    ).parquet(src_dir)
+    agg = geofence_alerts(stream, polys, level=7, window_duration="6 hours")
+
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("geofence")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.window_start, r.poly_id): (r.n_hits, r.n_cells)
+        for r in spark.sql("SELECT * FROM geofence").collect()
+    }
+
+    from gotrackmaster_spark.operators.spatial import point_in_polygon_join
+
+    tagged = geotag_stream(spark.read.parquet(src_dir)).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    hits = point_in_polygon_join(
+        tagged.select("event_id", "ts", "lat", "lon", "cell5"), polys, level=7
+    )
+    want_df = (
+        hits.groupBy(F.window("ts", "6 hours").alias("w"), "poly_id")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.approx_count_distinct("cell5").alias("n_cells"),
+        )
+        .select(F.col("w.start").alias("ws"), "poly_id", "n_hits", "n_cells")
+    )
+    want = {(r.ws, r.poly_id): (r.n_hits, r.n_cells) for r in want_df.collect()}
+    assert got == want
+    assert len(got) >= 10  # hits are sparse at sf0.001 (25 rects)
