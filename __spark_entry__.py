@@ -83,11 +83,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        deliberately rows-only kernel composites.
     """
     return {
-        # -- block 1: no driver row yet (8 from r02 overflow + new A6 slice)
+        # -- block 1: no driver row yet (r02 overflow + round-3 additions)
         "pip_antijoin": _wrap(Q.q_pip_antijoin),
         "od_matrix": _wrap(Q.q_od_matrix),
         "poly_overlaps": _wrap(Q.q_poly_overlaps),
         "dwell_cells": _wrap(Q.q_dwell_cells),
+        "trajectory_jaccard": _wrap(Q.q_trajectory_jaccard),
         "classification_counts": _wrap(Q.q_classification_counts),
         "dp_simplify": _wrap(Q.q_dp_simplify),
         "erratic_outliers": _wrap(Q.q_erratic_outliers),
@@ -181,6 +182,7 @@ def oracle_sql() -> dict[str, str]:
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,
         "dwell_cells": Q.SQL_DWELL_CELLS,
+        "trajectory_jaccard": Q.SQL_TRAJECTORY_JACCARD,
         "classification_counts": Q.SQL_CLASSIFICATION_COUNTS,
         "multimodal_near_dups": Q.SQL_MULTIMODAL_NEAR_DUPS,
         "lm_scores": Q.SQL_LM_SCORES,

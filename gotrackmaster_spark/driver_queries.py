@@ -760,6 +760,66 @@ FROM dwells GROUP BY cell
 """
 
 
+_TRAJ_J_NUM, _TRAJ_J_DEN = 3, 100  # Jaccard >= 0.03 (~p99 of the synthetic layer)
+
+
+def q_trajectory_jaccard(spark, sf_dir):
+    """Trajectory similarity join: user pairs whose visited-cell SETS
+    (distinct level-6 cells) are Jaccard-similar.  Same set-similarity
+    topology as `jaccard_pairs`: cell inverted-index self-join →
+    shared-cell counts → PLAIN size joins (no O(users) broadcast, per
+    the r2 scale fix) → integer cross-multiplied threshold (no float
+    compare).  Real trajectories are cell-sparse, so the per-cell
+    inverted index bounds candidates; the synthetic layer is dense,
+    which only makes the toy-scale join bigger, not the plan wrong."""
+    pts = (
+        geo_events(spark, sf_dir)
+        .select("user_id", cell_col(F.col("lat"), F.col("lon"), 6).alias("cell"))
+        .distinct()
+    )
+    sizes = pts.groupBy("user_id").agg(F.count("*").alias("sz"))
+    a, b = pts.alias("a"), pts.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("ua"), F.col("b.user_id").alias("ub")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        inter.join(sizes.select(F.col("user_id").alias("ua"), F.col("sz").alias("sza")), "ua")
+        .join(sizes.select(F.col("user_id").alias("ub"), F.col("sz").alias("szb")), "ub")
+        .filter(
+            F.lit(_TRAJ_J_DEN) * F.col("n_shared")
+            >= F.lit(_TRAJ_J_NUM) * (F.col("sza") + F.col("szb") - F.col("n_shared"))
+        )
+        .select("ua", "ub", "n_shared", "sza", "szb")
+    )
+
+
+SQL_TRAJECTORY_JACCARD = f"""
+WITH {GEO_CTE},
+vis AS (
+  SELECT DISTINCT user_id, {cell_sql('lat', 'lon', 6)} AS cell FROM geo
+),
+sizes AS (SELECT user_id, count(*) AS sz FROM vis GROUP BY user_id),
+inter AS (
+  SELECT a.user_id AS ua, b.user_id AS ub, count(*) AS n_shared
+  FROM vis a JOIN vis b ON a.cell = b.cell AND a.user_id < b.user_id
+  GROUP BY 1, 2
+)
+SELECT i.ua, i.ub, i.n_shared, sa.sz AS sza, sb.sz AS szb
+FROM inter i
+JOIN sizes sa ON sa.user_id = i.ua
+JOIN sizes sb ON sb.user_id = i.ub
+WHERE {_TRAJ_J_DEN} * i.n_shared >= {_TRAJ_J_NUM} * (sa.sz + sb.sz - i.n_shared)
+"""
+
+
 # --------------------------------------------------------------------------
 # E3 — kNN via k-ring candidates + exact fallback, vs brute-force oracle.
 # Ranking is (round(dist_m, 3), data_id) in both engines.
