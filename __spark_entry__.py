@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poly_overlaps": _wrap(Q.q_poly_overlaps),
         "dwell_cells": _wrap(Q.q_dwell_cells),
         "trajectory_jaccard": _wrap(Q.q_trajectory_jaccard),
+        "image_dup_components": _wrap(Q.q_image_dup_components),
         "classification_counts": _wrap(Q.q_classification_counts),
         "dp_simplify": _wrap(Q.q_dp_simplify),
         "erratic_outliers": _wrap(Q.q_erratic_outliers),
@@ -183,6 +184,7 @@ def oracle_sql() -> dict[str, str]:
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,
         "dwell_cells": Q.SQL_DWELL_CELLS,
         "trajectory_jaccard": Q.SQL_TRAJECTORY_JACCARD,
+        "image_dup_components": Q.SQL_IMAGE_DUP_COMPONENTS,
         "classification_counts": Q.SQL_CLASSIFICATION_COUNTS,
         "multimodal_near_dups": Q.SQL_MULTIMODAL_NEAR_DUPS,
         "lm_scores": Q.SQL_LM_SCORES,

@@ -1739,6 +1739,64 @@ WHERE bit_count(xor(a.phash, b.phash)) <= {_PH_MAXHAM}
 """
 
 
+# cluster radius is TIGHTER than pair-detection radius (standard dedup
+# practice): at the detection radius the random-pair tail chains clusters
+# into >50-diameter paths; ≤4 keeps the planted variants (median planted
+# hamming = 1) and converges in diameter rounds
+_CLUSTER_MAXHAM = 4
+
+
+def q_image_dup_components(spark, sf_dir):
+    """Image near-dup canonicalization: phash chunk-join pairs →
+    connected components → per-cluster roll-up keyed by the canonical
+    image.  The keep-best rank is (resolution desc, image_id asc); the
+    synthetic corpus is single-resolution so it collapses to min id,
+    which lands every planted variant ("varNNNNNNNN") on its base
+    ("imgNNNNNNNN" sorts first).  Oracle replays the identical edge set
+    (full phash pipeline) through a recursive-CTE transitive closure."""
+    from gotrackmaster_spark.operators.graph import connected_components
+
+    pairs = (
+        q_phash_near_dups(spark, sf_dir)
+        .filter(F.col("hamming") <= _CLUSTER_MAXHAM)
+        .select("a_id", "b_id")
+    )
+    comp = connected_components(pairs, "a_id", "b_id")
+    return comp.groupBy(F.col("l").alias("canonical")).agg(
+        F.count("*").alias("n_images"),
+        F.max("v").alias("max_id"),
+    )
+
+
+# concatenated (not an f-string): SQL_PHASH_NEAR_DUPS carries literal
+# format() braces that a second f-string pass would mangle
+SQL_IMAGE_DUP_COMPONENTS = (
+    """
+WITH RECURSIVE pairs AS MATERIALIZED (
+  SELECT a_id, b_id FROM ("""
+    + SQL_PHASH_NEAR_DUPS
+    + """) p WHERE p.hamming <= """ + str(_CLUSTER_MAXHAM) + """
+),
+ed AS (
+  SELECT a_id AS a, b_id AS b FROM pairs
+  UNION
+  SELECT b_id, a_id FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS v FROM ed),
+reach AS (
+  SELECT v, v AS u FROM nodes
+  UNION
+  SELECT r.v, e.b AS u FROM reach r JOIN ed e ON e.a = r.u
+),
+comp AS (SELECT v, min(u) AS root FROM reach GROUP BY v)
+SELECT root AS canonical,
+       CAST(count(*) AS BIGINT) AS n_images,
+       max(v) AS max_id
+FROM comp GROUP BY root
+"""
+)
+
+
 # --------------------------------------------------------------------------
 # P6 + T2/T3 + S7 — import plan: path templating over the corner-tile
 # fan-out with first-wins duplicate suppression (cmd/import.go)
