@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dwell_cells": _wrap(Q.q_dwell_cells),
         "trajectory_jaccard": _wrap(Q.q_trajectory_jaccard),
         "image_dup_components": _wrap(Q.q_image_dup_components),
+        "terrain_stats": _wrap(Q.q_terrain_stats),
         "classification_counts": _wrap(Q.q_classification_counts),
         "dp_simplify": _wrap(Q.q_dp_simplify),
         "erratic_outliers": _wrap(Q.q_erratic_outliers),
@@ -185,6 +186,7 @@ def oracle_sql() -> dict[str, str]:
         "dwell_cells": Q.SQL_DWELL_CELLS,
         "trajectory_jaccard": Q.SQL_TRAJECTORY_JACCARD,
         "image_dup_components": Q.SQL_IMAGE_DUP_COMPONENTS,
+        "terrain_stats": Q.SQL_TERRAIN_STATS,
         "classification_counts": Q.SQL_CLASSIFICATION_COUNTS,
         "multimodal_near_dups": Q.SQL_MULTIMODAL_NEAR_DUPS,
         "lm_scores": Q.SQL_LM_SCORES,

@@ -1123,6 +1123,84 @@ FROM interp GROUP BY 1
 """
 
 
+# E4 terrain derivatives: slope / aspect / hillshade per DEM tile from the
+# 4 corner samples (row-local — no neighbor join needed at this grid
+# granularity), rolled up per 10° latitude band.  Standard hillshade with
+# sun azimuth 315°, altitude 45°; constants embedded as identical Python-
+# computed literals in BOTH engines.
+_HS_COS_ZEN = math.cos(math.radians(45.0))
+_HS_SIN_ZEN = math.sin(math.radians(45.0))
+_HS_AZ = math.radians(315.0)
+_M_PER_DEG_TERRAIN = 111320.0
+_STEEP_DEG = 1.0
+
+
+def q_terrain_stats(spark, sf_dir):
+    """E4 extension — terrain derivatives over the synthetic DEM: per-tile
+    slope (finite differences of the corner samples, meters), aspect,
+    and 315°/45° hillshade, aggregated per 10° latitude band.  Pure
+    whole-stage codegen: range → trig → one aggregate exchange."""
+    dem = synthetic_dem(spark)
+    latc = F.col("lat_deg").cast("double") + 0.5
+    dzdx = (
+        ((F.col("e01") + F.col("e11")) - (F.col("e00") + F.col("e10"))) / 2.0
+        / (F.lit(_M_PER_DEG_TERRAIN) * F.cos(F.radians(latc)))
+    )
+    dzdy = (
+        ((F.col("e10") + F.col("e11")) - (F.col("e00") + F.col("e01"))) / 2.0
+        / F.lit(_M_PER_DEG_TERRAIN)
+    )
+    slope = F.atan(F.sqrt(dzdx * dzdx + dzdy * dzdy))
+    aspect = F.atan2(dzdy, -dzdx)
+    hs = F.lit(255.0) * (
+        F.lit(_HS_COS_ZEN) * F.cos(slope)
+        + F.lit(_HS_SIN_ZEN) * F.sin(slope) * F.cos(F.lit(_HS_AZ) - aspect)
+    )
+    t = dem.select(
+        F.floor(F.col("lat_deg") / 10).cast("int").alias("band"),
+        F.degrees(slope).alias("slope_deg"),
+        hs.alias("hs"),
+    )
+    return t.groupBy("band").agg(
+        F.round(F.avg("slope_deg"), 4).alias("avg_slope"),
+        F.round(F.avg("hs"), 4).alias("avg_hillshade"),
+        F.count(F.when(F.col("slope_deg") > _STEEP_DEG, 1)).alias("n_steep"),
+        F.count("*").alias("n_tiles"),
+    )
+
+
+SQL_TERRAIN_STATS = f"""
+WITH g AS (
+  SELECT (i // 360) - 90 AS la, (i % 360) - 180 AS lo
+  FROM generate_series(0, {180 * 360 - 1}) t(i)
+),
+grad AS (
+  SELECT la, lo,
+    ((({_dem_corner_sql('la', 'lo + 1')}) + ({_dem_corner_sql('la + 1', 'lo + 1')}))
+     - (({_dem_corner_sql('la', 'lo')}) + ({_dem_corner_sql('la + 1', 'lo')}))) / 2.0
+      / ({_M_PER_DEG_TERRAIN!r} * cos(radians(CAST(la AS DOUBLE) + 0.5))) AS dzdx,
+    ((({_dem_corner_sql('la + 1', 'lo')}) + ({_dem_corner_sql('la + 1', 'lo + 1')}))
+     - (({_dem_corner_sql('la', 'lo')}) + ({_dem_corner_sql('la', 'lo + 1')}))) / 2.0
+      / {_M_PER_DEG_TERRAIN!r} AS dzdy
+  FROM g
+),
+tiles AS (
+  SELECT CAST(floor(la / 10.0) AS INT) AS band,
+         degrees(atan(sqrt(dzdx * dzdx + dzdy * dzdy))) AS slope_deg,
+         255.0 * ({_HS_COS_ZEN!r} * cos(atan(sqrt(dzdx * dzdx + dzdy * dzdy)))
+                  + {_HS_SIN_ZEN!r} * sin(atan(sqrt(dzdx * dzdx + dzdy * dzdy)))
+                    * cos({_HS_AZ!r} - atan2(dzdy, -dzdx))) AS hs
+  FROM grad
+)
+SELECT band,
+       round(avg(slope_deg), 4) AS avg_slope,
+       round(avg(hs), 4) AS avg_hillshade,
+       CAST(count(CASE WHEN slope_deg > {_STEEP_DEG!r} THEN 1 END) AS BIGINT) AS n_steep,
+       count(*) AS n_tiles
+FROM tiles GROUP BY band
+"""
+
+
 # --------------------------------------------------------------------------
 # A4 (SQL-expressible, distributed) — ElevationSRTMAccuracy
 # (elevation.go:159-215): per-point DEM compare with the elevation-banded
