@@ -91,6 +91,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trajectory_jaccard": _wrap(Q.q_trajectory_jaccard),
         "image_dup_components": _wrap(Q.q_image_dup_components),
         "terrain_stats": _wrap(Q.q_terrain_stats),
+        "quadkey_counts": _wrap(Q.q_quadkey_counts),
+        "focal_density": _wrap(Q.q_focal_density),
         "classification_counts": _wrap(Q.q_classification_counts),
         "dp_simplify": _wrap(Q.q_dp_simplify),
         "erratic_outliers": _wrap(Q.q_erratic_outliers),
@@ -187,6 +189,8 @@ def oracle_sql() -> dict[str, str]:
         "trajectory_jaccard": Q.SQL_TRAJECTORY_JACCARD,
         "image_dup_components": Q.SQL_IMAGE_DUP_COMPONENTS,
         "terrain_stats": Q.SQL_TERRAIN_STATS,
+        "quadkey_counts": Q.SQL_QUADKEY_COUNTS,
+        "focal_density": Q.SQL_FOCAL_DENSITY,
         "classification_counts": Q.SQL_CLASSIFICATION_COUNTS,
         "multimodal_near_dups": Q.SQL_MULTIMODAL_NEAR_DUPS,
         "lm_scores": Q.SQL_LM_SCORES,

@@ -1201,6 +1201,97 @@ FROM tiles GROUP BY band
 """
 
 
+_QK_ZOOM = 8
+
+
+def q_quadkey_counts(spark, sf_dir):
+    """T5 — Bing quadkey assignment: mercator tile → base-4 interleaved
+    string key (parent = prefix), counted per quadkey with the parent
+    carried as the prefix column.  Fixed-length concat, pure codegen."""
+    from gotrackmaster_spark.functions.tiles import quadkey_col
+
+    pts = geo_events(spark, sf_dir)
+    tx, ty = mercator_tile_cols(F.col("lat"), F.col("lon"), _QK_ZOOM)
+    return (
+        pts.select(quadkey_col(tx, ty, _QK_ZOOM).alias("qk"))
+        .groupBy("qk")
+        .agg(F.count("*").alias("n"))
+        .select("qk", F.substring("qk", 1, _QK_ZOOM - 1).alias("parent_qk"), "n")
+    )
+
+
+def _sql_quadkey_counts() -> str:
+    from gotrackmaster_spark.functions.tiles import quadkey_sql
+
+    tx, ty = mercator_tile_sql("lat", "lon", _QK_ZOOM)
+    return f"""
+WITH {GEO_CTE},
+t AS (SELECT {tx} AS tx, {ty} AS ty FROM geo),
+q AS (SELECT {quadkey_sql('tx', 'ty', _QK_ZOOM)} AS qk FROM t)
+SELECT qk, substring(qk, 1, {_QK_ZOOM - 1}) AS parent_qk, count(*) AS n
+FROM q GROUP BY qk
+"""
+
+
+SQL_QUADKEY_COUNTS = _sql_quadkey_counts()
+
+
+_FOCAL_N = 64  # 64×64 lattice (level-6 equivalent)
+
+
+def q_focal_density(spark, sf_dir):
+    """E4 focal (convolution) op — 3×3 neighborhood point-density sum on
+    the 64×64 degree lattice: per-cell counts, explode the 9 (di, dj)
+    offsets (longitude wraps, latitude clamps drop), re-aggregate on the
+    target cell.  The explode runs on the per-CELL aggregate (≤ n² rows),
+    never on the points — the classic scalable focal shape."""
+    pts = geo_events(spark, sf_dir)
+    n = _FOCAL_N
+    counts = (
+        pts.select(
+            F.floor((F.col("lon") + 180.0) / 360.0 * n).cast("int").alias("i"),
+            F.floor((F.col("lat") + 90.0) / 180.0 * n).cast("int").alias("j"),
+        )
+        .groupBy("i", "j")
+        .agg(F.count("*").alias("c"))
+    )
+    offs = F.array(*[
+        F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+        for di in (-1, 0, 1) for dj in (-1, 0, 1)
+    ])
+    sprayed = (
+        counts.select("i", "j", "c", F.explode(offs).alias("o"))
+        .select(
+            (((F.col("i") + F.col("o.di")) + n) % n).alias("ti"),
+            (F.col("j") + F.col("o.dj")).alias("tj"),
+            "c",
+        )
+        .filter((F.col("tj") >= 0) & (F.col("tj") < n))
+    )
+    return sprayed.groupBy("ti", "tj").agg(F.sum("c").alias("focal_sum"))
+
+
+SQL_FOCAL_DENSITY = f"""
+WITH {GEO_CTE},
+counts AS (
+  SELECT CAST(floor((lon + 180.0) / 360.0 * {_FOCAL_N}) AS INT) AS i,
+         CAST(floor((lat + 90.0) / 180.0 * {_FOCAL_N}) AS INT) AS j,
+         count(*) AS c
+  FROM geo GROUP BY 1, 2
+),
+offs AS (
+  SELECT di, dj FROM (VALUES (-1), (0), (1)) a(di), (VALUES (-1), (0), (1)) b(dj)
+),
+sprayed AS (
+  SELECT ((i + di) + {_FOCAL_N}) % {_FOCAL_N} AS ti, j + dj AS tj, c
+  FROM counts, offs
+  WHERE j + dj >= 0 AND j + dj < {_FOCAL_N}
+)
+SELECT ti, tj, CAST(sum(c) AS BIGINT) AS focal_sum
+FROM sprayed GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # A4 (SQL-expressible, distributed) — ElevationSRTMAccuracy
 # (elevation.go:159-215): per-point DEM compare with the elevation-banded

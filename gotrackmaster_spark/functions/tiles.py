@@ -250,3 +250,28 @@ def geohash_sql(lat: str, lon: str, precision: int) -> str:
         for c in range(precision)
     ]
     return "(" + " || ".join(chars) + ")"
+
+
+# ------------------------------------------------------------ quadkey ------
+
+def quadkey_col(tx: Column, ty: Column, zoom: int) -> Column:
+    """Bing-maps quadkey: base-4 string with one digit per zoom level
+    (MSB first), digit = x-bit + 2*y-bit.  Pure codegen (fixed-length
+    concat); parent tile = prefix, which makes prefix aggregation the
+    pyramid roll-up."""
+    digits = [
+        (
+            F.shiftright(tx, k).bitwiseAND(F.lit(1))
+            + F.shiftright(ty, k).bitwiseAND(F.lit(1)) * 2
+        ).cast("string")
+        for k in range(zoom - 1, -1, -1)
+    ]
+    return F.concat(*digits)
+
+
+def quadkey_sql(tx: str, ty: str, zoom: int) -> str:
+    parts = [
+        f"CAST(((({tx}) >> {k}) & 1) + 2 * ((({ty}) >> {k}) & 1) AS VARCHAR)"
+        for k in range(zoom - 1, -1, -1)
+    ]
+    return " || ".join(parts)
