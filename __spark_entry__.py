@@ -121,30 +121,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_exact": _wrap(Q.q_embedding_topk),
         "dup_components": _wrap(Q.q_dup_components),
         "interval_events": _wrap(Q.q_interval_events),
-        # -- block 3: the rest of the oracle-backed suite
-        "s2_cell_counts": _wrap(Q.q_s2_cell_counts),
-        "distance_quality_base": _wrap(Q.q_distance_quality_base),
+        # -- block 3: the rest of the oracle-backed suite (head: queries
+        # whose underlying modules saw round-3 edits — kept inside the
+        # driver's 50-query window)
+        "image_tiles": _wrap(Q.q_image_tiles),
+        "phash_near_dups": _wrap(Q.q_phash_near_dups),
+        "radius_join": _wrap(Q.q_radius_join),
+        "zonal_stats": _wrap(Q.q_zonal_stats),
+        "tile_pyramid": _wrap(Q.q_tile_pyramid),
+        "exact_dup_groups": _wrap(Q.q_exact_dup_groups),
         "pip_counts": _wrap(Q.q_pip_counts),
         "pip_counts_hex": _wrap(Q.q_pip_counts_hex),
         "knn": _wrap(Q.q_knn),
         "knn_hex": _wrap(Q.q_knn_hex),
         "duplicate_pairs": _wrap(Q.q_duplicate_pairs),
         "duplicate_pairs_end": _wrap(Q.q_duplicate_pairs_end),
-        "dem_bands": _wrap(Q.q_dem_bands),
-        "srtm_accuracy": _wrap(Q.q_srtm_accuracy),
-        "token_stats": _wrap(Q.q_token_stats),
-        "doc_fingerprints": _wrap(Q.q_doc_fingerprints),
         "simhash_near_dups": _wrap(Q.q_simhash_near_dups),
         "embedding_lsh_topk": _wrap(Q.q_embedding_lsh_topk),
         "embedding_ivf_topk": _wrap(Q.q_embedding_ivf_topk),
         "embedding_neardup": _wrap(Q.q_embedding_neardup),
         "image_stats": _wrap(Q.q_image_stats),
-        "image_tiles": _wrap(Q.q_image_tiles),
-        "phash_near_dups": _wrap(Q.q_phash_near_dups),
         "import_paths": _wrap(Q.q_import_paths),
         "tz_localized": _wrap(Q.q_tz_localized),
-        "radius_join": _wrap(Q.q_radius_join),
-        "zonal_stats": _wrap(Q.q_zonal_stats),
         "repetition_stats": _wrap(Q.q_repetition_stats),
         "heavy_hitters": _wrap(Q.q_heavy_hitters),
         "filter_funnel": _wrap(Q.q_filter_funnel),
@@ -154,12 +152,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_estimates": _wrap(Q.q_cms_estimates),
         "distinct_sketch": _wrap(Q.q_distinct_sketch),
         "stratified_sample": _wrap(Q.q_stratified_sample),
-        "tile_pyramid": _wrap(Q.q_tile_pyramid),
         # -- block 4: deliberate >50 overflow — every entry below (plus the
         # block-3 tail that slips past 50 as new queries land up top) is
         # driver-green in its most recent checked round with code untouched
         # since (tests/test_oracle_parity.py still exercises every entry
         # locally each session)
+        "s2_cell_counts": _wrap(Q.q_s2_cell_counts),
+        "distance_quality_base": _wrap(Q.q_distance_quality_base),
+        "token_stats": _wrap(Q.q_token_stats),
+        "doc_fingerprints": _wrap(Q.q_doc_fingerprints),
+        "dem_bands": _wrap(Q.q_dem_bands),
+        "srtm_accuracy": _wrap(Q.q_srtm_accuracy),
         "leg_haversine_sum": _wrap(Q.q_leg_haversine_sum),
         "tile_counts": _wrap(Q.q_tile_counts),
         "bounds_tiles": _wrap(Q.q_bounds_tiles),
@@ -169,7 +172,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_quality": _wrap(Q.q_time_quality),
         "position_start_end": _wrap(Q.q_position_start_end),
         "lang_quality": _wrap(Q.q_lang_quality),
-        "exact_dup_groups": _wrap(Q.q_exact_dup_groups),
         "scalar_ops": _wrap(Q.q_scalar_ops),
         "mercator_tiles": _wrap(Q.q_mercator_tiles),
         # kernel-pipeline profile (sequential data-dependent kernels — not
