@@ -133,6 +133,8 @@ def bench_queries():
         "image_decode_10k": _image_decode,
         "phash_near_dups": Q.q_phash_near_dups,
         "salted_skew_join": _salted_skew_join,
+        "pip_antijoin": Q.q_pip_antijoin,
+        "terrain_stats": Q.q_terrain_stats,
     }
 
 
