@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "terrain_stats": _wrap(Q.q_terrain_stats),
         "quadkey_counts": _wrap(Q.q_quadkey_counts),
         "focal_density": _wrap(Q.q_focal_density),
+        "route_densify": _wrap(Q.q_route_densify),
         "classification_counts": _wrap(Q.q_classification_counts),
         "dp_simplify": _wrap(Q.q_dp_simplify),
         "erratic_outliers": _wrap(Q.q_erratic_outliers),
@@ -193,6 +194,7 @@ def oracle_sql() -> dict[str, str]:
         "terrain_stats": Q.SQL_TERRAIN_STATS,
         "quadkey_counts": Q.SQL_QUADKEY_COUNTS,
         "focal_density": Q.SQL_FOCAL_DENSITY,
+        "route_densify": Q.SQL_ROUTE_DENSIFY,
         "classification_counts": Q.SQL_CLASSIFICATION_COUNTS,
         "multimodal_near_dups": Q.SQL_MULTIMODAL_NEAR_DUPS,
         "lm_scores": Q.SQL_LM_SCORES,

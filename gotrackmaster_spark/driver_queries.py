@@ -1292,6 +1292,105 @@ FROM sprayed GROUP BY 1, 2
 """
 
 
+_DENSIFY_FRACS = (0.25, 0.5, 0.75)
+
+
+def q_route_densify(spark, sf_dir):
+    """Great-circle route densification: every consecutive leg per user
+    gets spherical-linear (slerp) intermediate points at fixed
+    fractions, which are then tile-assigned — the operation that turns a
+    sparse track into the tile list a route actually crosses.  Pure
+    codegen trig, explode over a 3-element literal array (fan-out ×3 on
+    LEGS, never a shuffle), then one per-user aggregate.  The d→0 slerp
+    singularity falls back to the linear-weight limit (same CASE in both
+    engines)."""
+    from pyspark.sql import Window
+
+    pts = geo_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    legs = pts.select(
+        "user_id",
+        F.radians(F.lag("lat").over(w)).alias("p1"),
+        F.radians(F.lag("lon").over(w)).alias("q1"),
+        F.radians(F.col("lat")).alias("p2"),
+        F.radians(F.col("lon")).alias("q2"),
+    ).filter(F.col("p1").isNotNull())
+    legs = legs.withColumn(
+        "d",
+        2.0 * F.asin(F.sqrt(
+            F.pow(F.sin((F.col("p2") - F.col("p1")) / 2.0), 2)
+            + F.cos(F.col("p1")) * F.cos(F.col("p2"))
+            * F.pow(F.sin((F.col("q2") - F.col("q1")) / 2.0), 2)
+        )),
+    )
+    mids = legs.select(
+        "user_id", "p1", "q1", "p2", "q2", "d",
+        F.explode(F.array(*[F.lit(f) for f in _DENSIFY_FRACS])).alias("f"),
+    )
+    sin_d = F.sin(F.col("d"))
+    a = F.when(F.col("d") > 1e-12, F.sin((1.0 - F.col("f")) * F.col("d")) / sin_d).otherwise(1.0 - F.col("f"))
+    b = F.when(F.col("d") > 1e-12, F.sin(F.col("f") * F.col("d")) / sin_d).otherwise(F.col("f"))
+    mids = mids.withColumn("a", a).withColumn("b", b)
+    x = F.col("a") * F.cos("p1") * F.cos("q1") + F.col("b") * F.cos("p2") * F.cos("q2")
+    y = F.col("a") * F.cos("p1") * F.sin("q1") + F.col("b") * F.cos("p2") * F.sin("q2")
+    z = F.col("a") * F.sin("p1") + F.col("b") * F.sin("p2")
+    mids = mids.withColumn("x", x).withColumn("y", y).withColumn("z", z)
+    mlat = F.degrees(F.atan2(F.col("z"), F.sqrt(F.col("x") * F.col("x") + F.col("y") * F.col("y"))))
+    mlon = F.degrees(F.atan2(F.col("y"), F.col("x")))
+    return (
+        mids.select("user_id", tile_name_col(mlat, mlon, 1.0).alias("tile"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_mid"),
+            F.countDistinct("tile").alias("n_tiles"),
+        )
+    )
+
+
+SQL_ROUTE_DENSIFY = f"""
+WITH {GEO_CTE},
+legs0 AS (
+  SELECT user_id,
+         radians(lag(lat) OVER w) AS p1, radians(lag(lon) OVER w) AS q1,
+         radians(lat) AS p2, radians(lon) AS q2
+  FROM geo
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+legs AS (
+  SELECT *, 2.0 * asin(sqrt(
+           pow(sin((p2 - p1) / 2.0), 2)
+           + cos(p1) * cos(p2) * pow(sin((q2 - q1) / 2.0), 2))) AS d
+  FROM legs0 WHERE p1 IS NOT NULL
+),
+mids0 AS (
+  SELECT user_id, p1, q1, p2, q2, d, f
+  FROM legs, (VALUES (0.25), (0.5), (0.75)) fr(f)
+),
+mids1 AS (
+  SELECT user_id, p1, q1, p2, q2, d, f,
+         CASE WHEN d > 1e-12 THEN sin((1.0 - f) * d) / sin(d) ELSE 1.0 - f END AS a,
+         CASE WHEN d > 1e-12 THEN sin(f * d) / sin(d) ELSE f END AS b
+  FROM mids0
+),
+mids2 AS (
+  SELECT user_id,
+         a * cos(p1) * cos(q1) + b * cos(p2) * cos(q2) AS x,
+         a * cos(p1) * sin(q1) + b * cos(p2) * sin(q2) AS y,
+         a * sin(p1) + b * sin(p2) AS z
+  FROM mids1
+),
+mids AS (
+  SELECT user_id,
+         degrees(atan2(z, sqrt(x * x + y * y))) AS mlat,
+         degrees(atan2(y, x)) AS mlon
+  FROM mids2
+)
+SELECT user_id, count(*) AS n_mid,
+       count(DISTINCT {tile_name_sql('mlat', 'mlon', 1.0)}) AS n_tiles
+FROM mids GROUP BY user_id
+"""
+
+
 # --------------------------------------------------------------------------
 # A4 (SQL-expressible, distributed) — ElevationSRTMAccuracy
 # (elevation.go:159-215): per-point DEM compare with the elevation-banded
