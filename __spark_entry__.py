@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quadkey_counts": _wrap(Q.q_quadkey_counts),
         "focal_density": _wrap(Q.q_focal_density),
         "route_densify": _wrap(Q.q_route_densify),
+        "geo_text_search": _wrap(Q.q_geo_text_search),
         "classification_counts": _wrap(Q.q_classification_counts),
         "dp_simplify": _wrap(Q.q_dp_simplify),
         "erratic_outliers": _wrap(Q.q_erratic_outliers),
@@ -195,6 +196,7 @@ def oracle_sql() -> dict[str, str]:
         "quadkey_counts": Q.SQL_QUADKEY_COUNTS,
         "focal_density": Q.SQL_FOCAL_DENSITY,
         "route_densify": Q.SQL_ROUTE_DENSIFY,
+        "geo_text_search": Q.SQL_GEO_TEXT_SEARCH,
         "classification_counts": Q.SQL_CLASSIFICATION_COUNTS,
         "multimodal_near_dups": Q.SQL_MULTIMODAL_NEAR_DUPS,
         "lm_scores": Q.SQL_LM_SCORES,

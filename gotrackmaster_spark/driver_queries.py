@@ -1391,6 +1391,53 @@ FROM mids GROUP BY user_id
 """
 
 
+_GEO_SEARCH_TERMS = ("vector", "stream", "merge")
+
+
+def q_geo_text_search(spark, sf_dir):
+    """Multimodal geo search: which tiles hold images whose CAPTION
+    matches any of a query-term set — the image+caption pairing as a
+    search primitive.  Captions scan once with per-term substring flags
+    (codegen), geotag by the image key, one tile aggregate.  At 10¹²
+    rows the term filter pushes into the caption scan; no join, no
+    Python."""
+    docs = _t(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    hit = [F.when(F.contains(low, F.lit(t)), 1).otherwise(0).alias(f"h{i}")
+           for i, t in enumerate(_GEO_SEARCH_TERMS)]
+    lat = (F.col("doc_id") * F.lit(2654435761)) % 1600000 / 10000.0 - 80.0
+    lon = (F.col("doc_id") * F.lit(40503) + 7) % 3600000 / 10000.0 - 180.0
+    tagged = docs.select(
+        "doc_id", *hit, tile_name_col(lat, lon, 1.0).alias("tile")
+    ).filter(sum(F.col(f"h{i}") for i in range(len(_GEO_SEARCH_TERMS))) > 0)
+    aggs = [F.sum(f"h{i}").alias(f"n_{t}") for i, t in enumerate(_GEO_SEARCH_TERMS)]
+    return tagged.groupBy("tile").agg(F.count("*").alias("n_docs"), *aggs)
+
+
+def _sql_geo_text_search() -> str:
+    hits = ", ".join(
+        f"CASE WHEN contains(lower(text), '{t}') THEN 1 ELSE 0 END AS h{i}"
+        for i, t in enumerate(_GEO_SEARCH_TERMS)
+    )
+    sums = ", ".join(
+        f"CAST(sum(h{i}) AS BIGINT) AS n_{t}" for i, t in enumerate(_GEO_SEARCH_TERMS)
+    )
+    cond = " + ".join(f"h{i}" for i in range(len(_GEO_SEARCH_TERMS)))
+    return f"""
+WITH tagged AS (
+  SELECT doc_id, {hits},
+         {tile_name_sql("((doc_id * 2654435761) % 1600000) / 10000.0 - 80.0",
+                        "((doc_id * 40503 + 7) % 3600000) / 10000.0 - 180.0", 1.0)} AS tile
+  FROM documents
+)
+SELECT tile, count(*) AS n_docs, {sums}
+FROM tagged WHERE {cond} > 0 GROUP BY tile
+"""
+
+
+SQL_GEO_TEXT_SEARCH = _sql_geo_text_search()
+
+
 # --------------------------------------------------------------------------
 # A4 (SQL-expressible, distributed) — ElevationSRTMAccuracy
 # (elevation.go:159-215): per-point DEM compare with the elevation-banded
