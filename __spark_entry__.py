@@ -137,11 +137,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn": _wrap(Q.q_knn),
         "knn_hex": _wrap(Q.q_knn_hex),
         "duplicate_pairs": _wrap(Q.q_duplicate_pairs),
+        "embedding_neardup": _wrap(Q.q_embedding_neardup),
         "duplicate_pairs_end": _wrap(Q.q_duplicate_pairs_end),
         "simhash_near_dups": _wrap(Q.q_simhash_near_dups),
         "embedding_lsh_topk": _wrap(Q.q_embedding_lsh_topk),
         "embedding_ivf_topk": _wrap(Q.q_embedding_ivf_topk),
-        "embedding_neardup": _wrap(Q.q_embedding_neardup),
         "image_stats": _wrap(Q.q_image_stats),
         "import_paths": _wrap(Q.q_import_paths),
         "tz_localized": _wrap(Q.q_tz_localized),
