@@ -1913,6 +1913,57 @@ FROM tagged GROUP BY tile
 """
 
 
+def q_zonal_image_stats(spark, sf_dir):
+    """E2×E7 — zonal statistics over the IMAGE PAYLOAD: geotagged images
+    PIP-joined against the polygon layer, per-polygon pixel/caption
+    roll-up.  The pixel sums come from the REAL decode path
+    (`decode_stats` over the payload bytes), the join is the broadcast
+    packed-covering PIP — binary columns flow through the same spatial
+    machinery as points."""
+    from gotrackmaster_spark.operators.images import decode_stats, synthesize_images
+    from gotrackmaster_spark.operators.spatial import point_in_polygon_join
+
+    imgs = synthesize_images(spark, sf_dir, w=_IMG_W, h=_IMG_H)
+    st = decode_stats(imgs).withColumn(
+        "img_key", F.substring("image_id", 4, 8).cast("long")
+    )
+    pts = st.select(
+        "image_id", "pixel_sum", "caption_len",
+        ((F.col("img_key") * F.lit(2654435761)) % 1600000 / 10000.0 - 80.0).alias("lat"),
+        ((F.col("img_key") * F.lit(40503) + 7) % 3600000 / 10000.0 - 180.0).alias("lon"),
+    )
+    hits = point_in_polygon_join(pts, rect_polygons(spark, sf_dir), level=7)
+    return hits.groupBy("poly_id").agg(
+        F.count("*").alias("n_images"),
+        F.sum("pixel_sum").alias("tot_pix"),
+        F.sum("caption_len").alias("sum_caption"),
+    )
+
+
+SQL_ZONAL_IMAGE_STATS = f"""
+WITH per_image AS (
+  SELECT doc_id,
+         ((doc_id * 2654435761) % 1600000) / 10000.0 - 80.0 AS lat,
+         ((doc_id * 40503 + 7) % 3600000) / 10000.0 - 180.0 AS lon,
+         CASE WHEN doc_id % 3 = 2
+              THEN list_sum(list_transform(generate_series(0, {_N_PIX - 1}),
+                            i -> {_PIX} - ({_PIX}) % 4))
+              ELSE list_sum(list_transform(generate_series(0, {_N_PIX - 1}),
+                            i -> {_PIX}))
+         END AS pixel_sum,
+         length(text) AS caption_len
+  FROM documents
+),
+rects AS ({_RECT_SQL})
+SELECT r.poly_id, count(*) AS n_images,
+       CAST(sum(g.pixel_sum) AS BIGINT) AS tot_pix,
+       CAST(sum(g.caption_len) AS BIGINT) AS sum_caption
+FROM per_image g JOIN rects r
+  ON g.lat > r.lat0 AND g.lat < r.lat1 AND g.lon > r.lon0 AND g.lon < r.lon1
+GROUP BY r.poly_id
+"""
+
+
 # --------------------------------------------------------------------------
 # E1b — S2-style cube-face Hilbert cells (functions/s2.py): per level-5
 # parent cell, point count + distinct level-8 children + face.  Exercises
