@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_view": _wrap(Q.q_incremental_view),
         "image_psnr": _wrap(Q.q_image_psnr),
         "zonal_image_stats": _wrap(Q.q_zonal_image_stats),
+        "dbscan_clusters": _wrap(Q.q_dbscan_clusters),
         # -- block 2: code touched since the last green row (scale fixes)
         "jaccard_pairs": _wrap(Q.q_jaccard_pairs),
         "minhash_band_pairs": _wrap(Q.q_minhash_band_pairs),
@@ -210,6 +211,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_view": Q.SQL_INCREMENTAL_VIEW,
         "image_psnr": Q.SQL_IMAGE_PSNR,
         "zonal_image_stats": Q.SQL_ZONAL_IMAGE_STATS,
+        "dbscan_clusters": Q.SQL_DBSCAN_CLUSTERS,
         "leg_haversine_sum": Q.SQL_LEG_HAVERSINE_SUM,
         "tile_counts": Q.SQL_TILE_COUNTS,
         "bounds_tiles": Q.SQL_BOUNDS_TILES,

@@ -4317,3 +4317,106 @@ SELECT image_id, err_sum,
        round(10.0 * log10(255.0 * 255.0 / (err_sum / {float(_N_PIX)})), 6) >= 40.0 AS meets_bar
 FROM q
 """
+
+
+# --------------------------------------------------------------------------
+# E8 — density-based spatial clustering (grid DBSCAN).  Points are
+# synthesized into 40 well-separated uniform blobs on a 6×7 grid
+# (0.55° pitch, ±0.2° extent, gap 0.15° > eps) plus ~6 % uniform
+# background noise — every coordinate is a single integer closed form
+# divided by 1000.0, so Spark and DuckDB compute bit-identical doubles
+# and the eps-disc membership test agrees exactly.  The oracle replays
+# the full pipeline: 3×3 grid candidate join, core test, recursive-CTE
+# transitive closure over the core graph, min-label border assignment.
+# --------------------------------------------------------------------------
+
+_DBSCAN_EPS = 0.05
+_DBSCAN_MIN_PTS = 6
+
+
+def q_dbscan_clusters(spark, sf_dir):
+    from gotrackmaster_spark.operators.clustering import dbscan
+
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    noise = F.col("event_id") % 17 == 0
+    b = F.col("event_id") % 40
+    lat_milli = F.when(
+        noise, (F.col("event_id") * F.lit(2654435761)) % 3850
+    ).otherwise((b % 6) * 550 + 100 + (F.col("event_id") * 48271) % 401 - 200)
+    lon_milli = F.when(
+        noise, (F.col("event_id") * 40503 + 7) % 3850
+    ).otherwise(
+        F.expr("(event_id % 40) DIV 6") * 550
+        + 100
+        + (F.col("event_id") * 16807) % 401
+        - 200
+    )
+    pts = ev.select(
+        "event_id",
+        (lat_milli / 1000.0).alias("lat"),
+        (lon_milli / 1000.0).alias("lon"),
+    )
+    res = dbscan(
+        pts, _DBSCAN_EPS, _DBSCAN_MIN_PTS, id_col="event_id", x_col="lon", y_col="lat"
+    )
+    return res.select("event_id", F.col("cluster").cast("long").alias("cluster"), "role")
+
+
+SQL_DBSCAN_CLUSTERS = f"""
+WITH RECURSIVE pts AS (
+  SELECT event_id,
+         CAST(CASE WHEN event_id % 17 = 0 THEN (event_id * 2654435761) % 3850
+              ELSE ((event_id % 40) % 6) * 550 + 100
+                   + (event_id * 48271) % 401 - 200 END AS DOUBLE) / 1000.0 AS lat,
+         CAST(CASE WHEN event_id % 17 = 0 THEN (event_id * 40503 + 7) % 3850
+              ELSE ((event_id % 40) // 6) * 550 + 100
+                   + (event_id * 16807) % 401 - 200 END AS DOUBLE) / 1000.0 AS lon
+  FROM events
+),
+cells AS (
+  SELECT event_id, lat, lon,
+         CAST(floor(lon / {_DBSCAN_EPS}) AS BIGINT) AS cx,
+         CAST(floor(lat / {_DBSCAN_EPS}) AS BIGINT) AS cy
+  FROM pts
+),
+nbrs AS (
+  SELECT a.event_id AS a_id, b.event_id AS b_id
+  FROM cells a
+  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dx) ox
+  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS dy) oy
+  JOIN cells b ON b.cx = a.cx + ox.dx AND b.cy = a.cy + oy.dy
+  WHERE a.event_id <> b.event_id
+    AND (a.lon - b.lon) * (a.lon - b.lon)
+      + (a.lat - b.lat) * (a.lat - b.lat) <= {_DBSCAN_EPS} * {_DBSCAN_EPS}
+),
+core AS (
+  SELECT a_id AS pid FROM nbrs GROUP BY a_id
+  HAVING count(*) + 1 >= {_DBSCAN_MIN_PTS}
+),
+ed AS (
+  SELECT n.a_id AS a, n.b_id AS b
+  FROM nbrs n
+  JOIN core ca ON ca.pid = n.a_id
+  JOIN core cb ON cb.pid = n.b_id
+),
+reach AS (
+  SELECT pid AS v, pid AS u FROM core
+  UNION
+  SELECT r.v, e.b FROM reach r JOIN ed e ON e.a = r.u
+),
+core_lab AS (SELECT v AS pid, min(u) AS cluster FROM reach GROUP BY v),
+border AS (
+  SELECT n.a_id AS pid, min(c.cluster) AS cluster
+  FROM nbrs n JOIN core_lab c ON c.pid = n.b_id
+  WHERE n.a_id NOT IN (SELECT pid FROM core)
+  GROUP BY n.a_id
+)
+SELECT p.event_id,
+       CAST(COALESCE(cl.cluster, bd.cluster, -1) AS BIGINT) AS cluster,
+       CASE WHEN cl.pid IS NOT NULL THEN 'core'
+            WHEN bd.pid IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role
+FROM pts p
+LEFT JOIN core_lab cl ON cl.pid = p.event_id
+LEFT JOIN border bd ON bd.pid = p.event_id
+"""

@@ -1,0 +1,87 @@
+"""Grid-DBSCAN semantics pins (operators/clustering.py).
+
+The driver query `dbscan_clusters` pins the full pipeline against a
+DuckDB replay at sf0.01; these tests pin the hand-checkable corner
+semantics: core/border/noise roles, the min-label cluster id, the
+isolated-core singleton cluster, and parameter validation.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gotrackmaster_spark.operators.clustering import dbscan
+
+# (id, x, y) — cluster A = {1,2,3} mutually within eps=1, with border 4
+# hanging off point 2; 5 is isolated noise; 6 is a core whose only
+# neighbors 7/8 are border (6 has no core neighbor -> singleton-core
+# cluster labeled by itself).
+_PTS = [
+    (1, 0.0, 0.0),
+    (2, 0.0, 0.5),
+    (3, 0.5, 0.0),
+    (4, 0.0, 1.4),
+    (5, 10.0, 10.0),
+    (6, 20.0, 20.0),
+    (7, 20.9, 20.0),
+    (8, 19.1, 20.0),
+]
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    pts = spark.createDataFrame(_PTS, ["id", "x", "y"])
+    rows = dbscan(pts, eps=1.0, min_pts=3, id_col="id", x_col="x", y_col="y").collect()
+    return {r["id"]: (r["cluster"], r["role"]) for r in rows}
+
+
+def test_all_points_labeled(result):
+    assert set(result) == {1, 2, 3, 4, 5, 6, 7, 8}
+
+
+def test_core_cluster_min_label(result):
+    # 1,2,3 are mutually within eps -> |N|=3 >= min_pts -> all core,
+    # cluster = min core id = 1.
+    for pid in (1, 2, 3):
+        assert result[pid] == (1, "core")
+
+
+def test_border_point(result):
+    # 4 is within eps of core 2 only (|N(4)|=2 < min_pts) -> border of
+    # cluster 1.
+    assert result[4] == (1, "border")
+
+
+def test_noise(result):
+    assert result[5] == (-1, "noise")
+
+
+def test_isolated_core_singleton_cluster(result):
+    # 6's neighbors 7,8 are not within eps of each other (1.8 apart), so
+    # only 6 is core; the core graph has no edge for it and the
+    # singleton fallback labels the cluster with 6 itself.
+    assert result[6] == (6, "core")
+    assert result[7] == (6, "border")
+    assert result[8] == (6, "border")
+
+
+def test_param_validation(spark):
+    pts = spark.createDataFrame(_PTS, ["id", "x", "y"])
+    with pytest.raises(ValueError):
+        dbscan(pts, eps=0.0, min_pts=3)
+    with pytest.raises(ValueError):
+        dbscan(pts, eps=1.0, min_pts=0)
+
+
+def test_cross_cell_neighbors(spark):
+    # Two points 0.9 apart straddling a grid-cell boundary (eps=1 ->
+    # cells of size 1; 0.95 and 1.85 land in cells 0 and 1) must still
+    # see each other through the 3x3 neighborhood join.
+    pts = spark.createDataFrame(
+        [(1, 0.95, 0.0), (2, 1.85, 0.0), (3, 0.05, 0.0)], ["id", "x", "y"]
+    )
+    rows = dbscan(pts, eps=1.0, min_pts=3, id_col="id", x_col="x", y_col="y").collect()
+    got = {r["id"]: (r["cluster"], r["role"]) for r in rows}
+    # 1 sees 2 (0.9) and 3 (0.9) -> core; 2 and 3 each see only 1 -> border.
+    assert got[1] == (1, "core")
+    assert got[2] == (1, "border")
+    assert got[3] == (1, "border")
