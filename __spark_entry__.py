@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_psnr": _wrap(Q.q_image_psnr),
         "zonal_image_stats": _wrap(Q.q_zonal_image_stats),
         "dbscan_clusters": _wrap(Q.q_dbscan_clusters),
+        "geo_phash_near_dups": _wrap(Q.q_geo_phash_near_dups),
         # -- block 2: code touched since the last green row (scale fixes)
         "jaccard_pairs": _wrap(Q.q_jaccard_pairs),
         "minhash_band_pairs": _wrap(Q.q_minhash_band_pairs),
@@ -212,6 +213,7 @@ def oracle_sql() -> dict[str, str]:
         "image_psnr": Q.SQL_IMAGE_PSNR,
         "zonal_image_stats": Q.SQL_ZONAL_IMAGE_STATS,
         "dbscan_clusters": Q.SQL_DBSCAN_CLUSTERS,
+        "geo_phash_near_dups": Q.SQL_GEO_PHASH_NEAR_DUPS,
         "leg_haversine_sum": Q.SQL_LEG_HAVERSINE_SUM,
         "tile_counts": Q.SQL_TILE_COUNTS,
         "bounds_tiles": Q.SQL_BOUNDS_TILES,

@@ -4420,3 +4420,68 @@ FROM pts p
 LEFT JOIN core_lab cl ON cl.pid = p.event_id
 LEFT JOIN border bd ON bd.pid = p.event_id
 """
+
+
+# --------------------------------------------------------------------------
+# E7×E1 crossover — geo-constrained visual near-dups: same level-5 cell
+# AND phash hamming <= 10.  The spatial cell replaces phash banding as
+# the candidate cutter (one equi-join on the cell id); planted variants
+# share their base's geotag, so every planted pair survives the geo
+# constraint.  The oracle replays phash from the closed-form pixel
+# generator AND the cell assignment from the geotags.
+# --------------------------------------------------------------------------
+
+def q_geo_phash_near_dups(spark, sf_dir):
+    from gotrackmaster_spark.operators.images import (
+        geo_phash_near_dups,
+        synthesize_image_variants,
+        synthesize_images,
+    )
+
+    imgs = synthesize_images(spark, sf_dir, w=_IMG_W, h=_IMG_H)
+    cols = ["img_key", "image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+    both = imgs.select(*cols).unionByName(
+        synthesize_image_variants(imgs, every=_PH_EVERY)
+    )
+    lat = (F.col("img_key") * F.lit(2654435761)) % 1600000 / 10000.0 - 80.0
+    lon = (F.col("img_key") * F.lit(40503) + 7) % 3600000 / 10000.0 - 180.0
+    sig = both.select(
+        "image_id",
+        "phash",
+        F.shiftright(cell_col(lat, lon, 12), 14).alias("cell"),
+    )
+    return geo_phash_near_dups(sig, max_hamming=_PH_MAXHAM)
+
+
+SQL_GEO_PHASH_NEAR_DUPS = f"""
+WITH base_bs AS (
+  SELECT doc_id, {_phash_bs_sql(_PIX_F)} AS bs FROM documents
+),
+var_bs AS (
+  SELECT doc_id, {_phash_bs_sql(_PIX_VAR)} AS bs
+  FROM documents WHERE doc_id % {_PH_EVERY} = 0
+),
+base AS (
+  SELECT doc_id, format('img{{:08d}}', doc_id) AS image_id, {_PHASH_FROM_BS} AS phash
+  FROM (SELECT doc_id, bs, list_sum(bs) AS tot FROM base_bs)
+),
+vars AS (
+  SELECT doc_id, format('var{{:08d}}', doc_id) AS image_id, {_PHASH_FROM_BS} AS phash
+  FROM (SELECT doc_id, bs, list_sum(bs) AS tot FROM var_bs)
+),
+all_imgs AS (SELECT * FROM base UNION ALL SELECT * FROM vars),
+geo AS (
+  SELECT image_id, phash, ({{CELL}} >> 14) AS cell
+  FROM (
+    SELECT image_id, phash,
+           ((doc_id * 2654435761) % 1600000) / 10000.0 - 80.0 AS lat,
+           ((doc_id * 40503 + 7) % 3600000) / 10000.0 - 180.0 AS lon
+    FROM all_imgs
+  )
+)
+SELECT a.image_id AS a_id, b.image_id AS b_id,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming,
+       a.cell AS cell
+FROM geo a JOIN geo b ON a.cell = b.cell AND a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {_PH_MAXHAM}
+""".replace("{CELL}", cell_sql("lat", "lon", 12))

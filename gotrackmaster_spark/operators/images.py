@@ -337,3 +337,49 @@ def phash_near_dups(images: DataFrame, max_hamming: int = 10) -> DataFrame:
     return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
         "a_id", "b_id", "hamming"
     )
+
+
+def geo_phash_near_dups(
+    sig: DataFrame,
+    max_hamming: int = 10,
+    id_col: str = "image_id",
+    phash_col: str = "phash",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Geo-constrained visual near-dup pairs: images in the SAME spatial
+    cell whose phash Hamming distance is <= ``max_hamming`` — the
+    "same place, near-identical photo" dedup of a geotagged image corpus.
+
+    At web scale the geotag is a far stronger candidate cutter than
+    phash banding: candidates come from ONE equi-join on the cell id
+    (per-cell pair count is bounded by local photo density; a hot
+    landmark cell is exactly the AQE skew-split case), and the Hamming
+    verify is pure codegen (`bit_count(xor)`), so no O(n²) path and no
+    Python in the pipeline.  Semantics contract: pairs straddling a
+    cell boundary are NOT candidates — pick the cell resolution to
+    match the "same place" radius (callers wanting overlap-free recall
+    use a k-ring explode on one side, as in `operators/spatial.knn`).
+
+    ``sig``: (id_col, phash_col int64, cell_col) — one row per image;
+    tiny (24 B/row) next to the payloads it derives from, so it is
+    persisted across the self-join's two sides (decode runs once).
+    """
+    s = _bound_sig_cache(sig.select(id_col, phash_col, cell_col))
+    a = s.select(
+        F.col(id_col).alias("a_id"),
+        F.col(phash_col).alias("a_ph"),
+        F.col(cell_col).alias("cell"),
+    )
+    b = s.select(
+        F.col(id_col).alias("b_id"),
+        F.col(phash_col).alias("b_ph"),
+        F.col(cell_col).alias("cell"),
+    )
+    ham = F.bit_count(F.col("a_ph").bitwiseXOR(F.col("b_ph"))).cast("int")
+    return (
+        a.join(b, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming", "cell")
+    )
