@@ -4485,3 +4485,35 @@ SELECT a.image_id AS a_id, b.image_id AS b_id,
 FROM geo a JOIN geo b ON a.cell = b.cell AND a.image_id < b.image_id
 WHERE bit_count(xor(a.phash, b.phash)) <= {_PH_MAXHAM}
 """.replace("{CELL}", cell_sql("lat", "lon", 12))
+
+
+# --------------------------------------------------------------------------
+# E9 — spatiotemporal co-location: distinct users in the same coarse
+# cell within the same 1-day bucket (occupancy dedup → self equi-join
+# on the composite key → pair aggregate).  Oracle replays the cell
+# assignment and bucket floor exactly.
+# --------------------------------------------------------------------------
+
+_COLOC_BUCKET_US = 86_400_000_000
+
+
+def q_colocation_pairs(spark, sf_dir):
+    from gotrackmaster_spark.operators.spatial import colocation_pairs
+
+    ev = geo_events(spark, sf_dir).select("user_id", "lat", "lon", "ts")
+    return colocation_pairs(ev, level=12, coarse_shift=14, bucket_us=_COLOC_BUCKET_US)
+
+
+SQL_COLOCATION_PAIRS = f"""
+WITH {GEO_CTE},
+occ AS (
+  SELECT DISTINCT user_id AS u,
+         ({cell_sql('lat', 'lon', 12)} >> 14) AS cell,
+         epoch_us(ts) - epoch_us(ts) % {_COLOC_BUCKET_US} AS bucket
+  FROM geo
+)
+SELECT a.u AS user_a, b.u AS user_b, count(*) AS n_shared
+FROM occ a JOIN occ b ON a.cell = b.cell AND a.bucket = b.bucket
+WHERE a.u < b.u
+GROUP BY 1, 2
+"""

@@ -1206,3 +1206,64 @@ def dem_elevation_fix(points: DataFrame, dem: DataFrame) -> DataFrame:
         j.withColumn("ele", F.coalesce(interp, F.col("ele")))
         .drop("e00", "e01", "e10", "e11", "lat_deg", "lon_deg")
     )
+
+
+def colocation_pairs(
+    events: DataFrame,
+    level: int = 12,
+    coarse_shift: int = 14,
+    bucket_us: int = 86_400_000_000,
+    user_col: str = "user_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    ts_col: str = "ts",
+    max_users_per_group: int | None = None,
+) -> DataFrame:
+    """Spatiotemporal co-location: pairs of distinct users observed in
+    the SAME spatial cell within the SAME time bucket, with the number
+    of distinct co-located (cell, bucket) groups per pair — the
+    co-occurrence join behind contact graphs, companion detection, and
+    co-visit mining.
+
+    Plan shape at 100 TB:
+
+    1. Events collapse to DISTINCT occupancy rows (user, cell, bucket)
+       FIRST — a map-side-combinable dedup that caps each group's
+       fan-in at distinct-users regardless of how many raw pings a
+       user emits in the cell (the 1 Hz-tracker user costs the same as
+       the once-a-day user).
+    2. Self equi-join on the composite (cell, bucket) key.  Output per
+       group is C(k,2) — inherent to the semantics, not a plan flaw; a
+       stadium cell-hour is the AQE skew-split case, and
+       ``max_users_per_group`` drops groups above the cap up front (a
+       deterministic semantic filter, mirrored in the oracle) when the
+       quadratic tail is unwanted.
+    3. One final shuffle on the (user_a, user_b) pair key.
+
+    ``coarse_shift`` right-shifts the level-``level`` Z-cell id, giving
+    the coarse co-location cell (default: level-12 >> 14 = the 32×32
+    global grid used across the driver queries).
+    """
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    occ = events.select(
+        F.col(user_col).alias("u"),
+        F.shiftright(cell_col(F.col(lat_col), F.col(lon_col), level), coarse_shift).alias(
+            "cell"
+        ),
+        (ts_us - (((ts_us % bucket_us) + bucket_us) % bucket_us)).alias("bucket"),
+    ).distinct()
+    if max_users_per_group is not None:
+        sizes = occ.groupBy("cell", "bucket").agg(F.count("*").alias("k"))
+        occ = occ.join(
+            sizes.filter(F.col("k") <= max_users_per_group).select("cell", "bucket"),
+            ["cell", "bucket"],
+            "left_semi",
+        )
+    a = occ.select(F.col("u").alias("user_a"), "cell", "bucket")
+    b = occ.select(F.col("u").alias("user_b"), "cell", "bucket")
+    return (
+        a.join(b, ["cell", "bucket"])
+        .filter(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
