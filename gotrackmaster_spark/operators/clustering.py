@@ -2,36 +2,49 @@
 DataFrame pipeline — the classic "find hotspots / segment a point cloud"
 operator of a geospatial engine, built the way it has to be built at
 100 TB: a grid equi-join for neighbor candidates (never an all-pairs
-cross join), map-side aggregable neighbor counts, and the existing
-min-label-propagation components operator for the core graph.
+cross join), map-side aggregable neighbor counts, and connected
+components over a CELL-CONTRACTED core graph (not the point graph).
 
 Algorithm (deterministic variant of DBSCAN; Ester et al. 1996):
 
-1. Assign each point to an ``eps``-sized planar grid cell
-   ``(floor(x/eps), floor(y/eps))``.  Any two points within ``eps`` of
-   each other are in the same or an adjacent cell, so
-2. neighbor candidates are generated by exploding one side ×9 (the
-   3×3 cell neighborhood) and equi-joining on the cell key — the same
-   inverted-grid topology as the kNN/radius joins in
-   ``operators/spatial.py``; work is O(points × local density), never
-   O(n²).
+1. Assign each point to a CONTRACTION cell of size ``g = eps/√2`` —
+   ``(floor(x/g), floor(y/g))``.  The diagonal of such a cell is
+   exactly ``eps``, so any two points in the SAME contraction cell are
+   always within ``eps`` (the cell is a clique of the eps-graph);
+   separately, an eps-sized grid keys the candidate join, where any
+   two points within ``eps`` are at most 1 cell apart, so
+2. neighbor candidates are generated on a COARSER eps-sized grid by
+   exploding one side ×9 (the 3×3 cell neighborhood) and equi-joining
+   on the cell key — the same inverted-grid topology as the kNN/radius
+   joins in ``operators/spatial.py``; work is O(points × local
+   density), never O(n²).  The pair table is persisted: it feeds the
+   core count, the cell-edge projection, and the border assignment,
+   and recomputing the candidate join three times would triple the
+   dominant cost.
 3. Core points: ``|N_eps(p)| >= min_pts`` (count INCLUDES p itself,
    per the original definition).
-4. Clusters = connected components of the core-core neighbor graph
-   (``operators/graph.py``, min-label propagation — cluster label is
-   the component's minimum core id, which makes the whole output
-   deterministic and oracle-checkable).
+4. Clusters = connected components of the core graph, contracted to
+   CELLS: same-cell cores are already mutually connected (clique, by
+   the g = eps/√2 choice), so only distinct (cell_a, cell_b) edges
+   from cross-cell core-core neighbor pairs enter the iterative
+   min-label propagation (``operators/graph.py``).  The contraction
+   is exact and shrinks the iterated graph by the per-cell density
+   factor — at city-hotspot densities that is 10-100×, and each
+   round's shuffle moves cell ids, not points.  The cluster label is
+   then the minimum CORE POINT id per cell-component (computed with
+   one agg + join), which keeps the output identical to point-level
+   propagation and oracle-checkable.
 5. Border points (non-core with >=1 core neighbor) join the
    MINIMUM-labeled cluster among their core neighbors — the one
    deterministic choice where textbook DBSCAN is order-dependent.
 6. Everything else is noise (``cluster = -1``).
 
-Scale notes: steps 1-3 and 5 are single-shuffle codegen joins/aggs on
-the cell key; AQE's skew-join split handles pathological hot cells
+Scale notes: every join/agg above is a single-shuffle codegen stage on
+an integer key; AQE's skew-join split handles pathological hot cells
 (dense downtown vs empty ocean).  Step 4's round count is the core
-graph's hop-diameter ≈ cluster_extent/eps — bounded for physical
-hotspots; ``connected_components`` raises (or warns) rather than
-returning wrong labels if ``max_iter`` is exceeded, and takes a
+CELL graph's hop-diameter ≈ cluster_extent/(eps/√2) — bounded for
+physical hotspots; ``connected_components`` raises (or warns) rather
+than returning wrong labels if ``max_iter`` is exceeded, and takes a
 ``checkpoint_dir`` for executor-loss-tolerant 1000-node runs.
 
 The metric is PLANAR squared distance on the raw (x, y) columns —
@@ -41,6 +54,8 @@ synthetic region where the planar approximation is the contract).
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -70,18 +85,28 @@ def dbscan(
     if min_pts < 1:
         raise ValueError(f"min_pts must be >= 1, got {min_pts}")
 
+    g = eps / math.sqrt(2.0)  # contraction-cell diagonal == eps -> clique
     p = pts.select(
         F.col(id_col).cast("long").alias("pid"),
         F.col(x_col).cast("double").alias("x"),
         F.col(y_col).cast("double").alias("y"),
     )
-    cx = F.floor(F.col("x") / F.lit(eps))
-    cy = F.floor(F.col("y") / F.lit(eps))
-    cells = p.withColumn("cx", cx).withColumn("cy", cy)
+    # Bijective int64 contraction-cell id (g-grid) from the two
+    # 32-bit-bounded grid indices; candidates use the coarser eps-grid
+    # (3×3 neighborhood = 9·eps² candidate area vs the g-grid's
+    # 5×5 = 12.5·eps² — ~1.4× fewer candidate pairs).
+    cell_id = F.shiftleft(F.floor(F.col("x") / F.lit(g)), 32).bitwiseOR(
+        F.floor(F.col("y") / F.lit(g)).bitwiseAND(F.lit(0xFFFFFFFF))
+    )
+    cells = (
+        p.withColumn("cx", F.floor(F.col("x") / F.lit(eps)))
+        .withColumn("cy", F.floor(F.col("y") / F.lit(eps)))
+        .withColumn("cell", cell_id)
+    )
 
-    # 3×3 neighborhood explode on the PROBE side only; the build side
-    # keeps one row per point, so the join is |pts|×9 ⋈ |pts| on an
-    # integer key — the standard inverted-grid candidate topology.
+    # 3×3 eps-grid neighborhood explode on the PROBE side only; the
+    # build side keeps one row per point, so the join is |pts|×9 ⋈ |pts|
+    # on an integer key — the standard inverted-grid candidate topology.
     offs = F.array(
         *[
             F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
@@ -95,6 +120,7 @@ def dbscan(
             F.col("pid").alias("a_id"),
             F.col("x").alias("ax"),
             F.col("y").alias("ay"),
+            F.col("cell").alias("a_cell"),
             (F.col("cx") + F.col("o.dx")).alias("jx"),
             (F.col("cy") + F.col("o.dy")).alias("jy"),
         )
@@ -103,50 +129,64 @@ def dbscan(
         F.col("pid").alias("b_id"),
         F.col("x").alias("bx"),
         F.col("y").alias("by"),
+        F.col("cell").alias("b_cell"),
         F.col("cx").alias("jx"),
         F.col("cy").alias("jy"),
     )
     d2 = (F.col("ax") - F.col("bx")) ** 2 + (F.col("ay") - F.col("by")) ** 2
     # Directed neighbor pairs (both directions present by symmetry of
     # the explode), self-pair excluded; <= eps² keeps the boundary
-    # closed exactly as the SQL oracle writes it.
+    # closed exactly as the SQL oracle writes it.  Persisted: reused by
+    # the core count, the cell-edge projection, and border assignment.
     nbrs = (
         probe.join(build, ["jx", "jy"])
         .filter((F.col("a_id") != F.col("b_id")) & (d2 <= F.lit(eps) * F.lit(eps)))
-        .select("a_id", "b_id")
+        .select("a_id", "b_id", "a_cell", "b_cell")
+        .persist()
     )
 
     # |N_eps(p)| includes p itself -> core iff neighbor_count + 1 >= min_pts.
-    counts = nbrs.groupBy("a_id").agg(F.count("*").alias("n_nbrs"))
+    counts = nbrs.groupBy("a_id", "a_cell").agg(F.count("*").alias("n_nbrs"))
     core = counts.filter(F.col("n_nbrs") + 1 >= min_pts).select(
-        F.col("a_id").alias("pid")
+        F.col("a_id").alias("pid"), F.col("a_cell").alias("cell")
     )
 
-    # Core-core edges -> components; isolated cores (no core neighbor)
-    # are their own singleton cluster.
-    cc_edges = (
-        nbrs.join(core.withColumnRenamed("pid", "a_id"), "a_id")
-        .join(core.withColumnRenamed("pid", "b_id"), "b_id")
-        .select("a_id", "b_id")
+    # Cell-contracted core graph: same-cell cores are a clique by
+    # construction, so only cross-cell core-core neighbor pairs
+    # contribute (distinct cell-id) edges to the iterated components.
+    core_ids = core.select("pid")
+    cc = (
+        nbrs.join(core_ids.withColumnRenamed("pid", "a_id"), "a_id")
+        .join(core_ids.withColumnRenamed("pid", "b_id"), "b_id")
     )
-    labels = connected_components(
-        cc_edges,
-        "a_id",
-        "b_id",
+    cell_edges = (
+        cc.filter(F.col("a_cell") != F.col("b_cell"))
+        .select("a_cell", "b_cell")
+        .distinct()
+    )
+    cell_labels = connected_components(
+        cell_edges,
+        "a_cell",
+        "b_cell",
         max_iter=max_iter,
         checkpoint_dir=checkpoint_dir,
         on_nonconverged="raise",
-    )  # (v, l)
-    core_labels = (
-        core.join(labels, core["pid"] == labels["v"], "left")
-        .select("pid", F.coalesce(F.col("l"), F.col("pid")).alias("cluster"))
+    )  # (v=cell, l=min cell id of component)
+    core_comp = (
+        core.join(cell_labels, core["cell"] == cell_labels["v"], "left")
+        .select("pid", F.coalesce(F.col("l"), F.col("cell")).alias("comp"))
     )
+    # Cluster label = min core POINT id per component — identical to
+    # point-level label propagation, so the oracle contract holds.
+    comp_min = core_comp.groupBy("comp").agg(F.min("pid").alias("cluster"))
+    core_labels = core_comp.join(comp_min, "comp").select("pid", "cluster")
 
     # Border points: non-core with >=1 core neighbor -> the minimum
     # cluster label among core neighbors (deterministic tie-break).
     border = (
-        nbrs.join(core_labels.withColumnRenamed("pid", "b_id"), "b_id")
-        .join(core.withColumnRenamed("pid", "a_id"), "a_id", "left_anti")
+        nbrs.select("a_id", "b_id")
+        .join(core_labels.withColumnRenamed("pid", "b_id"), "b_id")
+        .join(core_ids.withColumnRenamed("pid", "a_id"), "a_id", "left_anti")
         .groupBy("a_id")
         .agg(F.min("cluster").alias("cluster"))
         .select(F.col("a_id").alias("pid"), "cluster")
