@@ -135,6 +135,8 @@ def bench_queries():
         "salted_skew_join": _salted_skew_join,
         "pip_antijoin": Q.q_pip_antijoin,
         "terrain_stats": Q.q_terrain_stats,
+        "colocation_pairs": Q.q_colocation_pairs,
+        "geo_phash_near_dups": Q.q_geo_phash_near_dups,
     }
 
 
