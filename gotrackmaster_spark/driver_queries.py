@@ -4517,3 +4517,49 @@ FROM occ a JOIN occ b ON a.cell = b.cell AND a.bucket = b.bucket
 WHERE a.u < b.u
 GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# E8b — inverse-distance-weighted (IDW) spatial interpolation: estimate
+# the event `value` field at each POI from events within 300 km,
+# weights 1/d² on the exact haversine.  Pure composition over
+# `within_radius_join` (broadcast circle covering + codegen refine) —
+# one more map-side-combinable weighted aggregate on top.  Exact-hit
+# rows (d == 0, possible on the synthetic lattice) are excluded in both
+# engines: they would be Dirac weights; callers wanting the exact-hit
+# override handle d == 0 separately.  Ratio rounded to 4 dp (two
+# independent double sums; summation order differs across engines).
+# --------------------------------------------------------------------------
+
+def q_idw_interpolation(spark, sf_dir):
+    from gotrackmaster_spark.operators.spatial import within_radius_join
+
+    pts = geo_events(spark, sf_dir).select("event_id", "lat", "lon", "value")
+    hits = within_radius_join(
+        pts, poi_centers(spark), _POI_RADIUS_M, level=7, id_col="poi_id"
+    ).filter(F.col("dist_m") > 0)
+    w = F.lit(1.0) / (F.col("dist_m") * F.col("dist_m"))
+    return hits.groupBy("poi_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(F.col("value") * w) / F.sum(w), 4).alias("idw_value_r"),
+    )
+
+
+SQL_IDW_INTERPOLATION = f"""
+WITH {GEO_CTE},
+poi AS (
+  SELECT i AS poi_id,
+         ((i * 7919) % 1500) / 10.0 - 75.0 AS lat,
+         ((i * 104729) % 3600) / 10.0 - 180.0 AS lon
+  FROM range({_POI_N}) t(i)
+),
+hits AS (
+  SELECT p.poi_id, g.value, {_POI_DIST} AS dist_m
+  FROM geo g JOIN poi p
+    ON {_POI_DIST} < {_POI_RADIUS_M!r} AND {_POI_DIST} > 0
+)
+SELECT poi_id, count(*) AS n_events,
+       round(sum(value / (dist_m * dist_m)) / sum(1.0 / (dist_m * dist_m)), 4)
+         AS idw_value_r
+FROM hits GROUP BY poi_id
+"""
