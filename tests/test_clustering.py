@@ -85,3 +85,66 @@ def test_cross_cell_neighbors(spark):
     assert got[1] == (1, "core")
     assert got[2] == (1, "border")
     assert got[3] == (1, "border")
+
+
+def test_randomized_vs_reference(spark):
+    # Seeded random cloud straddling the origin (negative coords exercise
+    # floor-grid cells and the bijective packed cell id) checked against
+    # a brute-force pure-Python DBSCAN with the same deterministic rules.
+    import random
+
+    rng = random.Random(42)
+    n, eps, min_pts = 120, 0.8, 4
+    pts = [
+        (i, rng.uniform(-5.0, 5.0), rng.uniform(-5.0, 5.0)) for i in range(n)
+    ]
+
+    # -- reference implementation (O(n^2)) --
+    def d2(a, b):
+        return (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2
+
+    nbrs = {
+        i: [j for (j, *_q) in pts if j != i and d2(pts[i], pts[j]) <= eps * eps]
+        for (i, *_p) in pts
+    }
+    core = {i for i, ns in nbrs.items() if len(ns) + 1 >= min_pts}
+    # components over core-core edges (union-find)
+    parent = {i: i for i in core}
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in core:
+        for j in nbrs[i]:
+            if j in core:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    comp = {}
+    for i in core:
+        comp.setdefault(find(i), []).append(i)
+    label = {}
+    for members in comp.values():
+        lab = min(members)
+        for i in members:
+            label[i] = lab
+    expect = {}
+    for i, *_p in pts:
+        if i in core:
+            expect[i] = (label[i], "core")
+        else:
+            core_nb = [label[j] for j in nbrs[i] if j in core]
+            if core_nb:
+                expect[i] = (min(core_nb), "border")
+            else:
+                expect[i] = (-1, "noise")
+
+    df = spark.createDataFrame(pts, ["id", "x", "y"])
+    got = {
+        r["id"]: (r["cluster"], r["role"])
+        for r in dbscan(df, eps=eps, min_pts=min_pts, id_col="id", x_col="x", y_col="y").collect()
+    }
+    assert got == expect
