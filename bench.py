@@ -11,8 +11,8 @@ JSON line::
 Each query is forced end-to-end with a noop sink (full computation, no
 driver collect).  ``python bench.py --scaling`` additionally runs the
 widened flagship job at two parallelism levels N and 4N
-($SCALING_LEVELS, default "2,8" — the widest pair inside this sandbox's
-effective-core linear region, see BENCH.md §3) in separate JVMs and
+($SCALING_LEVELS, default "4,16"; the ×256 instance keeps the 4N run well
+above the fixed-overhead floor, see BENCH.md §2) in separate JVMs and
 reports throughput at both plus the scaling efficiency plus a CPU
 capacity probe (north_rule evidence; see BENCH.md).
 """
@@ -206,7 +206,7 @@ def main() -> None:
     spark.stop()
 
 
-_SCALE_FACTOR = int(os.environ.get("BENCH_SCALE_FACTOR", "64"))
+_SCALE_FACTOR = int(os.environ.get("BENCH_SCALE_FACTOR", "256"))
 
 
 def _scaling_job(spark, sf_dir):

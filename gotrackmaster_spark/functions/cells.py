@@ -175,3 +175,89 @@ def cell_sql_spark(lat: str, lon: str, level: int) -> str:
         return expr
 
     return f"(CAST({1 << (2 * level)} AS BIGINT) | {spread(i)} | shiftleft({spread(j)}, 1))"
+
+
+# ------------------------------------------------ set compaction (H3-like) ---
+
+def cell_level_col(cell: Column) -> Column:
+    """Level of a marker-bit cell id as a Column — a when-ladder over the
+    27 possible marker positions (exact integer compares; no float log)."""
+    expr = F.lit(0)
+    for lvl in range(1, MAX_LEVEL + 1):
+        expr = F.when(cell >= F.lit(1 << (2 * lvl)), F.lit(lvl)).otherwise(expr)
+    return expr
+
+
+def compact_cells(cells_df, cell_col_name: str = "cell", max_level: int = MAX_LEVEL):
+    """H3-`compact`-style set compaction: repeatedly replace every COMPLETE
+    sibling quad (all 4 children of one parent present) with the parent,
+    per level, until no quad is complete — the canonical minimal multi-
+    level representation of a cell set (coverings, occupancy indexes).
+
+    Input: a DataFrame with an int64 marker-bit cell column (uniform
+    level; deduped internally).  Output: ``(cell, level)`` — the
+    compacted, mixed-level set.  Deterministic (pure set algebra).
+
+    Plan shape: one groupBy-on-parent shuffle per level over a set that
+    SHRINKS ≥4× per merged level; leftovers freeze out of the iteration
+    immediately, so round k touches only the cells still mergeable at
+    level L-k.  Each round's survivors are localCheckpoint-ed to keep
+    lineage flat (same policy as `operators/graph.py`); at 100 TB the
+    active set after round 1 is ≤ |occupied parents|, far below the
+    input.
+    """
+    active = cells_df.select(F.col(cell_col_name).alias("cell")).distinct()
+    lvl = active.select(F.max(cell_level_col(F.col("cell"))).alias("m")).collect()[0]["m"]
+    if lvl is None:
+        return active.withColumn("level", F.lit(0)).limit(0)
+    lvl = int(lvl)
+    frozen = None
+    for _ in range(min(lvl, max_level)):
+        p = active.withColumn("p", F.shiftright(F.col("cell"), 2))
+        complete = (
+            p.groupBy("p").agg(F.count("*").alias("k")).filter(F.col("k") == 4)
+            .select(F.col("p").alias("parent"))
+        )
+        round_frozen = (
+            p.join(complete, p["p"] == complete["parent"], "left_anti")
+            .select("cell")
+        )
+        frozen = round_frozen if frozen is None else frozen.unionByName(round_frozen)
+        active = complete.select(F.col("parent").alias("cell")).localCheckpoint(eager=True)
+        if active.isEmpty():
+            break
+    out = active if frozen is None else frozen.unionByName(active)
+    return out.withColumn("level", cell_level_col(F.col("cell")))
+
+
+def uncompact_cells(cells_df, target_level: int, cell_col_name: str = "cell"):
+    """Inverse of `compact_cells`: expand every cell to its complete set
+    of level-``target_level`` descendants (``4^Δ`` children each, via a
+    codegen sequence explode — no Python).  Cells already at
+    ``target_level`` pass through; cells FINER than the target raise at
+    runtime via an explicit assert column."""
+    with_lvl = cells_df.select(F.col(cell_col_name).alias("cell")).withColumn(
+        "__d2", (F.lit(target_level) - cell_level_col(F.col("cell"))) * 2
+    )
+    # F.shiftleft only takes a literal shift; the SQL form accepts a column.
+    guarded = with_lvl.withColumn(
+        "__g",
+        F.assert_true(
+            F.col("__d2") >= 0, "uncompact_cells: cell finer than target_level"
+        ),
+    )
+    return (
+        guarded.withColumn(
+            "r",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__d2 AS INT)) - 1"),
+                )
+            ),
+        )
+        .select(
+            (F.expr("shiftleft(cell, CAST(__d2 AS INT))") + F.col("r")).alias("cell")
+        )
+        .distinct()
+    )
