@@ -4563,3 +4563,60 @@ SELECT poi_id, count(*) AS n_events,
          AS idw_value_r
 FROM hits GROUP BY poi_id
 """
+
+
+# --------------------------------------------------------------------------
+# E1c — hierarchical cell-set COMPACTION (H3 `compact` analogue on the
+# Z-quadtree): the occupied level-6 cells of the events table, with
+# every complete sibling quad recursively replaced by its parent — the
+# canonical minimal multi-level covering.  The oracle replays all six
+# merge rounds as chained CTEs (complete-quad test per level) and the
+# marker-bit level ladder exactly.
+# --------------------------------------------------------------------------
+
+_COMPACT_LEVEL = 6
+
+
+def _sql_cell_level_ladder(level: int) -> str:
+    terms = " ".join(
+        f"WHEN cell >= {1 << (2 * lv)} THEN {lv}" for lv in range(level, 0, -1)
+    )
+    return f"CAST(CASE {terms} ELSE 0 END AS INT)"
+
+
+def _sql_compact(base_select: str, level: int) -> str:
+    parts = [f"s{level} AS ({base_select})"]
+    union_terms = []
+    for lv in range(level, 0, -1):
+        parts.append(
+            f"m{lv} AS (SELECT cell // 4 AS p FROM s{lv} GROUP BY 1 HAVING count(*) = 4)"
+        )
+        parts.append(
+            f"f{lv} AS (SELECT cell FROM s{lv} "
+            f"WHERE cell // 4 NOT IN (SELECT p FROM m{lv}))"
+        )
+        parts.append(f"s{lv - 1} AS (SELECT p AS cell FROM m{lv})")
+        union_terms.append(f"SELECT cell FROM f{lv}")
+    union_terms.append("SELECT cell FROM s0")
+    body = " UNION ALL ".join(union_terms)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT cell, {_sql_cell_level_ladder(level)} AS level FROM ({body})"
+    )
+
+
+def q_compact_cells(spark, sf_dir):
+    from gotrackmaster_spark.functions.cells import compact_cells
+
+    occ = geo_events(spark, sf_dir).select(
+        cell_col(F.col("lat"), F.col("lon"), _COMPACT_LEVEL).alias("cell")
+    )
+    out = compact_cells(occ)
+    return out.select("cell", F.col("level").cast("int").alias("level"))
+
+
+SQL_COMPACT_CELLS = _sql_compact(
+    f"SELECT DISTINCT {cell_sql(_LAT, _LON, _COMPACT_LEVEL)} AS cell FROM events",
+    _COMPACT_LEVEL,
+)

@@ -239,25 +239,30 @@ def uncompact_cells(cells_df, target_level: int, cell_col_name: str = "cell"):
     with_lvl = cells_df.select(F.col(cell_col_name).alias("cell")).withColumn(
         "__d2", (F.lit(target_level) - cell_level_col(F.col("cell"))) * 2
     )
-    # F.shiftleft only takes a literal shift; the SQL form accepts a column.
-    guarded = with_lvl.withColumn(
-        "__g",
-        F.assert_true(
-            F.col("__d2") >= 0, "uncompact_cells: cell finer than target_level"
-        ),
-    )
+    # The guard must live inside the OUTPUT expression — a side assert
+    # column would be pruned by Catalyst and never evaluated.  The
+    # sequence bound is clamped so an invalid row reaches the guard
+    # instead of exploding into a 2^63-element array first.
+    # (F.shiftleft only takes a literal shift; the SQL form accepts a column.)
     return (
-        guarded.withColumn(
+        with_lvl.withColumn(
             "r",
             F.explode(
                 F.sequence(
                     F.lit(0).cast("long"),
-                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(__d2 AS INT)) - 1"),
+                    F.expr(
+                        "shiftleft(CAST(1 AS BIGINT), CAST(greatest(__d2, 0) AS INT)) - 1"
+                    ),
                 )
             ),
         )
         .select(
-            (F.expr("shiftleft(cell, CAST(__d2 AS INT))") + F.col("r")).alias("cell")
+            F.when(
+                F.col("__d2") < 0,
+                F.raise_error("uncompact_cells: cell finer than target_level"),
+            )
+            .otherwise(F.expr("shiftleft(cell, CAST(__d2 AS INT))") + F.col("r"))
+            .alias("cell")
         )
         .distinct()
     )
