@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "colocation_pairs": _wrap(Q.q_colocation_pairs),
         "idw_interpolation": _wrap(Q.q_idw_interpolation),
         "compact_cells": _wrap(Q.q_compact_cells),
+        "image_quality_funnel": _wrap(Q.q_image_quality_funnel),
         # -- block 2: code touched since the last green row (scale fixes)
         "jaccard_pairs": _wrap(Q.q_jaccard_pairs),
         "minhash_band_pairs": _wrap(Q.q_minhash_band_pairs),
@@ -225,6 +226,7 @@ def oracle_sql() -> dict[str, str]:
         "colocation_pairs": Q.SQL_COLOCATION_PAIRS,
         "idw_interpolation": Q.SQL_IDW_INTERPOLATION,
         "compact_cells": Q.SQL_COMPACT_CELLS,
+        "image_quality_funnel": Q.SQL_IMAGE_QUALITY_FUNNEL,
         "leg_haversine_sum": Q.SQL_LEG_HAVERSINE_SUM,
         "tile_counts": Q.SQL_TILE_COUNTS,
         "bounds_tiles": Q.SQL_BOUNDS_TILES,

@@ -4620,3 +4620,78 @@ SQL_COMPACT_CELLS = _sql_compact(
     f"SELECT DISTINCT {cell_sql(_LAT, _LON, _COMPACT_LEVEL)} AS cell FROM events",
     _COMPACT_LEVEL,
 )
+
+
+# --------------------------------------------------------------------------
+# E7b — image QUALITY FUNNEL over decoded payloads: per format, how many
+# images survive each gate and all gates — the payload-side analogue of
+# the text filter funnel.  The variance gate is integer-exact
+# (N·Σx² − (Σx)², no floating point); the phash-balance gate checks the
+# 64-bit signature is not degenerate; the caption gate is a length
+# floor.  The oracle replays pixel sums, squared sums (with the qnt4
+# quantization branch) and the phash from the closed-form generator.
+# --------------------------------------------------------------------------
+
+# The synthetic generator's pixel multiset is doc-independent (i·odd mod
+# 256 cycles uniformly), so N²·var is CONSTANT per format: 28 990 586 880
+# for raw/png, 28 983 951 360 for qnt4 (quantization loses variance) — a
+# threshold between them makes the variance gate a real lossy-payload
+# detector.  The phash and caption gates split on per-image variation.
+_IQF_VAR_MIN = 28_990_000_000
+_IQF_CAP_MIN = 200
+_IQF_PH_LO, _IQF_PH_HI = 32, 40
+
+
+def q_image_quality_funnel(spark, sf_dir):
+    from gotrackmaster_spark.operators.images import decode_stats, synthesize_images
+
+    st = decode_stats(synthesize_images(spark, sf_dir, w=_IMG_W, h=_IMG_H))
+    nvar2 = F.lit(_N_PIX) * F.col("pixel_sq") - F.col("pixel_sum") * F.col("pixel_sum")
+    pbits = F.bit_count(F.col("phash"))
+    g_var = nvar2 >= F.lit(_IQF_VAR_MIN)
+    g_cap = F.col("caption_len") >= _IQF_CAP_MIN
+    g_ph = (pbits >= _IQF_PH_LO) & (pbits <= _IQF_PH_HI)
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return st.groupBy("fmt").agg(
+        F.count("*").alias("n_total"),
+        one(g_var).alias("n_var_ok"),
+        one(g_cap).alias("n_caption_ok"),
+        one(g_ph).alias("n_phash_ok"),
+        one(g_var & g_cap & g_ph).alias("n_all_ok"),
+    )
+
+
+SQL_IMAGE_QUALITY_FUNNEL = f"""
+WITH base_bs AS (
+  SELECT doc_id, {_phash_bs_sql(_PIX_F)} AS bs FROM documents
+),
+ph AS (
+  SELECT doc_id, {_PHASH_FROM_BS} AS phash
+  FROM (SELECT doc_id, bs, list_sum(bs) AS tot FROM base_bs)
+),
+px AS (
+  SELECT doc_id,
+         ['raw', 'png', 'qnt4'][CAST(doc_id % 3 AS INT) + 1] AS fmt,
+         list_sum(list_transform(generate_series(0, {_N_PIX - 1}),
+                  i -> {_PIX_DEC.replace('{{f}}', 'i').replace('{f}', 'i')})) AS pixel_sum,
+         list_sum(list_transform(generate_series(0, {_N_PIX - 1}),
+                  i -> ({_PIX_DEC.replace('{{f}}', 'i').replace('{f}', 'i')})
+                     * ({_PIX_DEC.replace('{{f}}', 'i').replace('{f}', 'i')}))) AS pixel_sq,
+         length(text) AS caption_len
+  FROM documents
+),
+j AS (
+  SELECT px.fmt,
+         {_N_PIX} * px.pixel_sq - px.pixel_sum * px.pixel_sum AS nvar2,
+         px.caption_len, bit_count(ph.phash) AS pbits
+  FROM px JOIN ph USING (doc_id)
+)
+SELECT fmt, count(*) AS n_total,
+       CAST(sum(CASE WHEN nvar2 >= {_IQF_VAR_MIN} THEN 1 ELSE 0 END) AS BIGINT) AS n_var_ok,
+       CAST(sum(CASE WHEN caption_len >= {_IQF_CAP_MIN} THEN 1 ELSE 0 END) AS BIGINT) AS n_caption_ok,
+       CAST(sum(CASE WHEN pbits BETWEEN {_IQF_PH_LO} AND {_IQF_PH_HI} THEN 1 ELSE 0 END) AS BIGINT) AS n_phash_ok,
+       CAST(sum(CASE WHEN nvar2 >= {_IQF_VAR_MIN} AND caption_len >= {_IQF_CAP_MIN}
+                      AND pbits BETWEEN {_IQF_PH_LO} AND {_IQF_PH_HI}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_all_ok
+FROM j GROUP BY fmt
+"""

@@ -227,6 +227,7 @@ def decode_stats(images: DataFrame) -> DataFrame:
                 continue
             n = len(pdf)
             pix_sum = np.zeros(n, dtype=np.int64)
+            pix_sq = np.zeros(n, dtype=np.int64)
             phash = np.zeros(n, dtype=np.int64)
             # raw/qnt4 share (w, h): stack + one vectorized pass per group;
             # png decodes per row (real container format)
@@ -240,12 +241,16 @@ def decode_stats(images: DataFrame) -> DataFrame:
                     stack = np.stack(
                         [np.frombuffer(b, dtype=np.uint8) for b in sub["bytes"]]
                     ).reshape(len(idx), h, w, 3)
-                    pix_sum[idx] = stack.astype(np.int64).sum(axis=(1, 2, 3))
+                    s64 = stack.astype(np.int64)
+                    pix_sum[idx] = s64.sum(axis=(1, 2, 3))
+                    pix_sq[idx] = (s64 * s64).sum(axis=(1, 2, 3))
                     phash[idx] = phash64_batch(stack)
                 else:
                     for j, r in zip(idx, sub.itertuples(index=False)):
                         px = decode_image(r.bytes, r.w, r.h, r.fmt)
-                        pix_sum[j] = int(px.astype(np.int64).sum())
+                        p64 = px.astype(np.int64)
+                        pix_sum[j] = int(p64.sum())
+                        pix_sq[j] = int((p64 * p64).sum())
                         phash[j] = phash64(px)
             yield pd.DataFrame(
                 {
@@ -254,6 +259,7 @@ def decode_stats(images: DataFrame) -> DataFrame:
                     "w": pdf["w"].to_numpy(),
                     "h": pdf["h"].to_numpy(),
                     "pixel_sum": pix_sum,
+                    "pixel_sq": pix_sq,
                     "phash": phash,
                     "caption_len": pdf["caption"].str.len().to_numpy(),
                 }
@@ -261,7 +267,7 @@ def decode_stats(images: DataFrame) -> DataFrame:
 
     schema = (
         "image_id string, fmt string, w int, h int, pixel_sum long, "
-        "phash long, caption_len int"
+        "pixel_sq long, phash long, caption_len int"
     )
     return images.mapInPandas(stats, schema)
 
