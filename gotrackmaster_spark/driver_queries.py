@@ -4334,9 +4334,11 @@ _DBSCAN_EPS = 0.05
 _DBSCAN_MIN_PTS = 6
 
 
-def q_dbscan_clusters(spark, sf_dir):
-    from gotrackmaster_spark.operators.clustering import dbscan
-
+def blob_points(spark, sf_dir):
+    """Dense synthetic region: 40 uniform blobs on a 6×7 grid (0.55°
+    pitch, ±0.2° extent) + ~6 % uniform background noise — every
+    coordinate one integer closed form / 1000.0, bit-identical in both
+    engines.  Shared by `dbscan_clusters` and `density_raster_stats`."""
     ev = _t(spark, sf_dir, "events").select("event_id")
     noise = F.col("event_id") % 17 == 0
     b = F.col("event_id") % 40
@@ -4351,19 +4353,14 @@ def q_dbscan_clusters(spark, sf_dir):
         + (F.col("event_id") * 16807) % 401
         - 200
     )
-    pts = ev.select(
+    return ev.select(
         "event_id",
         (lat_milli / 1000.0).alias("lat"),
         (lon_milli / 1000.0).alias("lon"),
     )
-    res = dbscan(
-        pts, _DBSCAN_EPS, _DBSCAN_MIN_PTS, id_col="event_id", x_col="lon", y_col="lat"
-    )
-    return res.select("event_id", F.col("cluster").cast("long").alias("cluster"), "role")
 
 
-SQL_DBSCAN_CLUSTERS = f"""
-WITH RECURSIVE pts AS (
+_SQL_BLOB_PTS = """
   SELECT event_id,
          CAST(CASE WHEN event_id % 17 = 0 THEN (event_id * 2654435761) % 3850
               ELSE ((event_id % 40) % 6) * 550 + 100
@@ -4372,7 +4369,21 @@ WITH RECURSIVE pts AS (
               ELSE ((event_id % 40) // 6) * 550 + 100
                    + (event_id * 16807) % 401 - 200 END AS DOUBLE) / 1000.0 AS lon
   FROM events
-),
+"""
+
+
+def q_dbscan_clusters(spark, sf_dir):
+    from gotrackmaster_spark.operators.clustering import dbscan
+
+    pts = blob_points(spark, sf_dir)
+    res = dbscan(
+        pts, _DBSCAN_EPS, _DBSCAN_MIN_PTS, id_col="event_id", x_col="lon", y_col="lat"
+    )
+    return res.select("event_id", F.col("cluster").cast("long").alias("cluster"), "role")
+
+
+SQL_DBSCAN_CLUSTERS = f"""
+WITH RECURSIVE pts AS ({_SQL_BLOB_PTS}),
 cells AS (
   SELECT event_id, lat, lon,
          CAST(floor(lon / {_DBSCAN_EPS}) AS BIGINT) AS cx,
@@ -4694,4 +4705,44 @@ SELECT fmt, count(*) AS n_total,
                       AND pbits BETWEEN {_IQF_PH_LO} AND {_IQF_PH_HI}
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_all_ok
 FROM j GROUP BY fmt
+"""
+
+
+# --------------------------------------------------------------------------
+# E4×E7 crossover (geo → image): per-1°-tile density heatmaps RENDERED
+# AS REAL PNG PAYLOADS (16×16 RGB, channel value = min(255, count)),
+# then fed back through the standard decode machinery — a tile server's
+# "aggregate → raster → encode" path, proven lossless end-to-end: the
+# oracle computes the expected pixel sums and squared sums from the
+# sub-pixel counts in closed form, so any defect in render, PNG encode,
+# or decode hash-fails.
+# --------------------------------------------------------------------------
+
+def q_density_raster_stats(spark, sf_dir):
+    from gotrackmaster_spark.operators.images import (
+        decode_stats,
+        render_density_rasters,
+    )
+
+    rasters = render_density_rasters(blob_points(spark, sf_dir), px=16)
+    st = decode_stats(rasters)
+    return st.select(
+        F.col("image_id").alias("tile"), "pixel_sum", "pixel_sq", "w", "h"
+    )
+
+
+SQL_DENSITY_RASTER_STATS = f"""
+WITH pts AS ({_SQL_BLOB_PTS}),
+sub AS (
+  SELECT CAST(floor(lat) AS BIGINT) AS ty, CAST(floor(lon) AS BIGINT) AS tx,
+         CAST(floor((lat - floor(lat)) * 16) AS INT) AS sy,
+         CAST(floor((lon - floor(lon)) * 16) AS INT) AS sx
+  FROM pts
+),
+c AS (SELECT ty, tx, sy, sx, count(*) AS cnt FROM sub GROUP BY 1, 2, 3, 4)
+SELECT 't' || ty || '_' || tx AS tile,
+       CAST(3 * sum(least(cnt, 255)) AS BIGINT) AS pixel_sum,
+       CAST(3 * sum(least(cnt, 255) * least(cnt, 255)) AS BIGINT) AS pixel_sq,
+       CAST(16 AS INT) AS w, CAST(16 AS INT) AS h
+FROM c GROUP BY ty, tx
 """

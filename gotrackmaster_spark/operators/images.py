@@ -389,3 +389,55 @@ def geo_phash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .select("a_id", "b_id", "hamming", "cell")
     )
+
+
+def render_density_rasters(
+    pts: DataFrame,
+    px: int = 16,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Geo→image crossover: render per-1°-tile point-density heatmaps as
+    REAL image payloads (px×px RGB, value = min(255, count) in every
+    channel, encoded through the real PNG codec) — the "produce map
+    tiles from a spatial aggregate" path of a tile server, with the
+    payload flowing back into the standard decode machinery.
+
+    Plan: ONE groupBy shuffle on (tile, sub-pixel) for the counts (the
+    points are never collected), then an `applyInPandas` per tile over
+    the ≤ px² aggregated count rows — the Python stage touches O(tiles ·
+    px²) rows, independent of point count.  Output schema matches the
+    `decode_stats` input contract (image_id/bytes/w/h/fmt/caption), so
+    rendered tiles are first-class image rows.
+    """
+    ty = F.floor(F.col(lat_col)).cast("long")
+    tx = F.floor(F.col(lon_col)).cast("long")
+    sy = F.floor((F.col(lat_col) - ty) * px).cast("int")
+    sx = F.floor((F.col(lon_col) - tx) * px).cast("int")
+    counts = (
+        pts.select(ty.alias("ty"), tx.alias("tx"), sy.alias("sy"), sx.alias("sx"))
+        .groupBy("ty", "tx", "sy", "sx")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+    def render(pdf: pd.DataFrame) -> pd.DataFrame:
+        t_y, t_x = int(pdf["ty"].iloc[0]), int(pdf["tx"].iloc[0])
+        arr = np.zeros((px, px, 3), dtype=np.uint8)
+        v = np.minimum(pdf["cnt"].to_numpy(), 255).astype(np.uint8)
+        arr[pdf["sy"].to_numpy(), pdf["sx"].to_numpy(), :] = v[:, None]
+        tile = f"t{t_y}_{t_x}"
+        return pd.DataFrame(
+            {
+                "image_id": [tile],
+                "bytes": [encode_image(arr, "png")],
+                "w": [px],
+                "h": [px],
+                "fmt": ["png"],
+                "caption": [tile],
+            }
+        )
+
+    schema = "image_id string, bytes binary, w int, h int, fmt string, caption string"
+    return counts.groupBy("ty", "tx").applyInPandas(
+        lambda key, pdf: render(pdf), schema
+    )
