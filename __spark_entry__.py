@@ -137,16 +137,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # since its last green driver row sits inside the driver's
         # 50-query window; entries that overflow past 50 as new queries
         # land up top are exactly those whose functions are untouched
-        # since their green row (and all 85 stay locally pinned by
+        # since their green row (and every entry stays locally pinned by
         # tests/test_oracle_parity.py every session)
         "image_tiles": _wrap(Q.q_image_tiles),
         "phash_near_dups": _wrap(Q.q_phash_near_dups),
-        "radius_join": _wrap(Q.q_radius_join),
+        "image_stats": _wrap(Q.q_image_stats),
         "zonal_stats": _wrap(Q.q_zonal_stats),
-        "tile_pyramid": _wrap(Q.q_tile_pyramid),
-        "exact_dup_groups": _wrap(Q.q_exact_dup_groups),
         "pip_counts": _wrap(Q.q_pip_counts),
         "pip_counts_hex": _wrap(Q.q_pip_counts_hex),
+        "radius_join": _wrap(Q.q_radius_join),
+        "tile_pyramid": _wrap(Q.q_tile_pyramid),
+        "exact_dup_groups": _wrap(Q.q_exact_dup_groups),
         "knn": _wrap(Q.q_knn),
         "knn_hex": _wrap(Q.q_knn_hex),
         "duplicate_pairs": _wrap(Q.q_duplicate_pairs),
@@ -155,7 +156,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _wrap(Q.q_simhash_near_dups),
         "embedding_lsh_topk": _wrap(Q.q_embedding_lsh_topk),
         "embedding_ivf_topk": _wrap(Q.q_embedding_ivf_topk),
-        "image_stats": _wrap(Q.q_image_stats),
         "import_paths": _wrap(Q.q_import_paths),
         "tz_localized": _wrap(Q.q_tz_localized),
         "repetition_stats": _wrap(Q.q_repetition_stats),

@@ -1838,6 +1838,21 @@ def q_image_stats(spark, sf_dir):
     )
 
 
+def _img_key_col():
+    """img_key parsed from image_id with NO length cap — format_string
+    ('img%08d') widens beyond 8 digits at doc_id >= 1e8, so a
+    substring(4, 8) would silently truncate at web scale."""
+    return F.expr("substring(image_id, 4)").cast("long")
+
+
+def _img_geotag_cols(img_key):
+    """The single source of the image geotag closed form (mirrored by
+    every image-query oracle); img_key is a long Column."""
+    lat = (img_key * F.lit(2654435761)) % 1600000 / 10000.0 - 80.0
+    lon = (img_key * F.lit(40503) + 7) % 3600000 / 10000.0 - 180.0
+    return lat, lon
+
+
 _IMG_W, _IMG_H = 32, 24
 _N_PIX = _IMG_W * _IMG_H * 3
 
@@ -1869,11 +1884,8 @@ def q_image_tiles(spark, sf_dir):
     from gotrackmaster_spark.operators.images import decode_stats, synthesize_images
 
     imgs = synthesize_images(spark, sf_dir, w=_IMG_W, h=_IMG_H)
-    st = decode_stats(imgs).withColumn(
-        "img_key", F.substring("image_id", 4, 8).cast("long")
-    )
-    lat = (F.col("img_key") * F.lit(2654435761)) % 1600000 / 10000.0 - 80.0
-    lon = (F.col("img_key") * F.lit(40503) + 7) % 3600000 / 10000.0 - 180.0
+    st = decode_stats(imgs).withColumn("img_key", _img_key_col())
+    lat, lon = _img_geotag_cols(F.col("img_key"))
     tagged = st.withColumn("tile", tile_name_col(lat, lon, 1.0)).withColumn(
         "cell5", F.shiftright(cell_col(lat, lon, 12), 14)
     )
@@ -1924,13 +1936,11 @@ def q_zonal_image_stats(spark, sf_dir):
     from gotrackmaster_spark.operators.spatial import point_in_polygon_join
 
     imgs = synthesize_images(spark, sf_dir, w=_IMG_W, h=_IMG_H)
-    st = decode_stats(imgs).withColumn(
-        "img_key", F.substring("image_id", 4, 8).cast("long")
-    )
+    st = decode_stats(imgs).withColumn("img_key", _img_key_col())
+    g_lat, g_lon = _img_geotag_cols(F.col("img_key"))
     pts = st.select(
         "image_id", "pixel_sum", "caption_len",
-        ((F.col("img_key") * F.lit(2654435761)) % 1600000 / 10000.0 - 80.0).alias("lat"),
-        ((F.col("img_key") * F.lit(40503) + 7) % 3600000 / 10000.0 - 180.0).alias("lon"),
+        g_lat.alias("lat"), g_lon.alias("lon"),
     )
     hits = point_in_polygon_join(pts, rect_polygons(spark, sf_dir), level=7)
     return hits.groupBy("poly_id").agg(
@@ -4401,8 +4411,12 @@ nbrs AS (
       + (a.lat - b.lat) * (a.lat - b.lat) <= {_DBSCAN_EPS} * {_DBSCAN_EPS}
 ),
 core AS (
-  SELECT a_id AS pid FROM nbrs GROUP BY a_id
-  HAVING count(*) + 1 >= {_DBSCAN_MIN_PTS}
+  -- count base = ALL points (isolated points have no nbrs row), so the
+  -- |N| >= min_pts rule is exact down to min_pts = 1
+  SELECT p.event_id AS pid
+  FROM pts p LEFT JOIN (SELECT a_id, count(*) AS k FROM nbrs GROUP BY a_id) n
+    ON n.a_id = p.event_id
+  WHERE coalesce(n.k, 0) + 1 >= {_DBSCAN_MIN_PTS}
 ),
 ed AS (
   SELECT n.a_id AS a, n.b_id AS b
@@ -4454,8 +4468,7 @@ def q_geo_phash_near_dups(spark, sf_dir):
     both = imgs.select(*cols).unionByName(
         synthesize_image_variants(imgs, every=_PH_EVERY)
     )
-    lat = (F.col("img_key") * F.lit(2654435761)) % 1600000 / 10000.0 - 80.0
-    lon = (F.col("img_key") * F.lit(40503) + 7) % 3600000 / 10000.0 - 180.0
+    lat, lon = _img_geotag_cols(F.col("img_key"))
     sig = both.select(
         "image_id",
         "phash",
@@ -4520,7 +4533,7 @@ WITH {GEO_CTE},
 occ AS (
   SELECT DISTINCT user_id AS u,
          ({cell_sql('lat', 'lon', 12)} >> 14) AS cell,
-         epoch_us(ts) - epoch_us(ts) % {_COLOC_BUCKET_US} AS bucket
+         epoch_us(ts) - ((epoch_us(ts) % {_COLOC_BUCKET_US} + {_COLOC_BUCKET_US}) % {_COLOC_BUCKET_US}) AS bucket
   FROM geo
 )
 SELECT a.u AS user_a, b.u AS user_b, count(*) AS n_shared
@@ -4674,7 +4687,9 @@ def q_image_quality_funnel(spark, sf_dir):
 
 SQL_IMAGE_QUALITY_FUNNEL = f"""
 WITH base_bs AS (
-  SELECT doc_id, {_phash_bs_sql(_PIX_F)} AS bs FROM documents
+  -- phash over the DECODED pixels (the engine hashes decode_stats
+  -- output, which for qnt4 is quantized) — _PIX_DEC, not _PIX_F
+  SELECT doc_id, {_phash_bs_sql(_PIX_DEC)} AS bs FROM documents
 ),
 ph AS (
   SELECT doc_id, {_PHASH_FROM_BS} AS phash
@@ -4735,8 +4750,8 @@ SQL_DENSITY_RASTER_STATS = f"""
 WITH pts AS ({_SQL_BLOB_PTS}),
 sub AS (
   SELECT CAST(floor(lat) AS BIGINT) AS ty, CAST(floor(lon) AS BIGINT) AS tx,
-         CAST(floor((lat - floor(lat)) * 16) AS INT) AS sy,
-         CAST(floor((lon - floor(lon)) * 16) AS INT) AS sx
+         CAST(least(floor((lat - floor(lat)) * 16), 15) AS INT) AS sy,
+         CAST(least(floor((lon - floor(lon)) * 16), 15) AS INT) AS sx
   FROM pts
 ),
 c AS (SELECT ty, tx, sy, sx, count(*) AS cnt FROM sub GROUP BY 1, 2, 3, 4)

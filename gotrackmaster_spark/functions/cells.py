@@ -206,7 +206,14 @@ def compact_cells(cells_df, cell_col_name: str = "cell", max_level: int = MAX_LE
     active set after round 1 is ≤ |occupied parents|, far below the
     input.
     """
-    active = cells_df.select(F.col(cell_col_name).alias("cell")).distinct()
+    # localCheckpoint BEFORE the level collect: the distinct feeds three
+    # consumers (the collect, round 1's complete-quad agg, and round 1's
+    # frozen anti-join) and would otherwise be recomputed for each.
+    active = (
+        cells_df.select(F.col(cell_col_name).alias("cell"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     lvl = active.select(F.max(cell_level_col(F.col("cell"))).alias("m")).collect()[0]["m"]
     if lvl is None:
         return active.withColumn("level", F.lit(0)).limit(0)

@@ -62,6 +62,19 @@ from pyspark.sql import functions as F
 
 from gotrackmaster_spark.operators.graph import connected_components
 
+_NBR_PREV_CACHE: list = []  # previous dbscan call's pair-table cache
+
+
+def _bound_nbr_cache(df: DataFrame) -> DataFrame:
+    """Cache with bounded lifetime (same policy as dedup._bounded_cache /
+    images._bound_sig_cache): evict the previous call's pair table so
+    bench/parity loops in one JVM don't accumulate storage blocks."""
+    while _NBR_PREV_CACHE:
+        _NBR_PREV_CACHE.pop().unpersist(blocking=False)
+    df = df.persist()
+    _NBR_PREV_CACHE.append(df)
+    return df
+
 
 def dbscan(
     pts: DataFrame,
@@ -138,16 +151,22 @@ def dbscan(
     # the explode), self-pair excluded; <= eps² keeps the boundary
     # closed exactly as the SQL oracle writes it.  Persisted: reused by
     # the core count, the cell-edge projection, and border assignment.
-    nbrs = (
+    nbrs = _bound_nbr_cache(
         probe.join(build, ["jx", "jy"])
         .filter((F.col("a_id") != F.col("b_id")) & (d2 <= F.lit(eps) * F.lit(eps)))
         .select("a_id", "b_id", "a_cell", "b_cell")
-        .persist()
     )
 
     # |N_eps(p)| includes p itself -> core iff neighbor_count + 1 >= min_pts.
+    # Isolated points have NO nbrs row, so the count base must be ALL
+    # points (left join, count 0), or min_pts=1 would mislabel every
+    # isolated point as noise instead of a singleton core cluster.
     counts = nbrs.groupBy("a_id", "a_cell").agg(F.count("*").alias("n_nbrs"))
-    core = counts.filter(F.col("n_nbrs") + 1 >= min_pts).select(
+    all_pts = cells.select(F.col("pid").alias("a_id"), F.col("cell").alias("a_cell"))
+    counted = all_pts.join(counts, ["a_id", "a_cell"], "left").select(
+        "a_id", "a_cell", F.coalesce(F.col("n_nbrs"), F.lit(0)).alias("n_nbrs")
+    )
+    core = counted.filter(F.col("n_nbrs") + 1 >= min_pts).select(
         F.col("a_id").alias("pid"), F.col("a_cell").alias("cell")
     )
 

@@ -412,8 +412,11 @@ def render_density_rasters(
     """
     ty = F.floor(F.col(lat_col)).cast("long")
     tx = F.floor(F.col(lon_col)).cast("long")
-    sy = F.floor((F.col(lat_col) - ty) * px).cast("int")
-    sx = F.floor((F.col(lon_col) - tx) * px).cast("int")
+    # Clamp to px-1: a coordinate 1 ulp below an integer has
+    # (coord - floor(coord)) round to exactly 1.0 in double, which would
+    # index row px and crash the render.
+    sy = F.least(F.floor((F.col(lat_col) - ty) * px), F.lit(px - 1)).cast("int")
+    sx = F.least(F.floor((F.col(lon_col) - tx) * px), F.lit(px - 1)).cast("int")
     counts = (
         pts.select(ty.alias("ty"), tx.alias("tx"), sy.alias("sy"), sx.alias("sx"))
         .groupBy("ty", "tx", "sy", "sx")

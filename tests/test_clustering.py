@@ -148,3 +148,20 @@ def test_randomized_vs_reference(spark):
         for r in dbscan(df, eps=eps, min_pts=min_pts, id_col="id", x_col="x", y_col="y").collect()
     }
     assert got == expect
+
+
+def test_min_pts_one_isolated_point_is_singleton_core(spark):
+    # |N_eps(p)| includes p, so at min_pts=1 an isolated point is a core
+    # singleton cluster labeled by itself — NOT noise (regression: the
+    # neighbor-count base must be all points, not just points with a
+    # neighbor row).
+    pts = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 50.0, 50.0), (3, 50.3, 50.0)], ["id", "x", "y"]
+    )
+    got = {
+        r["id"]: (r["cluster"], r["role"])
+        for r in dbscan(pts, eps=1.0, min_pts=1, id_col="id", x_col="x", y_col="y").collect()
+    }
+    assert got[1] == (1, "core")
+    assert got[2] == (2, "core")
+    assert got[3] == (2, "core")
