@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compact_cells": _wrap(Q.q_compact_cells),
         "image_quality_funnel": _wrap(Q.q_image_quality_funnel),
         "density_raster_stats": _wrap(Q.q_density_raster_stats),
+        "geofence_entries": _wrap(Q.q_geofence_entries),
         # -- block 2: code touched since the last green row (scale fixes)
         "jaccard_pairs": _wrap(Q.q_jaccard_pairs),
         "minhash_band_pairs": _wrap(Q.q_minhash_band_pairs),
@@ -229,6 +230,7 @@ def oracle_sql() -> dict[str, str]:
         "compact_cells": Q.SQL_COMPACT_CELLS,
         "image_quality_funnel": Q.SQL_IMAGE_QUALITY_FUNNEL,
         "density_raster_stats": Q.SQL_DENSITY_RASTER_STATS,
+        "geofence_entries": Q.SQL_GEOFENCE_ENTRIES,
         "leg_haversine_sum": Q.SQL_LEG_HAVERSINE_SUM,
         "tile_counts": Q.SQL_TILE_COUNTS,
         "bounds_tiles": Q.SQL_BOUNDS_TILES,

@@ -4761,3 +4761,67 @@ SELECT 't' || ty || '_' || tx AS tile,
        CAST(16 AS INT) AS w, CAST(16 AS INT) AS h
 FROM c GROUP BY ty, tx
 """
+
+
+# --------------------------------------------------------------------------
+# E2e — batch geofence: polygon ENTRY detection per (user, polygon).
+# A user "enters" a polygon at event i when event i is inside and the
+# user's previous event (global per-user sequence) was not inside the
+# same polygon.  Only INSIDE rows ever materialize (the PIP join emits
+# hits, absence = outside), so the events×polygons cross never exists;
+# the entry test is a lag over (user, poly) on the user-sequence number.
+# --------------------------------------------------------------------------
+
+def q_geofence_entries(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from gotrackmaster_spark.operators.spatial import point_in_polygon_join
+
+    ev = geo_events(spark, sf_dir).select("event_id", "user_id", "ts", "lat", "lon")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("rn", F.row_number().over(w_user))
+    hits = point_in_polygon_join(
+        seq.select("event_id", "user_id", "rn", "lat", "lon"),
+        rect_polygons(spark, sf_dir),
+        level=7,
+    )
+    w_up = Window.partitionBy("user_id", "poly_id").orderBy("rn")
+    prev_rn = F.lag("rn").over(w_up)
+    flagged = hits.withColumn(
+        "is_entry",
+        F.when(prev_rn.isNull() | (F.col("rn") - prev_rn > 1), 1).otherwise(0),
+    )
+    return flagged.groupBy("user_id", "poly_id").agg(
+        F.sum("is_entry").alias("n_entries"),
+        F.count("*").alias("n_inside"),
+        F.min("rn").cast("long").alias("first_rn"),
+    )
+
+
+SQL_GEOFENCE_ENTRIES = f"""
+WITH {GEO_CTE},
+seq AS (
+  SELECT event_id, user_id, lat, lon,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM geo
+),
+rects AS ({_RECT_SQL}),
+hits AS (
+  SELECT s.user_id, r.poly_id, s.rn
+  FROM seq s JOIN rects r
+    ON s.lat > r.lat0 AND s.lat < r.lat1 AND s.lon > r.lon0 AND s.lon < r.lon1
+),
+flagged AS (
+  SELECT user_id, poly_id, rn,
+         CASE WHEN lag(rn) OVER (PARTITION BY user_id, poly_id ORDER BY rn)
+                   IS NULL
+              OR rn - lag(rn) OVER (PARTITION BY user_id, poly_id ORDER BY rn) > 1
+              THEN 1 ELSE 0 END AS is_entry
+  FROM hits
+)
+SELECT user_id, poly_id,
+       CAST(sum(is_entry) AS BIGINT) AS n_entries,
+       count(*) AS n_inside,
+       CAST(min(rn) AS BIGINT) AS first_rn
+FROM flagged GROUP BY 1, 2
+"""
