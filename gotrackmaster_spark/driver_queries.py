@@ -1405,8 +1405,7 @@ def q_geo_text_search(spark, sf_dir):
     low = F.lower(F.col("text"))
     hit = [F.when(F.contains(low, F.lit(t)), 1).otherwise(0).alias(f"h{i}")
            for i, t in enumerate(_GEO_SEARCH_TERMS)]
-    lat = (F.col("doc_id") * F.lit(2654435761)) % 1600000 / 10000.0 - 80.0
-    lon = (F.col("doc_id") * F.lit(40503) + 7) % 3600000 / 10000.0 - 180.0
+    lat, lon = _img_geotag_cols(F.col("doc_id"))
     tagged = docs.select(
         "doc_id", *hit, tile_name_col(lat, lon, 1.0).alias("tile")
     ).filter(sum(F.col(f"h{i}") for i in range(len(_GEO_SEARCH_TERMS))) > 0)

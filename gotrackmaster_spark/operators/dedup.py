@@ -417,11 +417,13 @@ def embedding_topk(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), F.col("nrm").alias("q_nrm")
     )
     if max_queries is not None:
-        n_q = q.count()
-        if n_q > max_queries:
+        # bounded probe: limit(max+1) lets Spark stop scanning after
+        # max_queries+1 rows instead of counting the whole query side
+        n_probe = q.limit(max_queries + 1).count()
+        if n_probe > max_queries:
             raise ValueError(
                 f"embedding_topk is the exact brute-force primitive: got "
-                f"{n_q} queries > max_queries={max_queries}; use "
+                f"more than max_queries={max_queries} queries; use "
                 f"embedding_lsh_topk/embedding_ivf_topk for large query "
                 f"sets (or raise max_queries explicitly)."
             )

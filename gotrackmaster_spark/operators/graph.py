@@ -66,7 +66,18 @@ def connected_components(
     if on_nonconverged not in ("raise", "warn"):
         raise ValueError(f"on_nonconverged must be 'raise' or 'warn', got {on_nonconverged!r}")
     spark = edges.sparkSession
+    prev_ckpt_dir = None
     if checkpoint_dir is not None:
+        # setCheckpointDir is GLOBAL to the SparkContext — remember the
+        # previous dir and restore it after the run, so this call does
+        # not silently redirect every later df.checkpoint() in the
+        # session.  Round checkpoints are O(nodes) files under
+        # checkpoint_dir that Spark only deletes with
+        # spark.cleaner.referenceTracking.cleanCheckpoints=true — point
+        # checkpoint_dir at a per-job scratch path and remove it after
+        # the job on long-running clusters.
+        opt = spark.sparkContext._jsc.sc().getCheckpointDir()
+        prev_ckpt_dir = opt.get() if opt.isDefined() else None
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
         def _snap(df: DataFrame) -> DataFrame:
@@ -75,32 +86,36 @@ def connected_components(
         def _snap(df: DataFrame) -> DataFrame:
             return df.localCheckpoint(eager=True)
 
-    e = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    bi = _snap(
-        e.unionByName(
-            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).distinct()
-    )
-    labels = _snap(
-        bi.select(F.col("src").alias("v")).distinct().withColumn("l", F.col("v"))
-    )
+    try:
+        e = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        bi = _snap(
+            e.unionByName(
+                e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            ).distinct()
+        )
+        labels = _snap(
+            bi.select(F.col("src").alias("v")).distinct().withColumn("l", F.col("v"))
+        )
 
-    changed = -1
-    for _ in range(max_iter):
-        msgs = bi.join(labels, bi["src"] == labels["v"]).select(
-            F.col("dst").alias("v"), "l"
-        )
-        new = _snap(
-            labels.unionByName(msgs).groupBy("v").agg(F.min("l").alias("l"))
-        )
-        changed = (
-            new.join(labels.withColumnRenamed("l", "l_old"), "v")
-            .filter(F.col("l") != F.col("l_old"))
-            .count()
-        )
-        labels = new
-        if changed == 0:
-            break
+        changed = -1
+        for _ in range(max_iter):
+            msgs = bi.join(labels, bi["src"] == labels["v"]).select(
+                F.col("dst").alias("v"), "l"
+            )
+            new = _snap(
+                labels.unionByName(msgs).groupBy("v").agg(F.min("l").alias("l"))
+            )
+            changed = (
+                new.join(labels.withColumnRenamed("l", "l_old"), "v")
+                .filter(F.col("l") != F.col("l_old"))
+                .count()
+            )
+            labels = new
+            if changed == 0:
+                break
+    finally:
+        if checkpoint_dir is not None and prev_ckpt_dir is not None:
+            spark.sparkContext.setCheckpointDir(prev_ckpt_dir)
     if changed != 0:
         msg = (
             f"connected_components did NOT converge in max_iter={max_iter} "

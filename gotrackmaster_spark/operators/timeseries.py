@@ -144,7 +144,8 @@ def interval_join(
       memory-tight driver.
     """
     b, iv_src, est_rows = _resolve_bucket(
-        intervals, bucket_s, t0_col, t1_col, max_fanout
+        intervals, bucket_s, t0_col, t1_col, max_fanout,
+        need_est=broadcast_intervals,
     )
     iv = iv_src.withColumn(
         "bucket",
@@ -177,12 +178,15 @@ def _resolve_bucket(
     t0_col: str,
     t1_col: str,
     max_fanout: int | None,
+    need_est: bool,
 ) -> tuple[int, DataFrame, int | None]:
     """Pick/validate the bucket width (µs) and estimate the exploded row
     count.  The auto-bucket median, the fanout check, and the size
     estimate are all single aggregates over the INTERVAL side — the
-    small side of the join — so the guards never touch the event
-    table."""
+    small side of the join — so the guards never touch the event table.
+    NO action runs unless a guard actually needs one: with an explicit
+    ``bucket_s``, ``max_fanout=None`` and ``need_est=False`` the
+    function is pure plan construction (streaming-safe)."""
     if bucket_s is None:
         med = intervals.select(
             F.expr(
@@ -192,12 +196,20 @@ def _resolve_bucket(
         b = max(int(med or 1_000_000), 1)
     else:
         b = int(bucket_s) * 1_000_000
+    if max_fanout is None and not need_est:
+        return b, intervals, None
+    # EXTRA bucket rows per interval beyond the first, with the SAME
+    # integer DIV arithmetic the explode uses — a float length ratio
+    # undercounts by up to 2 buckets at the boundaries, letting an
+    # interval at the guard threshold slip through.
     span = F.greatest(
-        (F.col(t1_col) - F.lit(1)) / F.lit(b) - F.col(t0_col) / F.lit(b),
-        F.lit(0.0),
+        F.expr(f"(({t1_col} - 1) DIV {b}) - ({t0_col} DIV {b})"),
+        F.lit(0).cast("long"),
     )
     stats = intervals.select(
-        F.sum(F.when(span >= (max_fanout or 0), 1).otherwise(0)).alias("n_over"),
+        F.sum(
+            F.when(span + 1 >= (max_fanout or 0), 1).otherwise(0)
+        ).alias("n_over"),
         F.max(span).alias("max_span"),
         (F.sum(span) + F.count(F.lit(1))).alias("est_rows"),
     ).first()
@@ -209,7 +221,7 @@ def _resolve_bucket(
             raise ValueError(
                 f"interval_join fan-out guard: {stats['n_over']} interval(s) "
                 f"explode to >= {max_fanout} bucket rows each at "
-                f"bucket_s={b // 1_000_000}s (worst: ~{worst} buckets). "
+                f"bucket_s={b // 1_000_000}s (worst: {worst} buckets). "
                 f"Use bucket_s >= {need_s}, bucket_s=None (auto), or raise "
                 f"max_fanout explicitly."
             )

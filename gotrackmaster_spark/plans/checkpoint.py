@@ -773,22 +773,21 @@ class Catalog:
         part_dirs = self._partition_dirs(m)
 
         if not fragmented:
-            # nothing to do — republish the current state with a metrics
-            # note so callers can schedule compaction idempotently
-            snaps = self.snapshots(table)
-            manifest = dict(
+            # TRUE no-op: report without publishing.  A scheduled
+            # compaction loop must not grow the snapshot log when there
+            # is nothing to do, and the previous snapshot's unrelated
+            # metrics (e.g. a merge's rows_updated / src_snapshot_id)
+            # must not be re-stamped as this pass's — so the returned
+            # view carries FRESH compaction metrics over the CURRENT
+            # (unchanged) snapshot.
+            return dict(
                 m,
-                snapshot_id=snaps[-1] + 1,
-                parent_id=snaps[-1],
-                created_unix=time.time(),
-                metrics=dict(
-                    m.get("metrics") or {},
-                    compacted_from=m["snapshot_id"],
-                    partitions_compacted=0,
-                    partitions_reused=len(part_dirs),
-                ),
+                metrics={
+                    "compacted_from": m["snapshot_id"],
+                    "partitions_compacted": 0,
+                    "partitions_reused": len(part_dirs),
+                },
             )
-            return self._publish(table, manifest)
 
         df = self._read_partitions(spark, m, fragmented)
         # one task (→ one file) per rewritten hive partition; sorting

@@ -253,11 +253,17 @@ def write_gpx_files(points_df, tracks_df, out_dir: str, waypoints_df=None) -> in
 
     os.makedirs(out_dir, exist_ok=True)
     creator_dim = tracks_df.select("track_id", "creator")
+    # ts_ns travels as STRING through the grouped frame: one NULL ts_ns
+    # anywhere in a group (schema-legal on waypoints) would coerce the
+    # whole int64 column to float64 in Arrow->pandas, rounding point
+    # timestamps (~1.7e18 ns > 2^53) to multiples of 512 ns and breaking
+    # the lossless round trip.  Strings are exact; fn parses them back.
     pts = points_df.join(creator_dim, "track_id", "left").select(
         "track_id", "creator",
         F.lit("p").alias("kind"),
         "trk_no", "seg_no", "pt_idx",
-        "lat", "lon", "ele", "ts_ns",
+        "lat", "lon", "ele",
+        F.col("ts_ns").cast("string").alias("ts_ns"),
         F.lit(None).cast("int").alias("wpt_idx"),
         F.lit(None).cast("string").alias("wname"),
         F.lit(None).cast("string").alias("link_href"),
@@ -270,7 +276,8 @@ def write_gpx_files(points_df, tracks_df, out_dir: str, waypoints_df=None) -> in
             F.lit(None).cast("int").alias("trk_no"),
             F.lit(None).cast("int").alias("seg_no"),
             F.lit(None).cast("int").alias("pt_idx"),
-            "lat", "lon", "ele", "ts_ns",
+            "lat", "lon", "ele",
+            F.col("ts_ns").cast("string").alias("ts_ns"),
             "wpt_idx",
             F.col("name").alias("wname"),
             "link_href",
@@ -282,6 +289,17 @@ def write_gpx_files(points_df, tracks_df, out_dir: str, waypoints_df=None) -> in
 
         cr = pdf["creator"].dropna()
         creator = str(cr.iloc[0]) if len(cr) else "gotrackmaster-spark"
+        # parse the string-transported ts_ns back to exact python ints —
+        # dtype=object is load-bearing: a Series of ints + None would be
+        # INFERRED as float64 (NaN for null), re-losing the very ns
+        # precision the string transport protects
+        pdf = pdf.assign(
+            ts_ns=pd.Series(
+                [None if pd.isna(v) else int(v) for v in pdf["ts_ns"]],
+                index=pdf.index,
+                dtype=object,
+            )
+        )
         p = pdf[pdf["kind"] == "p"]
         rows = list(p.sort_values(["trk_no", "seg_no", "pt_idx"]).itertuples())
         wl = None

@@ -93,3 +93,35 @@ def test_distributed_scan_matches_driver_etl(spark):
     tcols = ["track_id", "creator", "filename", "file_rank"]
     assert rows(scan_tracks(scan), tcols) == rows(d_trk, tcols)
     scan.unpersist()
+
+
+def test_waypoint_null_ts_ns_does_not_corrupt_point_times(spark, tmp_path):
+    """A waypoint with NULL ts_ns (schema-legal) must not coerce the
+    group's ts_ns to float64 and round point timestamps: ts_ns travels
+    as a string through the grouped frame."""
+    from pyspark.sql import functions as F
+
+    from gotrackmaster_spark.sources.gpx import (
+        gpx_files_to_tables,
+        parse_gpx_file,
+        write_gpx_files,
+    )
+
+    src = FIXTURES["carlos"]
+    pts, tracks, wpts = gpx_files_to_tables(spark, [src])
+    # null out ONE waypoint's ts_ns
+    w0 = wpts.withColumn(
+        "ts_ns",
+        F.when(F.col("wpt_idx") == 0, F.lit(None).cast("long")).otherwise(
+            F.col("ts_ns")
+        ),
+    )
+    write_gpx_files(pts, tracks, str(tmp_path), waypoints_df=w0)
+    out_file = str(tmp_path / (src.rsplit("/", 1)[-1] + ".gpx"))
+    orig = parse_gpx_file(src)
+    back = parse_gpx_file(out_file)
+    # every POINT timestamp survives ns-exact despite the null waypoint
+    def all_ts(parsed):
+        return [pt[3] for trk in parsed.tracks for seg in trk for pt in seg]
+
+    assert all_ts(back) == all_ts(orig)

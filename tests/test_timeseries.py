@@ -194,3 +194,42 @@ def test_interval_join_fanout_guard_and_auto_bucket(spark):
         out = interval_join(ev, iv, **kwargs)
         got = sorted((r.event_id, r.iv_id) for r in out.collect())
         assert got == expect, kwargs
+
+
+def test_interval_join_fanout_guard_integer_exact(spark):
+    """The guard must use the SAME integer DIV arithmetic as the explode:
+    t0=999_999, t1=100_000_000_001 at 1 s buckets explodes to exactly
+    100_001 bucket rows (floor((t1-1)/b) - floor(t0/b) + 1), but a float
+    length ratio sees only ~99_999.0 and lets it slip past
+    max_fanout=100_000."""
+    import pytest
+
+    from gotrackmaster_spark.operators.timeseries import interval_join
+
+    ev = spark.createDataFrame([(0, 1_000_000)], "event_id long, ts_us long")
+    iv = spark.createDataFrame(
+        [(0, 999_999, 100_000_000_001)], "iv_id long, t0_us long, t1_us long"
+    )
+    with pytest.raises(ValueError, match="100001 buckets"):
+        interval_join(ev, iv, 1, max_fanout=100_000)
+
+
+def test_interval_join_lazy_without_guards(spark):
+    """With an explicit bucket, max_fanout=None and no broadcast, plan
+    construction must run NO Spark action (streaming-safe)."""
+    from gotrackmaster_spark.operators.timeseries import interval_join
+
+    calls = []
+    ev = spark.createDataFrame([(0, 5_000_000)], "event_id long, ts_us long")
+    iv = spark.createDataFrame(
+        [(0, 4_000_000, 6_000_000)], "iv_id long, t0_us long, t1_us long"
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    out = interval_join(
+        ev, iv, 1, max_fanout=None, broadcast_intervals=False
+    )
+    after = tracker.getJobIdsForGroup(None)
+    assert len(after) == len(before), "plan construction triggered a Spark job"
+    assert [(r.event_id, r.iv_id) for r in out.collect()] == [(0, 0)]
+    calls.append(out)
