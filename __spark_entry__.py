@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_quality_funnel": _wrap(Q.q_image_quality_funnel),
         "density_raster_stats": _wrap(Q.q_density_raster_stats),
         "geofence_entries": _wrap(Q.q_geofence_entries),
+        "turn_stats": _wrap(Q.q_turn_stats),
         # -- block 2: code touched since the last green row (scale fixes)
         "jaccard_pairs": _wrap(Q.q_jaccard_pairs),
         "minhash_band_pairs": _wrap(Q.q_minhash_band_pairs),
@@ -231,6 +232,7 @@ def oracle_sql() -> dict[str, str]:
         "image_quality_funnel": Q.SQL_IMAGE_QUALITY_FUNNEL,
         "density_raster_stats": Q.SQL_DENSITY_RASTER_STATS,
         "geofence_entries": Q.SQL_GEOFENCE_ENTRIES,
+        "turn_stats": Q.SQL_TURN_STATS,
         "leg_haversine_sum": Q.SQL_LEG_HAVERSINE_SUM,
         "tile_counts": Q.SQL_TILE_COUNTS,
         "bounds_tiles": Q.SQL_BOUNDS_TILES,

@@ -32,6 +32,8 @@ from pyspark.sql import functions as F
 
 from gotrackmaster_spark.functions.cells import cell_col, cell_sql
 from gotrackmaster_spark.functions.geodesy import (
+    bearing_col,
+    bearing_sql,
     distance_2d_col,
     distance_2d_sql,
     haversine_col,
@@ -4823,4 +4825,63 @@ SELECT user_id, poly_id,
        count(*) AS n_inside,
        CAST(min(rn) AS BIGINT) AS first_rn
 FROM flagged GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# W1b — movement analytics: per-user LEG BEARINGS and TURN ANGLES.
+# Bearing = initial great-circle azimuth per consecutive-point leg
+# (lag window); turn = signed, normalized bearing change between
+# consecutive legs, in (-180, 180].  Aggregates per user: leg count,
+# mean |turn| (zigzag/noise indicator), sharp-turn count (|turn|>120).
+# Pure codegen trig over windows — one shuffle on user_id.
+# --------------------------------------------------------------------------
+
+def q_turn_stats(spark, sf_dir):
+    from pyspark.sql import Window
+
+    pts = geo_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    brg = bearing_col(
+        F.lag("lat").over(w), F.lag("lon").over(w), F.col("lat"), F.col("lon")
+    )
+    legs = pts.select("user_id", "ts", "event_id", brg.alias("brg")).filter(
+        F.col("brg").isNotNull()
+    )
+    turn = (F.col("brg") - F.lag("brg").over(w) + 540.0) % 360.0 - 180.0
+    turns = legs.select("user_id", turn.alias("turn")).filter(
+        F.col("turn").isNotNull()
+    )
+    return turns.groupBy("user_id").agg(
+        F.count("*").alias("n_turns"),
+        F.round(F.avg(F.abs(F.col("turn"))), 4).alias("mean_abs_turn_r"),
+        F.sum(F.when(F.abs(F.col("turn")) > 120.0, 1).otherwise(0)).alias("n_sharp"),
+    )
+
+
+_BRG_SQL = bearing_sql("prev_lat", "prev_lon", "lat", "lon")
+
+SQL_TURN_STATS = f"""
+WITH {GEO_CTE},
+o AS (
+  SELECT user_id, ts, event_id, lat, lon,
+         lag(lat) OVER w AS prev_lat, lag(lon) OVER w AS prev_lon
+  FROM geo
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+legs AS (
+  SELECT user_id, ts, event_id, {_BRG_SQL} AS brg
+  FROM o WHERE prev_lat IS NOT NULL
+),
+turns AS (
+  SELECT user_id,
+         (brg - lag(brg) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          + 540.0) % 360.0 - 180.0 AS turn
+  FROM legs
+)
+SELECT user_id, count(*) AS n_turns,
+       round(avg(abs(turn)), 4) AS mean_abs_turn_r,
+       CAST(sum(CASE WHEN abs(turn) > 120.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sharp
+FROM turns WHERE turn IS NOT NULL GROUP BY user_id
 """

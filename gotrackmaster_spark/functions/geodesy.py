@@ -206,3 +206,25 @@ def distance_2d_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
         f"CASE WHEN abs(({lat1})-({lat2})) > 0.2 OR abs(({lon1})-({lon2})) > 0.2 "
         f"THEN ({hav}) ELSE ({flat}) END"
     )
+
+
+def bearing_col(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Initial great-circle bearing 1→2 in degrees, normalized to
+    [0, 360).  Standard formula: atan2(sin Δλ·cos φ₂,
+    cos φ₁·sin φ₂ − sin φ₁·cos φ₂·cos Δλ)."""
+    p1, p2 = F.radians(lat1), F.radians(lat2)
+    dl = F.radians(lon2 - lon1)
+    x = F.sin(dl) * F.cos(p2)
+    y = F.cos(p1) * F.sin(p2) - F.sin(p1) * F.cos(p2) * F.cos(dl)
+    b = F.degrees(F.atan2(x, y))
+    return (b + 360.0) % 360.0
+
+
+def bearing_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """DuckDB twin of :func:`bearing_col` (same operation order)."""
+    p1 = f"radians({lat1})"
+    p2 = f"radians({lat2})"
+    dl = f"radians(({lon2}) - ({lon1}))"
+    x = f"(sin({dl}) * cos({p2}))"
+    y = f"(cos({p1}) * sin({p2}) - sin({p1}) * cos({p2}) * cos({dl}))"
+    return f"((degrees(atan2({x}, {y})) + 360.0) % 360.0)"
