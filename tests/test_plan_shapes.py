@@ -116,3 +116,47 @@ def test_dwell_cells_reuses_user_partitioning(spark):
     # the run aggregate reuses the window's hashpartitioning(user_id) —
     # only the window exchange and the final per-cell exchange remain
     assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_colocation_equijoin_no_forced_broadcast(spark):
+    df = Q.q_colocation_pairs(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # size-based broadcast of the tiny occupancy side is fine at toy
+    # scale; what must NOT exist is a FORCED broadcast hint (at 10^9
+    # users the occupancy table cannot broadcast) — the logical plan
+    # carries no hint, so the planner is free to pick SMJ at scale
+    logical = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "hint" not in logical.lower(), logical
+    # final aggregate shuffles on the pair key
+    assert "hashpartitioning(user_a" in plan
+
+
+def test_geofence_entries_covering_broadcast_only(spark):
+    plan = _plan(Q.q_geofence_entries(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the only broadcast is the tiny polygon covering; events reach the
+    # PIP join via their per-user window, never via an events×polygons
+    # expansion
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dbscan_candidate_join_never_all_pairs(spark):
+    from gotrackmaster_spark.operators.clustering import dbscan
+
+    pts = Q.blob_points(spark, SF_DIR)
+    out = dbscan(pts, 0.05, 6, id_col="event_id", x_col="lon", y_col="lat")
+    plan = _plan(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_density_raster_counts_before_python(spark):
+    plan = _plan(Q.q_density_raster_stats(spark, SF_DIR))
+    # the (tile, sub-pixel) count aggregate must sit BELOW the render
+    # FlatMapGroupsInPandas: points aggregate before any Python stage
+    render_pos = plan.find("FlatMapGroupsInPandas")
+    agg_pos = plan.find("HashAggregate", render_pos)
+    assert render_pos != -1 and agg_pos != -1, plan
