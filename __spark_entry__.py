@@ -78,9 +78,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        registered after position 50 last round) come first;
     2. then queries whose implementation changed since their last green row;
     3. then the rest of the oracle-backed suite;
-    4. overflow past 50 = the oldest queries, each green in BOTH r01 and
-       r02 driver runs with code untouched since, followed by the two
-       deliberately rows-only kernel composites.
+    4. overflow past 50 = queries whose implementing functions are
+       untouched since their most recent green driver row, followed by
+       the two deliberately rows-only kernel composites; every entry is
+       additionally pinned locally each session by
+       tests/test_oracle_parity.py.
     """
     return {
         # -- block 1: no driver row yet (r02 overflow + round-3 additions)
