@@ -77,3 +77,23 @@ def test_group_size_cap(spark):
     got = {(r["user_a"], r["user_b"]) for r in capped.collect()}
     # only the 2-user 20:00 group survives the cap
     assert got == {("u8", "u9")}
+
+
+def test_pre_epoch_timestamps_floor_bucket(spark):
+    # ts before 1970 → negative epoch micros; the bucket must FLOOR
+    # (toward -inf), not truncate toward zero, or events 1 µs apart on
+    # either side of the epoch would land in the same bucket.
+    rows = [
+        ("u1", 10.0, 10.0, datetime(1969, 12, 31, 23, 30)),
+        ("u2", 10.0, 10.0, datetime(1969, 12, 31, 23, 45)),
+        ("u3", 10.0, 10.0, datetime(1970, 1, 1, 0, 15)),     # post-epoch
+    ]
+    ev = _ev(spark, rows)
+    got = {
+        (r["user_a"], r["user_b"])
+        for r in colocation_pairs(ev, bucket_us=_HOUR_US).collect()
+    }
+    # u1+u2 share the 23:00-24:00 pre-epoch bucket; u3 is in 00:00-01:00
+    # post-epoch — truncation toward zero would merge all three into
+    # "bucket 0" and emit 3 pairs
+    assert got == {("u1", "u2")}
