@@ -4513,6 +4513,84 @@ WHERE bit_count(xor(a.phash, b.phash)) <= {_PH_MAXHAM}
 
 
 # --------------------------------------------------------------------------
+# E7c — per-tile best-image mosaic selection: the basemap-mosaic
+# primitive (pick the k best geotagged images per map tile, quality
+# ordered, deterministic tie-break) via the SALTED two-phase top-k
+# (operators/skew.py::salted_topk_per_key) so a hot tile (downtown at
+# 10^12 images) never funnels through one reducer.  Quality score is a
+# deterministic proxy (phash popcount ‖ keyed jitter) standing in for a
+# decoded-sharpness metric; the oracle replays phash + geotags exactly
+# and ranks with a plain window (salting is result-invariant).
+# --------------------------------------------------------------------------
+
+_MOSAIC_K = 3
+_MOSAIC_LEVEL = 3  # 8x8 world grid -> multiple images per tile at sf0.01
+
+
+def q_mosaic_topk(spark, sf_dir):
+    from gotrackmaster_spark.operators.images import synthesize_images
+    from gotrackmaster_spark.operators.skew import salted_topk_per_key
+
+    imgs = synthesize_images(spark, sf_dir, w=_IMG_W, h=_IMG_H)
+    scored = imgs.select(
+        "image_id",
+        cell_col(F.col("lat"), F.col("lon"), _MOSAIC_LEVEL).alias("tile"),
+        (
+            F.bit_count(F.col("phash")).cast("long") * 10000
+            + (F.col("img_key") * 48271) % 10000
+        ).alias("score"),
+        F.length("caption").cast("int").alias("caption_len"),
+    )
+    top = salted_topk_per_key(
+        scored,
+        ["tile"],
+        [F.col("score").desc(), F.col("image_id").asc()],
+        k=_MOSAIC_K,
+        n_salt=8,
+        salt_by="image_id",
+        rank_col="mosaic_rank",
+    )
+    return top.select(
+        "tile",
+        F.col("mosaic_rank").cast("int").alias("mosaic_rank"),
+        "image_id",
+        "score",
+        "caption_len",
+    )
+
+
+SQL_MOSAIC_TOPK = f"""
+WITH base_bs AS (
+  SELECT doc_id, length(text) AS caption_len, {_phash_bs_sql(_PIX_F)} AS bs
+  FROM documents
+),
+base AS (
+  SELECT doc_id, caption_len,
+         format('img{{:08d}}', doc_id) AS image_id, {_PHASH_FROM_BS} AS phash
+  FROM (SELECT doc_id, caption_len, bs, list_sum(bs) AS tot FROM base_bs)
+),
+scored AS (
+  SELECT image_id,
+         {cell_sql('lat', 'lon', _MOSAIC_LEVEL)} AS tile,
+         CAST(bit_count(phash) AS BIGINT) * 10000 + (doc_id * 48271) % 10000 AS score,
+         CAST(caption_len AS INT) AS caption_len
+  FROM (
+    SELECT image_id, phash, doc_id, caption_len,
+           ((doc_id * 2654435761) % 1600000) / 10000.0 - 80.0 AS lat,
+           ((doc_id * 40503 + 7) % 3600000) / 10000.0 - 180.0 AS lon
+    FROM base
+  )
+)
+SELECT tile,
+       CAST(row_number() OVER (PARTITION BY tile ORDER BY score DESC, image_id) AS INT)
+         AS mosaic_rank,
+       image_id, score, caption_len
+FROM scored
+QUALIFY mosaic_rank <= {_MOSAIC_K}
+"""
+
+
+# --------------------------------------------------------------------------
 # E9 — spatiotemporal co-location: distinct users in the same coarse
 # cell within the same 1-day bucket (occupancy dedup → self equi-join
 # on the composite key → pair aggregate).  Oracle replays the cell

@@ -78,3 +78,51 @@ def write_bucketed(
     if sort:
         w = w.sortBy(bucket_col)
     w.saveAsTable(table)
+
+
+def salted_topk_per_key(
+    df: DataFrame,
+    key_cols: list[str],
+    order_by: list,
+    k: int,
+    n_salt: int = 16,
+    salt_by: str | None = None,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Exact per-key top-k with the hot key's sort spread over ``n_salt``
+    reducers — the mosaic-selection / leaderboard primitive at web scale.
+
+    A plain ``row_number() OVER (PARTITION BY key ORDER BY ...)`` funnels
+    EVERY row of a key through one reducer; at 10^12 images a popular map
+    tile holds billions of rows and that single task spills or dies.  Two
+    phases fix it without changing the result:
+
+    1. partition on ``(key, salt)`` (salt = ``pmod(hash(salt_by), S)``,
+       deterministic when ``salt_by`` is given) and keep each subgroup's
+       top-k — the hot key's sort now spreads over S reducers and at most
+       ``S * k`` rows per key survive;
+    2. re-rank the survivors on ``key`` alone — a shuffle of ``S * k``
+       rows per key, trivially bounded.
+
+    Phase 1 is lossless: the global top-k of a key is a subset of the
+    union of its per-salt top-k (each global winner wins its own salt
+    bucket too).  ``order_by`` must be a TOTAL order (break ties — e.g.
+    append the id column ascending) or ranks are nondeterministic, same
+    contract as the plain window.
+    """
+    from pyspark.sql import Window
+
+    if k < 1 or n_salt < 1:
+        raise ValueError("k and n_salt must be >= 1")
+    src = F.col(salt_by) if salt_by else F.monotonically_increasing_id()
+    salted = df.withColumn("_salt", F.pmod(F.hash(src), F.lit(n_salt)).cast("int"))
+    w1 = Window.partitionBy(*(key_cols + ["_salt"])).orderBy(*order_by)
+    survivors = (
+        salted.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", "_salt")
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(*order_by)
+    return survivors.withColumn(rank_col, F.row_number().over(w2)).filter(
+        F.col(rank_col) <= k
+    )

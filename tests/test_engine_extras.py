@@ -25,6 +25,59 @@ def test_salted_join_equals_plain_join(spark):
     assert salted == plain
 
 
+def test_salted_topk_equals_plain_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gotrackmaster_spark.operators.skew import salted_topk_per_key
+
+    # skewed: key 0 holds 90% of the rows (the hot-tile shape the salt
+    # exists for); score has deliberate ties so the id tie-break matters
+    df = spark.range(20000).select(
+        F.when(F.col("id") % 10 < 9, 0).otherwise((F.col("id") % 7) + 1).alias("k"),
+        F.col("id").alias("pid"),
+        ((F.col("id") * 48271) % 500).alias("score"),
+    )
+    order = [F.col("score").desc(), F.col("pid").asc()]
+    plain = df.withColumn(
+        "rank", F.row_number().over(Window.partitionBy("k").orderBy(*order))
+    ).filter(F.col("rank") <= 5)
+    expected = {(r.k, r.pid, r.score, r.rank) for r in plain.collect()}
+    for n_salt in (1, 4, 16):
+        got = {
+            (r.k, r.pid, r.score, r.rank)
+            for r in salted_topk_per_key(
+                df, ["k"], order, k=5, n_salt=n_salt, salt_by="pid"
+            ).collect()
+        }
+        assert got == expected, f"n_salt={n_salt}"
+
+
+def test_salted_topk_phase2_input_is_bounded(spark):
+    """Phase 1 must leave at most n_salt*k rows per key for the re-rank."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gotrackmaster_spark.operators.skew import salted_topk_per_key
+
+    df = spark.range(50000).select(
+        F.lit(0).alias("k"), F.col("id").alias("pid"), F.col("id").alias("score")
+    )
+    order = [F.col("score").desc(), F.col("pid").asc()]
+    n_salt, k = 8, 3
+    salted = df.withColumn(
+        "_salt", F.pmod(F.hash(F.col("pid")), F.lit(n_salt)).cast("int")
+    )
+    w1 = Window.partitionBy("k", "_salt").orderBy(*order)
+    survivors = salted.withColumn("_rn", F.row_number().over(w1)).filter(
+        F.col("_rn") <= k
+    )
+    assert survivors.count() <= n_salt * k
+    # and the end-to-end result is still the exact top-k
+    top = salted_topk_per_key(df, ["k"], order, k=k, n_salt=n_salt, salt_by="pid")
+    assert [r.pid for r in top.orderBy("rank").collect()] == [49999, 49998, 49997]
+
+
 def test_checkpoint_commit_resume(spark, tmp_path):
     from pyspark.sql import functions as F
 
