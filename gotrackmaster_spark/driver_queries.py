@@ -1926,6 +1926,20 @@ FROM tagged GROUP BY tile
 """
 
 
+_ZONAL_PREV_CACHE: list = []  # previous zonal_image_stats call's stats cache
+
+
+def _bound_zonal_cache(df):
+    """Bounded-lifetime cache (same policy as dedup._bounded_cache): evict
+    the previous call's decoded-stats table so bench/parity loops in one
+    JVM don't accumulate storage blocks."""
+    while _ZONAL_PREV_CACHE:
+        _ZONAL_PREV_CACHE.pop().unpersist(blocking=False)
+    df = df.cache()
+    _ZONAL_PREV_CACHE.append(df)
+    return df
+
+
 def q_zonal_image_stats(spark, sf_dir):
     """E2×E7 — zonal statistics over the IMAGE PAYLOAD: geotagged images
     PIP-joined against the polygon layer, per-polygon pixel/caption
@@ -1943,6 +1957,11 @@ def q_zonal_image_stats(spark, sf_dir):
         "image_id", "pixel_sum", "caption_len",
         g_lat.alias("lat"), g_lon.alias("lon"),
     )
+    # the PIP union (full-cell branch + boundary-refine branch) references
+    # the points subtree twice — cache the DECODED-stats rows (24 B/row,
+    # payload bytes already dropped) so the decode chain runs once, with
+    # the same bounded-lifetime policy as dedup/images (evict on next call)
+    pts = _bound_zonal_cache(pts)
     hits = point_in_polygon_join(pts, rect_polygons(spark, sf_dir), level=7)
     return hits.groupBy("poly_id").agg(
         F.count("*").alias("n_images"),
