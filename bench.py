@@ -137,6 +137,7 @@ def bench_queries():
         "terrain_stats": Q.q_terrain_stats,
         "colocation_pairs": Q.q_colocation_pairs,
         "geo_phash_near_dups": Q.q_geo_phash_near_dups,
+        "mosaic_topk": Q.q_mosaic_topk,
     }
 
 
