@@ -30,6 +30,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gotrackmaster_spark.caching import make_bounded_cache
 from gotrackmaster_spark.functions.cells import cell_col, cell_sql
 from gotrackmaster_spark.functions.geodesy import (
     bearing_col,
@@ -1926,18 +1927,8 @@ FROM tagged GROUP BY tile
 """
 
 
-_ZONAL_PREV_CACHE: list = []  # previous zonal_image_stats call's stats cache
-
-
-def _bound_zonal_cache(df):
-    """Bounded-lifetime cache (same policy as dedup._bounded_cache): evict
-    the previous call's decoded-stats table so bench/parity loops in one
-    JVM don't accumulate storage blocks."""
-    while _ZONAL_PREV_CACHE:
-        _ZONAL_PREV_CACHE.pop().unpersist(blocking=False)
-    df = df.cache()
-    _ZONAL_PREV_CACHE.append(df)
-    return df
+# decoded-stats cache slot with bounded lifetime (policy: caching.py)
+_bound_zonal_cache = make_bounded_cache()
 
 
 def q_zonal_image_stats(spark, sf_dir):

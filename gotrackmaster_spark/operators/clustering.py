@@ -60,20 +60,11 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from gotrackmaster_spark.caching import make_bounded_cache
 from gotrackmaster_spark.operators.graph import connected_components
 
-_NBR_PREV_CACHE: list = []  # previous dbscan call's pair-table cache
-
-
-def _bound_nbr_cache(df: DataFrame) -> DataFrame:
-    """Cache with bounded lifetime (same policy as dedup._bounded_cache /
-    images._bound_sig_cache): evict the previous call's pair table so
-    bench/parity loops in one JVM don't accumulate storage blocks."""
-    while _NBR_PREV_CACHE:
-        _NBR_PREV_CACHE.pop().unpersist(blocking=False)
-    df = df.persist()
-    _NBR_PREV_CACHE.append(df)
-    return df
+# pair-table cache slot with bounded lifetime (policy: caching.py)
+_bound_nbr_cache = make_bounded_cache()
 
 
 def dbscan(

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from gotrackmaster_spark.caching import make_bounded_cache
 from gotrackmaster_spark.functions.text import (
     LSH_BANDS,
     MINHASH_AB,
@@ -37,18 +38,8 @@ from gotrackmaster_spark.functions.text import (
     shingles_sql,
 )
 
-_SHINGLE_PREV_CACHE: list = []  # previous call's cached shingle table
-
-
-def _bounded_cache(df: DataFrame) -> DataFrame:
-    """Cache with bounded lifetime: evict the previous call's cached
-    shingle table so repeated invocations in one JVM (bench/CLI loops)
-    don't accumulate session-lifetime storage blocks."""
-    while _SHINGLE_PREV_CACHE:
-        _SHINGLE_PREV_CACHE.pop().unpersist(blocking=False)
-    df = df.cache()
-    _SHINGLE_PREV_CACHE.append(df)
-    return df
+# shingle-table cache slot with bounded lifetime (policy: caching.py)
+_bounded_cache = make_bounded_cache()
 
 
 # ------------------------------------------------------------ exact dedup ---

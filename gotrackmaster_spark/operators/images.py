@@ -27,6 +27,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gotrackmaster_spark.caching import make_bounded_cache
 from gotrackmaster_spark.functions.png import decode_png, encode_png
 
 _PIX_A = 31
@@ -146,18 +147,8 @@ def synthesize_images(
     )
 
 
-_SIG_PREV_CACHE: list = []  # previous phash_near_dups call's signature cache
-
-
-def _bound_sig_cache(df: DataFrame) -> DataFrame:
-    """Cache with bounded lifetime (same policy as dedup._bounded_cache):
-    evict the previous call's signatures so bench/CLI loops in one JVM
-    don't accumulate storage blocks."""
-    while _SIG_PREV_CACHE:
-        _SIG_PREV_CACHE.pop().unpersist(blocking=False)
-    df = df.cache()
-    _SIG_PREV_CACHE.append(df)
-    return df
+# phash-signature cache slot with bounded lifetime (policy: caching.py)
+_bound_sig_cache = make_bounded_cache()
 
 
 _VAR_DELTA = 8

@@ -112,17 +112,33 @@ def salted_topk_per_key(
     """
     from pyspark.sql import Window
 
+    survivors = _topk_phase1_survivors(df, key_cols, order_by, k, n_salt, salt_by)
+    w2 = Window.partitionBy(*key_cols).orderBy(*order_by)
+    return survivors.withColumn(rank_col, F.row_number().over(w2)).filter(
+        F.col(rank_col) <= k
+    )
+
+
+def _topk_phase1_survivors(
+    df: DataFrame,
+    key_cols: list[str],
+    order_by: list,
+    k: int,
+    n_salt: int,
+    salt_by: str | None,
+) -> DataFrame:
+    """Phase 1 of ``salted_topk_per_key``: per-(key, salt) top-k — at most
+    ``n_salt * k`` rows per key survive (the bound the phase-2 re-rank
+    relies on; pinned directly by tests/test_engine_extras.py)."""
+    from pyspark.sql import Window
+
     if k < 1 or n_salt < 1:
         raise ValueError("k and n_salt must be >= 1")
     src = F.col(salt_by) if salt_by else F.monotonically_increasing_id()
     salted = df.withColumn("_salt", F.pmod(F.hash(src), F.lit(n_salt)).cast("int"))
     w1 = Window.partitionBy(*(key_cols + ["_salt"])).orderBy(*order_by)
-    survivors = (
+    return (
         salted.withColumn("_rn", F.row_number().over(w1))
         .filter(F.col("_rn") <= k)
         .drop("_rn", "_salt")
-    )
-    w2 = Window.partitionBy(*key_cols).orderBy(*order_by)
-    return survivors.withColumn(rank_col, F.row_number().over(w2)).filter(
-        F.col(rank_col) <= k
     )

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 _LOG = logging.getLogger(__name__)
 
+from gotrackmaster_spark.caching import make_bounded_cache
 from gotrackmaster_spark.functions.cells import (
     cell_col,
     cell_np,
@@ -382,8 +383,9 @@ def point_in_polygon_anti(
 _M_PER_DEG = math.pi * 6371000.0 / 180.0  # meridian meters/degree on the R=6371km sphere
 
 
-_KNN_PREV_CACHE: list = []  # previous call's persisted top-k (bounded leak)
-_DUP_PREV_CACHE: list = []  # previous duplicate call's cached summaries
+# cache slots with bounded lifetime (policy: caching.py)
+_bound_knn_cache = make_bounded_cache()  # previous call's persisted top-k
+_bound_dup_cache = make_bounded_cache()  # previous duplicate call's summaries
 
 
 def _knn_phase1(
@@ -593,12 +595,9 @@ def _rank_with_exact_fallback(
     # (the returned DataFrame reads it), so lifetime is bounded instead:
     # each call unpersists the PREVIOUS call's cache (repeated bench/CLI
     # invocations in one JVM no longer accumulate session-lifetime blocks).
-    while _KNN_PREV_CACHE:
-        _KNN_PREV_CACHE.pop().unpersist(blocking=False)
-    ranked = cand.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
-    ).persist()
-    _KNN_PREV_CACHE.append(ranked)
+    ranked = _bound_knn_cache(
+        cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    )
 
     # Exactness gate: the k-th distance must sit inside the per-query
     # guarantee radius (beyond which no non-candidate can lie); the
@@ -978,10 +977,7 @@ def duplicate_pairs_full(
     # cache: the (track-level, small) summary feeds up to 4 consumers (two
     # band joins + both verify sides); bounded lifetime — each call evicts
     # the previous call's cache, same pattern as knn_join.
-    while _DUP_PREV_CACHE:
-        _DUP_PREV_CACHE.pop().unpersist(blocking=False)
-    s = s.cache()
-    _DUP_PREV_CACHE.append(s)
+    s = _bound_dup_cache(s)
 
     cands = []
     if start_diff:

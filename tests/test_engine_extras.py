@@ -54,24 +54,21 @@ def test_salted_topk_equals_plain_window(spark):
 
 
 def test_salted_topk_phase2_input_is_bounded(spark):
-    """Phase 1 must leave at most n_salt*k rows per key for the re-rank."""
-    from pyspark.sql import Window
+    """Phase 1 must leave at most n_salt*k rows per key for the re-rank —
+    asserted on the operator's OWN phase-1 intermediate, not a replica."""
     from pyspark.sql import functions as F
 
-    from gotrackmaster_spark.operators.skew import salted_topk_per_key
+    from gotrackmaster_spark.operators.skew import (
+        _topk_phase1_survivors,
+        salted_topk_per_key,
+    )
 
     df = spark.range(50000).select(
         F.lit(0).alias("k"), F.col("id").alias("pid"), F.col("id").alias("score")
     )
     order = [F.col("score").desc(), F.col("pid").asc()]
     n_salt, k = 8, 3
-    salted = df.withColumn(
-        "_salt", F.pmod(F.hash(F.col("pid")), F.lit(n_salt)).cast("int")
-    )
-    w1 = Window.partitionBy("k", "_salt").orderBy(*order)
-    survivors = salted.withColumn("_rn", F.row_number().over(w1)).filter(
-        F.col("_rn") <= k
-    )
+    survivors = _topk_phase1_survivors(df, ["k"], order, k, n_salt, "pid")
     assert survivors.count() <= n_salt * k
     # and the end-to-end result is still the exact top-k
     top = salted_topk_per_key(df, ["k"], order, k=k, n_salt=n_salt, salt_by="pid")
