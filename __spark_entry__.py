@@ -79,9 +79,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     2. then queries whose implementation changed since their last green row;
     3. then the rest of the oracle-backed suite;
     4. overflow past 50 = queries whose implementing functions are
-       untouched since their most recent green driver row, followed by
-       the two deliberately rows-only kernel composites; every entry is
-       additionally pinned locally each session by
+       untouched since their most recent green driver row, or whose
+       core callees are redundantly exercised by in-window queries
+       (e.g. `pip_counts` past 50: point_in_polygon_join is driven by
+       `pip_antijoin`, `geofence_entries` and the flagship `entry()`),
+       followed by the two deliberately rows-only kernel composites;
+       every entry is additionally pinned locally each session by
        tests/test_oracle_parity.py.
     """
     return {
