@@ -4601,6 +4601,93 @@ QUALIFY mosaic_rank <= {_MOSAIC_K}
 
 
 # --------------------------------------------------------------------------
+# E10 — map-matching: snap every event to its nearest ROAD SEGMENT
+# within 0.5° (planar contract), then per-segment roll-up — the
+# trajectory→road-network join via `spatial.map_match_join` (broadcast
+# expanded-bbox grid covering, codegen clamped-projection distance,
+# struct-min argmin — points shuffle once, on the argmin key).  The
+# oracle replays the segment synthesis and distance exactly and picks
+# the same (dist, seg_id)-ordered winner with a window.
+# --------------------------------------------------------------------------
+
+_MM_N_SEGS = 600
+_MM_RADIUS = 0.5
+_MM_GRID = 0.5
+
+
+def road_segments(spark):
+    """Deterministic synthetic road network: short segments (≤0.1° per
+    axis) spread over the event region, exact-integer formulas."""
+    s = F.col("id")
+    x0 = (s * 7919) % 3600 / 10.0 - 180.0
+    y0 = (s * 104729) % 1500 / 10.0 - 75.0
+    dx = ((s * 131) % 21 - 10) / 100.0
+    dy = ((s * 137) % 21 - 10) / 100.0
+    return spark.range(_MM_N_SEGS).select(
+        s.alias("seg_id"),
+        x0.alias("x0"),
+        y0.alias("y0"),
+        (x0 + dx).alias("x1"),
+        (y0 + dy).alias("y1"),
+    )
+
+
+def q_map_match(spark, sf_dir):
+    from gotrackmaster_spark.operators.spatial import map_match_join
+
+    pts = geo_events(spark, sf_dir).select("event_id", "lat", "lon")
+    best = map_match_join(
+        pts, road_segments(spark), radius_deg=_MM_RADIUS, grid_deg=_MM_GRID
+    )
+    return best.groupBy("seg_id").agg(
+        F.count("*").alias("n_matched"),
+        F.round(F.sum("dist_deg"), 4).alias("sum_dist_r"),
+    )
+
+
+SQL_MAP_MATCH = f"""
+WITH {GEO_CTE},
+segs AS (
+  SELECT s AS seg_id,
+         ((s * 7919) % 3600) / 10.0 - 180.0 AS x0,
+         ((s * 104729) % 1500) / 10.0 - 75.0 AS y0,
+         ((s * 7919) % 3600) / 10.0 - 180.0 + (((s * 131) % 21) - 10) / 100.0 AS x1,
+         ((s * 104729) % 1500) / 10.0 - 75.0 + (((s * 137) % 21) - 10) / 100.0 AS y1
+  FROM range({_MM_N_SEGS}) t(s)
+),
+cand0 AS (
+  SELECT g.event_id, s.seg_id, g.lon AS px, g.lat AS py,
+         s.x0, s.y0, s.x1 - s.x0 AS dx, s.y1 - s.y0 AS dy
+  FROM geo g JOIN segs s
+    ON g.lon BETWEEN least(s.x0, s.x1) - {_MM_RADIUS} AND greatest(s.x0, s.x1) + {_MM_RADIUS}
+   AND g.lat BETWEEN least(s.y0, s.y1) - {_MM_RADIUS} AND greatest(s.y0, s.y1) + {_MM_RADIUS}
+),
+cand1 AS (
+  SELECT event_id, seg_id, px, py, x0, y0, dx, dy,
+         CASE WHEN dx * dx + dy * dy = 0 THEN 0.0
+              ELSE greatest(0.0, least(1.0,
+                   ((px - x0) * dx + (py - y0) * dy) / (dx * dx + dy * dy)))
+         END AS t
+  FROM cand0
+),
+cand AS (
+  SELECT event_id, seg_id,
+         round(sqrt((px - (x0 + t * dx)) * (px - (x0 + t * dx))
+                  + (py - (y0 + t * dy)) * (py - (y0 + t * dy))), 7) AS dist_r
+  FROM cand1
+),
+best AS (
+  SELECT event_id, seg_id, dist_r,
+         row_number() OVER (PARTITION BY event_id ORDER BY dist_r, seg_id) AS rn
+  FROM cand WHERE dist_r <= {_MM_RADIUS}
+)
+SELECT seg_id, count(*) AS n_matched, round(sum(dist_r), 4) AS sum_dist_r
+FROM best WHERE rn = 1
+GROUP BY seg_id
+"""
+
+
+# --------------------------------------------------------------------------
 # E9 — spatiotemporal co-location: distinct users in the same coarse
 # cell within the same 1-day bucket (occupancy dedup → self equi-join
 # on the composite key → pair aggregate).  Oracle replays the cell

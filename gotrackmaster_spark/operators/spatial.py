@@ -1263,3 +1263,86 @@ def colocation_pairs(
         .groupBy("user_a", "user_b")
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+def map_match_join(
+    points: DataFrame,
+    segments: DataFrame,
+    radius_deg: float,
+    grid_deg: float,
+    id_col: str = "event_id",
+    seg_id_col: str = "seg_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Map-matching: snap each point to its nearest road SEGMENT within
+    ``radius_deg`` — the trajectory→road-network join (nearest segment by
+    perpendicular/clamped projection, NOT nearest endpoint).
+
+    ``segments`` carries ``(seg_id, x0, y0, x1, y1)`` (lon/lat endpoints).
+    The metric is PLANAR degrees on raw coordinates (same contract as
+    ``operators/clustering.dbscan``): callers at geographic scale pass
+    projected or equirectangular-scaled coordinates.
+
+    Plan at scale (the shape that survives 10^12 points vs an O(10^7)-row
+    road network):
+
+    1. each segment's bbox, expanded by the radius, explodes to its
+       covering cells on a ``grid_deg`` lattice — bounded fan-out
+       ((len/g + 2)² cells) on the SMALL side, which is then broadcast;
+    2. points compute one grid key (codegen floor math) and hash-join the
+       broadcast covering — the points side is never shuffled for the join;
+    3. the clamped-projection distance ``|p - (a + t·(b-a))|, t ∈ [0,1]``
+       is whole-stage codegen; candidates farther than the radius drop;
+    4. per-point argmin = ``min(struct(dist_r, seg_id))`` — map-side
+       combinable partial aggregate, ONE exchange on the point id; ties
+       break deterministically on the smaller ``seg_id`` (the struct
+       comparison), mirroring the oracle's (dist, seg_id) ordering.
+
+    Distances are rounded to 7 dp BEFORE the argmin so a last-ULP
+    cross-engine difference cannot reorder the ranking (repo determinism
+    rule), and the radius test uses the same rounded value.
+
+    Output: one row per matched point — ``id_col``, ``seg_id_col``,
+    ``dist_deg`` (rounded).  Unmatched points simply produce no row
+    (absence = no road within radius, same convention as the PIP join).
+    """
+    g = float(grid_deg)
+    r = float(radius_deg)
+    x0, y0 = F.col("x0"), F.col("y0")
+    x1, y1 = F.col("x1"), F.col("y1")
+    lo_x = F.floor((F.least(x0, x1) - r) / g).cast("long")
+    hi_x = F.floor((F.greatest(x0, x1) + r) / g).cast("long")
+    lo_y = F.floor((F.least(y0, y1) - r) / g).cast("long")
+    hi_y = F.floor((F.greatest(y0, y1) + r) / g).cast("long")
+    cov = (
+        segments.withColumn("gx", F.explode(F.sequence(lo_x, hi_x)))
+        .withColumn("gy", F.explode(F.sequence(lo_y, hi_y)))
+    )
+    pts = points.withColumn(
+        "gx", F.floor(F.col(lon_col) / g).cast("long")
+    ).withColumn("gy", F.floor(F.col(lat_col) / g).cast("long"))
+    j = pts.join(F.broadcast(cov), ["gx", "gy"])
+
+    px, py = F.col(lon_col), F.col(lat_col)
+    dx, dy = F.col("x1") - F.col("x0"), F.col("y1") - F.col("y0")
+    den = dx * dx + dy * dy
+    t_raw = ((px - F.col("x0")) * dx + (py - F.col("y0")) * dy) / den
+    t = F.when(den == 0, F.lit(0.0)).otherwise(
+        F.least(F.greatest(t_raw, F.lit(0.0)), F.lit(1.0))
+    )
+    cx, cy = F.col("x0") + t * dx, F.col("y0") + t * dy
+    dist_r = F.round(
+        F.sqrt((px - cx) * (px - cx) + (py - cy) * (py - cy)), 7
+    )
+    best = (
+        j.withColumn("__dist_r", dist_r)
+        .filter(F.col("__dist_r") <= r)
+        .groupBy(id_col)
+        .agg(F.min(F.struct(F.col("__dist_r"), F.col(seg_id_col))).alias("__best"))
+    )
+    return best.select(
+        id_col,
+        F.col(f"__best.{seg_id_col}").alias(seg_id_col),
+        F.col("__best.__dist_r").alias("dist_deg"),
+    )
