@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_stats": _wrap(Q.q_turn_stats),
         "mosaic_topk": _wrap(Q.q_mosaic_topk),
         "map_match": _wrap(Q.q_map_match),
+        "seg_intersections": _wrap(Q.q_seg_intersections),
         # -- block 2: code touched since the last green row (scale fixes)
         "jaccard_pairs": _wrap(Q.q_jaccard_pairs),
         "minhash_band_pairs": _wrap(Q.q_minhash_band_pairs),
@@ -235,6 +236,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_phash_near_dups": Q.SQL_GEO_PHASH_NEAR_DUPS,
         "mosaic_topk": Q.SQL_MOSAIC_TOPK,
         "map_match": Q.SQL_MAP_MATCH,
+        "seg_intersections": Q.SQL_SEG_INTERSECTIONS,
         "colocation_pairs": Q.SQL_COLOCATION_PAIRS,
         "idw_interpolation": Q.SQL_IDW_INTERPOLATION,
         "compact_cells": Q.SQL_COMPACT_CELLS,

@@ -4688,6 +4688,79 @@ GROUP BY seg_id
 
 
 # --------------------------------------------------------------------------
+# E10b — segment-intersection self-join: proper crossings in a dense
+# synthetic road network (`spatial.segment_intersection_join`) — grid
+# equi-join candidates (shared covering cell; never all-pairs),
+# orientation-test predicate and parametric crossing point in codegen.
+# The oracle brute-forces all pairs with the identical predicate (the
+# predicate implies bbox overlap implies a shared cell, so candidate
+# topology cannot change the answer).
+# --------------------------------------------------------------------------
+
+_SI_N_SEGS = 500
+_SI_GRID = 0.5
+
+
+def dense_road_segments(spark):
+    """Deterministic dense network in a 10°×10° region (segments ≤0.5°
+    per axis) — enough crossings for a non-degenerate intersection set.
+    The y/dy formulas carry a QUADRATIC term: with linear congruences
+    only, (x0, y0) fall on a rank-1 lattice whose line spacing exceeds
+    the segment length and the network has zero crossings."""
+    s = F.col("id")
+    x0 = (s * 7919) % 1000 / 100.0
+    y0 = (s * s * 61 + s * 104729) % 1000 / 100.0
+    dx = ((s * 131) % 21 - 10) / 20.0
+    dy = ((s * s * 7 + s * 137) % 21 - 10) / 20.0
+    return spark.range(_SI_N_SEGS).select(
+        s.alias("seg_id"),
+        x0.alias("x0"),
+        y0.alias("y0"),
+        (x0 + dx).alias("x1"),
+        (y0 + dy).alias("y1"),
+    )
+
+
+def q_seg_intersections(spark, sf_dir):
+    from gotrackmaster_spark.operators.spatial import segment_intersection_join
+
+    return segment_intersection_join(dense_road_segments(spark), grid_deg=_SI_GRID)
+
+
+SQL_SEG_INTERSECTIONS = f"""
+WITH segs AS (
+  SELECT s AS seg_id,
+         ((s * 7919) % 1000) / 100.0 AS x0,
+         ((s * s * 61 + s * 104729) % 1000) / 100.0 AS y0,
+         ((s * 7919) % 1000) / 100.0 + (((s * 131) % 21) - 10) / 20.0 AS x1,
+         ((s * s * 61 + s * 104729) % 1000) / 100.0 + (((s * s * 7 + s * 137) % 21) - 10) / 20.0 AS y1
+  FROM range({_SI_N_SEGS}) t(s)
+),
+pairs AS (
+  SELECT a.seg_id AS seg_a, b.seg_id AS seg_b,
+         a.x0 AS ax, a.y0 AS ay, a.x1 AS bx, a.y1 AS by,
+         b.x0 AS cx, b.y0 AS cy, b.x1 AS dx, b.y1 AS dy
+  FROM segs a JOIN segs b ON a.seg_id < b.seg_id
+),
+tested AS (
+  SELECT seg_a, seg_b, ax, ay, bx, by, cx, cy, dx, dy,
+         (bx - ax) * (cy - ay) - (by - ay) * (cx - ax) AS d1,
+         (bx - ax) * (dy - ay) - (by - ay) * (dx - ax) AS d2,
+         (dx - cx) * (ay - cy) - (dy - cy) * (ax - cx) AS d3,
+         (dx - cx) * (by - cy) - (dy - cy) * (bx - cx) AS d4
+  FROM pairs
+)
+SELECT seg_a, seg_b,
+       round(ax + (((cx - ax) * (dy - cy) - (cy - ay) * (dx - cx))
+                 / ((bx - ax) * (dy - cy) - (by - ay) * (dx - cx))) * (bx - ax), 6) AS ix_r,
+       round(ay + (((cx - ax) * (dy - cy) - (cy - ay) * (dx - cx))
+                 / ((bx - ax) * (dy - cy) - (by - ay) * (dx - cx))) * (by - ay), 6) AS iy_r
+FROM tested
+WHERE d1 * d2 < 0 AND d3 * d4 < 0
+"""
+
+
+# --------------------------------------------------------------------------
 # E9 — spatiotemporal co-location: distinct users in the same coarse
 # cell within the same 1-day bucket (occupancy dedup → self equi-join
 # on the composite key → pair aggregate).  Oracle replays the cell

@@ -1346,3 +1346,80 @@ def map_match_join(
         F.col(f"__best.{seg_id_col}").alias(seg_id_col),
         F.col("__best.__dist_r").alias("dist_deg"),
     )
+
+
+def segment_intersection_join(
+    segments: DataFrame,
+    grid_deg: float,
+    seg_id_col: str = "seg_id",
+) -> DataFrame:
+    """Segment↔segment PROPER-intersection self-join — the road-network
+    topology operator (crossing detection), planar contract.
+
+    ``segments`` carries ``(seg_id, x0, y0, x1, y1)``.  Candidates come
+    from the shared covering grid cell (two segments whose bboxes
+    overlap always share a cell of either bbox's covering — same
+    lossless argument as the polygon-overlap join), so the self-join is
+    a cell equi-join, never all-pairs; multi-cell duplicate pairs
+    collapse with one distinct.  The predicate is the classic
+    orientation test — segments AB and CD properly cross iff C and D
+    lie strictly on opposite sides of AB AND A and B lie strictly on
+    opposite sides of CD (collinear/touching pairs are excluded by
+    contract: "proper" crossings only, which keeps the predicate free
+    of epsilon tuning and exactly replayable in SQL).
+
+    Output: ``(seg_a, seg_b, ix_r, iy_r)`` with ``seg_a < seg_b`` and
+    the intersection point rounded to 6 dp (parametric form
+    ``A + t·(B−A)``, ``t = ((C−A)×(D−C)) / ((B−A)×(D−C))``; the proper
+    test guarantees a nonzero denominator).
+    """
+    g = float(grid_deg)
+    lo_x = F.floor(F.least(F.col("x0"), F.col("x1")) / g).cast("long")
+    hi_x = F.floor(F.greatest(F.col("x0"), F.col("x1")) / g).cast("long")
+    lo_y = F.floor(F.least(F.col("y0"), F.col("y1")) / g).cast("long")
+    hi_y = F.floor(F.greatest(F.col("y0"), F.col("y1")) / g).cast("long")
+    cov = (
+        segments.withColumn("gx", F.explode(F.sequence(lo_x, hi_x)))
+        .withColumn("gy", F.explode(F.sequence(lo_y, hi_y)))
+    )
+    a = cov.select(
+        F.col(seg_id_col).alias("seg_a"),
+        F.col("x0").alias("ax"), F.col("y0").alias("ay"),
+        F.col("x1").alias("bx"), F.col("y1").alias("by"),
+        "gx", "gy",
+    )
+    b = cov.select(
+        F.col(seg_id_col).alias("seg_b"),
+        F.col("x0").alias("cx"), F.col("y0").alias("cy"),
+        F.col("x1").alias("dx_"), F.col("y1").alias("dy_"),
+        "gx", "gy",
+    )
+
+    def cross(px, py, qx, qy, rx, ry):
+        return (qx - px) * (ry - py) - (qy - py) * (rx - px)
+
+    ax, ay = F.col("ax"), F.col("ay")
+    bx, by = F.col("bx"), F.col("by")
+    cx, cy = F.col("cx"), F.col("cy")
+    dx, dy = F.col("dx_"), F.col("dy_")
+    d1 = cross(ax, ay, bx, by, cx, cy)   # C vs AB
+    d2 = cross(ax, ay, bx, by, dx, dy)   # D vs AB
+    d3 = cross(cx, cy, dx, dy, ax, ay)   # A vs CD
+    d4 = cross(cx, cy, dx, dy, bx, by)   # B vs CD
+    proper = (d1 * d2 < 0) & (d3 * d4 < 0)
+
+    denom = (bx - ax) * (dy - cy) - (by - ay) * (dx - cx)
+    t = ((cx - ax) * (dy - cy) - (cy - ay) * (dx - cx)) / denom
+    pairs = (
+        a.join(b, ["gx", "gy"])
+        .filter(F.col("seg_a") < F.col("seg_b"))
+        .filter(proper)
+        .select(
+            "seg_a",
+            "seg_b",
+            F.round(ax + t * (bx - ax), 6).alias("ix_r"),
+            F.round(ay + t * (by - ay), 6).alias("iy_r"),
+        )
+        .distinct()
+    )
+    return pairs

@@ -98,3 +98,48 @@ def test_plan_broadcasts_covering_and_never_shuffles_points_pre_join(spark):
     # side reaches the join shuffle-free
     keys = re.findall(r"Exchange hashpartitioning\((\w+)", plan)
     assert all(k.startswith("event_id") for k in keys), keys
+
+
+def _si(spark, rows):
+    from gotrackmaster_spark.operators.spatial import segment_intersection_join
+
+    segs = _segs(spark, rows)
+    return segment_intersection_join(segs, grid_deg=1.0).collect()
+
+
+def test_proper_crossing_detected_with_exact_point(spark):
+    # X shape crossing at (0.5, 0.5)
+    rows = _si(spark, [(1, 0.0, 0.0, 1.0, 1.0), (2, 0.0, 1.0, 1.0, 0.0)])
+    assert [(r.seg_a, r.seg_b, r.ix_r, r.iy_r) for r in rows] == [(1, 2, 0.5, 0.5)]
+
+
+def test_touching_and_collinear_are_not_proper(spark):
+    # T: seg 2 ENDS on seg 1 (touch); seg 3 collinear-overlaps seg 1;
+    # seg 4 is parallel and disjoint — none are proper crossings of 1
+    rows = _si(
+        spark,
+        [
+            (1, 0.0, 0.0, 1.0, 0.0),
+            (2, 0.5, 0.0, 0.5, 1.0),   # endpoint ON seg 1 -> d on-line -> excluded
+            (3, 0.5, 0.0, 2.0, 0.0),   # collinear overlap -> cross products 0
+            (4, 0.0, 0.5, 1.0, 0.5),   # parallel, disjoint
+        ],
+    )
+    pairs = {(r.seg_a, r.seg_b) for r in rows}
+    assert (1, 2) not in pairs and (1, 3) not in pairs and (1, 4) not in pairs
+    # 2 and 4 DO properly cross (at (0.5, 0.5))
+    assert (2, 4) in pairs
+
+
+def test_multi_cell_pair_emits_one_row_and_plan_is_bucketed(spark):
+    from gotrackmaster_spark.operators.spatial import segment_intersection_join
+
+    # long segments spanning many 0.25° cells — the crossing pair appears
+    # in several shared cells but must emit exactly once
+    segs = _segs(spark, [(1, 0.0, 0.0, 2.0, 2.0), (2, 0.0, 2.0, 2.0, 0.0)])
+    out = segment_intersection_join(segs, grid_deg=0.25)
+    rows = out.collect()
+    assert [(r.seg_a, r.seg_b, r.ix_r, r.iy_r) for r in rows] == [(1, 2, 1.0, 1.0)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
