@@ -138,6 +138,7 @@ def bench_queries():
         "colocation_pairs": Q.q_colocation_pairs,
         "geo_phash_near_dups": Q.q_geo_phash_near_dups,
         "mosaic_topk": Q.q_mosaic_topk,
+        "map_match": Q.q_map_match,
     }
 
 
