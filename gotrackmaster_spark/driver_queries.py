@@ -4659,8 +4659,8 @@ cand0 AS (
   SELECT g.event_id, s.seg_id, g.lon AS px, g.lat AS py,
          s.x0, s.y0, s.x1 - s.x0 AS dx, s.y1 - s.y0 AS dy
   FROM geo g JOIN segs s
-    ON g.lon BETWEEN least(s.x0, s.x1) - {_MM_RADIUS} AND greatest(s.x0, s.x1) + {_MM_RADIUS}
-   AND g.lat BETWEEN least(s.y0, s.y1) - {_MM_RADIUS} AND greatest(s.y0, s.y1) + {_MM_RADIUS}
+    ON g.lon BETWEEN least(s.x0, s.x1) - {_MM_RADIUS + 1e-7} AND greatest(s.x0, s.x1) + {_MM_RADIUS + 1e-7}
+   AND g.lat BETWEEN least(s.y0, s.y1) - {_MM_RADIUS + 1e-7} AND greatest(s.y0, s.y1) + {_MM_RADIUS + 1e-7}
 ),
 cand1 AS (
   SELECT event_id, seg_id, px, py, x0, y0, dx, dy,

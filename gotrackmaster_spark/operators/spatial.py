@@ -1265,6 +1265,31 @@ def colocation_pairs(
     )
 
 
+def _segment_grid_covering(
+    segments: DataFrame, grid_deg: float, expand: float = 0.0
+) -> DataFrame:
+    """Explode each ``(x0, y0, x1, y1)`` segment to the grid cells covering
+    its bbox expanded by ``expand`` (Chebyshev) — the shared candidate
+    generator for the map-match and intersection joins.  Fan-out is
+    bounded: ((len + 2·expand)/grid + 2)² cells per segment."""
+    g = float(grid_deg)
+    e = float(expand)
+    lo_x = F.floor((F.least(F.col("x0"), F.col("x1")) - e) / g).cast("long")
+    hi_x = F.floor((F.greatest(F.col("x0"), F.col("x1")) + e) / g).cast("long")
+    lo_y = F.floor((F.least(F.col("y0"), F.col("y1")) - e) / g).cast("long")
+    hi_y = F.floor((F.greatest(F.col("y0"), F.col("y1")) + e) / g).cast("long")
+    return (
+        segments.withColumn("gx", F.explode(F.sequence(lo_x, hi_x)))
+        .withColumn("gy", F.explode(F.sequence(lo_y, hi_y)))
+    )
+
+
+# Covering rows beyond this are no longer broadcast-safe — demote to a
+# shuffled join instead of forcing a multi-GB broadcast build (same cap
+# and rationale as operators/timeseries._BROADCAST_ROW_CAP).
+_MAP_MATCH_BROADCAST_ROW_CAP = 2_000_000
+
+
 def map_match_join(
     points: DataFrame,
     segments: DataFrame,
@@ -1274,6 +1299,7 @@ def map_match_join(
     seg_id_col: str = "seg_id",
     lat_col: str = "lat",
     lon_col: str = "lon",
+    broadcast_segments: bool = True,
 ) -> DataFrame:
     """Map-matching: snap each point to its nearest road SEGMENT within
     ``radius_deg`` — the trajectory→road-network join (nearest segment by
@@ -1301,7 +1327,18 @@ def map_match_join(
 
     Distances are rounded to 7 dp BEFORE the argmin so a last-ULP
     cross-engine difference cannot reorder the ranking (repo determinism
-    rule), and the radius test uses the same rounded value.
+    rule), and the radius test uses the same rounded value.  Because the
+    rounded test admits true distances up to ``radius + 5e-8``, the
+    candidate covering is expanded by ``radius + 1e-7`` — strictly wider
+    than the acceptance region — so a boundary-sliver point can never be
+    accepted by the predicate yet missed by the covering (and any oracle
+    replay must widen its bbox prefilter by the same pad).
+
+    ``broadcast_segments=True`` broadcasts the exploded covering while
+    its estimated row count stays under ``_MAP_MATCH_BROADCAST_ROW_CAP``;
+    above the cap (≳10⁶-segment networks) it silently demotes to a
+    shuffled equi-join — forcing a multi-GB broadcast build is exactly
+    the failure the hint would otherwise cause at road-network scale.
 
     Output: one row per matched point — ``id_col``, ``seg_id_col``,
     ``dist_deg`` (rounded).  Unmatched points simply produce no row
@@ -1309,20 +1346,13 @@ def map_match_join(
     """
     g = float(grid_deg)
     r = float(radius_deg)
-    x0, y0 = F.col("x0"), F.col("y0")
-    x1, y1 = F.col("x1"), F.col("y1")
-    lo_x = F.floor((F.least(x0, x1) - r) / g).cast("long")
-    hi_x = F.floor((F.greatest(x0, x1) + r) / g).cast("long")
-    lo_y = F.floor((F.least(y0, y1) - r) / g).cast("long")
-    hi_y = F.floor((F.greatest(y0, y1) + r) / g).cast("long")
-    cov = (
-        segments.withColumn("gx", F.explode(F.sequence(lo_x, hi_x)))
-        .withColumn("gy", F.explode(F.sequence(lo_y, hi_y)))
-    )
+    cov = _segment_grid_covering(segments, g, expand=r + 1e-7)
     pts = points.withColumn(
         "gx", F.floor(F.col(lon_col) / g).cast("long")
     ).withColumn("gy", F.floor(F.col(lat_col) / g).cast("long"))
-    j = pts.join(F.broadcast(cov), ["gx", "gy"])
+    if broadcast_segments and cov.count() <= _MAP_MATCH_BROADCAST_ROW_CAP:
+        cov = F.broadcast(cov)
+    j = pts.join(cov, ["gx", "gy"])
 
     px, py = F.col(lon_col), F.col(lat_col)
     dx, dy = F.col("x1") - F.col("x0"), F.col("y1") - F.col("y0")
@@ -1373,15 +1403,7 @@ def segment_intersection_join(
     ``A + t·(B−A)``, ``t = ((C−A)×(D−C)) / ((B−A)×(D−C))``; the proper
     test guarantees a nonzero denominator).
     """
-    g = float(grid_deg)
-    lo_x = F.floor(F.least(F.col("x0"), F.col("x1")) / g).cast("long")
-    hi_x = F.floor(F.greatest(F.col("x0"), F.col("x1")) / g).cast("long")
-    lo_y = F.floor(F.least(F.col("y0"), F.col("y1")) / g).cast("long")
-    hi_y = F.floor(F.greatest(F.col("y0"), F.col("y1")) / g).cast("long")
-    cov = (
-        segments.withColumn("gx", F.explode(F.sequence(lo_x, hi_x)))
-        .withColumn("gy", F.explode(F.sequence(lo_y, hi_y)))
-    )
+    cov = _segment_grid_covering(segments, grid_deg)
     a = cov.select(
         F.col(seg_id_col).alias("seg_a"),
         F.col("x0").alias("ax"), F.col("y0").alias("ay"),

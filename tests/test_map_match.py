@@ -51,6 +51,20 @@ def test_nearest_segment_not_nearest_endpoint(spark):
     assert (row.seg_id, row.dist_deg) == (1, 0.2)
 
 
+def test_rounded_radius_boundary_sliver_is_covered(spark):
+    from gotrackmaster_spark.operators.spatial import map_match_join
+
+    # True distance 0.5 + 2e-8 rounds to 0.5000000 <= r, so the point is
+    # ACCEPTED by the rounded predicate; the covering must therefore be
+    # expanded past r (by the 7-dp rounding window) or the match depends
+    # on which grid cell the point lands in.  Here the point sits in
+    # gx=1 while an exact-r expansion of the segment bbox ends at 0.6.
+    segs = _segs(spark, [(1, 0.0, 0.0, 0.1, 0.0)])  # lon 0..0.1, lat 0
+    pts = _pts(spark, [(10, 0.0, 0.60000002)])
+    [row] = map_match_join(pts, segs, radius_deg=0.5, grid_deg=0.5).collect()
+    assert row.seg_id == 1 and row.dist_deg == 0.5
+
+
 def test_equidistant_tie_breaks_on_smaller_seg_id(spark):
     from gotrackmaster_spark.operators.spatial import map_match_join
 
