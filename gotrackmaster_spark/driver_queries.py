@@ -5133,3 +5133,188 @@ SELECT user_id, count(*) AS n_turns,
          AS n_sharp
 FROM turns WHERE turn IS NOT NULL GROUP BY user_id
 """
+
+
+# --------------------------------------------------------------------------
+# E11 — morphological operators over grid-cell sets: dilation (cell-set
+# buffer) and erosion (interior cells) of each event type's coverage
+# region on a 5° lattice (`spatial.cell_set_dilate` / `cell_set_erode`).
+# Both are bounded ×9 explodes + hash aggregates — linear, no joins on
+# the dilate path, one semi-join on the erode path.  The oracle replays
+# the identical offset algebra with a 9-row offsets CTE.
+# --------------------------------------------------------------------------
+
+_MORPH_G = 5.0
+
+
+def q_cell_morphology(spark, sf_dir):
+    from gotrackmaster_spark.operators.spatial import cell_set_dilate, cell_set_erode
+
+    geo = geo_events(spark, sf_dir)
+    cells = geo.select(
+        "event_type",
+        F.floor(F.col("lon") / _MORPH_G).cast("long").alias("gx"),
+        F.floor(F.col("lat") / _MORPH_G).cast("long").alias("gy"),
+    ).distinct()
+    base = cells.groupBy("event_type").agg(F.count("*").alias("n_cells"))
+    dil = (
+        cell_set_dilate(cells, ["event_type"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_dilated"))
+    )
+    ero = (
+        cell_set_erode(cells, ["event_type"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_eroded"))
+    )
+    return (
+        base.join(dil, "event_type")
+        .join(ero, "event_type", "left")
+        .select(
+            "event_type",
+            "n_cells",
+            "n_dilated",
+            F.coalesce(F.col("n_eroded"), F.lit(0)).alias("n_eroded"),
+        )
+    )
+
+
+SQL_CELL_MORPHOLOGY = f"""
+WITH {GEO_CTE},
+cells AS (
+  SELECT DISTINCT event_type,
+         CAST(floor(lon / {_MORPH_G}) AS BIGINT) AS gx,
+         CAST(floor(lat / {_MORPH_G}) AS BIGINT) AS gy
+  FROM geo
+),
+off AS (SELECT dx - 1 AS dx, dy - 1 AS dy FROM range(3) t1(dx), range(3) t2(dy)),
+dil AS (
+  SELECT DISTINCT event_type, gx + dx AS gx, gy + dy AS gy FROM cells, off
+),
+occ AS (
+  SELECT event_type, gx + dx AS gx, gy + dy AS gy, count(*) AS c
+  FROM cells, off GROUP BY 1, 2, 3
+),
+ero AS (
+  SELECT c.event_type, c.gx, c.gy
+  FROM cells c
+  JOIN occ o ON o.event_type = c.event_type AND o.gx = c.gx AND o.gy = c.gy
+  WHERE o.c = 9
+)
+SELECT b.event_type, b.n_cells, d.n_dilated, COALESCE(e.n_eroded, 0) AS n_eroded
+FROM (SELECT event_type, count(*) AS n_cells FROM cells GROUP BY 1) b
+JOIN (SELECT event_type, count(*) AS n_dilated FROM dil GROUP BY 1) d USING (event_type)
+LEFT JOIN (SELECT event_type, count(*) AS n_eroded FROM ero GROUP BY 1) e USING (event_type)
+"""
+
+
+# --------------------------------------------------------------------------
+# E12 — per-user track diameter: convex hull + vectorized antipodal scan
+# in ONE Arrow batch per user (`spatial.track_diameter`, O(n log n + h²))
+# vs the oracle's O(n²) per-user all-pairs brute force — same answer,
+# bit-identical arithmetic (subtract/square/add/sqrt in the same order),
+# radically different plan at 10⁶-point tracks.
+# --------------------------------------------------------------------------
+
+def q_track_diameter(spark, sf_dir):
+    from gotrackmaster_spark.operators.spatial import track_diameter
+
+    pts = geo_events(spark, sf_dir).select("user_id", "lat", "lon")
+    return track_diameter(pts, group_col="user_id").select(
+        "user_id", "diam_deg", "n_pts"
+    )
+
+
+SQL_TRACK_DIAMETER = f"""
+WITH {GEO_CTE},
+pairs AS (
+  SELECT a.user_id,
+         max((a.lon - b.lon) * (a.lon - b.lon)
+           + (a.lat - b.lat) * (a.lat - b.lat)) AS d2
+  FROM geo a JOIN geo b ON a.user_id = b.user_id AND a.event_id <= b.event_id
+  GROUP BY a.user_id
+)
+SELECT p.user_id, round(sqrt(p.d2), 7) AS diam_deg, n.n_pts
+FROM pairs p
+JOIN (SELECT user_id, count(*) AS n_pts FROM geo GROUP BY 1) n USING (user_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# E13 — mobility statistics per user: radius of gyration (haversine from
+# the rounded centroid), visited-cell entropy, and top-cell share — the
+# classic human-mobility metrics, pure codegen.  The points side is
+# never shuffled for the centroid (broadcast join of the tiny per-user
+# centroid table); both aggregate branches are map-side combinable.
+# Entropy uses H = ln(n) − (Σ c·ln c)/n so no per-row division happens
+# before the aggregate.
+# --------------------------------------------------------------------------
+
+def q_mobility_stats(spark, sf_dir):
+    geo = geo_events(spark, sf_dir)
+    cent = geo.groupBy("user_id").agg(
+        F.round(F.avg("lat"), 6).alias("c_lat"),
+        F.round(F.avg("lon"), 6).alias("c_lon"),
+    )
+    d = haversine_col(F.col("lat"), F.col("lon"), F.col("c_lat"), F.col("c_lon"))
+    rog = (
+        geo.join(F.broadcast(cent), "user_id")
+        .select("user_id", d.alias("d"))
+        .groupBy("user_id")
+        .agg(F.round(F.sqrt(F.avg(F.col("d") * F.col("d"))), 1).alias("rog_m"))
+    )
+    cellcnt = (
+        geo.select("user_id", cell_col(F.col("lat"), F.col("lon"), 3).alias("cell"))
+        .groupBy("user_id", "cell")
+        .agg(F.count("*").alias("c"))
+    )
+    ent = (
+        cellcnt.groupBy("user_id")
+        .agg(
+            F.sum("c").alias("n_pts"),
+            F.count("*").alias("n_cells"),
+            F.max("c").alias("top_c"),
+            F.sum(F.col("c") * F.log(F.col("c"))).alias("clogc"),
+        )
+        .select(
+            "user_id",
+            "n_pts",
+            "n_cells",
+            F.round(
+                F.log(F.col("n_pts")) - F.col("clogc") / F.col("n_pts"), 4
+            ).alias("entropy_r"),
+            F.round(F.col("top_c") / F.col("n_pts"), 6).alias("top_share_r"),
+        )
+    )
+    return ent.join(rog, "user_id")
+
+
+_MOB_HAV = haversine_sql("g.lat", "g.lon", "c.c_lat", "c.c_lon")
+
+SQL_MOBILITY_STATS = f"""
+WITH {GEO_CTE},
+cent AS (
+  SELECT user_id, round(avg(lat), 6) AS c_lat, round(avg(lon), 6) AS c_lon
+  FROM geo GROUP BY user_id
+),
+rog AS (
+  SELECT g.user_id, round(sqrt(avg(({_MOB_HAV}) * ({_MOB_HAV}))), 1) AS rog_m
+  FROM geo g JOIN cent c USING (user_id)
+  GROUP BY g.user_id
+),
+cellcnt AS (
+  SELECT user_id, {cell_sql('lat', 'lon', 3)} AS cell, count(*) AS c
+  FROM geo GROUP BY 1, 2
+),
+ent AS (
+  SELECT user_id,
+         CAST(sum(c) AS BIGINT) AS n_pts,
+         count(*) AS n_cells,
+         round(ln(CAST(sum(c) AS DOUBLE)) - sum(c * ln(c)) / sum(c), 4)
+           AS entropy_r,
+         round(max(c) / (1.0 * sum(c)), 6) AS top_share_r
+  FROM cellcnt GROUP BY user_id
+)
+SELECT e.user_id, e.n_pts, e.n_cells, e.entropy_r, e.top_share_r, r.rog_m
+FROM ent e JOIN rog r USING (user_id)
+"""

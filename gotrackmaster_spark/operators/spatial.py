@@ -1445,3 +1445,168 @@ def segment_intersection_join(
         .distinct()
     )
     return pairs
+
+
+# --------------------------------------------------------------------------
+# E11 — morphological operators over grid-cell sets (dilate / erode)
+# --------------------------------------------------------------------------
+
+def cell_set_dilate(cells: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Morphological DILATION of a grid-cell set: the union of every
+    cell's 3×3 (8-connected + self) neighborhood, per group.
+
+    ``cells`` carries ``group_cols + (gx, gy)`` — one row per member cell
+    (callers dedupe; the output is distinct regardless).  This is the
+    cell-set analogue of a geodesic buffer: iterate for wider buffers.
+
+    Plan at scale: a bounded ×9 explode (codegen) followed by one
+    hash-aggregate distinct — linear in the cell-set size, no join.  The
+    lattice is unbounded integers (no antimeridian wrap; callers who need
+    wraparound pre-mod gx by the grid width).
+    """
+    off = F.explode(
+        F.array(*[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ])
+    )
+    return (
+        cells.withColumn("__o", off)
+        .select(
+            *group_cols,
+            (F.col("gx") + F.col("__o.dx")).alias("gx"),
+            (F.col("gy") + F.col("__o.dy")).alias("gy"),
+        )
+        .distinct()
+    )
+
+
+def cell_set_erode(cells: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Morphological EROSION of a grid-cell set: keep a member cell only
+    when its full 3×3 neighborhood is in the set (interior cells).
+
+    Same contract as :func:`cell_set_dilate`.  Implementation counts, for
+    every lattice cell, how many of its 9 neighborhood sources are set
+    members (each member contributes to its 9 shifted targets; offsets
+    are distinct so the count IS the neighborhood occupancy), then
+    semi-joins back to the set with occupancy == 9.  Two shuffles, both
+    map-side combinable; linear in the cell-set size.
+    """
+    dedup = cells.select(*group_cols, "gx", "gy").distinct()
+    off = F.explode(
+        F.array(*[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ])
+    )
+    occupancy = (
+        dedup.withColumn("__o", off)
+        .select(
+            *group_cols,
+            (F.col("gx") + F.col("__o.dx")).alias("gx"),
+            (F.col("gy") + F.col("__o.dy")).alias("gy"),
+        )
+        .groupBy(*group_cols, "gx", "gy")
+        .agg(F.count("*").alias("__occ"))
+        .filter(F.col("__occ") == 9)
+        .drop("__occ")
+    )
+    return occupancy.join(dedup, [*group_cols, "gx", "gy"], "left_semi")
+
+
+# --------------------------------------------------------------------------
+# E12 — per-group diameter: convex hull + rotating calipers in ONE
+# Arrow batch per group (O(n log n)) vs the O(n²) all-pairs alternative
+# --------------------------------------------------------------------------
+
+def _hull_diameter(xs: np.ndarray, ys: np.ndarray) -> tuple[float, int]:
+    """Exact planar diameter of a point set: monotone-chain convex hull,
+    then a vectorized pairwise max over the HULL VERTICES only.
+
+    O(n log n + h²) with h = hull size; h ≪ n for real point clouds
+    (O(log n) expected for Gaussian-ish spreads), and the h² scan is
+    exact under float noise — unlike rotating calipers, whose antipodal
+    advance rule breaks down on nearly-degenerate (collinear-up-to-ULP)
+    hulls.  The h² pass is chunked so worst-case memory stays bounded.
+    Returns (max pairwise Euclidean distance, hull vertex count)."""
+    pts = np.unique(np.column_stack([xs, ys]), axis=0)  # sorted lex (x, y)
+    n = len(pts)
+    if n == 1:
+        return 0.0, 1
+
+    def half(idx):
+        out: list[int] = []
+        for i in idx:
+            while len(out) >= 2:
+                ox, oy = pts[out[-2]]
+                ax, ay = pts[out[-1]]
+                if (ax - ox) * (pts[i, 1] - oy) - (ay - oy) * (pts[i, 0] - ox) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append(i)
+        return out
+
+    lower = half(range(n))
+    upper = half(range(n - 1, -1, -1))
+    hull = pts[lower[:-1] + upper[:-1]]
+    h = len(hull)
+    best = 0.0
+    for s in range(0, h, 4096):
+        blk = hull[s : s + 4096]
+        dx = blk[:, 0][:, None] - hull[:, 0][None, :]
+        dy = blk[:, 1][:, None] - hull[:, 1][None, :]
+        d2 = float((dx * dx + dy * dy).max())
+        if d2 > best:
+            best = d2
+    return math.sqrt(best), h
+
+
+def track_diameter(
+    points: DataFrame,
+    group_col: str = "user_id",
+    x_col: str = "lon",
+    y_col: str = "lat",
+) -> DataFrame:
+    """Per-group planar DIAMETER (max pairwise distance) — convex hull +
+    rotating calipers inside one ``applyInPandas`` batch per group.
+
+    Metric contract: planar Euclidean on raw ``(x_col, y_col)`` (same as
+    ``clustering.dbscan`` / ``map_match_join``) — the hull argument is
+    exact for any planar convex metric, so callers at geographic scale
+    pass projected coordinates.
+
+    Plan at scale: ONE exchange on the group key, then O(n log n) per
+    group — vs the O(n²) per-group self-join a SQL formulation needs
+    (the DuckDB oracle brute-forces exactly that; at 10⁶-point tracks
+    the join explodes to 10¹² candidate rows while this kernel stays at
+    ~20·10⁶ flops).  Group size is bounded by the largest single track,
+    matching the repo's aIP memory contract.
+
+    Output: ``(group_col, diam_deg, n_pts, hull_pts)`` with the diameter
+    rounded to 7 dp (repo determinism rule); the group column keeps the
+    input's type.
+    """
+    group_type = dict(points.dtypes)[group_col]
+    schema = f"{group_col} {group_type}, diam_deg double, n_pts long, hull_pts long"
+
+    def kern(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        xs = pdf[x_col].to_numpy(dtype=np.float64)
+        ys = pdf[y_col].to_numpy(dtype=np.float64)
+        d, h = _hull_diameter(xs, ys)
+        return pd.DataFrame(
+            {
+                group_col: [key[0]],
+                "diam_deg": [round(d, 7)],
+                "n_pts": [len(pdf)],
+                "hull_pts": [h],
+            }
+        )
+
+    return (
+        points.select(group_col, x_col, y_col)
+        .groupBy(group_col)
+        .applyInPandas(kern, schema)
+    )
