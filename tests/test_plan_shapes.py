@@ -160,3 +160,35 @@ def test_density_raster_counts_before_python(spark):
     render_pos = plan.find("FlatMapGroupsInPandas")
     agg_pos = plan.find("HashAggregate", render_pos)
     assert render_pos != -1 and agg_pos != -1, plan
+
+
+def test_track_diameter_single_exchange(spark):
+    plan = _plan(Q.q_track_diameter(spark, SF_DIR))
+    # ONE exchange (the group key), then the hull kernel in one Arrow
+    # batch per group — never the O(n^2) self-join the oracle runs
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_mobility_stats_points_never_shuffled_raw(spark):
+    plan = _plan(Q.q_mobility_stats(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the centroid table joins back onto the points via broadcast, and
+    # the final ent-rog join is also broadcast — no sort-merge anywhere
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan
+    # every hash exchange moves pre-aggregated rows (partial_ or the
+    # per-(user,cell) counts), never the raw point rows: each exchange
+    # is preceded by a partial hash aggregate in this plan
+    assert plan.count("Exchange hashpartitioning") == 4, plan
+
+
+def test_cell_morphology_no_points_scale_joins(spark):
+    plan = _plan(Q.q_cell_morphology(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # dilation has NO join at all; erosion's semi-join + the three
+    # per-region count joins are all on the (tiny) cell-set side
+    assert "SortMergeJoin" not in plan
