@@ -151,6 +151,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # land up top are exactly those whose functions are untouched
         # since their green row (and every entry stays locally pinned by
         # tests/test_oracle_parity.py every session)
+        # head of the >50 overflow = the next round's window candidates:
+        # the newest oracle-backed queries (registered after the window
+        # filled this round; locally pinned by tests/test_oracle_parity.py)
+        "poly_geometry": _wrap(Q.q_poly_geometry),
+        "cell_retention": _wrap(Q.q_cell_retention),
+        "st_rollup": _wrap(Q.q_st_rollup),
         # dup_components / image_tiles / phash_near_dups sit just past the
         # window despite round-3-touched callees: all three pipelines
         # (connected_components, the phash chunk join, image synth + tile
@@ -248,6 +254,9 @@ def oracle_sql() -> dict[str, str]:
         "cell_morphology": Q.SQL_CELL_MORPHOLOGY,
         "track_diameter": Q.SQL_TRACK_DIAMETER,
         "mobility_stats": Q.SQL_MOBILITY_STATS,
+        "poly_geometry": Q.SQL_POLY_GEOMETRY,
+        "cell_retention": Q.SQL_CELL_RETENTION,
+        "st_rollup": Q.SQL_ST_ROLLUP,
         "colocation_pairs": Q.SQL_COLOCATION_PAIRS,
         "idw_interpolation": Q.SQL_IDW_INTERPOLATION,
         "compact_cells": Q.SQL_COMPACT_CELLS,

@@ -5318,3 +5318,191 @@ ent AS (
 SELECT e.user_id, e.n_pts, e.n_cells, e.entropy_r, e.top_share_r, r.rog_m
 FROM ent e JOIN rog r USING (user_id)
 """
+
+
+# --------------------------------------------------------------------------
+# E14 — polygon shoelace area + area-weighted centroid over jittered
+# quadrilaterals (`functions/geometry.py`): the whole computation is
+# Catalyst higher-order functions (zip_with + aggregate) on the ring
+# array — NO explode, NO window, NO shuffle; a pure row-local scan.
+# The oracle replays the four cross terms in the identical left-fold
+# order, so the sums are bit-exact.
+# --------------------------------------------------------------------------
+
+def _quad_polygons(spark, sf_dir):
+    """Deterministic non-rectangular simple quads: the customer rects
+    with per-corner jitter in [0, 0.495] (< half the min side, so the
+    quad stays simple and counter-clockwise)."""
+    cust = _t(spark, sf_dir, "customer")
+    n = F.col("c_custkey").cast("long")
+    lat0 = ((n * 911) % 150 - 75).cast("double") + 0.00005
+    lat1 = lat0 + (3 + (n % 5)).cast("double")
+    lon0 = ((n * 1931) % 340 - 170).cast("double") + 0.00005
+    lon1 = lon0 + (4 + (n % 7)).cast("double")
+
+    def j(p):
+        return ((n * p) % 100).cast("double") / 200.0
+
+    ring = F.array(
+        F.struct((lat0 + j(7)).alias("lat"), (lon0 + j(13)).alias("lon")),
+        F.struct((lat0 + j(17)).alias("lat"), (lon1 + j(23)).alias("lon")),
+        F.struct((lat1 + j(29)).alias("lat"), (lon1 + j(37)).alias("lon")),
+        F.struct((lat1 + j(41)).alias("lat"), (lon0 + j(47)).alias("lon")),
+    )
+    return cust.select(
+        F.col("c_custkey").cast("string").alias("poly_id"), ring.alias("ring")
+    )
+
+
+def q_poly_geometry(spark, sf_dir):
+    from gotrackmaster_spark.functions.geometry import (
+        ring_centroid,
+        ring_shoelace_area,
+    )
+
+    quads = _quad_polygons(spark, sf_dir)
+    cx, cy = ring_centroid(F.col("ring"))
+    return quads.select(
+        "poly_id",
+        F.round(ring_shoelace_area(F.col("ring")), 6).alias("area_r"),
+        F.round(cx, 6).alias("cx_r"),
+        F.round(cy, 6).alias("cy_r"),
+    )
+
+
+SQL_POLY_GEOMETRY = """
+WITH base AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS poly_id,
+         CAST(c_custkey AS BIGINT) AS n,
+         CAST((CAST(c_custkey AS BIGINT) * 911) % 150 - 75 AS DOUBLE) + 0.00005 AS lat0,
+         CAST((CAST(c_custkey AS BIGINT) * 1931) % 340 - 170 AS DOUBLE) + 0.00005 AS lon0
+  FROM customer
+),
+quads AS (
+  SELECT poly_id,
+         lat0 + CAST((n * 7) % 100 AS DOUBLE) / 200.0 AS y1,
+         lon0 + CAST((n * 13) % 100 AS DOUBLE) / 200.0 AS x1,
+         lat0 + CAST((n * 17) % 100 AS DOUBLE) / 200.0 AS y2,
+         (lon0 + CAST(4 + (n % 7) AS DOUBLE)) + CAST((n * 23) % 100 AS DOUBLE) / 200.0 AS x2,
+         (lat0 + CAST(3 + (n % 5) AS DOUBLE)) + CAST((n * 29) % 100 AS DOUBLE) / 200.0 AS y3,
+         (lon0 + CAST(4 + (n % 7) AS DOUBLE)) + CAST((n * 37) % 100 AS DOUBLE) / 200.0 AS x3,
+         (lat0 + CAST(3 + (n % 5) AS DOUBLE)) + CAST((n * 41) % 100 AS DOUBLE) / 200.0 AS y4,
+         lon0 + CAST((n * 47) % 100 AS DOUBLE) / 200.0 AS x4
+  FROM base
+),
+terms AS (
+  SELECT poly_id,
+         x1 * y2 - x2 * y1 AS t1,
+         x2 * y3 - x3 * y2 AS t2,
+         x3 * y4 - x4 * y3 AS t3,
+         x4 * y1 - x1 * y4 AS t4,
+         (x1 + x2) * (x1 * y2 - x2 * y1) AS sx1,
+         (x2 + x3) * (x2 * y3 - x3 * y2) AS sx2,
+         (x3 + x4) * (x3 * y4 - x4 * y3) AS sx3,
+         (x4 + x1) * (x4 * y1 - x1 * y4) AS sx4,
+         (y1 + y2) * (x1 * y2 - x2 * y1) AS sy1,
+         (y2 + y3) * (x2 * y3 - x3 * y2) AS sy2,
+         (y3 + y4) * (x3 * y4 - x4 * y3) AS sy3,
+         (y4 + y1) * (x4 * y1 - x1 * y4) AS sy4
+  FROM quads
+)
+SELECT poly_id,
+       round(((((t1 + t2) + t3) + t4)) / 2.0, 6) AS area_r,
+       round((((sx1 + sx2) + sx3) + sx4) / (3.0 * (((t1 + t2) + t3) + t4)), 6) AS cx_r,
+       round((((sy1 + sy2) + sy3) + sy4) / (3.0 * (((t1 + t2) + t3) + t4)), 6) AS cy_r
+FROM terms
+"""
+
+
+# --------------------------------------------------------------------------
+# E15 — cell visitor retention: per level-3 cell, how many (user, week)
+# visits recur in the NEXT week — the cohort-retention shape over the
+# spatial lattice.  Events collapse to DISTINCT (user, cell, week)
+# occupancy FIRST (map-side combinable), so the self-join runs on the
+# bounded occupancy table, co-partitioned on identical keys.
+# --------------------------------------------------------------------------
+
+_RET_BUCKET_US = 7 * 86400 * 1_000_000
+
+
+def q_cell_retention(spark, sf_dir):
+    geo = geo_events(spark, sf_dir)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    b = _RET_BUCKET_US
+    occ = geo.select(
+        "user_id",
+        cell_col(F.col("lat"), F.col("lon"), 3).alias("cell"),
+        ((us - (((us % b) + b) % b)) / b).cast("long").alias("week"),
+    ).distinct()
+    nxt = occ.select(
+        "user_id", "cell", (F.col("week") - 1).alias("week")
+    )
+    retained = occ.join(nxt, ["user_id", "cell", "week"], "left_semi")
+    return (
+        occ.groupBy("cell")
+        .agg(F.count("*").alias("n_user_weeks"))
+        .join(
+            retained.groupBy("cell").agg(F.count("*").alias("n_retained")),
+            "cell",
+            "left",
+        )
+        .select(
+            "cell",
+            "n_user_weeks",
+            F.coalesce(F.col("n_retained"), F.lit(0)).alias("n_retained"),
+        )
+    )
+
+
+SQL_CELL_RETENTION = f"""
+WITH {GEO_CTE},
+occ AS (
+  SELECT DISTINCT user_id,
+         {cell_sql('lat', 'lon', 3)} AS cell,
+         CAST((epoch_us(ts) - ((epoch_us(ts) % {_RET_BUCKET_US} + {_RET_BUCKET_US}) % {_RET_BUCKET_US})) / {_RET_BUCKET_US} AS BIGINT) AS week
+  FROM geo
+),
+ret AS (
+  SELECT o.cell, count(*) AS n_retained
+  FROM occ o
+  WHERE EXISTS (
+    SELECT 1 FROM occ n
+    WHERE n.user_id = o.user_id AND n.cell = o.cell AND n.week = o.week + 1
+  )
+  GROUP BY o.cell
+)
+SELECT b.cell, b.n_user_weeks, COALESCE(r.n_retained, 0) AS n_retained
+FROM (SELECT cell, count(*) AS n_user_weeks FROM occ GROUP BY 1) b
+LEFT JOIN ret r USING (cell)
+"""
+
+
+# --------------------------------------------------------------------------
+# E16 — space-time ROLLUP: event counts by (coarse cell, month) with
+# per-cell and grand totals in ONE pass — Spark's grouping-sets operator
+# (`rollup`), whose partial aggregates expand the grouping sets map-side
+# so the points never shuffle once per level (vs the UNION-of-groupBys a
+# naive formulation runs).  DuckDB replays with GROUP BY ROLLUP.
+# --------------------------------------------------------------------------
+
+def q_st_rollup(spark, sf_dir):
+    geo = geo_events(spark, sf_dir)
+    base = geo.select(
+        F.shiftright(cell_col(F.col("lat"), F.col("lon"), 12), 14)
+        .cast("string")
+        .alias("cell"),
+        F.date_format(F.col("ts"), "yyyy-MM").alias("month"),
+    )
+    return base.rollup("cell", "month").agg(F.count("*").alias("n"))
+
+
+SQL_ST_ROLLUP = f"""
+WITH {GEO_CTE},
+base AS (
+  SELECT CAST(({cell_sql('lat', 'lon', 12)} >> 14) AS VARCHAR) AS cell,
+         strftime(ts, '%Y-%m') AS month
+  FROM geo
+)
+SELECT cell, month, count(*) AS n
+FROM base GROUP BY ROLLUP (cell, month)
+"""
