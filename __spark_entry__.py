@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poly_geometry": _wrap(Q.q_poly_geometry),
         "cell_retention": _wrap(Q.q_cell_retention),
         "st_rollup": _wrap(Q.q_st_rollup),
+        "resample_grid": _wrap(Q.q_resample_grid),
         # dup_components / image_tiles / phash_near_dups sit just past the
         # window despite round-3-touched callees: all three pipelines
         # (connected_components, the phash chunk join, image synth + tile
@@ -257,6 +258,7 @@ def oracle_sql() -> dict[str, str]:
         "poly_geometry": Q.SQL_POLY_GEOMETRY,
         "cell_retention": Q.SQL_CELL_RETENTION,
         "st_rollup": Q.SQL_ST_ROLLUP,
+        "resample_grid": Q.SQL_RESAMPLE_GRID,
         "colocation_pairs": Q.SQL_COLOCATION_PAIRS,
         "idw_interpolation": Q.SQL_IDW_INTERPOLATION,
         "compact_cells": Q.SQL_COMPACT_CELLS,

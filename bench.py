@@ -139,6 +139,7 @@ def bench_queries():
         "geo_phash_near_dups": Q.q_geo_phash_near_dups,
         "mosaic_topk": Q.q_mosaic_topk,
         "map_match": Q.q_map_match,
+        "track_diameter": Q.q_track_diameter,
     }
 
 

@@ -5506,3 +5506,60 @@ base AS (
 SELECT cell, month, count(*) AS n
 FROM base GROUP BY ROLLUP (cell, month)
 """
+
+
+# --------------------------------------------------------------------------
+# E17 — uniform time-grid resampling (`timeseries.resample_time_grid`):
+# each user's irregular fix series re-emitted on the weekly grid with
+# linearly interpolated positions — the fixed-rate view a sequence
+# model consumes.  One window exchange + a codegen sequence/explode;
+# inverted/duplicate-timestamp legs are dropped BEFORE the explode
+# (Spark's sequence steps backwards on inverted ranges — the
+# interval-join hazard), and duplicate-ts pairing is made deterministic
+# by the event_id tiebreak so the oracle replays it exactly.
+# --------------------------------------------------------------------------
+
+_RESAMPLE_US = 7 * 86400 * 1_000_000
+
+
+def q_resample_grid(spark, sf_dir):
+    from gotrackmaster_spark.operators.timeseries import resample_time_grid
+
+    geo = geo_events(spark, sf_dir).select("user_id", "event_id", "ts", "lat", "lon")
+    grid = resample_time_grid(
+        geo, _RESAMPLE_US, tiebreak_col="event_id"
+    )
+    return grid.groupBy("user_id").agg(
+        F.count("*").alias("n_grid"),
+        F.round(F.sum("g_lat"), 4).alias("sum_glat_r"),
+        F.round(F.sum("g_lon"), 4).alias("sum_glon_r"),
+    )
+
+
+SQL_RESAMPLE_GRID = f"""
+WITH {GEO_CTE},
+o AS (
+  SELECT user_id, epoch_us(ts) AS t0, lat, lon,
+         lead(epoch_us(ts)) OVER w AS t1,
+         lead(lat) OVER w AS lat1, lead(lon) OVER w AS lon1
+  FROM geo
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+legs AS (SELECT * FROM o WHERE t1 > t0),
+ticks AS (
+  SELECT user_id, t0, t1, lat, lon, lat1, lon1, g.k AS k
+  FROM legs,
+       UNNEST(generate_series((t0 + {_RESAMPLE_US - 1}) // {_RESAMPLE_US},
+                              (t1 + {_RESAMPLE_US - 1}) // {_RESAMPLE_US} - 1)) AS g(k)
+),
+interp AS (
+  SELECT user_id,
+         lat + ((k * {_RESAMPLE_US} - t0) / (t1 - t0)) * (lat1 - lat) AS g_lat,
+         lon + ((k * {_RESAMPLE_US} - t0) / (t1 - t0)) * (lon1 - lon) AS g_lon
+  FROM ticks
+)
+SELECT user_id, count(*) AS n_grid,
+       round(sum(g_lat), 4) AS sum_glat_r,
+       round(sum(g_lon), 4) AS sum_glon_r
+FROM interp GROUP BY user_id
+"""

@@ -226,3 +226,78 @@ def _resolve_bucket(
                 f"max_fanout explicitly."
             )
     return b, intervals, est_rows
+
+
+def resample_time_grid(
+    points: DataFrame,
+    period_us: int,
+    group_col: str = "user_id",
+    ts_col: str = "ts",
+    value_cols: tuple[str, ...] = ("lat", "lon"),
+    max_fanout: int | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Resample each group's irregular time series onto the uniform grid
+    ``k·period_us``: for every consecutive pair of fixes, emit the grid
+    ticks in ``[t_i, t_{i+1})`` with the values LINEARLY interpolated by
+    time fraction — the fixed-rate view a downstream model consumes.
+
+    Plan at scale: one window exchange on the group key (the lead pair),
+    then a codegen ``sequence``/``explode`` bounded by the per-leg tick
+    count — the points side shuffles exactly once.  Legs with duplicate
+    or inverted timestamps are dropped BEFORE the explode (Spark's
+    ``sequence`` would otherwise step backwards and fan out the full
+    negative range — the interval-join inversion hazard).
+
+    ``max_fanout`` mirrors ``interval_join``'s guard: when set, any leg
+    spanning ≥ max_fanout ticks raises (no silent truncation); when
+    ``None`` the caller asserts gaps are bounded (e.g. session-split
+    upstream).  Timestamps must be non-negative epoch µs (integer ``div``
+    truncation == floor only holds there; the synthetic tables qualify).
+    ``tiebreak_col`` breaks duplicate-timestamp ordering so the leg
+    pairing is deterministic (and oracle-replayable) — pass the row id.
+
+    Output: ``group_col, k (grid index), tick_us`` + one interpolated
+    ``g_<col>`` per value column.
+    """
+    b = int(period_us)
+    t0 = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = points.select(
+        group_col,
+        t0.alias("__t0"),
+        *([F.col(tiebreak_col).alias("__tb")] if tiebreak_col else []),
+        *[F.col(c).alias(f"__v0_{c}") for c in value_cols],
+    )
+    order = ["__t0", "__tb"] if tiebreak_col else ["__t0"]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    legs = base.select(
+        group_col,
+        "__t0",
+        F.lead("__t0").over(w).alias("__t1"),
+        *[F.col(f"__v0_{c}") for c in value_cols],
+        *[F.lead(f"__v0_{c}").over(w).alias(f"__v1_{c}") for c in value_cols],
+    ).filter(F.col("__t1") > F.col("__t0"))
+    k0 = F.expr(f"(__t0 + {b - 1}) div {b}")
+    k1 = F.expr(f"(__t1 + {b - 1}) div {b} - 1")
+    if max_fanout is not None:
+        n_over = legs.filter(k1 - k0 + 1 >= max_fanout).count()
+        if n_over:
+            raise ValueError(
+                f"resample_time_grid fan-out guard: {n_over} leg(s) span "
+                f">= {max_fanout} grid ticks at period_us={b}. Split long "
+                f"gaps upstream or use a coarser period."
+            )
+    ticks = legs.withColumn(
+        "k",
+        F.explode(
+            F.when(k1 >= k0, F.sequence(k0, k1)).otherwise(
+                F.array().cast("array<long>")
+            )
+        ),
+    ).withColumn("tick_us", F.col("k") * b)
+    frac = (F.col("tick_us") - F.col("__t0")) / (F.col("__t1") - F.col("__t0"))
+    out_cols = [F.col(group_col), F.col("k"), F.col("tick_us")]
+    for c in value_cols:
+        v0, v1 = F.col(f"__v0_{c}"), F.col(f"__v1_{c}")
+        out_cols.append((v0 + frac * (v1 - v0)).alias(f"g_{c}"))
+    return ticks.select(*out_cols)

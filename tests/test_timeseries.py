@@ -233,3 +233,79 @@ def test_interval_join_lazy_without_guards(spark):
     assert len(after) == len(before), "plan construction triggered a Spark job"
     assert [(r.event_id, r.iv_id) for r in out.collect()] == [(0, 0)]
     calls.append(out)
+
+
+def test_resample_grid_linear_interp_and_halfopen(spark):
+    from gotrackmaster_spark.operators.timeseries import resample_time_grid
+
+    # fixes at t=5 and t=25 (period 10): ticks 10 and 20 interpolate;
+    # tick at t1 itself (30) excluded (half-open legs)
+    import datetime as dt
+
+    def ts(us):
+        return dt.datetime.fromtimestamp(us / 1e6, dt.timezone.utc).replace(tzinfo=None)
+
+    rows = [
+        ("u", 1, ts(5_000_000), 0.0, 100.0),
+        ("u", 2, ts(25_000_000), 10.0, 120.0),
+        ("u", 3, ts(30_000_000), 20.0, 140.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_id long, ts timestamp, lat double, lon double"
+    )
+    out = {
+        r.k: (r.g_lat, r.g_lon)
+        for r in resample_time_grid(df, 10_000_000, tiebreak_col="event_id").collect()
+    }
+    # leg 5->25: k=1 (t=10, frac .25), k=2 (t=20, frac .75); leg 25->30: k=3 (t=30)? NO —
+    # ticks in [25, 30): ceil(25/10)=3 -> k1 = ceil(30/10)-1 = 2 < 3 -> empty
+    assert set(out) == {1, 2}
+    assert out[1] == (2.5, 105.0)
+    assert out[2] == (7.5, 115.0)
+
+
+def test_resample_grid_drops_inverted_and_duplicate_ts(spark):
+    from gotrackmaster_spark.operators.timeseries import resample_time_grid
+
+    import datetime as dt
+
+    def ts(us):
+        return dt.datetime.fromtimestamp(us / 1e6, dt.timezone.utc).replace(tzinfo=None)
+
+    # duplicate timestamp pair and an out-of-order fix: with the
+    # event_id tiebreak the order is e1@50, e2@50, e3@5 sorted to
+    # (5, 50, 50) -> legs (5,50) valid, (50,50) dropped; nothing explodes
+    # backwards (the sequence-inversion hazard)
+    rows = [
+        ("u", 1, ts(50_000_000), 1.0, 1.0),
+        ("u", 2, ts(50_000_000), 2.0, 2.0),
+        ("u", 3, ts(5_000_000), 0.0, 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_id long, ts timestamp, lat double, lon double"
+    )
+    out = resample_time_grid(df, 10_000_000, tiebreak_col="event_id").collect()
+    ks = sorted(r.k for r in out)
+    assert ks == [1, 2, 3, 4]  # ticks 10..40 inside [5, 50); the (50,50) leg is dropped
+    assert all(0.0 <= r.g_lat <= 1.0 for r in out)
+
+
+def test_resample_grid_fanout_guard(spark):
+    import pytest
+
+    from gotrackmaster_spark.operators.timeseries import resample_time_grid
+
+    import datetime as dt
+
+    def ts(us):
+        return dt.datetime.fromtimestamp(us / 1e6, dt.timezone.utc).replace(tzinfo=None)
+
+    rows = [
+        ("u", 1, ts(0), 0.0, 0.0),
+        ("u", 2, ts(1_000_000_000), 1.0, 1.0),  # 1000 s gap, 1 s grid
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_id long, ts timestamp, lat double, lon double"
+    )
+    with pytest.raises(ValueError, match="fan-out guard"):
+        resample_time_grid(df, 1_000_000, max_fanout=100, tiebreak_col="event_id")
