@@ -564,7 +564,12 @@ def q_pip_antijoin(spark, sf_dir):
 
     pts = geo_events(spark, sf_dir).select("event_id", "lat", "lon")
     polys = rect_polygons(spark, sf_dir)
-    out = point_in_polygon_anti(pts, polys, level=7)
+    # level 9, not 7: the verdict is exact at ANY level, but finer cells
+    # classify far more of the covering as `full`/absent, so most points
+    # take the pure-codegen path instead of the Arrow ray-cast refine
+    # (measured 2.16 s -> 1.34 s at sf0.1; level 11 regresses — covering
+    # generation is O(4^level) per polygon bbox)
+    out = point_in_polygon_anti(pts, polys, level=9)
     return (
         out.select(tile_name_col(F.col("lat"), F.col("lon"), 1.0).alias("tile"))
         .groupBy("tile")
