@@ -5144,23 +5144,30 @@ FROM turns WHERE turn IS NOT NULL GROUP BY user_id
 # E11 — morphological operators over grid-cell sets: dilation (cell-set
 # buffer) and erosion (interior cells) of each event type's coverage
 # region on a 5° lattice (`spatial.cell_set_dilate` / `cell_set_erode`).
-# Both are bounded ×9 explodes + hash aggregates — linear, no joins on
-# the dilate path, one semi-join on the erode path.  The oracle replays
+# Both are bounded ×9 explodes + hash aggregates — linear, no joins
+# (erode's occupancy==9 already implies membership).  The oracle replays
 # the identical offset algebra with a 9-row offsets CTE.
 # --------------------------------------------------------------------------
 
 _MORPH_G = 5.0
+_bound_morph_cache = make_bounded_cache()  # previous call's distinct cell set
 
 
 def q_cell_morphology(spark, sf_dir):
     from gotrackmaster_spark.operators.spatial import cell_set_dilate, cell_set_erode
 
     geo = geo_events(spark, sf_dir)
-    cells = geo.select(
-        "event_type",
-        F.floor(F.col("lon") / _MORPH_G).cast("long").alias("gx"),
-        F.floor(F.col("lat") / _MORPH_G).cast("long").alias("gy"),
-    ).distinct()
+    # the base/dilate/erode branches all consume the same distinct cell
+    # set — cache the tiny (event_type, gx, gy) rows so the points-scale
+    # scan + distinct runs ONCE, not three times (bounded-lifetime slot,
+    # same policy as zonal/dedup)
+    cells = _bound_morph_cache(
+        geo.select(
+            "event_type",
+            F.floor(F.col("lon") / _MORPH_G).cast("long").alias("gx"),
+            F.floor(F.col("lat") / _MORPH_G).cast("long").alias("gy"),
+        ).distinct()
+    )
     base = cells.groupBy("event_type").agg(F.count("*").alias("n_cells"))
     dil = (
         cell_set_dilate(cells, ["event_type"])

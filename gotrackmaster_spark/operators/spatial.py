@@ -1451,6 +1451,25 @@ def segment_intersection_join(
 # E11 — morphological operators over grid-cell sets (dilate / erode)
 # --------------------------------------------------------------------------
 
+def _shift_neighborhood(cells: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Explode each ``(gx, gy)`` cell to its 9 3×3-neighborhood targets —
+    the shared fan-out of :func:`cell_set_dilate` / :func:`cell_set_erode`
+    (any change to the connectivity must stay common or the morphology
+    containment laws break)."""
+    off = F.explode(
+        F.array(*[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ])
+    )
+    return cells.withColumn("__o", off).select(
+        *group_cols,
+        (F.col("gx") + F.col("__o.dx")).alias("gx"),
+        (F.col("gy") + F.col("__o.dy")).alias("gy"),
+    )
+
+
 def cell_set_dilate(cells: DataFrame, group_cols: list[str]) -> DataFrame:
     """Morphological DILATION of a grid-cell set: the union of every
     cell's 3×3 (8-connected + self) neighborhood, per group.
@@ -1464,22 +1483,7 @@ def cell_set_dilate(cells: DataFrame, group_cols: list[str]) -> DataFrame:
     lattice is unbounded integers (no antimeridian wrap; callers who need
     wraparound pre-mod gx by the grid width).
     """
-    off = F.explode(
-        F.array(*[
-            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-            for dx in (-1, 0, 1)
-            for dy in (-1, 0, 1)
-        ])
-    )
-    return (
-        cells.withColumn("__o", off)
-        .select(
-            *group_cols,
-            (F.col("gx") + F.col("__o.dx")).alias("gx"),
-            (F.col("gy") + F.col("__o.dy")).alias("gy"),
-        )
-        .distinct()
-    )
+    return _shift_neighborhood(cells, group_cols).distinct()
 
 
 def cell_set_erode(cells: DataFrame, group_cols: list[str]) -> DataFrame:
@@ -1489,31 +1493,20 @@ def cell_set_erode(cells: DataFrame, group_cols: list[str]) -> DataFrame:
     Same contract as :func:`cell_set_dilate`.  Implementation counts, for
     every lattice cell, how many of its 9 neighborhood sources are set
     members (each member contributes to its 9 shifted targets; offsets
-    are distinct so the count IS the neighborhood occupancy), then
-    semi-joins back to the set with occupancy == 9.  Two shuffles, both
-    map-side combinable; linear in the cell-set size.
+    are distinct so the count IS the neighborhood occupancy).  Occupancy
+    == 9 already implies membership — the (0,0) offset is one of the 9,
+    so the target itself must be in the set — which is why there is NO
+    join back to the member set.  One explode + one map-side-combinable
+    hash aggregate; linear in the cell-set size.
     """
     dedup = cells.select(*group_cols, "gx", "gy").distinct()
-    off = F.explode(
-        F.array(*[
-            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-            for dx in (-1, 0, 1)
-            for dy in (-1, 0, 1)
-        ])
-    )
-    occupancy = (
-        dedup.withColumn("__o", off)
-        .select(
-            *group_cols,
-            (F.col("gx") + F.col("__o.dx")).alias("gx"),
-            (F.col("gy") + F.col("__o.dy")).alias("gy"),
-        )
+    return (
+        _shift_neighborhood(dedup, group_cols)
         .groupBy(*group_cols, "gx", "gy")
         .agg(F.count("*").alias("__occ"))
         .filter(F.col("__occ") == 9)
         .drop("__occ")
     )
-    return occupancy.join(dedup, [*group_cols, "gx", "gy"], "left_semi")
 
 
 # --------------------------------------------------------------------------
@@ -1529,7 +1522,9 @@ def _hull_diameter(xs: np.ndarray, ys: np.ndarray) -> tuple[float, int]:
     (O(log n) expected for Gaussian-ish spreads), and the h² scan is
     exact under float noise — unlike rotating calipers, whose antipodal
     advance rule breaks down on nearly-degenerate (collinear-up-to-ULP)
-    hulls.  The h² pass is chunked so worst-case memory stays bounded.
+    hulls.  The h² pass is chunked on BOTH axes (block area ≤ 4096²
+    elements) so worst-case memory stays bounded even for
+    convex-position inputs where h = n.
     Returns (max pairwise Euclidean distance, hull vertex count)."""
     pts = np.unique(np.column_stack([xs, ys]), axis=0)  # sorted lex (x, y)
     n = len(pts)
@@ -1556,11 +1551,13 @@ def _hull_diameter(xs: np.ndarray, ys: np.ndarray) -> tuple[float, int]:
     best = 0.0
     for s in range(0, h, 4096):
         blk = hull[s : s + 4096]
-        dx = blk[:, 0][:, None] - hull[:, 0][None, :]
-        dy = blk[:, 1][:, None] - hull[:, 1][None, :]
-        d2 = float((dx * dx + dy * dy).max())
-        if d2 > best:
-            best = d2
+        for t in range(0, h, 4096):
+            ref = hull[t : t + 4096]
+            dx = blk[:, 0][:, None] - ref[:, 0][None, :]
+            dy = blk[:, 1][:, None] - ref[:, 1][None, :]
+            d2 = float((dx * dx + dy * dy).max())
+            if d2 > best:
+                best = d2
     return math.sqrt(best), h
 
 
@@ -1586,8 +1583,11 @@ def track_diameter(
     matching the repo's aIP memory contract.
 
     Output: ``(group_col, diam_deg, n_pts, hull_pts)`` with the diameter
-    rounded to 7 dp (repo determinism rule); the group column keeps the
-    input's type.
+    rounded to 7 dp (repo determinism rule: the rounding happens in a
+    Spark ``F.round`` projection AFTER the kernel — BigDecimal HALF_UP,
+    same tie behavior as the DuckDB oracle's ``round()`` — never with
+    Python's banker's ``round``); the group column keeps the input's
+    type.
     """
     group_type = dict(points.dtypes)[group_col]
     schema = f"{group_col} {group_type}, diam_deg double, n_pts long, hull_pts long"
@@ -1599,7 +1599,7 @@ def track_diameter(
         return pd.DataFrame(
             {
                 group_col: [key[0]],
-                "diam_deg": [round(d, 7)],
+                "diam_deg": [d],
                 "n_pts": [len(pdf)],
                 "hull_pts": [h],
             }
@@ -1609,4 +1609,5 @@ def track_diameter(
         points.select(group_col, x_col, y_col)
         .groupBy(group_col)
         .applyInPandas(kern, schema)
+        .withColumn("diam_deg", F.round(F.col("diam_deg"), 7))
     )

@@ -249,11 +249,16 @@ def resample_time_grid(
     ``sequence`` would otherwise step backwards and fan out the full
     negative range — the interval-join inversion hazard).
 
-    ``max_fanout`` mirrors ``interval_join``'s guard: when set, any leg
-    spanning ≥ max_fanout ticks raises (no silent truncation); when
-    ``None`` the caller asserts gaps are bounded (e.g. session-split
-    upstream).  Timestamps must be non-negative epoch µs (integer ``div``
-    truncation == floor only holds there; the synthetic tables qualify).
+    ``max_fanout`` mirrors ``interval_join``'s guard intent: when set,
+    any leg spanning ≥ max_fanout ticks raises (no silent truncation) —
+    but unlike interval_join (whose eager pre-count aggregates only the
+    small intervals side) this guard is folded INTO the explode plan via
+    ``raise_error``, so it costs zero extra passes over the points-scale
+    window and fires at execution time (Spark runtime error, not a
+    call-time ValueError).  When ``None`` the caller asserts gaps are
+    bounded (e.g. session-split upstream).  Timestamps must be
+    non-negative epoch µs (integer ``div`` truncation == floor only
+    holds there; the synthetic tables qualify).
     ``tiebreak_col`` breaks duplicate-timestamp ordering so the leg
     pairing is deterministic (and oracle-replayable) — pass the row id.
 
@@ -279,22 +284,26 @@ def resample_time_grid(
     ).filter(F.col("__t1") > F.col("__t0"))
     k0 = F.expr(f"(__t0 + {b - 1}) div {b}")
     k1 = F.expr(f"(__t1 + {b - 1}) div {b} - 1")
+    seq = F.when(k1 >= k0, F.sequence(k0, k1)).otherwise(
+        F.array().cast("array<long>")
+    )
     if max_fanout is not None:
-        n_over = legs.filter(k1 - k0 + 1 >= max_fanout).count()
-        if n_over:
-            raise ValueError(
-                f"resample_time_grid fan-out guard: {n_over} leg(s) span "
-                f">= {max_fanout} grid ticks at period_us={b}. Split long "
-                f"gaps upstream or use a coarser period."
-            )
-    ticks = legs.withColumn(
-        "k",
-        F.explode(
-            F.when(k1 >= k0, F.sequence(k0, k1)).otherwise(
-                F.array().cast("array<long>")
-            )
-        ),
-    ).withColumn("tick_us", F.col("k") * b)
+        # in-plan guard: fires inside the same codegen stage as the
+        # explode (NULL unifies with array<long> in the when-chain), so
+        # enabling it never re-executes the points-scale window
+        seq = F.when(
+            k1 - k0 + 1 >= F.lit(max_fanout),
+            F.raise_error(
+                F.lit(
+                    f"resample_time_grid fan-out guard: a leg spans >= "
+                    f"{max_fanout} grid ticks at period_us={b}. Split long "
+                    f"gaps upstream or use a coarser period."
+                )
+            ),
+        ).otherwise(seq)
+    ticks = legs.withColumn("k", F.explode(seq)).withColumn(
+        "tick_us", F.col("k") * b
+    )
     frac = (F.col("tick_us") - F.col("__t0")) / (F.col("__t1") - F.col("__t0"))
     out_cols = [F.col(group_col), F.col("k"), F.col("tick_us")]
     for c in value_cols:

@@ -189,6 +189,9 @@ def test_cell_morphology_no_points_scale_joins(spark):
     plan = _plan(Q.q_cell_morphology(spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # dilation has NO join at all; erosion's semi-join + the three
-    # per-region count joins are all on the (tiny) cell-set side
+    # dilation AND erosion have no join at all (occupancy==9 implies
+    # membership); the two per-region count joins are on the (tiny)
+    # cell-set side, and the points-scale distinct is cached so it
+    # executes once across the three branches
     assert "SortMergeJoin" not in plan
+    assert "InMemoryTableScan" in plan

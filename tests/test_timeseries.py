@@ -307,5 +307,12 @@ def test_resample_grid_fanout_guard(spark):
     df = spark.createDataFrame(
         rows, "user_id string, event_id long, ts timestamp, lat double, lon double"
     )
-    with pytest.raises(ValueError, match="fan-out guard"):
-        resample_time_grid(df, 1_000_000, max_fanout=100, tiebreak_col="event_id")
+    # the guard is folded into the explode plan (raise_error), so it
+    # fires at EXECUTION time as a Spark runtime error — zero extra
+    # passes over the points-scale window
+    out = resample_time_grid(df, 1_000_000, max_fanout=100, tiebreak_col="event_id")
+    with pytest.raises(Exception, match="fan-out guard"):
+        out.count()
+    # under the threshold the same plan executes clean
+    ok = resample_time_grid(df, 1_000_000, max_fanout=2000, tiebreak_col="event_id")
+    assert ok.count() == 1000
