@@ -140,7 +140,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_retention": _wrap(Q.q_cell_retention),
         "st_rollup": _wrap(Q.q_st_rollup),
         "resample_grid": _wrap(Q.q_resample_grid),
-        # -- block 2 (positions 51+, just past the window): code touched
+        # -- head of the >50 overflow: the newest oracle-backed query
+        # (registered after the window filled with the 50 never-checked
+        # entries above; locally pinned by tests/test_oracle_parity.py —
+        # next round's first window candidate)
+        "hotspot_cells": _wrap(Q.q_hotspot_cells),
+        # -- block 2 (positions 52+, just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
         # interval_events were driver-green in r02; the r03 changes
         # (broadcast(sizes) removal, interval fan-out guard) are
@@ -227,6 +232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "pip_antijoin": Q.SQL_PIP_ANTIJOIN,
+        "hotspot_cells": Q.SQL_HOTSPOT_CELLS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,
         "dwell_cells": Q.SQL_DWELL_CELLS,

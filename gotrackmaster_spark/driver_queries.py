@@ -5575,3 +5575,64 @@ SELECT user_id, count(*) AS n_grid,
        round(sum(g_lon), 4) AS sum_glon_r
 FROM interp GROUP BY user_id
 """
+
+
+# --------------------------------------------------------------------------
+# E14 — Getis-Ord Gi* hotspot detection (`spatial.gi_star_hotspots`):
+# the classic local hotspot statistic over the 5° count lattice.  Points
+# collapse to per-cell counts FIRST (map-side combinable — the only
+# points-scale op), then the erode-shaped ×9 explode + one hash
+# aggregate yields neighborhood sums and occupied-neighbor counts with
+# NO join (membership = the self-offset flag), and the global moments
+# arrive via a 1-row broadcast cross join.  All float algebra derives
+# from exact integer sums in a fixed expression order, so the oracle
+# replays it bit-for-bit.
+# --------------------------------------------------------------------------
+
+_HOT_G = 5.0
+
+
+def q_hotspot_cells(spark, sf_dir):
+    from gotrackmaster_spark.operators.spatial import gi_star_hotspots
+
+    geo = geo_events(spark, sf_dir)
+    cells = geo.groupBy(
+        F.floor(F.col("lon") / _HOT_G).cast("long").alias("gx"),
+        F.floor(F.col("lat") / _HOT_G).cast("long").alias("gy"),
+    ).agg(F.count("*").alias("cnt"))
+    out = gi_star_hotspots(cells)
+    return out.select(
+        "gx", "gy", "cnt", "n_nbrs", F.round(F.col("z"), 4).alias("z_r")
+    )
+
+
+SQL_HOTSPOT_CELLS = f"""
+WITH {GEO_CTE},
+cells AS (
+  SELECT CAST(floor(lon / {_HOT_G}) AS BIGINT) AS gx,
+         CAST(floor(lat / {_HOT_G}) AS BIGINT) AS gy,
+         count(*) AS cnt
+  FROM geo GROUP BY 1, 2
+),
+off AS (SELECT dx - 1 AS dx, dy - 1 AS dy FROM range(3) t1(dx), range(3) t2(dy)),
+nbr AS (
+  SELECT gx + dx AS gx, gy + dy AS gy,
+         sum(cnt) AS wsum, count(*) AS n_nbrs,
+         max(CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END) AS occ,
+         max(CASE WHEN dx = 0 AND dy = 0 THEN cnt END) AS cnt
+  FROM cells, off GROUP BY 1, 2
+),
+occupied AS (SELECT * FROM nbr WHERE occ = 1),
+st AS (
+  SELECT count(*) AS n, sum(cnt) AS s1, sum(cnt * cnt) AS s2 FROM occupied
+)
+SELECT o.gx, o.gy, o.cnt, o.n_nbrs,
+       round(
+         CASE WHEN n > 1 AND n * n_nbrs - n_nbrs * n_nbrs > 0
+                   AND sqrt(s2 / n - (s1 / n) * (s1 / n)) > 0
+              THEN (o.wsum - (s1 / n) * o.n_nbrs)
+                   / (sqrt(s2 / n - (s1 / n) * (s1 / n))
+                      * sqrt((n * n_nbrs - n_nbrs * n_nbrs) / (n - 1.0)))
+         END, 4) AS z_r
+FROM occupied o, st
+"""

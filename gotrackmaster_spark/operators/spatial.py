@@ -1510,6 +1510,85 @@ def cell_set_erode(cells: DataFrame, group_cols: list[str]) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# E14 — Getis-Ord Gi* hotspot statistic over a grid-cell count lattice
+# --------------------------------------------------------------------------
+
+_bound_gistar_cache = make_bounded_cache()  # previous call's occupied-cell rows
+
+
+def gi_star_hotspots(cells: DataFrame) -> DataFrame:
+    """Getis-Ord Gi* z-score per occupied cell — the classic hotspot
+    statistic — with binary 3×3 (queen + self) neighborhood weights over
+    the OCCUPIED cells of a count lattice.
+
+    ``cells`` carries ``(gx, gy, cnt)`` — one row per occupied cell
+    (callers aggregate points down first; that map-side-combinable
+    count is the only points-scale op in the pipeline).
+
+      Gi*_i = (Σ_j∈N(i) x_j − X̄·k_i) / (S · √((n·k_i − k_i²)/(n−1)))
+
+    with n = occupied cells, X̄/S the population mean/std of the counts,
+    k_i = |occupied ∩ N(i)| (self included).  Neighborhood restricted to
+    occupied cells — absent cells are "no data", not zeros (both engines
+    must agree on this convention; the DuckDB twin replays it).
+
+    Plan at scale (mirrors :func:`cell_set_erode` — NO joins): each
+    occupied cell explodes its count to its 9 targets, one hash
+    aggregate yields (Σ_j x_j, k_i) per target plus a self-offset flag
+    that marks which targets are themselves occupied (membership needs
+    no join-back), and the global moments come from a 1-row broadcast
+    cross join computed off the same cached occupied rows — exact
+    integer Σx/Σx², float algebra only at the end.  ``z`` is NULL when
+    the denominator is 0 (n == 1 or k_i == n ≤ 9).
+
+    Output: ``(gx, gy, cnt, n_nbrs, z)`` — one row per occupied cell,
+    ``z`` unrounded (callers round for determinism contracts).
+    """
+    contrib = cells.withColumn(
+        "__o",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ])
+        ),
+    ).select(
+        (F.col("gx") + F.col("__o.dx")).alias("gx"),
+        (F.col("gy") + F.col("__o.dy")).alias("gy"),
+        F.col("cnt"),
+        ((F.col("__o.dx") == 0) & (F.col("__o.dy") == 0)).cast("int").alias("__self"),
+    )
+    occupied = _bound_gistar_cache(
+        contrib.groupBy("gx", "gy")
+        .agg(
+            F.sum("cnt").alias("__wsum"),
+            F.count("*").alias("n_nbrs"),
+            F.max("__self").alias("__occ"),
+            F.max(F.when(F.col("__self") == 1, F.col("cnt"))).alias("cnt"),
+        )
+        .filter(F.col("__occ") == 1)
+        .drop("__occ")
+    )
+    stats = occupied.agg(
+        F.count("*").alias("__n"),
+        F.sum("cnt").alias("__s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("__s2"),
+    )
+    j = occupied.crossJoin(F.broadcast(stats))
+    n, k = F.col("__n"), F.col("n_nbrs")
+    xbar = F.col("__s1") / n
+    s_sd = F.sqrt(F.col("__s2") / n - xbar * xbar)
+    den = s_sd * F.sqrt((n * k - k * k) / (n - F.lit(1.0)))
+    # degeneracy guard BEFORE any division that could hit 0 (ANSI mode
+    # errors on float div-by-zero): n == 1 (no variance ratio), k == n
+    # (n·k − k² == 0), or a constant lattice (s == 0) all yield NULL
+    cond = (n > 1) & (n * k - k * k > 0) & (s_sd > 0)
+    z = F.when(cond, (F.col("__wsum") - xbar * k) / den)
+    return j.select("gx", "gy", "cnt", "n_nbrs", z.alias("z"))
+
+
+# --------------------------------------------------------------------------
 # E12 — per-group diameter: convex hull + rotating calipers in ONE
 # Arrow batch per group (O(n log n)) vs the O(n²) all-pairs alternative
 # --------------------------------------------------------------------------
