@@ -145,7 +145,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entries above; locally pinned by tests/test_oracle_parity.py —
         # next round's first window candidate)
         "hotspot_cells": _wrap(Q.q_hotspot_cells),
-        # -- block 2 (positions 52+, just past the window): code touched
+        "moran_i": _wrap(Q.q_moran_i),
+        # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
         # interval_events were driver-green in r02; the r03 changes
         # (broadcast(sizes) removal, interval fan-out guard) are
@@ -233,6 +234,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pip_antijoin": Q.SQL_PIP_ANTIJOIN,
         "hotspot_cells": Q.SQL_HOTSPOT_CELLS,
+        "moran_i": Q.SQL_MORAN_I,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,
         "dwell_cells": Q.SQL_DWELL_CELLS,

@@ -5636,3 +5636,65 @@ SELECT o.gx, o.gy, o.cnt, o.n_nbrs,
          END, 4) AS z_r
 FROM occupied o, st
 """
+
+
+# --------------------------------------------------------------------------
+# E14b — global Moran's I (`spatial.morans_i`): the lattice-wide spatial
+# autocorrelation companion to Gi*.  Same ×9 occupancy topology, NO
+# joins; the cross-term expands to A − x̄·B + x̄²·W over exact integer
+# aggregates so partition order can never perturb the float result.
+# --------------------------------------------------------------------------
+
+
+def q_moran_i(spark, sf_dir):
+    from gotrackmaster_spark.operators.spatial import morans_i
+
+    geo = geo_events(spark, sf_dir)
+    cells = geo.groupBy(
+        F.floor(F.col("lon") / _HOT_G).cast("long").alias("gx"),
+        F.floor(F.col("lat") / _HOT_G).cast("long").alias("gy"),
+    ).agg(F.count("*").alias("cnt"))
+    out = morans_i(cells)
+    return out.select(
+        "n_cells",
+        "w_pairs",
+        F.round(F.col("i_moran"), 6).alias("i_moran_r"),
+        F.round(F.col("e_i"), 6).alias("e_i_r"),
+    )
+
+
+SQL_MORAN_I = f"""
+WITH {GEO_CTE},
+cells AS (
+  SELECT CAST(floor(lon / {_HOT_G}) AS BIGINT) AS gx,
+         CAST(floor(lat / {_HOT_G}) AS BIGINT) AS gy,
+         count(*) AS cnt
+  FROM geo GROUP BY 1, 2
+),
+off AS (SELECT dx - 1 AS dx, dy - 1 AS dy FROM range(3) t1(dx), range(3) t2(dy)),
+nbr AS (
+  SELECT gx + dx AS gx, gy + dy AS gy,
+         sum(cnt) AS wsum, count(*) AS k,
+         max(CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END) AS occ,
+         max(CASE WHEN dx = 0 AND dy = 0 THEN cnt END) AS cnt
+  FROM cells, off GROUP BY 1, 2
+),
+occupied AS (SELECT * FROM nbr WHERE occ = 1),
+agg AS (
+  SELECT count(*) AS n, sum(cnt) AS s1, sum(cnt * cnt) AS s2,
+         sum(cnt * (wsum - cnt)) AS a,
+         sum(cnt * (k - 1) + (wsum - cnt)) AS b,
+         sum(k - 1) AS w
+  FROM occupied
+)
+SELECT n AS n_cells, CAST(w AS BIGINT) AS w_pairs,
+       round(
+         CASE WHEN n > 1 AND w > 0
+                   AND s2 - n * ((s1 / n) * (s1 / n)) > 0
+              THEN n / (w * 1.0)
+                   * (a - (s1 / n) * b + (s1 / n) * (s1 / n) * w)
+                   / (s2 - n * ((s1 / n) * (s1 / n)))
+         END, 6) AS i_moran_r,
+       round(CASE WHEN n > 1 THEN -1.0 / (n - 1.0) END, 6) AS e_i_r
+FROM agg
+"""

@@ -1588,6 +1588,73 @@ def gi_star_hotspots(cells: DataFrame) -> DataFrame:
     return j.select("gx", "gy", "cnt", "n_nbrs", z.alias("z"))
 
 
+def morans_i(cells: DataFrame) -> DataFrame:
+    """Global Moran's I spatial autocorrelation of a count lattice with
+    binary 3×3 queen weights (self EXCLUDED, per the classic statistic)
+    over occupied cells:
+
+      I = (n / W) · Σᵢⱼ wᵢⱼ(xᵢ−x̄)(xⱼ−x̄) / Σᵢ(xᵢ−x̄)²,   E[I] = −1/(n−1)
+
+    Determinism at scale: the cross-term is NOT accumulated as floats —
+    it expands to  A − x̄·B + x̄²·W  with A = Σ xᵢ·nbrsumᵢ,
+    B = Σ (xᵢ·kᵢ + nbrsumᵢ), W = Σ kᵢ (neighbor sums excluding self),
+    all EXACT integer aggregates; the float algebra happens once on the
+    final 1-row scalars, so partition order can never perturb the hash.
+    Same plan shape as :func:`gi_star_hotspots` minus the cross join:
+    one ×9 explode + two hash aggregates, no joins at all.
+
+    Output: ONE row ``(n_cells, w_pairs, i_moran, e_i)`` — NULLs when
+    n < 2, W == 0, or the lattice is constant (zero variance).
+    """
+    contrib = cells.withColumn(
+        "__o",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ])
+        ),
+    ).select(
+        (F.col("gx") + F.col("__o.dx")).alias("gx"),
+        (F.col("gy") + F.col("__o.dy")).alias("gy"),
+        F.col("cnt"),
+        ((F.col("__o.dx") == 0) & (F.col("__o.dy") == 0)).cast("int").alias("__self"),
+    )
+    occupied = (
+        contrib.groupBy("gx", "gy")
+        .agg(
+            F.sum("cnt").alias("__wsum"),
+            F.count("*").alias("__k"),
+            F.max("__self").alias("__occ"),
+            F.max(F.when(F.col("__self") == 1, F.col("cnt"))).alias("cnt"),
+        )
+        .filter(F.col("__occ") == 1)
+    )
+    nbr_sum = F.col("__wsum") - F.col("cnt")   # exclude self
+    k_ex = F.col("__k") - 1
+    agg = occupied.agg(
+        F.count("*").alias("n"),
+        F.sum("cnt").alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("s2"),
+        F.sum(F.col("cnt") * nbr_sum).alias("a"),
+        F.sum(F.col("cnt") * k_ex + nbr_sum).alias("b"),
+        F.sum(k_ex).alias("w"),
+    )
+    n, w = F.col("n"), F.col("w")
+    xbar = F.col("s1") / n
+    num = F.col("a") - xbar * F.col("b") + xbar * xbar * w
+    den = F.col("s2") - n * (xbar * xbar)
+    i_val = F.when((n > 1) & (w > 0) & (den > 0), (n / (w * F.lit(1.0))) * num / den)
+    e_i = F.when(n > 1, F.lit(-1.0) / (n - F.lit(1.0)))
+    return agg.select(
+        n.alias("n_cells"),
+        w.alias("w_pairs"),
+        i_val.alias("i_moran"),
+        e_i.alias("e_i"),
+    )
+
+
 # --------------------------------------------------------------------------
 # E12 — per-group diameter: convex hull + rotating calipers in ONE
 # Arrow batch per group (O(n log n)) vs the O(n²) all-pairs alternative

@@ -85,3 +85,61 @@ def test_gi_star_plan_shape(spark):
     assert "CartesianProduct" not in plan
     # the single BroadcastNestedLoopJoin IS the intended 1-row stats join
     assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def _moran(spark, cells):
+    from gotrackmaster_spark.operators.spatial import morans_i
+
+    df = spark.createDataFrame(cells, "gx long, gy long, cnt long")
+    return morans_i(df).collect()[0]
+
+
+def test_morans_i_checkerboard_is_negative(spark):
+    # perfect alternation = strong NEGATIVE autocorrelation; rook-adjacent
+    # cells always differ.  queen weights include diagonals (same color),
+    # so I is negative but > -1.
+    cells = [(x, y, 10 if (x + y) % 2 == 0 else 1) for x in range(6) for y in range(6)]
+    r = _moran(spark, cells)
+    assert r["n_cells"] == 36
+    assert r["i_moran"] < -0.05
+    assert r["e_i"] == pytest.approx(-1.0 / 35.0)
+
+
+def test_morans_i_clustered_is_positive(spark):
+    # left half high, right half low: neighbors mostly agree -> I >> E[I]
+    cells = [(x, y, 50 if x < 3 else 1) for x in range(6) for y in range(6)]
+    r = _moran(spark, cells)
+    assert r["i_moran"] > 0.5
+
+
+def test_morans_i_degenerate_null(spark):
+    # constant lattice: zero variance -> NULL (not a division error)
+    r = _moran(spark, [(x, 0, 5) for x in range(4)])
+    assert r["i_moran"] is None
+    # single cell: W == 0 and n == 1 -> both stats NULL
+    r = _moran(spark, [(0, 0, 7)])
+    assert r["i_moran"] is None and r["e_i"] is None
+
+
+def test_morans_i_exact_vs_reference(spark):
+    # brute-force reference over explicit neighbor pairs on a small lattice
+    import random
+
+    rnd = random.Random(42)
+    cells = [(x, y, rnd.randint(1, 20)) for x in range(5) for y in range(4)]
+    r = _moran(spark, cells)
+    vals = {(x, y): c for x, y, c in cells}
+    n = len(vals)
+    xbar = sum(vals.values()) / n
+    num = w = 0.0
+    for (x, y), c in vals.items():
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if (dx, dy) == (0, 0):
+                    continue
+                if (x + dx, y + dy) in vals:
+                    num += (c - xbar) * (vals[(x + dx, y + dy)] - xbar)
+                    w += 1
+    den = sum((c - xbar) ** 2 for c in vals.values())
+    assert r["w_pairs"] == int(w)
+    assert r["i_moran"] == pytest.approx((n / w) * num / den, rel=1e-9)
