@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # next round's first window candidate)
         "hotspot_cells": _wrap(Q.q_hotspot_cells),
         "moran_i": _wrap(Q.q_moran_i),
+        "lisa_cells": _wrap(Q.q_lisa_cells),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
         # interval_events were driver-green in r02; the r03 changes
@@ -235,6 +236,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_antijoin": Q.SQL_PIP_ANTIJOIN,
         "hotspot_cells": Q.SQL_HOTSPOT_CELLS,
         "moran_i": Q.SQL_MORAN_I,
+        "lisa_cells": Q.SQL_LISA_CELLS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,
         "dwell_cells": Q.SQL_DWELL_CELLS,

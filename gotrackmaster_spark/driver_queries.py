@@ -5698,3 +5698,70 @@ SELECT n AS n_cells, CAST(w AS BIGINT) AS w_pairs,
        round(CASE WHEN n > 1 THEN -1.0 / (n - 1.0) END, 6) AS e_i_r
 FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# E14c — local Moran's I / LISA (`spatial.local_morans_i`): per-cell
+# cluster & outlier labels (HH/LL hot/cold clusters, HL/LH outliers)
+# completing the spatial-statistics trio.  Same no-join occupancy
+# topology; Σ_j(x_j − x̄) expands exactly to nbrsum − k_ex·x̄ over the
+# integer aggregates, so the float algebra is row-local against the
+# 1-row broadcast moments.
+# --------------------------------------------------------------------------
+
+
+def q_lisa_cells(spark, sf_dir):
+    from gotrackmaster_spark.operators.spatial import local_morans_i
+
+    geo = geo_events(spark, sf_dir)
+    cells = geo.groupBy(
+        F.floor(F.col("lon") / _HOT_G).cast("long").alias("gx"),
+        F.floor(F.col("lat") / _HOT_G).cast("long").alias("gy"),
+    ).agg(F.count("*").alias("cnt"))
+    out = local_morans_i(cells)
+    return out.select(
+        "gx",
+        "gy",
+        "cnt",
+        "n_nbrs",
+        F.round(F.col("i_local"), 6).alias("i_local_r"),
+        "quad",
+    )
+
+
+SQL_LISA_CELLS = f"""
+WITH {GEO_CTE},
+cells AS (
+  SELECT CAST(floor(lon / {_HOT_G}) AS BIGINT) AS gx,
+         CAST(floor(lat / {_HOT_G}) AS BIGINT) AS gy,
+         count(*) AS cnt
+  FROM geo GROUP BY 1, 2
+),
+off AS (SELECT dx - 1 AS dx, dy - 1 AS dy FROM range(3) t1(dx), range(3) t2(dy)),
+nbr AS (
+  SELECT gx + dx AS gx, gy + dy AS gy,
+         sum(cnt) AS wsum, count(*) AS k,
+         max(CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END) AS occ,
+         max(CASE WHEN dx = 0 AND dy = 0 THEN cnt END) AS cnt
+  FROM cells, off GROUP BY 1, 2
+),
+occupied AS (SELECT * FROM nbr WHERE occ = 1),
+st AS (
+  SELECT count(*) AS n, sum(cnt) AS s1, sum(cnt * cnt) AS s2 FROM occupied
+)
+SELECT o.gx, o.gy, o.cnt, o.k - 1 AS n_nbrs,
+       round(
+         CASE WHEN n > 1 AND o.k - 1 > 0
+                   AND s2 / n - (s1 / n) * (s1 / n) > 0
+              THEN (o.cnt - s1 / n)
+                   * ((o.wsum - o.cnt) - (o.k - 1) * (s1 / n))
+                   / (s2 / n - (s1 / n) * (s1 / n))
+         END, 6) AS i_local_r,
+       CASE WHEN n > 1 AND o.k - 1 > 0
+                 AND s2 / n - (s1 / n) * (s1 / n) > 0
+            THEN (CASE WHEN o.cnt - s1 / n >= 0 THEN 'H' ELSE 'L' END)
+                 || (CASE WHEN (o.wsum - o.cnt) - (o.k - 1) * (s1 / n) >= 0
+                          THEN 'H' ELSE 'L' END)
+       END AS quad
+FROM occupied o, st
+"""

@@ -1516,6 +1516,45 @@ def cell_set_erode(cells: DataFrame, group_cols: list[str]) -> DataFrame:
 _bound_gistar_cache = make_bounded_cache()  # previous call's occupied-cell rows
 
 
+def _occupancy_counts(cells: DataFrame) -> DataFrame:
+    """Shared topology of the spatial-statistics trio (Gi*, global and
+    local Moran's I): each occupied ``(gx, gy, cnt)`` cell explodes its
+    count to its 9 3×3 targets; ONE hash aggregate then yields, per
+    target, the neighborhood count sum ``__wsum`` (self included), the
+    occupied-neighbor count ``__k`` (self included) and the cell's own
+    ``cnt`` — and the self-offset flag marks which targets are
+    themselves occupied, so membership needs NO join-back (the
+    erode argument).  Neighborhoods are restricted to occupied cells:
+    absent cells are "no data", not zeros.
+    """
+    contrib = cells.withColumn(
+        "__o",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ])
+        ),
+    ).select(
+        (F.col("gx") + F.col("__o.dx")).alias("gx"),
+        (F.col("gy") + F.col("__o.dy")).alias("gy"),
+        F.col("cnt"),
+        ((F.col("__o.dx") == 0) & (F.col("__o.dy") == 0)).cast("int").alias("__self"),
+    )
+    return (
+        contrib.groupBy("gx", "gy")
+        .agg(
+            F.sum("cnt").alias("__wsum"),
+            F.count("*").alias("__k"),
+            F.max("__self").alias("__occ"),
+            F.max(F.when(F.col("__self") == 1, F.col("cnt"))).alias("cnt"),
+        )
+        .filter(F.col("__occ") == 1)
+        .drop("__occ")
+    )
+
+
 def gi_star_hotspots(cells: DataFrame) -> DataFrame:
     """Getis-Ord Gi* z-score per occupied cell — the classic hotspot
     statistic — with binary 3×3 (queen + self) neighborhood weights over
@@ -1544,31 +1583,8 @@ def gi_star_hotspots(cells: DataFrame) -> DataFrame:
     Output: ``(gx, gy, cnt, n_nbrs, z)`` — one row per occupied cell,
     ``z`` unrounded (callers round for determinism contracts).
     """
-    contrib = cells.withColumn(
-        "__o",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-                for dx in (-1, 0, 1)
-                for dy in (-1, 0, 1)
-            ])
-        ),
-    ).select(
-        (F.col("gx") + F.col("__o.dx")).alias("gx"),
-        (F.col("gy") + F.col("__o.dy")).alias("gy"),
-        F.col("cnt"),
-        ((F.col("__o.dx") == 0) & (F.col("__o.dy") == 0)).cast("int").alias("__self"),
-    )
     occupied = _bound_gistar_cache(
-        contrib.groupBy("gx", "gy")
-        .agg(
-            F.sum("cnt").alias("__wsum"),
-            F.count("*").alias("n_nbrs"),
-            F.max("__self").alias("__occ"),
-            F.max(F.when(F.col("__self") == 1, F.col("cnt"))).alias("cnt"),
-        )
-        .filter(F.col("__occ") == 1)
-        .drop("__occ")
+        _occupancy_counts(cells).withColumnRenamed("__k", "n_nbrs")
     )
     stats = occupied.agg(
         F.count("*").alias("__n"),
@@ -1606,31 +1622,7 @@ def morans_i(cells: DataFrame) -> DataFrame:
     Output: ONE row ``(n_cells, w_pairs, i_moran, e_i)`` — NULLs when
     n < 2, W == 0, or the lattice is constant (zero variance).
     """
-    contrib = cells.withColumn(
-        "__o",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-                for dx in (-1, 0, 1)
-                for dy in (-1, 0, 1)
-            ])
-        ),
-    ).select(
-        (F.col("gx") + F.col("__o.dx")).alias("gx"),
-        (F.col("gy") + F.col("__o.dy")).alias("gy"),
-        F.col("cnt"),
-        ((F.col("__o.dx") == 0) & (F.col("__o.dy") == 0)).cast("int").alias("__self"),
-    )
-    occupied = (
-        contrib.groupBy("gx", "gy")
-        .agg(
-            F.sum("cnt").alias("__wsum"),
-            F.count("*").alias("__k"),
-            F.max("__self").alias("__occ"),
-            F.max(F.when(F.col("__self") == 1, F.col("cnt"))).alias("cnt"),
-        )
-        .filter(F.col("__occ") == 1)
-    )
+    occupied = _occupancy_counts(cells)
     nbr_sum = F.col("__wsum") - F.col("cnt")   # exclude self
     k_ex = F.col("__k") - 1
     agg = occupied.agg(
@@ -1652,6 +1644,58 @@ def morans_i(cells: DataFrame) -> DataFrame:
         w.alias("w_pairs"),
         i_val.alias("i_moran"),
         e_i.alias("e_i"),
+    )
+
+
+def local_morans_i(cells: DataFrame) -> DataFrame:
+    """Local Moran's I (LISA) per occupied cell — Anselin's local
+    cluster/outlier indicator with binary 3×3 queen weights (self
+    excluded), the per-cell decomposition of :func:`morans_i`:
+
+      Iᵢ = (xᵢ−x̄) · Σ_j∈N(i),j≠i (xⱼ−x̄) / m₂,   m₂ = Σ(x−x̄)²/n
+
+    plus the standard quadrant label from the signs of (xᵢ−x̄) and the
+    neighbor deviation: HH (hot cluster), LL (cold cluster), HL / LH
+    (spatial outliers).  Σ_j (xⱼ−x̄) expands exactly to
+    ``nbrsum − k_ex·x̄`` over the integer occupancy aggregates, so the
+    only float algebra is row-local against the 1-row broadcast
+    moments — same no-join plan as :func:`gi_star_hotspots`.
+
+    Output: ``(gx, gy, cnt, n_nbrs, i_local, quad)`` — ``i_local`` and
+    ``quad`` NULL for isolated cells (no neighbors) or a constant /
+    single-cell lattice.
+    """
+    occupied = _bound_gistar_cache(
+        _occupancy_counts(cells).withColumnRenamed("__k", "n_nbrs")
+    )
+    stats = occupied.agg(
+        F.count("*").alias("__n"),
+        F.sum("cnt").alias("__s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("__s2"),
+    )
+    j = occupied.crossJoin(F.broadcast(stats))
+    n = F.col("__n")
+    k_ex = F.col("n_nbrs") - 1
+    xbar = F.col("__s1") / n
+    m2 = F.col("__s2") / n - xbar * xbar
+    zi = F.col("cnt") - xbar
+    lag = (F.col("__wsum") - F.col("cnt")) - k_ex * xbar
+    ok = (n > 1) & (k_ex > 0) & (m2 > 0)
+    i_local = F.when(ok, zi * lag / m2)
+    quad = F.when(
+        ok,
+        F.concat(
+            F.when(zi >= 0, F.lit("H")).otherwise(F.lit("L")),
+            F.when(lag >= 0, F.lit("H")).otherwise(F.lit("L")),
+        ),
+    )
+    return j.select(
+        "gx",
+        "gy",
+        "cnt",
+        (k_ex).alias("n_nbrs"),
+        i_local.alias("i_local"),
+        quad.alias("quad"),
     )
 
 

@@ -143,3 +143,35 @@ def test_morans_i_exact_vs_reference(spark):
     den = sum((c - xbar) ** 2 for c in vals.values())
     assert r["w_pairs"] == int(w)
     assert r["i_moran"] == pytest.approx((n / w) * num / den, rel=1e-9)
+
+
+def test_lisa_quadrants_and_additivity(spark):
+    from gotrackmaster_spark.operators.spatial import local_morans_i, morans_i
+
+    # left half high, right half low: interior cells are HH / LL
+    cells = [(x, y, 50 if x < 3 else 1) for x in range(6) for y in range(6)]
+    df = spark.createDataFrame(cells, "gx long, gy long, cnt long")
+    rows = {(r["gx"], r["gy"]): r for r in local_morans_i(df).collect()}
+    assert rows[(0, 0)]["quad"] == "HH"          # high cell, high neighbors
+    assert rows[(5, 5)]["quad"] == "LL"          # low cell, low neighbors
+    assert rows[(0, 0)]["i_local"] > 0
+    # boundary cells (x=2 high next to x=3 low) mix — column x=3 is LH or LL
+    assert rows[(3, 2)]["quad"][0] == "L"
+    # additivity: sum(I_i) == W * I_global (exact algebraic identity)
+    g = morans_i(df).collect()[0]
+    s = sum(r["i_local"] for r in rows.values())
+    assert s == pytest.approx(g["w_pairs"] * g["i_moran"], rel=1e-9)
+
+
+def test_lisa_isolated_cell_is_null(spark):
+    from gotrackmaster_spark.operators.spatial import local_morans_i
+
+    # an isolated cell has no neighbors (k_ex == 0) -> NULL stat + label,
+    # while the clustered pair still gets values
+    df = spark.createDataFrame(
+        [(0, 0, 5), (0, 1, 7), (100, 100, 1)], "gx long, gy long, cnt long"
+    )
+    rows = {(r["gx"], r["gy"]): r for r in local_morans_i(df).collect()}
+    assert rows[(100, 100)]["i_local"] is None
+    assert rows[(100, 100)]["quad"] is None
+    assert rows[(0, 0)]["quad"] is not None
