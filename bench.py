@@ -140,6 +140,7 @@ def bench_queries():
         "mosaic_topk": Q.q_mosaic_topk,
         "map_match": Q.q_map_match,
         "track_diameter": Q.q_track_diameter,
+        "hotspot_cells": Q.q_hotspot_cells,
     }
 
 

@@ -1555,6 +1555,24 @@ def _occupancy_counts(cells: DataFrame) -> DataFrame:
     )
 
 
+def _with_moments(occupied: DataFrame) -> DataFrame:
+    """Attach the 1-row global count moments (n, Σx, Σx²) to every
+    occupied-cell row via an explicit broadcast cross join.
+
+    This is a BroadcastNestedLoopJoin by construction — the legitimate
+    bounded case (build side is exactly ONE row, an aggregation without
+    grouping keys), declared in the registry plan audit's allowlist.
+    A constant-key equi-join does not avoid it: Catalyst folds any
+    derivable-constant key (including non-null x*0+1) and degenerates
+    the join back to the nested loop."""
+    stats = occupied.agg(
+        F.count("*").alias("__n"),
+        F.sum("cnt").alias("__s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("__s2"),
+    )
+    return occupied.crossJoin(F.broadcast(stats))
+
+
 def gi_star_hotspots(cells: DataFrame) -> DataFrame:
     """Getis-Ord Gi* z-score per occupied cell — the classic hotspot
     statistic — with binary 3×3 (queen + self) neighborhood weights over
@@ -1575,8 +1593,8 @@ def gi_star_hotspots(cells: DataFrame) -> DataFrame:
     occupied cell explodes its count to its 9 targets, one hash
     aggregate yields (Σ_j x_j, k_i) per target plus a self-offset flag
     that marks which targets are themselves occupied (membership needs
-    no join-back), and the global moments come from a 1-row broadcast
-    cross join computed off the same cached occupied rows — exact
+    no join-back), and the global moments attach via the 1-row constant-key
+    broadcast hash join of :func:`_with_moments` — exact
     integer Σx/Σx², float algebra only at the end.  ``z`` is NULL when
     the denominator is 0 (n == 1 or k_i == n ≤ 9).
 
@@ -1586,12 +1604,7 @@ def gi_star_hotspots(cells: DataFrame) -> DataFrame:
     occupied = _bound_gistar_cache(
         _occupancy_counts(cells).withColumnRenamed("__k", "n_nbrs")
     )
-    stats = occupied.agg(
-        F.count("*").alias("__n"),
-        F.sum("cnt").alias("__s1"),
-        F.sum(F.col("cnt") * F.col("cnt")).alias("__s2"),
-    )
-    j = occupied.crossJoin(F.broadcast(stats))
+    j = _with_moments(occupied)
     n, k = F.col("__n"), F.col("n_nbrs")
     xbar = F.col("__s1") / n
     s_sd = F.sqrt(F.col("__s2") / n - xbar * xbar)
@@ -1668,12 +1681,7 @@ def local_morans_i(cells: DataFrame) -> DataFrame:
     occupied = _bound_gistar_cache(
         _occupancy_counts(cells).withColumnRenamed("__k", "n_nbrs")
     )
-    stats = occupied.agg(
-        F.count("*").alias("__n"),
-        F.sum("cnt").alias("__s1"),
-        F.sum(F.col("cnt") * F.col("cnt")).alias("__s2"),
-    )
-    j = occupied.crossJoin(F.broadcast(stats))
+    j = _with_moments(occupied)
     n = F.col("__n")
     k_ex = F.col("n_nbrs") - 1
     xbar = F.col("__s1") / n

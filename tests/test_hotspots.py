@@ -83,7 +83,9 @@ def test_gi_star_plan_shape(spark):
     plan = gi_star_hotspots(df)._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
-    # the single BroadcastNestedLoopJoin IS the intended 1-row stats join
+    # the single BroadcastNestedLoopJoin IS the intended 1-row moments
+    # broadcast (allowlisted in the registry plan audit; a constant-key
+    # equi-join folds back to this shape anyway)
     assert plan.count("BroadcastNestedLoopJoin") == 1
 
 

@@ -22,7 +22,10 @@ SF_DIR = "/root/testdata/sf0.001"
 #    (ValueError above max_queries; scale paths are LSH/IVF)
 #  - knn / knn_hex: the zero-candidate fallback for isolated query points
 #    (gated, logged, bounded to the queries that found no ring candidates)
-BNLJ_ALLOWED = {"embedding_topk_exact", "knn", "knn_hex"}
+#  - hotspot_cells / lisa_cells: the 1-row global-moments broadcast of
+#    the spatial-statistics trio (`spatial._with_moments`) — the build
+#    side is an aggregation without grouping keys, so exactly one row
+BNLJ_ALLOWED = {"embedding_topk_exact", "knn", "knn_hex", "hotspot_cells", "lisa_cells"}
 
 QUERIES = entrymod.queries()
 
