@@ -140,13 +140,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_retention": _wrap(Q.q_cell_retention),
         "st_rollup": _wrap(Q.q_st_rollup),
         "resample_grid": _wrap(Q.q_resample_grid),
-        # -- head of the >50 overflow: the newest oracle-backed query
+        # -- head of the >50 overflow: the newest oracle-backed queries
         # (registered after the window filled with the 50 never-checked
         # entries above; locally pinned by tests/test_oracle_parity.py —
-        # next round's first window candidate)
+        # next round's first window candidates)
         "hotspot_cells": _wrap(Q.q_hotspot_cells),
         "moran_i": _wrap(Q.q_moran_i),
         "lisa_cells": _wrap(Q.q_lisa_cells),
+        "trend_cells": _wrap(Q.q_trend_cells),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
         # interval_events were driver-green in r02; the r03 changes
@@ -237,6 +238,7 @@ def oracle_sql() -> dict[str, str]:
         "hotspot_cells": Q.SQL_HOTSPOT_CELLS,
         "moran_i": Q.SQL_MORAN_I,
         "lisa_cells": Q.SQL_LISA_CELLS,
+        "trend_cells": Q.SQL_TREND_CELLS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,
         "dwell_cells": Q.SQL_DWELL_CELLS,

@@ -5765,3 +5765,83 @@ SELECT o.gx, o.gy, o.cnt, o.k - 1 AS n_nbrs,
        END AS quad
 FROM occupied o, st
 """
+
+
+# --------------------------------------------------------------------------
+# E14d — Mann-Kendall trend per cell (`spatial.mann_kendall_trends`):
+# the "emerging hotspot" trend stage — which 15° cells heat up or cool
+# down across the daily count series.  Pair enumeration is a
+# co-partitioned SELF-join on the cell key bounded by T²/2 per cell
+# (T = time bins, never points²); S and the tie-corrected variance are
+# exact integers so z is partition-order invariant.
+# --------------------------------------------------------------------------
+
+_TREND_G = 15.0
+_US_PER_DAY = 86_400_000_000
+
+
+def q_trend_cells(spark, sf_dir):
+    from gotrackmaster_spark.operators.spatial import mann_kendall_trends
+
+    geo = geo_events(spark, sf_dir)
+    occ = geo.groupBy(
+        F.floor(F.col("lon") / _TREND_G).cast("long").alias("gx"),
+        F.floor(F.col("lat") / _TREND_G).cast("long").alias("gy"),
+        F.expr(f"unix_micros(CAST(ts AS timestamp)) DIV {_US_PER_DAY}").alias("t"),
+    ).agg(F.count("*").alias("cnt"))
+    out = mann_kendall_trends(occ)
+    return out.select(
+        "gx",
+        "gy",
+        "n_bins",
+        "s",
+        F.round(F.col("z"), 4).alias("z_r"),
+        "trend",
+    )
+
+
+SQL_TREND_CELLS = f"""
+WITH {GEO_CTE},
+occ AS (
+  SELECT CAST(floor(lon / {_TREND_G}) AS BIGINT) AS gx,
+         CAST(floor(lat / {_TREND_G}) AS BIGINT) AS gy,
+         epoch_us(ts) // {_US_PER_DAY} AS t,
+         count(*) AS cnt
+  FROM geo GROUP BY 1, 2, 3
+),
+s_tab AS (
+  SELECT a.gx, a.gy,
+         CAST(sum(CASE WHEN b.cnt > a.cnt THEN 1
+                       WHEN b.cnt < a.cnt THEN -1 ELSE 0 END) AS BIGINT) AS s
+  FROM occ a JOIN occ b ON a.gx = b.gx AND a.gy = b.gy AND a.t < b.t
+  GROUP BY 1, 2
+),
+ties AS (
+  SELECT gx, gy,
+         CAST(sum(tg) AS BIGINT) AS n_bins,
+         CAST(sum(tg * (tg - 1) * (2 * tg + 5)) AS BIGINT) AS tie
+  FROM (SELECT gx, gy, cnt, count(*) AS tg FROM occ GROUP BY 1, 2, 3)
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT t.gx, t.gy, t.n_bins, COALESCE(s.s, 0) AS s,
+         (t.n_bins * (t.n_bins - 1) * (2 * t.n_bins + 5) - t.tie) / 18.0 AS var_s,
+         s.s AS s_raw
+  FROM ties t LEFT JOIN s_tab s ON s.gx = t.gx AND s.gy = t.gy
+),
+z_tab AS (
+  SELECT gx, gy, n_bins, s,
+         CASE WHEN var_s > 0 THEN
+           CASE WHEN s_raw > 0 THEN (s_raw - 1) / sqrt(var_s)
+                WHEN s_raw < 0 THEN (s_raw + 1) / sqrt(var_s)
+                ELSE 0.0 END
+         END AS z
+  FROM j
+)
+SELECT gx, gy, n_bins, s, round(z, 4) AS z_r,
+       CASE WHEN z IS NULL THEN 'flat'
+            WHEN z > 1.96 THEN 'increasing'
+            WHEN z < -1.96 THEN 'decreasing'
+            ELSE 'flat' END AS trend
+FROM z_tab
+"""

@@ -1707,6 +1707,80 @@ def local_morans_i(cells: DataFrame) -> DataFrame:
     )
 
 
+def mann_kendall_trends(occupancy: DataFrame) -> DataFrame:
+    """Mann-Kendall monotonic-trend test per grid cell over a binned
+    count series — the "emerging hotspot" trend stage: which cells are
+    heating up or cooling down over time.
+
+    ``occupancy`` carries ``(gx, gy, t, cnt)`` — one row per (cell,
+    integer time bin) with its count (callers aggregate points down
+    first).  Per cell, over the T observed bins:
+
+      S       = Σ_{i<j} sign(cnt_j − cnt_i)            (exact integer)
+      Var(S)  = [T(T−1)(2T+5) − Σ_g t_g(t_g−1)(2t_g+5)] / 18   (tie-corrected)
+      z       = (S∓1)/√Var(S)  (continuity correction; 0 at S == 0)
+
+    and the trend label: increasing / decreasing when |z| > 1.96, flat
+    otherwise (or when Var ≤ 0, e.g. T < 2 or an all-tied series).
+
+    Plan at scale: the pair enumeration is a SELF-join of the per-cell
+    binned counts on the cell key — bounded by T²/2 per cell (T = bins,
+    e.g. ≤ 366 for daily-by-year), never points² — and the tie/count
+    moments come from one more hash aggregate on the same table; both
+    sides of every join arrive hash-partitioned on (gx, gy).  S and the
+    tie terms are exact integers, so z is partition-order invariant.
+
+    Output: ``(gx, gy, n_bins, s, z, trend)`` — z NULL when Var ≤ 0.
+    """
+    occ = occupancy.select("gx", "gy", "t", "cnt")
+    a = occ.select("gx", "gy", F.col("t").alias("t1"), F.col("cnt").alias("c1"))
+    b = occ.select("gx", "gy", F.col("t").alias("t2"), F.col("cnt").alias("c2"))
+    sgn = (
+        F.when(F.col("c2") > F.col("c1"), F.lit(1))
+        .when(F.col("c2") < F.col("c1"), F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    s_tab = (
+        a.join(b, ["gx", "gy"])
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("gx", "gy")
+        .agg(F.sum(sgn).alias("s"))
+    )
+    t_g = F.col("__tg")
+    ties = (
+        occ.groupBy("gx", "gy", "cnt")
+        .agg(F.count("*").alias("__tg"))
+        .groupBy("gx", "gy")
+        .agg(
+            F.sum(t_g).alias("n_bins"),
+            F.sum(t_g * (t_g - 1) * (2 * t_g + 5)).alias("__tie"),
+        )
+    )
+    n = F.col("n_bins")
+    var_s = (n * (n - 1) * (2 * n + 5) - F.col("__tie")) / F.lit(18.0)
+    s = F.col("s")
+    z = F.when(
+        var_s > 0,
+        F.when(s > 0, (s - 1) / F.sqrt(var_s))
+        .when(s < 0, (s + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0)),
+    )
+    out = ties.join(s_tab, ["gx", "gy"], "left").select(
+        "gx",
+        "gy",
+        "n_bins",
+        F.coalesce(s, F.lit(0)).alias("s"),
+        z.alias("z"),
+    )
+    trend = (
+        F.when(F.col("z").isNull(), F.lit("flat"))
+        .when(F.col("z") > 1.96, F.lit("increasing"))
+        .when(F.col("z") < -1.96, F.lit("decreasing"))
+        .otherwise(F.lit("flat"))
+    )
+    return out.withColumn("trend", trend)
+
+
 # --------------------------------------------------------------------------
 # E12 — per-group diameter: convex hull + rotating calipers in ONE
 # Arrow batch per group (O(n log n)) vs the O(n²) all-pairs alternative

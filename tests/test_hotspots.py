@@ -177,3 +177,62 @@ def test_lisa_isolated_cell_is_null(spark):
     assert rows[(100, 100)]["i_local"] is None
     assert rows[(100, 100)]["quad"] is None
     assert rows[(0, 0)]["quad"] is not None
+
+
+def _mk(spark, rows):
+    from gotrackmaster_spark.operators.spatial import mann_kendall_trends
+
+    df = spark.createDataFrame(rows, "gx long, gy long, t long, cnt long")
+    return {(r["gx"], r["gy"]): r for r in mann_kendall_trends(df).collect()}
+
+
+def test_mann_kendall_monotonic_series(spark):
+    import math
+
+    # strictly increasing 10-bin series: S = 45 (all pairs positive),
+    # no ties -> Var = 10*9*25/18 = 125, z = 44/sqrt(125) ~ 3.94
+    rows = [(0, 0, t, 10 + t) for t in range(10)]
+    # strictly decreasing twin in another cell
+    rows += [(5, 5, t, 100 - t) for t in range(10)]
+    got = _mk(spark, rows)
+    assert got[(0, 0)]["s"] == 45 and got[(5, 5)]["s"] == -45
+    assert got[(0, 0)]["z"] == pytest.approx(44 / math.sqrt(125), rel=1e-12)
+    assert got[(0, 0)]["trend"] == "increasing"
+    assert got[(5, 5)]["trend"] == "decreasing"
+
+
+def test_mann_kendall_ties_and_degenerates(spark):
+    # all-tied series: S = 0 and the tie correction zeroes Var -> NULL z, flat
+    rows = [(0, 0, t, 7) for t in range(6)]
+    # single-bin cell: no pairs at all
+    rows += [(1, 1, 0, 3)]
+    # alternating series: S near 0, flat
+    rows += [(2, 2, t, 5 + (t % 2)) for t in range(8)]
+    got = _mk(spark, rows)
+    assert got[(0, 0)]["s"] == 0 and got[(0, 0)]["z"] is None
+    assert got[(0, 0)]["trend"] == "flat"
+    assert got[(1, 1)]["n_bins"] == 1 and got[(1, 1)]["s"] == 0
+    assert got[(1, 1)]["z"] is None and got[(1, 1)]["trend"] == "flat"
+    assert got[(2, 2)]["trend"] == "flat"
+
+
+def test_mann_kendall_brute_force_reference(spark):
+    import math
+    import random
+
+    rnd = random.Random(7)
+    series = [rnd.randint(1, 5) for _ in range(14)]  # small range forces ties
+    got = _mk(spark, [(0, 0, t, c) for t, c in enumerate(series)])[(0, 0)]
+    s = sum(
+        (series[j] > series[i]) - (series[j] < series[i])
+        for i in range(14)
+        for j in range(i + 1, 14)
+    )
+    n = 14
+    from collections import Counter
+
+    tie = sum(t * (t - 1) * (2 * t + 5) for t in Counter(series).values())
+    var = (n * (n - 1) * (2 * n + 5) - tie) / 18.0
+    zref = (s - 1) / math.sqrt(var) if s > 0 else (s + 1) / math.sqrt(var) if s < 0 else 0.0
+    assert got["s"] == s
+    assert got["z"] == pytest.approx(zref, rel=1e-12)
