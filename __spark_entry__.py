@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moran_i": _wrap(Q.q_moran_i),
         "lisa_cells": _wrap(Q.q_lisa_cells),
         "trend_cells": _wrap(Q.q_trend_cells),
+        "ripley_k": _wrap(Q.q_ripley_k),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
         # interval_events were driver-green in r02; the r03 changes
@@ -239,6 +240,7 @@ def oracle_sql() -> dict[str, str]:
         "moran_i": Q.SQL_MORAN_I,
         "lisa_cells": Q.SQL_LISA_CELLS,
         "trend_cells": Q.SQL_TREND_CELLS,
+        "ripley_k": Q.SQL_RIPLEY_K,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,
         "dwell_cells": Q.SQL_DWELL_CELLS,

@@ -5845,3 +5845,63 @@ SELECT gx, gy, n_bins, s, round(z, 4) AS z_r,
             ELSE 'flat' END AS trend
 FROM z_tab
 """
+
+
+# --------------------------------------------------------------------------
+# E14e — Ripley's K / L point-pattern functions (`spatial.ripley_k`):
+# clustering-across-scales over the geotagged points.  Candidates from
+# the grid-DBSCAN ×9 probe-cell equi-join (lossless for d ≤ max radius,
+# each pair matched exactly once), the whole radius ladder answered in
+# ONE candidate pass; pair counts are exact integers.  The oracle
+# replays the identical probe join and conditional sums.
+# --------------------------------------------------------------------------
+
+_RIPLEY_RADII = (1.25, 1.75, 2.5)  # min pair distance of the hash lattice is ~1.177 deg
+_RIPLEY_AREA = 360.0 * 160.0  # the geotag window: lon [-180,180) x lat [-80,80)
+
+
+def q_ripley_k(spark, sf_dir):
+    from gotrackmaster_spark.operators.spatial import ripley_k
+
+    pts = geo_events(spark, sf_dir).select("event_id", "lat", "lon")
+    out = ripley_k(pts, list(_RIPLEY_RADII), _RIPLEY_AREA)
+    return out.select(
+        "r",
+        "n_pairs",
+        F.round(F.col("k_r"), 6).alias("k_r"),
+        F.round(F.col("l_r"), 6).alias("l_r"),
+    )
+
+
+_RIPLEY_G = max(_RIPLEY_RADII)
+_RIPLEY_COUNTS = ", ".join(
+    f"CAST(sum(CASE WHEN d2 <= {r * r!r} THEN 1 ELSE 0 END) AS BIGINT) AS c{i}"
+    for i, r in enumerate(_RIPLEY_RADII)
+)
+_RIPLEY_LADDER = " UNION ALL ".join(
+    f"SELECT CAST({float(r)!r} AS DOUBLE) AS r, c{i} AS n_pairs, "
+    f"round({_RIPLEY_AREA!r} * c{i} / (n * n), 6) AS k_r, "
+    f"round(sqrt({_RIPLEY_AREA!r} * c{i} / (n * n) / 3.141592653589793), 6) AS l_r "
+    f"FROM counts, n_tab"
+    for i, r in enumerate(_RIPLEY_RADII)
+)
+
+SQL_RIPLEY_K = f"""
+WITH {GEO_CTE},
+base AS (
+  SELECT event_id AS id, lon AS x, lat AS y,
+         CAST(floor(lon / {_RIPLEY_G!r}) AS BIGINT) AS cx,
+         CAST(floor(lat / {_RIPLEY_G!r}) AS BIGINT) AS cy
+  FROM geo
+),
+off AS (SELECT dx - 1 AS dx, dy - 1 AS dy FROM range(3) t1(dx), range(3) t2(dy)),
+cand AS (
+  SELECT (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+  FROM base a, off o
+  JOIN base b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+  WHERE a.id <> b.id
+),
+counts AS (SELECT {_RIPLEY_COUNTS} FROM cand),
+n_tab AS (SELECT count(*) AS n FROM base)
+{_RIPLEY_LADDER}
+"""

@@ -1781,6 +1781,97 @@ def mann_kendall_trends(occupancy: DataFrame) -> DataFrame:
     return out.withColumn("trend", trend)
 
 
+def ripley_k(
+    points: DataFrame,
+    radii: list[float],
+    area: float,
+    id_col: str = "event_id",
+    x_col: str = "lon",
+    y_col: str = "lat",
+) -> DataFrame:
+    """Ripley's K and L functions — point-pattern clustering across
+    scales (no edge correction; callers pass the study-window ``area``):
+
+      K(r) = A · |{(i,j): i≠j, dᵢⱼ ≤ r}| / n²,    L(r) = √(K(r)/π)
+
+    for the given radius ladder; under complete spatial randomness
+    K(r) ≈ πr², so L(r) − r > 0 flags clustering at scale r.
+
+    Plan at scale (the grid-DBSCAN candidate cut): points land in a
+    max(radii)-sized grid, the probe side explodes ×9 to its
+    neighborhood cells and equi-joins the build side on the cell — every
+    pair within max(radii) shares a probe/build cell exactly once (the
+    build cell is unique), so candidates are O(n · local density), never
+    n², and no dedup is needed.  The whole ladder is answered from ONE
+    candidate pass (conditional sums per radius).  Distances are planar
+    on ``(x_col, y_col)`` — the same metric contract as
+    ``clustering.dbscan`` / ``map_match_join``; pair counts are exact
+    integers, so K is partition-order invariant.
+
+    Output: one row per radius — ``(r, n_pairs, k_r, l_r)`` (ordered
+    pairs, both directions, per the classic Σᵢ≠ⱼ).
+    """
+    g = float(max(radii))
+    base = points.select(
+        F.col(id_col).alias("__id"),
+        F.col(x_col).alias("__x"),
+        F.col(y_col).alias("__y"),
+    )
+    n_row = base.agg(F.count("*").alias("__n"))
+    cells = base.select(
+        "__id",
+        "__x",
+        "__y",
+        F.floor(F.col("__x") / g).cast("long").alias("cx"),
+        F.floor(F.col("__y") / g).cast("long").alias("cy"),
+    )
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    ])
+    probe = cells.withColumn("__o", F.explode(offs)).select(
+        F.col("__id").alias("id_a"),
+        F.col("__x").alias("xa"),
+        F.col("__y").alias("ya"),
+        (F.col("cx") + F.col("__o.dx")).alias("jx"),
+        (F.col("cy") + F.col("__o.dy")).alias("jy"),
+    )
+    build = cells.select(
+        F.col("__id").alias("id_b"),
+        F.col("__x").alias("xb"),
+        F.col("__y").alias("yb"),
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    cand = probe.join(build, ["jx", "jy"]).filter(F.col("id_a") != F.col("id_b"))
+    counts = cand.agg(*[
+        F.sum((d2 <= F.lit(float(r) * float(r))).cast("long")).alias(f"__c{i}")
+        for i, r in enumerate(radii)
+    ])
+    ladder = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(float(r)).alias("r"), F.col(f"__c{i}").alias("n_pairs")
+            )
+            for i, r in enumerate(radii)
+        ])
+    )
+    out = counts.crossJoin(F.broadcast(n_row)).select(
+        ladder.alias("__l"), F.col("__n")
+    )
+    k_r = F.lit(float(area)) * F.col("__l.n_pairs") / (F.col("__n") * F.col("__n"))
+    return out.select(
+        F.col("__l.r").alias("r"),
+        F.col("__l.n_pairs").alias("n_pairs"),
+        k_r.alias("k_r"),
+        F.sqrt(k_r / F.lit(math.pi)).alias("l_r"),
+    )
+
+
 # --------------------------------------------------------------------------
 # E12 — per-group diameter: convex hull + rotating calipers in ONE
 # Arrow batch per group (O(n log n)) vs the O(n²) all-pairs alternative

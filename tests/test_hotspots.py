@@ -236,3 +236,39 @@ def test_mann_kendall_brute_force_reference(spark):
     zref = (s - 1) / math.sqrt(var) if s > 0 else (s + 1) / math.sqrt(var) if s < 0 else 0.0
     assert got["s"] == s
     assert got["z"] == pytest.approx(zref, rel=1e-12)
+
+
+def test_ripley_k_brute_force_and_csr(spark):
+    import math
+    import random
+
+    from gotrackmaster_spark.operators.spatial import ripley_k
+
+    rnd = random.Random(3)
+    side = 10.0
+    pts = [(i, rnd.uniform(0, side), rnd.uniform(0, side)) for i in range(300)]
+    df = spark.createDataFrame(pts, "event_id long, lon double, lat double")
+    radii = [0.5, 1.0, 2.0]
+    got = {r["r"]: r for r in ripley_k(df, radii, side * side).collect()}
+    # brute-force ordered pair counts
+    for r in radii:
+        ref = sum(
+            1
+            for i, xi, yi in pts
+            for jj, xj, yj in pts
+            if i != jj and (xi - xj) ** 2 + (yi - yj) ** 2 <= r * r
+        )
+        assert got[r]["n_pairs"] == ref
+        assert got[r]["k_r"] == pytest.approx(side * side * ref / 300**2, rel=1e-12)
+        assert got[r]["l_r"] == pytest.approx(math.sqrt(got[r]["k_r"] / math.pi), rel=1e-12)
+    # CSR: L(r) ~ r (within sampling noise, generous band; no edge
+    # correction biases L slightly LOW near the window border)
+    assert abs(got[1.0]["l_r"] - 1.0) < 0.25
+    # clustered point set: everything in two tight blobs -> L(r) >> r
+    blob = [
+        (i, (i % 2) * 8.0 + rnd.gauss(0, 0.05), (i % 2) * 8.0 + rnd.gauss(0, 0.05))
+        for i in range(300)
+    ]
+    dfb = spark.createDataFrame(blob, "event_id long, lon double, lat double")
+    gotb = {r["r"]: r for r in ripley_k(dfb, radii, side * side).collect()}
+    assert gotb[0.5]["l_r"] > 2.0

@@ -25,7 +25,16 @@ SF_DIR = "/root/testdata/sf0.001"
 #  - hotspot_cells / lisa_cells: the 1-row global-moments broadcast of
 #    the spatial-statistics trio (`spatial._with_moments`) — the build
 #    side is an aggregation without grouping keys, so exactly one row
-BNLJ_ALLOWED = {"embedding_topk_exact", "knn", "knn_hex", "hotspot_cells", "lisa_cells"}
+#  - ripley_k: the 1-row ladder-counts × 1-row n join (both sides are
+#    aggregations without grouping keys)
+BNLJ_ALLOWED = {
+    "embedding_topk_exact",
+    "knn",
+    "knn_hex",
+    "hotspot_cells",
+    "lisa_cells",
+    "ripley_k",
+}
 
 QUERIES = entrymod.queries()
 
