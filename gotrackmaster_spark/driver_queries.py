@@ -5592,14 +5592,20 @@ FROM interp GROUP BY user_id
 _HOT_G = 5.0
 
 
+def _hot_cells(geo):
+    """The 5-degree count lattice the spatial-statistics trio shares —
+    one definition so the operators always see the same grid."""
+    return geo.groupBy(
+        F.floor(F.col("lon") / _HOT_G).cast("long").alias("gx"),
+        F.floor(F.col("lat") / _HOT_G).cast("long").alias("gy"),
+    ).agg(F.count("*").alias("cnt"))
+
+
 def q_hotspot_cells(spark, sf_dir):
     from gotrackmaster_spark.operators.spatial import gi_star_hotspots
 
     geo = geo_events(spark, sf_dir)
-    cells = geo.groupBy(
-        F.floor(F.col("lon") / _HOT_G).cast("long").alias("gx"),
-        F.floor(F.col("lat") / _HOT_G).cast("long").alias("gy"),
-    ).agg(F.count("*").alias("cnt"))
+    cells = _hot_cells(geo)
     out = gi_star_hotspots(cells)
     return out.select(
         "gx", "gy", "cnt", "n_nbrs", F.round(F.col("z"), 4).alias("z_r")
@@ -5629,7 +5635,7 @@ st AS (
 SELECT o.gx, o.gy, o.cnt, o.n_nbrs,
        round(
          CASE WHEN n > 1 AND n * n_nbrs - n_nbrs * n_nbrs > 0
-                   AND sqrt(s2 / n - (s1 / n) * (s1 / n)) > 0
+                   AND s2 / n - (s1 / n) * (s1 / n) > 0
               THEN (o.wsum - (s1 / n) * o.n_nbrs)
                    / (sqrt(s2 / n - (s1 / n) * (s1 / n))
                       * sqrt((n * n_nbrs - n_nbrs * n_nbrs) / (n - 1.0)))
@@ -5650,10 +5656,7 @@ def q_moran_i(spark, sf_dir):
     from gotrackmaster_spark.operators.spatial import morans_i
 
     geo = geo_events(spark, sf_dir)
-    cells = geo.groupBy(
-        F.floor(F.col("lon") / _HOT_G).cast("long").alias("gx"),
-        F.floor(F.col("lat") / _HOT_G).cast("long").alias("gy"),
-    ).agg(F.count("*").alias("cnt"))
+    cells = _hot_cells(geo)
     out = morans_i(cells)
     return out.select(
         "n_cells",
@@ -5714,10 +5717,7 @@ def q_lisa_cells(spark, sf_dir):
     from gotrackmaster_spark.operators.spatial import local_morans_i
 
     geo = geo_events(spark, sf_dir)
-    cells = geo.groupBy(
-        F.floor(F.col("lon") / _HOT_G).cast("long").alias("gx"),
-        F.floor(F.col("lat") / _HOT_G).cast("long").alias("gy"),
-    ).agg(F.count("*").alias("cnt"))
+    cells = _hot_cells(geo)
     out = local_morans_i(cells)
     return out.select(
         "gx",

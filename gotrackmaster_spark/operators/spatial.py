@@ -1514,6 +1514,8 @@ def cell_set_erode(cells: DataFrame, group_cols: list[str]) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _bound_gistar_cache = make_bounded_cache()  # previous call's occupied-cell rows
+_bound_mk_cache = make_bounded_cache()      # previous call's binned counts (Mann-Kendall)
+_bound_ripley_cache = make_bounded_cache()  # previous call's gridded points (Ripley K)
 
 
 def _occupancy_counts(cells: DataFrame) -> DataFrame:
@@ -1607,12 +1609,17 @@ def gi_star_hotspots(cells: DataFrame) -> DataFrame:
     j = _with_moments(occupied)
     n, k = F.col("__n"), F.col("n_nbrs")
     xbar = F.col("__s1") / n
-    s_sd = F.sqrt(F.col("__s2") / n - xbar * xbar)
+    var = F.col("__s2") / n - xbar * xbar
+    s_sd = F.sqrt(var)
     den = s_sd * F.sqrt((n * k - k * k) / (n - F.lit(1.0)))
     # degeneracy guard BEFORE any division that could hit 0 (ANSI mode
     # errors on float div-by-zero): n == 1 (no variance ratio), k == n
-    # (n·k − k² == 0), or a constant lattice (s == 0) all yield NULL
-    cond = (n > 1) & (n * k - k * k > 0) & (s_sd > 0)
+    # (n·k − k² == 0), or a constant lattice all yield NULL.  The guard
+    # compares the VARIANCE, not sqrt(variance): float cancellation can
+    # drive var slightly NEGATIVE on a constant lattice of huge counts,
+    # and sqrt(negative) = NaN compares NaN > 0 as TRUE under Spark's
+    # NaN ordering (and errors outright in DuckDB's sqrt)
+    cond = (n > 1) & (n * k - k * k > 0) & (var > 0)
     z = F.when(cond, (F.col("__wsum") - xbar * k) / den)
     return j.select("gx", "gy", "cnt", "n_nbrs", z.alias("z"))
 
@@ -1726,13 +1733,15 @@ def mann_kendall_trends(occupancy: DataFrame) -> DataFrame:
     Plan at scale: the pair enumeration is a SELF-join of the per-cell
     binned counts on the cell key — bounded by T²/2 per cell (T = bins,
     e.g. ≤ 366 for daily-by-year), never points² — and the tie/count
-    moments come from one more hash aggregate on the same table; both
-    sides of every join arrive hash-partitioned on (gx, gy).  S and the
-    tie terms are exact integers, so z is partition-order invariant.
+    moments come from one more hash aggregate on the same table.  The
+    binned counts feed three consumers (both self-join sides + the tie
+    aggregate), so they are bounded-lifetime cached: the points-scale
+    aggregation executes ONCE.  S and the tie terms are exact integers,
+    so z is partition-order invariant.
 
     Output: ``(gx, gy, n_bins, s, z, trend)`` — z NULL when Var ≤ 0.
     """
-    occ = occupancy.select("gx", "gy", "t", "cnt")
+    occ = _bound_mk_cache(occupancy.select("gx", "gy", "t", "cnt"))
     a = occ.select("gx", "gy", F.col("t").alias("t1"), F.col("cnt").alias("c1"))
     b = occ.select("gx", "gy", F.col("t").alias("t2"), F.col("cnt").alias("c2"))
     sgn = (
@@ -1812,19 +1821,19 @@ def ripley_k(
     pairs, both directions, per the classic Σᵢ≠ⱼ).
     """
     g = float(max(radii))
-    base = points.select(
-        F.col(id_col).alias("__id"),
-        F.col(x_col).alias("__x"),
-        F.col(y_col).alias("__y"),
+    # the gridded points feed THREE consumers (probe side, build side,
+    # the n count) — bounded-lifetime cache so the raw points scan +
+    # projection runs once, not three times (repo caching convention)
+    cells = _bound_ripley_cache(
+        points.select(
+            F.col(id_col).alias("__id"),
+            F.col(x_col).alias("__x"),
+            F.col(y_col).alias("__y"),
+            F.floor(F.col(x_col) / g).cast("long").alias("cx"),
+            F.floor(F.col(y_col) / g).cast("long").alias("cy"),
+        )
     )
-    n_row = base.agg(F.count("*").alias("__n"))
-    cells = base.select(
-        "__id",
-        "__x",
-        "__y",
-        F.floor(F.col("__x") / g).cast("long").alias("cx"),
-        F.floor(F.col("__y") / g).cast("long").alias("cy"),
-    )
+    n_row = cells.agg(F.count("*").alias("__n"))
     offs = F.array(*[
         F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
         for dx in (-1, 0, 1)

@@ -272,3 +272,19 @@ def test_ripley_k_brute_force_and_csr(spark):
     dfb = spark.createDataFrame(blob, "event_id long, lon double, lat double")
     gotb = {r["r"]: r for r in ripley_k(dfb, radii, side * side).collect()}
     assert gotb[0.5]["l_r"] > 2.0
+
+
+def test_gi_star_cancellation_negative_variance_is_null(spark):
+    """Float cancellation can drive s2/n - xbar^2 slightly NEGATIVE on a
+    constant lattice of huge counts; sqrt of that is NaN and Spark's NaN
+    ordering makes `NaN > 0` TRUE — the guard must compare the variance
+    itself (and the DuckDB twin must not sqrt a negative)."""
+    from gotrackmaster_spark.operators.spatial import gi_star_hotspots
+
+    c = 718311091  # drives s2/n - xbar^2 to -64.0 in float64
+    df = spark.createDataFrame(
+        [(0, 0, c), (10, 10, c), (20, 20, c)], "gx long, gy long, cnt long"
+    )
+    rows = gi_star_hotspots(df).collect()
+    assert len(rows) == 3
+    assert all(r["z"] is None for r in rows)

@@ -1,7 +1,7 @@
 """Registry-wide physical-plan audit: EVERY registered driver query must
 compile without a cartesian product or a row-at-a-time Python UDF, and
-without a BroadcastNestedLoopJoin except the three documented bounded
-cases.  This is the sweep that keeps a future query from silently
+without a BroadcastNestedLoopJoin except the documented bounded cases
+in BNLJ_ALLOWED.  This is the sweep that keeps a future query from silently
 registering an all-pairs or per-row-Python plan.
 """
 
