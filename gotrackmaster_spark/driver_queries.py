@@ -5905,3 +5905,82 @@ counts AS (SELECT {_RIPLEY_COUNTS} FROM cand),
 n_tab AS (SELECT count(*) AS n FROM base)
 {_RIPLEY_LADDER}
 """
+
+
+# --------------------------------------------------------------------------
+# E14f — Gi* hotspots of IMAGE QUALITY (E7×E14 crossover): the spatial-
+# statistics machinery applied to the image payload — per-cell total
+# pixel mass from the REAL decode chain, then the Getis-Ord z-score
+# over the 20° lattice.  All lattice values are exact integer sums
+# (pixel sums are bounded by n_img·N_PIX·255 per cell, far under int64,
+# so Σx² stays exact), and the oracle replays the payload closed-form.
+# --------------------------------------------------------------------------
+
+_IMG_HOT_G = 20.0
+
+
+def q_image_hotspots(spark, sf_dir):
+    from gotrackmaster_spark.operators.images import decode_stats, synthesize_images
+    from gotrackmaster_spark.operators.spatial import gi_star_hotspots
+
+    imgs = synthesize_images(spark, sf_dir, w=_IMG_W, h=_IMG_H)
+    st = decode_stats(imgs).withColumn("img_key", _img_key_col())
+    g_lat, g_lon = _img_geotag_cols(F.col("img_key"))
+    cells = (
+        st.select(F.col("pixel_sum"), g_lat.alias("lat"), g_lon.alias("lon"))
+        .groupBy(
+            F.floor(F.col("lon") / _IMG_HOT_G).cast("long").alias("gx"),
+            F.floor(F.col("lat") / _IMG_HOT_G).cast("long").alias("gy"),
+        )
+        .agg(F.sum("pixel_sum").alias("cnt"))
+    )
+    out = gi_star_hotspots(cells)
+    return out.select(
+        "gx",
+        "gy",
+        F.col("cnt").alias("tot_pix"),
+        "n_nbrs",
+        F.round(F.col("z"), 4).alias("z_r"),
+    )
+
+
+SQL_IMAGE_HOTSPOTS = f"""
+WITH per_image AS (
+  SELECT ((doc_id * 2654435761) % 1600000) / 10000.0 - 80.0 AS lat,
+         ((doc_id * 40503 + 7) % 3600000) / 10000.0 - 180.0 AS lon,
+         CASE WHEN doc_id % 3 = 2
+              THEN list_sum(list_transform(generate_series(0, {_N_PIX - 1}),
+                            i -> {_PIX} - ({_PIX}) % 4))
+              ELSE list_sum(list_transform(generate_series(0, {_N_PIX - 1}),
+                            i -> {_PIX}))
+         END AS pixel_sum
+  FROM documents
+),
+cells AS (
+  SELECT CAST(floor(lon / {_IMG_HOT_G}) AS BIGINT) AS gx,
+         CAST(floor(lat / {_IMG_HOT_G}) AS BIGINT) AS gy,
+         CAST(sum(pixel_sum) AS BIGINT) AS cnt
+  FROM per_image GROUP BY 1, 2
+),
+off AS (SELECT dx - 1 AS dx, dy - 1 AS dy FROM range(3) t1(dx), range(3) t2(dy)),
+nbr AS (
+  SELECT gx + dx AS gx, gy + dy AS gy,
+         sum(cnt) AS wsum, count(*) AS n_nbrs,
+         max(CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END) AS occ,
+         max(CASE WHEN dx = 0 AND dy = 0 THEN cnt END) AS cnt
+  FROM cells, off GROUP BY 1, 2
+),
+occupied AS (SELECT * FROM nbr WHERE occ = 1),
+st AS (
+  SELECT count(*) AS n, sum(cnt) AS s1, sum(cnt * cnt) AS s2 FROM occupied
+)
+SELECT o.gx, o.gy, o.cnt AS tot_pix, o.n_nbrs,
+       round(
+         CASE WHEN n > 1 AND n * n_nbrs - n_nbrs * n_nbrs > 0
+                   AND s2 / n - (s1 / n) * (s1 / n) > 0
+              THEN (o.wsum - (s1 / n) * o.n_nbrs)
+                   / (sqrt(s2 / n - (s1 / n) * (s1 / n))
+                      * sqrt((n * n_nbrs - n_nbrs * n_nbrs) / (n - 1.0)))
+         END, 4) AS z_r
+FROM occupied o, st
+"""

@@ -22,9 +22,10 @@ SF_DIR = "/root/testdata/sf0.001"
 #    (ValueError above max_queries; scale paths are LSH/IVF)
 #  - knn / knn_hex: the zero-candidate fallback for isolated query points
 #    (gated, logged, bounded to the queries that found no ring candidates)
-#  - hotspot_cells / lisa_cells: the 1-row global-moments broadcast of
-#    the spatial-statistics trio (`spatial._with_moments`) — the build
-#    side is an aggregation without grouping keys, so exactly one row
+#  - hotspot_cells / lisa_cells / image_hotspots: the 1-row global-
+#    moments broadcast of the spatial-statistics suite
+#    (`spatial._with_moments`) — the build side is an aggregation
+#    without grouping keys, so exactly one row
 #  - ripley_k: the 1-row ladder-counts × 1-row n join (both sides are
 #    aggregations without grouping keys)
 BNLJ_ALLOWED = {
@@ -33,6 +34,7 @@ BNLJ_ALLOWED = {
     "knn_hex",
     "hotspot_cells",
     "lisa_cells",
+    "image_hotspots",
     "ripley_k",
 }
 
