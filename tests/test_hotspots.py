@@ -288,3 +288,31 @@ def test_gi_star_cancellation_negative_variance_is_null(spark):
     rows = gi_star_hotspots(df).collect()
     assert len(rows) == 3
     assert all(r["z"] is None for r in rows)
+
+
+def test_mann_kendall_time_reversal_negates_s(spark):
+    # reversing the time axis flips every pair's sign: S -> -S, |z| equal
+    import random
+
+    rnd = random.Random(11)
+    series = [rnd.randint(1, 9) for _ in range(12)]
+    fwd = _mk(spark, [(0, 0, t, c) for t, c in enumerate(series)])[(0, 0)]
+    rev = _mk(spark, [(0, 0, t, c) for t, c in enumerate(reversed(series))])[(0, 0)]
+    assert rev["s"] == -fwd["s"]
+    if fwd["z"] is not None:
+        assert rev["z"] == pytest.approx(-fwd["z"], rel=1e-12)
+
+
+def test_ripley_k_monotone_in_r(spark):
+    # K(r) is a nondecreasing step function of r by construction
+    import random
+
+    from gotrackmaster_spark.operators.spatial import ripley_k
+
+    rnd = random.Random(5)
+    pts = [(i, rnd.uniform(0, 8), rnd.uniform(0, 8)) for i in range(200)]
+    df = spark.createDataFrame(pts, "event_id long, lon double, lat double")
+    rows = sorted(ripley_k(df, [0.25, 0.5, 1.0, 2.0], 64.0).collect(), key=lambda r: r["r"])
+    ks = [r["k_r"] for r in rows]
+    assert ks == sorted(ks)
+    assert all(a["n_pairs"] <= b["n_pairs"] for a, b in zip(rows, rows[1:]))
