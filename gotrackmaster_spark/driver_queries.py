@@ -5770,10 +5770,11 @@ FROM occupied o, st
 # --------------------------------------------------------------------------
 # E14d — Mann-Kendall trend per cell (`spatial.mann_kendall_trends`):
 # the "emerging hotspot" trend stage — which 15° cells heat up or cool
-# down across the daily count series.  Pair enumeration is a
-# co-partitioned SELF-join on the cell key bounded by T²/2 per cell
-# (T = time bins, never points²); S and the tie-corrected variance are
-# exact integers so z is partition-order invariant.
+# down across the daily count series.  Pair enumeration is a SELF-join
+# on the cell key bounded by T²/2 per cell (T = time bins, never
+# points²) — both sides shuffle the TINY binned table (cached, computed
+# once) onto the cell key; S and the tie-corrected variance are exact
+# integers so z is partition-order invariant.
 # --------------------------------------------------------------------------
 
 _TREND_G = 15.0
