@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_cells": _wrap(Q.q_trend_cells),
         "ripley_k": _wrap(Q.q_ripley_k),
         "image_hotspots": _wrap(Q.q_image_hotspots),
+        "knox_stat": _wrap(Q.q_knox_stat),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
         # interval_events were driver-green in r02; the r03 changes
@@ -243,6 +244,7 @@ def oracle_sql() -> dict[str, str]:
         "trend_cells": Q.SQL_TREND_CELLS,
         "ripley_k": Q.SQL_RIPLEY_K,
         "image_hotspots": Q.SQL_IMAGE_HOTSPOTS,
+        "knox_stat": Q.SQL_KNOX_STAT,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,
         "dwell_cells": Q.SQL_DWELL_CELLS,

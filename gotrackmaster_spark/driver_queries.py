@@ -5985,3 +5985,113 @@ SELECT o.gx, o.gy, o.cnt AS tot_pix, o.n_nbrs,
          END, 4) AS z_r
 FROM occupied o, st
 """
+
+# --------------------------------------------------------------------------
+# E14g — Knox space-time interaction test (`spatial.knox_statistic`):
+# do events close in space also happen close in time?  Two bounded
+# candidate cuts (the grid-DBSCAN ×9 spatial equi-join; a τ-bucket ×3
+# temporal equi-join), all four pair counts exact integers, ratio and
+# z assembled from them in a fixed double expression order.  The events
+# lattice itself is degenerate for this test (every space-close pair
+# shares the single id stride 6577, hence ONE Δt value), so the query
+# runs a purpose-built deterministic layout — 120 hashed cluster
+# centers, each with a unique 6 h time slot and per-event ±0.1° / ±2 h
+# offsets — genuine space-time interaction (ratio ≈ 114 at sf0.01);
+# negative t offsets in slot 0 exercise the pre-epoch floor buckets.
+# --------------------------------------------------------------------------
+
+_KNOX_DELTA = 0.3
+_KNOX_TAU_US = 10_800_000_000  # 3 h
+
+
+def _knox_layout(spark, sf_dir):
+    """The deterministic clustered space-time layout (DuckDB twin:
+    the `knox` CTE in SQL_KNOX_STAT)."""
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    k = F.col("event_id") % 120
+    return ev.select(
+        "event_id",
+        (
+            (k * F.lit(2654435761)) % 1400000 / 10000.0 - 70.0
+            + ((F.col("event_id") * 7919) % 2000 / 10000.0 - 0.1)
+        ).alias("lat"),
+        (
+            (k * 40503 + 7) % 3400000 / 10000.0 - 170.0
+            + ((F.col("event_id") * 104729) % 2000 / 10000.0 - 0.1)
+        ).alias("lon"),
+        (
+            ((k * 97) % 120) * F.lit(21_600_000_000)
+            + (F.col("event_id") * F.lit(15485863)) % 14_400_000_000
+            - 7_200_000_000
+        ).alias("t_us"),
+    )
+
+
+def q_knox_stat(spark, sf_dir):
+    from gotrackmaster_spark.operators.spatial import knox_statistic
+
+    out = knox_statistic(_knox_layout(spark, sf_dir), _KNOX_DELTA, _KNOX_TAU_US)
+    return out.select(
+        "n",
+        "s_pairs",
+        "t_pairs",
+        "st_pairs",
+        F.round(F.col("knox_ratio"), 6).alias("knox_ratio_r"),
+        F.round(F.col("z"), 6).alias("z_r"),
+    )
+
+
+SQL_KNOX_STAT = f"""
+WITH knox AS (
+  SELECT event_id,
+         ((event_id % 120) * 2654435761) % 1400000 / 10000.0 - 70.0
+           + (((event_id * 7919) % 2000) / 10000.0 - 0.1) AS lat,
+         ((event_id % 120) * 40503 + 7) % 3400000 / 10000.0 - 170.0
+           + (((event_id * 104729) % 2000) / 10000.0 - 0.1) AS lon,
+         (((event_id % 120) * 97) % 120) * 21600000000
+           + (event_id * 15485863) % 14400000000 - 7200000000 AS t
+  FROM events
+),
+base AS (
+  SELECT event_id AS id, lon AS x, lat AS y, t,
+         CAST(floor(lon / {_KNOX_DELTA!r}) AS BIGINT) AS cx,
+         CAST(floor(lat / {_KNOX_DELTA!r}) AS BIGINT) AS cy
+  FROM knox
+),
+off AS (SELECT dx - 1 AS dx, dy - 1 AS dy FROM range(3) t1(dx), range(3) t2(dy)),
+sc AS (
+  SELECT COALESCE(CAST(sum(CASE WHEN d2 <= {_KNOX_DELTA * _KNOX_DELTA!r} THEN 1 ELSE 0 END) AS BIGINT), 0) AS s_pairs,
+         COALESCE(CAST(sum(CASE WHEN d2 <= {_KNOX_DELTA * _KNOX_DELTA!r}
+                        AND dt <= {_KNOX_TAU_US} THEN 1 ELSE 0 END) AS BIGINT), 0) AS st_pairs
+  FROM (
+    SELECT (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS d2, abs(a.t - b.t) AS dt
+    FROM base a, off o
+    JOIN base b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+    WHERE a.id <> b.id
+  )
+),
+tb AS (
+  SELECT id, t,
+         t - ((t % {_KNOX_TAU_US} + {_KNOX_TAU_US}) % {_KNOX_TAU_US}) AS t0
+  FROM base
+),
+tc AS (
+  SELECT CAST(count(*) AS BIGINT) AS t_pairs
+  FROM tb a, range(3) o(i)
+  JOIN tb b ON b.t0 = a.t0 + (o.i - 1) * {_KNOX_TAU_US}
+  WHERE a.id <> b.id AND abs(a.t - b.t) <= {_KNOX_TAU_US}
+),
+n_tab AS (SELECT count(*) AS n FROM base),
+alg AS (
+  SELECT n, s_pairs, t_pairs, st_pairs,
+         CAST(s_pairs AS DOUBLE) AS sd, CAST(t_pairs AS DOUBLE) AS td,
+         CAST(st_pairs AS DOUBLE) AS std, CAST(n * (n - 1) AS DOUBLE) AS nnd
+  FROM sc, tc, n_tab
+)
+SELECT n, s_pairs, t_pairs, st_pairs,
+       round(CASE WHEN n > 1 AND s_pairs > 0 AND t_pairs > 0
+                  THEN std * nnd / (sd * td) END, 6) AS knox_ratio_r,
+       round(CASE WHEN n > 1 AND s_pairs > 0 AND t_pairs > 0
+                  THEN (std - sd * td / nnd) / sqrt(sd * td / nnd) END, 6) AS z_r
+FROM alg
+"""

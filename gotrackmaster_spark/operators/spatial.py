@@ -1516,6 +1516,7 @@ def cell_set_erode(cells: DataFrame, group_cols: list[str]) -> DataFrame:
 _bound_gistar_cache = make_bounded_cache()  # previous call's occupied-cell rows
 _bound_mk_cache = make_bounded_cache()      # previous call's binned counts (Mann-Kendall)
 _bound_ripley_cache = make_bounded_cache()  # previous call's gridded points (Ripley K)
+_bound_knox_cache = make_bounded_cache()    # previous call's gridded points (Knox)
 
 
 def _occupancy_counts(cells: DataFrame) -> DataFrame:
@@ -1878,6 +1879,134 @@ def ripley_k(
         F.col("__l.n_pairs").alias("n_pairs"),
         k_r.alias("k_r"),
         F.sqrt(k_r / F.lit(math.pi)).alias("l_r"),
+    )
+
+
+def knox_statistic(
+    points: DataFrame,
+    delta: float,
+    tau_us: int,
+    id_col: str = "event_id",
+    x_col: str = "lon",
+    y_col: str = "lat",
+    t_col: str = "t_us",
+) -> DataFrame:
+    """Knox space–time interaction test — do events that happen close in
+    space also happen close in time (disease-outbreak / burst detection)?
+
+    Over ordered pairs (i, j), i ≠ j:
+
+      X  = |{d_ij ≤ δ and |t_i − t_j| ≤ τ}|        (space-time close)
+      Nₛ = |{d_ij ≤ δ}|,   Nₜ = |{|t_i − t_j| ≤ τ}|,   N = n(n−1)
+      knox_ratio = X·N / (Nₛ·Nₜ)                    (≈ 1 under independence)
+      z = (X − E) / √E,  E = Nₛ·Nₜ / N              (Poisson approximation)
+
+    Plan at scale — TWO bounded candidate cuts, never n²:
+
+    - the spatial side reuses the grid-DBSCAN ×9 probe-cell equi-join
+      (δ-sized grid; every pair with d ≤ δ shares a probe/build cell
+      exactly once), O(n · spatial density) candidates; X and Nₛ fall
+      out of the SAME pass as conditional sums;
+    - the temporal side keys on the τ-aligned floor multiple of t and
+      probes offsets {−τ, 0, +τ} (lossless: |Δt| ≤ τ ⇒ the two floor
+      multiples differ by at most τ), O(n · temporal density)
+      candidates; floor alignment uses the double-pmod idiom so
+      pre-epoch (negative) timestamps bucket identically to DuckDB's.
+
+    All four counts are exact integers, so ratio and z are
+    partition-order invariant; the final algebra converts each count to
+    double BEFORE multiplying (n(n−1) stays in int64 up to n ≈ 3·10⁹ —
+    beyond that the double products lose ULPs identically in any IEEE
+    engine).  Degenerate inputs (n < 2, Nₛ = 0 or Nₜ = 0) yield NULL
+    ratio/z, not errors.  Distances are planar on ``(x_col, y_col)`` —
+    the same metric contract as ``ripley_k`` / ``clustering.dbscan``.
+
+    Output: ONE row — ``(n, s_pairs, t_pairs, st_pairs, knox_ratio, z)``.
+    """
+    g = float(delta)
+    tau = int(tau_us)
+    # the gridded points feed FIVE consumers (spatial probe/build,
+    # temporal probe/build, the n count) — bounded-lifetime cache so the
+    # raw points scan + projection runs once (repo caching convention)
+    base = _bound_knox_cache(
+        points.select(
+            F.col(id_col).alias("__id"),
+            F.col(x_col).alias("__x"),
+            F.col(y_col).alias("__y"),
+            F.col(t_col).cast("long").alias("__t"),
+            F.floor(F.col(x_col) / g).cast("long").alias("cx"),
+            F.floor(F.col(y_col) / g).cast("long").alias("cy"),
+        )
+    )
+    n_row = base.agg(F.count("*").alias("n"))
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    ])
+    probe = base.withColumn("__o", F.explode(offs)).select(
+        F.col("__id").alias("id_a"),
+        F.col("__x").alias("xa"),
+        F.col("__y").alias("ya"),
+        F.col("__t").alias("ta"),
+        (F.col("cx") + F.col("__o.dx")).alias("jx"),
+        (F.col("cy") + F.col("__o.dy")).alias("jy"),
+    )
+    build = base.select(
+        F.col("__id").alias("id_b"),
+        F.col("__x").alias("xb"),
+        F.col("__y").alias("yb"),
+        F.col("__t").alias("tb"),
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    close_s = d2 <= F.lit(g * g)
+    close_t = F.abs(F.col("ta") - F.col("tb")) <= F.lit(tau)
+    s_counts = (
+        probe.join(build, ["jx", "jy"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .agg(
+            F.coalesce(F.sum(close_s.cast("long")), F.lit(0)).alias("s_pairs"),
+            F.coalesce(
+                F.sum((close_s & close_t).cast("long")), F.lit(0)
+            ).alias("st_pairs"),
+        )
+    )
+    # τ-aligned floor multiple; double-pmod keeps negative t exact and
+    # mirrors the DuckDB twin's expression verbatim
+    t0 = F.col("__t") - ((F.col("__t") % tau + tau) % tau)
+    t_probe = base.withColumn("__d", F.explode(F.array(
+        F.lit(-tau).cast("long"), F.lit(0).cast("long"), F.lit(tau).cast("long")
+    ))).select(
+        F.col("__id").alias("id_a"),
+        F.col("__t").alias("ta"),
+        (t0 + F.col("__d")).alias("tk"),
+    )
+    t_build = base.select(
+        F.col("__id").alias("id_b"), F.col("__t").alias("tb"), t0.alias("tk")
+    )
+    t_counts = (
+        t_probe.join(t_build, "tk")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .agg(F.coalesce(F.sum(close_t.cast("long")), F.lit(0)).alias("t_pairs"))
+    )
+    out = s_counts.crossJoin(F.broadcast(t_counts)).crossJoin(F.broadcast(n_row))
+    s_d = F.col("s_pairs").cast("double")
+    t_d = F.col("t_pairs").cast("double")
+    st_d = F.col("st_pairs").cast("double")
+    nn_d = (F.col("n") * (F.col("n") - 1)).cast("double")
+    guard = (F.col("n") > 1) & (F.col("s_pairs") > 0) & (F.col("t_pairs") > 0)
+    e = s_d * t_d / nn_d
+    return out.select(
+        "n",
+        "s_pairs",
+        "t_pairs",
+        "st_pairs",
+        F.when(guard, st_d * nn_d / (s_d * t_d)).alias("knox_ratio"),
+        F.when(guard, (st_d - e) / F.sqrt(e)).alias("z"),
     )
 
 

@@ -316,3 +316,115 @@ def test_ripley_k_monotone_in_r(spark):
     ks = [r["k_r"] for r in rows]
     assert ks == sorted(ks)
     assert all(a["n_pairs"] <= b["n_pairs"] for a, b in zip(rows, rows[1:]))
+
+
+def _knox(spark, pts, delta, tau):
+    from gotrackmaster_spark.operators.spatial import knox_statistic
+
+    df = spark.createDataFrame(
+        pts, "event_id long, lon double, lat double, t_us long"
+    )
+    return knox_statistic(df, delta, tau).collect()[0]
+
+
+def _knox_brute(pts, delta, tau):
+    s = t = st = 0
+    for i, xi, yi, ti in pts:
+        for j, xj, yj, tj in pts:
+            if i == j:
+                continue
+            cs = (xi - xj) ** 2 + (yi - yj) ** 2 <= delta * delta
+            ct = abs(ti - tj) <= tau
+            s += cs
+            t += ct
+            st += cs and ct
+    return s, t, st
+
+
+def test_knox_brute_force(spark):
+    # seeded random cloud, random times: every count must equal the
+    # O(n^2) reference exactly, and ratio/z must replay the fixed
+    # double algebra
+    import random
+
+    rnd = random.Random(7)
+    n = 250
+    pts = [
+        (
+            i,
+            rnd.uniform(0, 10),
+            rnd.uniform(0, 10),
+            rnd.randrange(0, 1_000_000),
+        )
+        for i in range(n)
+    ]
+    delta, tau = 1.0, 50_000
+    got = _knox(spark, pts, delta, tau)
+    s, t, st = _knox_brute(pts, delta, tau)
+    assert (got["n"], got["s_pairs"], got["t_pairs"], got["st_pairs"]) == (
+        n,
+        s,
+        t,
+        st,
+    )
+    nn = float(n * (n - 1))
+    assert got["knox_ratio"] == pytest.approx(st * nn / (s * t), rel=1e-12)
+    e = s * t / nn
+    assert got["z"] == pytest.approx((st - e) / math.sqrt(e), rel=1e-12)
+
+
+def test_knox_independence_vs_interaction(spark):
+    # same SPATIAL layout twice: times independent of space -> ratio ~ 1;
+    # times tied to the spatial blob -> ratio >> 1 (the statistic's job)
+    import random
+
+    rnd = random.Random(13)
+    n, n_blobs = 400, 8
+    space = []
+    for i in range(n):
+        b = i % n_blobs
+        space.append(
+            (i, b * 5.0 + rnd.gauss(0, 0.1), b * 3.0 + rnd.gauss(0, 0.1))
+        )
+    tau = 30_000
+    indep = [
+        (i, x, y, rnd.randrange(0, 10_000_000)) for (i, x, y) in space
+    ]
+    got_i = _knox(spark, indep, 1.0, tau)
+    assert got_i["knox_ratio"] == pytest.approx(1.0, abs=0.15)
+    inter = [
+        (i, x, y, (i % n_blobs) * 1_000_000 + rnd.randrange(0, tau))
+        for (i, x, y) in space
+    ]
+    got_x = _knox(spark, inter, 1.0, tau)
+    assert got_x["knox_ratio"] > 4.0
+    assert got_x["z"] > got_i["z"]
+
+
+def test_knox_time_translation_invariance(spark):
+    # shifting every timestamp by a constant (into PRE-EPOCH negatives)
+    # cannot change any count: pins the double-pmod floor buckets
+    import random
+
+    rnd = random.Random(21)
+    pts = [
+        (i, rnd.uniform(0, 6), rnd.uniform(0, 6), rnd.randrange(0, 500_000))
+        for i in range(150)
+    ]
+    tau = 40_000
+    a = _knox(spark, pts, 1.0, tau)
+    shifted = [(i, x, y, t - 1_000_000_007) for (i, x, y, t) in pts]
+    b = _knox(spark, shifted, 1.0, tau)
+    for c in ("n", "s_pairs", "t_pairs", "st_pairs", "knox_ratio", "z"):
+        assert a[c] == b[c]
+
+
+def test_knox_degenerate_inputs(spark):
+    # n = 1: no pairs at all -> NULL ratio/z, zero counts
+    one = _knox(spark, [(1, 0.0, 0.0, 0)], 1.0, 1000)
+    assert (one["s_pairs"], one["t_pairs"], one["st_pairs"]) == (0, 0, 0)
+    assert one["knox_ratio"] is None and one["z"] is None
+    # no time-close pairs (tau far below every gap) -> NULL ratio/z
+    pts = [(i, float(i), 0.0, i * 1_000_000) for i in range(5)]
+    far = _knox(spark, pts, 10.0, 10)
+    assert far["t_pairs"] == 0 and far["knox_ratio"] is None and far["z"] is None

@@ -26,6 +26,8 @@ SF_DIR = "/root/testdata/sf0.001"
 #    moments broadcast of the spatial-statistics suite
 #    (`spatial._with_moments`) — the build side is an aggregation
 #    without grouping keys, so exactly one row
+#  - knox_stat: the 1-row spatial-counts × 1-row temporal-count × 1-row
+#    n join (all three sides are aggregations without grouping keys)
 #  - ripley_k: the 1-row ladder-counts × 1-row n join (both sides are
 #    aggregations without grouping keys)
 BNLJ_ALLOWED = {
@@ -36,6 +38,7 @@ BNLJ_ALLOWED = {
     "lisa_cells",
     "image_hotspots",
     "ripley_k",
+    "knox_stat",
 }
 
 QUERIES = entrymod.queries()
