@@ -6095,3 +6095,71 @@ SELECT n, s_pairs, t_pairs, st_pairs,
                   THEN (std - sd * td / nnd) / sqrt(sd * td / nnd) END, 6) AS z_r
 FROM alg
 """
+
+# --------------------------------------------------------------------------
+# E14h — empirical semivariogram (`spatial.semivariogram`): the
+# geostatistics companion to IDW — γ(h) per distance band, answered
+# from ONE grid-candidate pass (conditional sums per band, the Ripley
+# ladder shape).  The value field is fixed-point quantized BEFORE the
+# operator (round((lat+lon)·100) + round(value)): a spatially smooth
+# trend plus per-event noise, so γ rises with h over a visible nugget —
+# and every sum stays an exact integer, making γ a single exact-int
+# division, bit-identical across engines with no rounding at all.
+# --------------------------------------------------------------------------
+
+_VARIO_EDGES = (0.0, 1.25, 1.5, 2.0, 2.5)
+
+
+def q_semivariogram(spark, sf_dir):
+    from gotrackmaster_spark.operators.spatial import semivariogram
+
+    pts = geo_events(spark, sf_dir).select(
+        "event_id",
+        "lat",
+        "lon",
+        (
+            F.round((F.col("lat") + F.col("lon")) * 100, 0)
+            + F.round(F.col("value"), 0)
+        ).cast("long").alias("v_q"),
+    )
+    out = semivariogram(pts, list(_VARIO_EDGES), v_col="v_q")
+    return out.select("h_lo", "h_hi", "n_pairs", "gamma")
+
+
+_VARIO_G = max(_VARIO_EDGES)
+_VARIO_BANDS = list(zip(_VARIO_EDGES, _VARIO_EDGES[1:]))
+_VARIO_COUNTS = ", ".join(
+    f"COALESCE(CAST(sum(CASE WHEN d2 > {lo * lo!r} AND d2 <= {hi * hi!r} "
+    f"THEN 1 ELSE 0 END) AS BIGINT), 0) AS n{i}, "
+    f"COALESCE(CAST(sum(CASE WHEN d2 > {lo * lo!r} AND d2 <= {hi * hi!r} "
+    f"THEN dv2 ELSE 0 END) AS BIGINT), 0) AS s{i}"
+    for i, (lo, hi) in enumerate(_VARIO_BANDS)
+)
+_VARIO_LADDER = " UNION ALL ".join(
+    f"SELECT CAST({float(lo)!r} AS DOUBLE) AS h_lo, "
+    f"CAST({float(hi)!r} AS DOUBLE) AS h_hi, n{i} AS n_pairs, "
+    f"CASE WHEN n{i} > 0 THEN CAST(s{i} AS DOUBLE) / CAST(n{i} * 2 AS DOUBLE) END AS gamma "
+    f"FROM counts"
+    for i, (lo, hi) in enumerate(_VARIO_BANDS)
+)
+
+SQL_SEMIVARIOGRAM = f"""
+WITH {GEO_CTE},
+base AS (
+  SELECT event_id AS id, lon AS x, lat AS y,
+         CAST(round((lat + lon) * 100) + round(value) AS BIGINT) AS v,
+         CAST(floor(lon / {_VARIO_G!r}) AS BIGINT) AS cx,
+         CAST(floor(lat / {_VARIO_G!r}) AS BIGINT) AS cy
+  FROM geo
+),
+off AS (SELECT dx - 1 AS dx, dy - 1 AS dy FROM range(3) t1(dx), range(3) t2(dy)),
+cand AS (
+  SELECT (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2,
+         (a.v - b.v) * (a.v - b.v) AS dv2
+  FROM base a, off o
+  JOIN base b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+  WHERE a.id <> b.id
+),
+counts AS (SELECT {_VARIO_COUNTS} FROM cand)
+{_VARIO_LADDER}
+"""

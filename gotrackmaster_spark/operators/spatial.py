@@ -1517,6 +1517,7 @@ _bound_gistar_cache = make_bounded_cache()  # previous call's occupied-cell rows
 _bound_mk_cache = make_bounded_cache()      # previous call's binned counts (Mann-Kendall)
 _bound_ripley_cache = make_bounded_cache()  # previous call's gridded points (Ripley K)
 _bound_knox_cache = make_bounded_cache()    # previous call's gridded points (Knox)
+_bound_vario_cache = make_bounded_cache()   # previous call's gridded points (variogram)
 
 
 def _occupancy_counts(cells: DataFrame) -> DataFrame:
@@ -2007,6 +2008,121 @@ def knox_statistic(
         "st_pairs",
         F.when(guard, st_d * nn_d / (s_d * t_d)).alias("knox_ratio"),
         F.when(guard, (st_d - e) / F.sqrt(e)).alias("z"),
+    )
+
+
+def semivariogram(
+    points: DataFrame,
+    band_edges: list[float],
+    id_col: str = "event_id",
+    x_col: str = "lon",
+    y_col: str = "lat",
+    v_col: str = "value",
+) -> DataFrame:
+    """Empirical semivariogram — the geostatistics companion to
+    ``within_radius_join``/IDW: how does the squared value difference
+    grow with pair distance?
+
+      γ(band) = Σ_{(i,j): i≠j, h_lo < d_ij ≤ h_hi} (v_i − v_j)²
+                / (2 · |pairs in band|)
+
+    over ordered pairs (both directions — numerator and denominator
+    double together, so γ is the classic unordered value).  Bands are
+    the half-open ``(band_edges[k], band_edges[k+1]]`` rungs; d = 0
+    pairs fall in no band (coincident points are the caller's nugget
+    decision).
+
+    Plan at scale: ONE candidate pass answers the whole ladder — the
+    grid-DBSCAN ×9 probe-cell equi-join at ``max(band_edges)`` grid
+    size (lossless for d ≤ the top edge), conditional sums per band;
+    candidates are O(n · local density), never n².  Pass an INTEGER
+    ``v_col`` (fixed-point quantized upstream) and both the pair counts
+    and the squared-difference sums stay exact integers — γ is then a
+    single exact-int division, bit-identical across engines and
+    partition orders.  Distances are planar on ``(x_col, y_col)``.
+
+    Output: one row per band — ``(h_lo, h_hi, n_pairs, gamma)``;
+    ``gamma`` is NULL for empty bands.
+    """
+    edges = [float(e) for e in band_edges]
+    if len(edges) < 2 or any(b <= a for a, b in zip(edges, edges[1:])):
+        raise ValueError("band_edges must be ≥ 2 strictly increasing values")
+    g = edges[-1]
+    # gridded points feed probe + build — bounded-lifetime cache so the
+    # raw points scan + projection runs once (repo caching convention)
+    base = _bound_vario_cache(
+        points.select(
+            F.col(id_col).alias("__id"),
+            F.col(x_col).alias("__x"),
+            F.col(y_col).alias("__y"),
+            F.col(v_col).cast("long").alias("__v"),
+            F.floor(F.col(x_col) / g).cast("long").alias("cx"),
+            F.floor(F.col(y_col) / g).cast("long").alias("cy"),
+        )
+    )
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    ])
+    probe = base.withColumn("__o", F.explode(offs)).select(
+        F.col("__id").alias("id_a"),
+        F.col("__x").alias("xa"),
+        F.col("__y").alias("ya"),
+        F.col("__v").alias("va"),
+        (F.col("cx") + F.col("__o.dx")).alias("jx"),
+        (F.col("cy") + F.col("__o.dy")).alias("jy"),
+    )
+    build = base.select(
+        F.col("__id").alias("id_b"),
+        F.col("__x").alias("xb"),
+        F.col("__y").alias("yb"),
+        F.col("__v").alias("vb"),
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    dv2 = (F.col("va") - F.col("vb")) * (F.col("va") - F.col("vb"))
+    cand = probe.join(build, ["jx", "jy"]).filter(F.col("id_a") != F.col("id_b"))
+    bands = list(zip(edges, edges[1:]))
+    in_band = [
+        (d2 > F.lit(lo * lo)) & (d2 <= F.lit(hi * hi)) for lo, hi in bands
+    ]
+    counts = cand.agg(
+        *[
+            F.coalesce(F.sum(b.cast("long")), F.lit(0)).alias(f"__n{i}")
+            for i, b in enumerate(in_band)
+        ],
+        *[
+            F.coalesce(
+                F.sum(F.when(b, dv2).otherwise(F.lit(0))), F.lit(0)
+            ).alias(f"__s{i}")
+            for i, b in enumerate(in_band)
+        ],
+    )
+    ladder = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(lo).alias("h_lo"),
+                F.lit(hi).alias("h_hi"),
+                F.col(f"__n{i}").alias("n_pairs"),
+                F.col(f"__s{i}").alias("sq_sum"),
+            )
+            for i, (lo, hi) in enumerate(bands)
+        ])
+    )
+    out = counts.select(ladder.alias("__l")).select("__l.*")
+    return out.select(
+        "h_lo",
+        "h_hi",
+        "n_pairs",
+        F.when(
+            F.col("n_pairs") > 0,
+            F.col("sq_sum").cast("double")
+            / (F.col("n_pairs") * 2).cast("double"),
+        ).alias("gamma"),
     )
 
 

@@ -428,3 +428,100 @@ def test_knox_degenerate_inputs(spark):
     pts = [(i, float(i), 0.0, i * 1_000_000) for i in range(5)]
     far = _knox(spark, pts, 10.0, 10)
     assert far["t_pairs"] == 0 and far["knox_ratio"] is None and far["z"] is None
+
+
+def _vario(spark, pts, edges):
+    from gotrackmaster_spark.operators.spatial import semivariogram
+
+    df = spark.createDataFrame(
+        pts, "event_id long, lon double, lat double, value long"
+    )
+    return {
+        (r["h_lo"], r["h_hi"]): r
+        for r in semivariogram(df, edges).collect()
+    }
+
+
+def test_semivariogram_brute_force(spark):
+    # seeded random cloud with integer values: per-band pair counts and
+    # squared-difference sums must equal the O(n^2) reference exactly,
+    # gamma the exact-int division
+    import random
+
+    rnd = random.Random(17)
+    pts = [
+        (i, rnd.uniform(0, 8), rnd.uniform(0, 8), rnd.randrange(0, 100))
+        for i in range(250)
+    ]
+    edges = [0.0, 0.5, 1.0, 2.0]
+    got = _vario(spark, pts, edges)
+    for lo, hi in zip(edges, edges[1:]):
+        n = s = 0
+        for i, xi, yi, vi in pts:
+            for j, xj, yj, vj in pts:
+                if i == j:
+                    continue
+                d2 = (xi - xj) ** 2 + (yi - yj) ** 2
+                if lo * lo < d2 <= hi * hi:
+                    n += 1
+                    s += (vi - vj) ** 2
+        r = got[(lo, hi)]
+        assert r["n_pairs"] == n
+        if n:
+            assert r["gamma"] == s / (2 * n)
+        else:
+            assert r["gamma"] is None
+
+
+def test_semivariogram_trend_monotone(spark):
+    # a pure linear trend field (v = x) must produce gamma rising with
+    # h: mean (v_i - v_j)^2 grows with the band distance
+    pts = [
+        (i * 50 + j, float(i), float(j), i * 10)
+        for i in range(20)
+        for j in range(20)
+    ]
+    got = _vario(spark, pts, [0.0, 1.5, 3.5, 7.5])
+    gs = [
+        got[(0.0, 1.5)]["gamma"],
+        got[(1.5, 3.5)]["gamma"],
+        got[(3.5, 7.5)]["gamma"],
+    ]
+    assert all(g is not None for g in gs)
+    assert gs[0] < gs[1] < gs[2]
+
+
+def test_semivariogram_empty_band_and_bad_edges(spark):
+    import pytest as _pt
+
+    from gotrackmaster_spark.operators.spatial import semivariogram
+
+    # two points 1.0 apart: the (0, 0.5] band is empty -> NULL gamma,
+    # the (0.5, 1.5] band holds both ordered pairs
+    got = _vario(
+        spark, [(1, 0.0, 0.0, 3), (2, 1.0, 0.0, 7)], [0.0, 0.5, 1.5]
+    )
+    assert got[(0.0, 0.5)]["n_pairs"] == 0
+    assert got[(0.0, 0.5)]["gamma"] is None
+    assert got[(0.5, 1.5)]["n_pairs"] == 2
+    assert got[(0.5, 1.5)]["gamma"] == 8.0  # 2*(3-7)^2 / (2*2)
+    df = spark.createDataFrame(
+        [(1, 0.0, 0.0, 0)], "event_id long, lon double, lat double, value long"
+    )
+    with _pt.raises(ValueError):
+        semivariogram(df, [1.0])
+    with _pt.raises(ValueError):
+        semivariogram(df, [1.0, 1.0])
+
+
+def test_semivariogram_coincident_pairs_in_no_band(spark):
+    # d = 0 pairs (coincident points) fall in NO half-open band
+    got = _vario(
+        spark,
+        [(1, 2.0, 2.0, 1), (2, 2.0, 2.0, 9), (3, 2.5, 2.0, 5)],
+        [0.0, 1.0],
+    )
+    r = got[(0.0, 1.0)]
+    # only the 4 ordered pairs involving point 3 are counted
+    assert r["n_pairs"] == 4
+    assert r["gamma"] == (2 * 16 + 2 * 16) / 8.0
