@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_hotspots": _wrap(Q.q_image_hotspots),
         "knox_stat": _wrap(Q.q_knox_stat),
         "semivariogram": _wrap(Q.q_semivariogram),
+        "sd_ellipses": _wrap(Q.q_sd_ellipses),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
         # interval_events were driver-green in r02; the r03 changes
@@ -247,6 +248,7 @@ def oracle_sql() -> dict[str, str]:
         "image_hotspots": Q.SQL_IMAGE_HOTSPOTS,
         "knox_stat": Q.SQL_KNOX_STAT,
         "semivariogram": Q.SQL_SEMIVARIOGRAM,
+        "sd_ellipses": Q.SQL_SD_ELLIPSES,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,
         "dwell_cells": Q.SQL_DWELL_CELLS,

@@ -6163,3 +6163,77 @@ cand AS (
 counts AS (SELECT {_VARIO_COUNTS} FROM cand)
 {_VARIO_LADDER}
 """
+
+# --------------------------------------------------------------------------
+# E14i — standard deviational ellipse per user (`spatial.sd_ellipse`):
+# the classic directional-dispersion statistic over each user's visited
+# points — mean center, standard distance, ellipse axes + orientation.
+# ONE map-side-combinable aggregate (no window, no join); coordinates
+# fixed-point quantized to 10⁻² degrees so all six moments are exact
+# integers and the float algebra replays in a fixed expression order.
+# theta rounds at 4 dp (atan2 is the one libm-parity-sensitive term,
+# per the turn_stats convention); sqrt outputs are correctly rounded
+# IEEE and take 6 dp.
+# --------------------------------------------------------------------------
+
+
+def q_sd_ellipses(spark, sf_dir):
+    from gotrackmaster_spark.operators.spatial import sd_ellipse
+
+    pts = geo_events(spark, sf_dir).select(
+        "user_id",
+        F.round((F.col("lon") + 180.0) * 100, 0).cast("long").alias("x"),
+        F.round((F.col("lat") + 80.0) * 100, 0).cast("long").alias("y"),
+    )
+    out = sd_ellipse(pts, ["user_id"])
+    return out.select(
+        "user_id",
+        "n",
+        F.round(F.col("x_mean"), 6).alias("x_mean_r"),
+        F.round(F.col("y_mean"), 6).alias("y_mean_r"),
+        F.round(F.col("sd_dist"), 6).alias("sd_dist_r"),
+        F.round(F.col("theta"), 4).alias("theta_r"),
+        F.round(F.col("ax_major"), 6).alias("ax_major_r"),
+        F.round(F.col("ax_minor"), 6).alias("ax_minor_r"),
+    )
+
+
+SQL_SD_ELLIPSES = f"""
+WITH {GEO_CTE},
+q AS (
+  SELECT user_id,
+         CAST(round((lon + 180.0) * 100) AS BIGINT) AS x,
+         CAST(round((lat + 80.0) * 100) AS BIGINT) AS y
+  FROM geo
+),
+m AS (
+  SELECT user_id, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM q GROUP BY user_id
+),
+alg AS (
+  SELECT user_id, n,
+         sx / CAST(n AS DOUBLE) AS xbar, sy / CAST(n AS DOUBLE) AS ybar,
+         sxx / CAST(n AS DOUBLE) - (sx / CAST(n AS DOUBLE)) * (sx / CAST(n AS DOUBLE)) AS cxx,
+         syy / CAST(n AS DOUBLE) - (sy / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)) AS cyy,
+         sxy / CAST(n AS DOUBLE) - (sx / CAST(n AS DOUBLE)) * (sy / CAST(n AS DOUBLE)) AS cxy
+  FROM m
+),
+alg2 AS (
+  SELECT user_id, n, xbar, ybar, cxx, cyy, cxy,
+         sqrt((cxx - cyy) * (cxx - cyy) + 4 * (cxy * cxy)) AS b
+  FROM alg
+)
+SELECT user_id, n,
+       round(xbar, 6) AS x_mean_r, round(ybar, 6) AS y_mean_r,
+       round(CASE WHEN n > 1 AND cxx + cyy > 0 THEN sqrt(cxx + cyy)
+                  WHEN n > 1 THEN 0.0 END, 6) AS sd_dist_r,
+       round(CASE WHEN n > 1 THEN atan2(2 * cxy, cxx - cyy) / 2 END, 4) AS theta_r,
+       round(CASE WHEN n > 1 AND (cxx + cyy + b) / 2 > 0 THEN sqrt((cxx + cyy + b) / 2)
+                  WHEN n > 1 THEN 0.0 END, 6) AS ax_major_r,
+       round(CASE WHEN n > 1 AND (cxx + cyy - b) / 2 > 0 THEN sqrt((cxx + cyy - b) / 2)
+                  WHEN n > 1 THEN 0.0 END, 6) AS ax_minor_r
+FROM alg2
+"""

@@ -2126,6 +2126,76 @@ def semivariogram(
     )
 
 
+def sd_ellipse(
+    points: DataFrame,
+    group_cols: list[str],
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Standard deviational ellipse per group — the classic directional-
+    dispersion statistic (mean center, standard distance, ellipse
+    semi-axes and orientation) summarizing WHERE a group's points sit
+    and HOW they spread.
+
+    From the raw moments n, Σx, Σy, Σx², Σy², Σxy:
+
+      x̄ = Σx/n,  C_xx = Σx²/n − x̄²,  C_yy, C_xy analogous
+      B = √((C_xx − C_yy)² + 4·C_xy²)
+      θ = ½·atan2(2·C_xy, C_xx − C_yy)          (major-axis angle, (−π/2, π/2])
+      λ± = (C_xx + C_yy ± B) / 2                (eigenvalues)
+      sd = √(C_xx + C_yy),  a = √λ₊,  b = √λ₋
+
+    Plan at scale: ONE map-side-combinable hash aggregate — no window,
+    no join, nothing but the group-by shuffle, at any group count.
+    Pass INTEGER (fixed-point quantized) coordinates: the six moments
+    then stay exact integers (bounds: |x|³·n under 2⁶³ via Σx² ≤
+    n·max x²), and every float derives from them in a fixed expression
+    order — partition-order invariant, engine-replayable.  Float
+    cancellation can drive a variance or λ₋ epsilon-NEGATIVE on
+    near-degenerate groups: every √ is guarded on the un-sqrt'd
+    quantity (NULL, not NaN — the Gi* convention).  Collinear groups
+    get λ₋ = 0; n = 1 groups get all-NULL dispersion.
+
+    Output per group: ``(*group_cols, n, x_mean, y_mean, sd_dist,
+    theta, ax_major, ax_minor)``.
+    """
+    agg = points.groupBy(*group_cols).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col(x_col).cast("long")).alias("__sx"),
+        F.sum(F.col(y_col).cast("long")).alias("__sy"),
+        F.sum((F.col(x_col) * F.col(x_col)).cast("long")).alias("__sxx"),
+        F.sum((F.col(y_col) * F.col(y_col)).cast("long")).alias("__syy"),
+        F.sum((F.col(x_col) * F.col(y_col)).cast("long")).alias("__sxy"),
+    )
+    n_d = F.col("n").cast("double")
+    xbar = F.col("__sx") / n_d
+    ybar = F.col("__sy") / n_d
+    cxx = F.col("__sxx") / n_d - xbar * xbar
+    cyy = F.col("__syy") / n_d - ybar * ybar
+    cxy = F.col("__sxy") / n_d - xbar * ybar
+    disc = (cxx - cyy) * (cxx - cyy) + 4 * (cxy * cxy)
+    b_term = F.sqrt(disc)
+    lam_hi = (cxx + cyy + b_term) / 2
+    lam_lo = (cxx + cyy - b_term) / 2
+    many = F.col("n") > 1
+    return agg.select(
+        *group_cols,
+        "n",
+        xbar.alias("x_mean"),
+        ybar.alias("y_mean"),
+        F.when(many & (cxx + cyy > 0), F.sqrt(cxx + cyy))
+        .when(many, F.lit(0.0))
+        .alias("sd_dist"),
+        F.when(many, F.atan2(2 * cxy, cxx - cyy) / 2).alias("theta"),
+        F.when(many & (lam_hi > 0), F.sqrt(lam_hi))
+        .when(many, F.lit(0.0))
+        .alias("ax_major"),
+        F.when(many & (lam_lo > 0), F.sqrt(lam_lo))
+        .when(many, F.lit(0.0))
+        .alias("ax_minor"),
+    )
+
+
 # --------------------------------------------------------------------------
 # E12 — per-group diameter: convex hull + rotating calipers in ONE
 # Arrow batch per group (O(n log n)) vs the O(n²) all-pairs alternative

@@ -525,3 +525,72 @@ def test_semivariogram_coincident_pairs_in_no_band(spark):
     # only the 4 ordered pairs involving point 3 are counted
     assert r["n_pairs"] == 4
     assert r["gamma"] == (2 * 16 + 2 * 16) / 8.0
+
+
+def _ellipse(spark, pts):
+    from gotrackmaster_spark.operators.spatial import sd_ellipse
+
+    df = spark.createDataFrame(pts, "g long, x long, y long")
+    return {
+        r["g"]: r for r in sd_ellipse(df, ["g"], "x", "y").collect()
+    }
+
+
+def test_sd_ellipse_numpy_reference(spark):
+    # moments/eigen algebra vs numpy's covariance eigendecomposition on
+    # a seeded integer cloud
+    import random
+
+    import numpy as np
+
+    rnd = random.Random(29)
+    pts = [
+        (1, rnd.randrange(-500, 500), rnd.randrange(-200, 200))
+        for _ in range(400)
+    ]
+    got = _ellipse(spark, pts)[1]
+    xs = np.array([p[1] for p in pts], dtype=float)
+    ys = np.array([p[2] for p in pts], dtype=float)
+    assert got["n"] == 400
+    assert got["x_mean"] == pytest.approx(xs.mean(), rel=1e-12)
+    assert got["y_mean"] == pytest.approx(ys.mean(), rel=1e-12)
+    cov = np.cov(np.vstack([xs, ys]), bias=True)
+    lam = sorted(np.linalg.eigvalsh(cov))
+    assert got["sd_dist"] == pytest.approx(math.sqrt(cov[0, 0] + cov[1, 1]), rel=1e-12)
+    assert got["ax_major"] == pytest.approx(math.sqrt(lam[1]), rel=1e-10)
+    assert got["ax_minor"] == pytest.approx(math.sqrt(lam[0]), rel=1e-10)
+    # theta is the major-axis direction: the eigenvector check
+    v = np.array([math.cos(got["theta"]), math.sin(got["theta"])])
+    assert v @ cov @ v == pytest.approx(lam[1], rel=1e-10)
+
+
+def test_sd_ellipse_axis_aligned_and_collinear(spark):
+    # x-spread-only group: major axis along x (theta = 0), minor = 0
+    line = [(1, i, 7) for i in range(-10, 11)]
+    got = _ellipse(spark, line)[1]
+    assert got["theta"] == pytest.approx(0.0)
+    assert got["ax_minor"] == 0.0
+    assert got["ax_major"] == pytest.approx(got["sd_dist"], rel=1e-12)
+    assert got["y_mean"] == 7.0
+    # the same points rotated 90 degrees: theta = pi/2, axes unchanged
+    rot = [(1, 7, i) for i in range(-10, 11)]
+    got_r = _ellipse(spark, rot)[1]
+    assert got_r["theta"] == pytest.approx(math.pi / 2)
+    assert got_r["ax_major"] == pytest.approx(got["ax_major"], rel=1e-12)
+
+
+def test_sd_ellipse_degenerate_groups(spark):
+    got = _ellipse(spark, [(1, 5, 5), (2, 3, 3), (2, 3, 3), (2, 3, 3)])
+    one = got[1]
+    assert one["n"] == 1
+    assert one["x_mean"] == 5.0 and one["y_mean"] == 5.0
+    assert (
+        one["sd_dist"] is None
+        and one["theta"] is None
+        and one["ax_major"] is None
+        and one["ax_minor"] is None
+    )
+    # n > 1 but zero spread: all dispersion exactly 0, never NaN
+    same = got[2]
+    assert same["sd_dist"] == 0.0
+    assert same["ax_major"] == 0.0 and same["ax_minor"] == 0.0
