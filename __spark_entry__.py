@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knox_stat": _wrap(Q.q_knox_stat),
         "semivariogram": _wrap(Q.q_semivariogram),
         "sd_ellipses": _wrap(Q.q_sd_ellipses),
+        "emerging_hotspots": _wrap(Q.q_emerging_hotspots),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
         # interval_events were driver-green in r02; the r03 changes
@@ -249,6 +250,7 @@ def oracle_sql() -> dict[str, str]:
         "knox_stat": Q.SQL_KNOX_STAT,
         "semivariogram": Q.SQL_SEMIVARIOGRAM,
         "sd_ellipses": Q.SQL_SD_ELLIPSES,
+        "emerging_hotspots": Q.SQL_EMERGING_HOTSPOTS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,
         "dwell_cells": Q.SQL_DWELL_CELLS,

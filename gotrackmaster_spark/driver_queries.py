@@ -6237,3 +6237,125 @@ SELECT user_id, n,
                   WHEN n > 1 THEN 0.0 END, 6) AS ax_minor_r
 FROM alg2
 """
+
+
+# --------------------------------------------------------------------------
+# E14j — emerging hotspot analysis (`spatial.emerging_hotspots`): the
+# capstone composite of the spatial-statistics suite (the ESRI
+# space-time-cube workflow) — a per-(cell, day) Gi* z-score over the
+# 15° lattice, a Mann-Kendall trend test over each cell's z series,
+# then a category from the final-bin state × the trend.  Per-bin
+# lattices are independent layers of ONE ×9 occupancy explode; the
+# bin moments attach via a real-key broadcast hash join (T rows); the
+# MK stage self-joins the (cells × bins)-sized z table — bounded by
+# T²/2 per cell, never points².  All floats derive from exact integer
+# moments in a fixed expression order, so the DuckDB twin replays the
+# whole composite bit-for-bit.
+# --------------------------------------------------------------------------
+
+
+def q_emerging_hotspots(spark, sf_dir):
+    from gotrackmaster_spark.operators.spatial import emerging_hotspots
+
+    geo = geo_events(spark, sf_dir)
+    occ = geo.groupBy(
+        F.floor(F.col("lon") / _TREND_G).cast("long").alias("gx"),
+        F.floor(F.col("lat") / _TREND_G).cast("long").alias("gy"),
+        F.expr(f"unix_micros(CAST(ts AS timestamp)) DIV {_US_PER_DAY}").alias("t"),
+    ).agg(F.count("*").alias("cnt"))
+    out = emerging_hotspots(occ)
+    return out.select(
+        "gx",
+        "gy",
+        "n_bins",
+        "hot_bins",
+        "s",
+        F.round(F.col("z_mk"), 4).alias("z_mk_r"),
+        "category",
+    )
+
+
+SQL_EMERGING_HOTSPOTS = f"""
+WITH {GEO_CTE},
+occ AS (
+  SELECT CAST(floor(lon / {_TREND_G}) AS BIGINT) AS gx,
+         CAST(floor(lat / {_TREND_G}) AS BIGINT) AS gy,
+         epoch_us(ts) // {_US_PER_DAY} AS t,
+         count(*) AS cnt
+  FROM geo GROUP BY 1, 2, 3
+),
+off AS (SELECT dx - 1 AS dx, dy - 1 AS dy FROM range(3) t1(dx), range(3) t2(dy)),
+nbr AS (
+  SELECT t, gx + dx AS gx, gy + dy AS gy,
+         sum(cnt) AS wsum, count(*) AS k,
+         max(CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END) AS occ,
+         max(CASE WHEN dx = 0 AND dy = 0 THEN cnt END) AS cnt
+  FROM occ, off GROUP BY 1, 2, 3
+),
+occupied AS (SELECT * FROM nbr WHERE occ = 1),
+st AS (
+  SELECT t, count(*) AS n, sum(cnt) AS s1, sum(cnt * cnt) AS s2
+  FROM occupied GROUP BY t
+),
+series AS (
+  SELECT o.gx, o.gy, o.t,
+         (o.wsum - (s1 / n) * o.k)
+         / (sqrt(s2 / n - (s1 / n) * (s1 / n))
+            * sqrt((n * o.k - o.k * o.k) / (n - 1.0))) AS z
+  FROM occupied o JOIN st ON st.t = o.t
+  WHERE n > 1 AND n * o.k - o.k * o.k > 0
+        AND s2 / n - (s1 / n) * (s1 / n) > 0
+),
+s_tab AS (
+  SELECT a.gx, a.gy,
+         CAST(sum(CASE WHEN b.z > a.z THEN 1
+                       WHEN b.z < a.z THEN -1 ELSE 0 END) AS BIGINT) AS s
+  FROM series a JOIN series b ON a.gx = b.gx AND a.gy = b.gy AND a.t < b.t
+  GROUP BY 1, 2
+),
+ties AS (
+  SELECT gx, gy,
+         CAST(sum(tg) AS BIGINT) AS n_bins,
+         CAST(sum(tg * (tg - 1) * (2 * tg + 5)) AS BIGINT) AS tie
+  FROM (SELECT gx, gy, z, count(*) AS tg FROM series GROUP BY 1, 2, 3)
+  GROUP BY 1, 2
+),
+mk AS (
+  SELECT t.gx, t.gy, t.n_bins, COALESCE(s.s, 0) AS s,
+         (t.n_bins * (t.n_bins - 1) * (2 * t.n_bins + 5) - t.tie) / 18.0 AS var_s,
+         s.s AS s_raw
+  FROM ties t LEFT JOIN s_tab s ON s.gx = t.gx AND s.gy = t.gy
+),
+z_tab AS (
+  SELECT gx, gy, n_bins, s,
+         CASE WHEN var_s > 0 THEN
+           CASE WHEN s_raw > 0 THEN (s_raw - 1) / sqrt(var_s)
+                WHEN s_raw < 0 THEN (s_raw + 1) / sqrt(var_s)
+                ELSE 0.0 END
+         END AS z_mk
+  FROM mk
+),
+state AS (
+  SELECT gx, gy, max_by(z, t) AS z_last,
+         CAST(sum(CASE WHEN z > 1.96 THEN 1 ELSE 0 END) AS BIGINT) AS hot_bins
+  FROM series GROUP BY 1, 2
+),
+labeled AS (
+  SELECT z.gx, z.gy, z.n_bins, w.hot_bins, z.s,
+         round(z.z_mk, 4) AS z_mk_r,
+         w.z_last > 1.96 AS hot_now,
+         CASE WHEN z.z_mk IS NULL THEN 'flat'
+              WHEN z.z_mk > 1.96 THEN 'increasing'
+              WHEN z.z_mk < -1.96 THEN 'decreasing'
+              ELSE 'flat' END AS trend
+  FROM z_tab z JOIN state w ON w.gx = z.gx AND w.gy = z.gy
+)
+SELECT gx, gy, n_bins, hot_bins, s, z_mk_r,
+       CASE WHEN hot_now AND trend = 'increasing' THEN 'intensifying'
+            WHEN hot_now AND trend = 'decreasing' THEN 'diminishing'
+            WHEN hot_now THEN 'persistent'
+            WHEN hot_bins > 0 THEN 'historical'
+            WHEN trend = 'increasing' THEN 'emerging'
+            ELSE 'none' END AS category
+FROM labeled
+"""

@@ -1518,9 +1518,10 @@ _bound_mk_cache = make_bounded_cache()      # previous call's binned counts (Man
 _bound_ripley_cache = make_bounded_cache()  # previous call's gridded points (Ripley K)
 _bound_knox_cache = make_bounded_cache()    # previous call's gridded points (Knox)
 _bound_vario_cache = make_bounded_cache()   # previous call's gridded points (variogram)
+_bound_emerging_cache = make_bounded_cache()  # previous call's per-bin z series (emerging)
 
 
-def _occupancy_counts(cells: DataFrame) -> DataFrame:
+def _occupancy_counts(cells: DataFrame, extra_cols: tuple = ()) -> DataFrame:
     """Shared topology of the spatial-statistics trio (Gi*, global and
     local Moran's I): each occupied ``(gx, gy, cnt)`` cell explodes its
     count to its 9 3×3 targets; ONE hash aggregate then yields, per
@@ -1530,7 +1531,12 @@ def _occupancy_counts(cells: DataFrame) -> DataFrame:
     themselves occupied, so membership needs NO join-back (the
     erode argument).  Neighborhoods are restricted to occupied cells:
     absent cells are "no data", not zeros.
+
+    ``extra_cols`` partitions the lattice into independent layers (e.g.
+    a time bin for :func:`emerging_hotspots`): neighborhoods never
+    cross a layer boundary.
     """
+    extra = list(extra_cols)
     contrib = cells.withColumn(
         "__o",
         F.explode(
@@ -1541,13 +1547,14 @@ def _occupancy_counts(cells: DataFrame) -> DataFrame:
             ])
         ),
     ).select(
+        *extra,
         (F.col("gx") + F.col("__o.dx")).alias("gx"),
         (F.col("gy") + F.col("__o.dy")).alias("gy"),
         F.col("cnt"),
         ((F.col("__o.dx") == 0) & (F.col("__o.dy") == 0)).cast("int").alias("__self"),
     )
     return (
-        contrib.groupBy("gx", "gy")
+        contrib.groupBy(*extra, "gx", "gy")
         .agg(
             F.sum("cnt").alias("__wsum"),
             F.count("*").alias("__k"),
@@ -1790,6 +1797,88 @@ def mann_kendall_trends(occupancy: DataFrame) -> DataFrame:
         .otherwise(F.lit("flat"))
     )
     return out.withColumn("trend", trend)
+
+
+def emerging_hotspots(occupancy: DataFrame, hot_z: float = 1.96) -> DataFrame:
+    """Emerging hotspot analysis — the capstone composite of the
+    spatial-statistics suite (the ESRI space-time-cube workflow): a
+    Getis-Ord Gi* z-score per (cell, time bin), then a Mann-Kendall
+    trend test over each cell's z series, then a category label from
+    the final-bin state × the trend.
+
+    ``occupancy`` carries ``(gx, gy, t, cnt)`` — one row per (cell,
+    integer time bin).  Per bin, the Gi* lattice is that bin's occupied
+    cells only (absent = "no data"; neighborhoods never cross bins);
+    bins whose z is degenerate-NULL (single-cell bin lattice, k = n,
+    constant counts) drop out of the cell's series.  Categories:
+
+      hot in last observed bin  & increasing → ``intensifying``
+                                & decreasing → ``diminishing``
+                                & flat       → ``persistent``
+      not hot now, hot in ≥1 earlier bin     → ``historical``
+      never hot                 & increasing → ``emerging``
+      otherwise                              → ``none``
+
+    Plan at scale: the per-bin Gi* reuses the ×9 occupancy explode with
+    the bin as a layer key (ONE hash aggregate over (t, gx, gy)); the
+    per-bin moments are a T-row aggregate attached by a small equi-join
+    on the bin key (a plain broadcast hash join — NOT the 1-row BNLJ:
+    the key is a real column); the Mann-Kendall stage self-joins the
+    (cells × bins)-sized z table on the cell key, bounded by T²/2 per
+    cell, never points².  The z values are floats, but both engines
+    derive them from exact integer moments in the same expression
+    order, so the sign/equality comparisons inside Mann-Kendall are
+    deterministic and S stays an exact integer.
+
+    Output: ``(gx, gy, n_bins, hot_bins, s, z_mk, category)`` — one row
+    per cell with ≥1 non-degenerate bin; ``z_mk`` NULL when Var(S) ≤ 0
+    (that path labels via trend = flat).
+    """
+    occ = _occupancy_counts(occupancy, extra_cols=("t",))
+    st = occ.groupBy("t").agg(
+        F.count("*").alias("__n"),
+        F.sum("cnt").alias("__s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("__s2"),
+    )
+    j = occ.join(F.broadcast(st), "t")
+    n, k = F.col("__n"), F.col("__k")
+    xbar = F.col("__s1") / n
+    var = F.col("__s2") / n - xbar * xbar
+    den = F.sqrt(var) * F.sqrt((n * k - k * k) / (n - F.lit(1.0)))
+    cond = (n > 1) & (n * k - k * k > 0) & (var > 0)
+    z_bin = F.when(cond, (F.col("__wsum") - xbar * k) / den)
+    series = _bound_emerging_cache(
+        j.select("gx", "gy", "t", z_bin.alias("z")).filter(F.col("z").isNotNull())
+    )
+    mk = mann_kendall_trends(
+        series.select("gx", "gy", "t", F.col("z").alias("cnt"))
+    ).select(
+        "gx",
+        "gy",
+        "n_bins",
+        "s",
+        F.col("z").alias("z_mk"),
+        "trend",
+    )
+    state = series.groupBy("gx", "gy").agg(
+        F.expr("max_by(z, t)").alias("__z_last"),
+        F.sum((F.col("z") > F.lit(float(hot_z))).cast("long")).alias("hot_bins"),
+    )
+    out = mk.join(state, ["gx", "gy"])
+    hot_now = F.col("__z_last") > F.lit(float(hot_z))
+    # evaluated only when NOT hot_now, so any hot bin is an EARLIER one
+    was_hot = F.col("hot_bins") > 0
+    category = (
+        F.when(hot_now & (F.col("trend") == "increasing"), F.lit("intensifying"))
+        .when(hot_now & (F.col("trend") == "decreasing"), F.lit("diminishing"))
+        .when(hot_now, F.lit("persistent"))
+        .when(was_hot, F.lit("historical"))
+        .when(F.col("trend") == "increasing", F.lit("emerging"))
+        .otherwise(F.lit("none"))
+    )
+    return out.select(
+        "gx", "gy", "n_bins", "hot_bins", "s", "z_mk", category.alias("category")
+    )
 
 
 def ripley_k(

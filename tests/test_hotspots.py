@@ -594,3 +594,171 @@ def test_sd_ellipse_degenerate_groups(spark):
     same = got[2]
     assert same["sd_dist"] == 0.0
     assert same["ax_major"] == 0.0 and same["ax_minor"] == 0.0
+
+
+def _emerge(spark, spikes, bins=6, side=10, hot_z=1.96):
+    """Build a side×side all-1s lattice per bin, override `spikes`
+    {(x, y): [cnt per bin]}, run emerging_hotspots."""
+    from gotrackmaster_spark.operators.spatial import emerging_hotspots
+
+    rows = []
+    for t in range(bins):
+        for x in range(side):
+            for y in range(side):
+                rows.append((x, y, t, spikes.get((x, y), [1] * bins)[t]))
+    df = spark.createDataFrame(rows, "gx long, gy long, t long, cnt long")
+    return {
+        (r["gx"], r["gy"]): r for r in emerging_hotspots(df, hot_z).collect()
+    }
+
+
+def test_emerging_intensifying_and_historical(spark):
+    # A grows 10 -> 320 (z crosses 1.96 only in the last bin, MK strictly
+    # increasing); D decays 400 -> 150 (hot for 5 bins, cold in the last)
+    got = _emerge(
+        spark,
+        {
+            (2, 2): [10, 20, 40, 80, 160, 320],
+            (7, 7): [400, 350, 300, 250, 200, 150],
+        },
+    )
+    a, d = got[(2, 2)], got[(7, 7)]
+    assert a["category"] == "intensifying"
+    assert a["s"] == 15 and a["n_bins"] == 6 and a["hot_bins"] == 1
+    assert d["category"] == "historical"
+    assert d["s"] == -15 and d["hot_bins"] == 5
+    # a quiet background cell far from both spikes is 'none'
+    assert got[(0, 0)]["category"] == "none"
+    assert got[(0, 0)]["hot_bins"] == 0
+
+
+def test_emerging_diminishing_and_emerging(spark):
+    # D is huge but slowly decaying (still hot in the last bin, MK
+    # decreasing); A grows but never crosses 1.96 -> emerging
+    got = _emerge(
+        spark,
+        {
+            (2, 2): [10, 20, 40, 80, 160, 320],
+            (7, 7): [800, 780, 760, 740, 720, 700],
+        },
+    )
+    d, a = got[(7, 7)], got[(2, 2)]
+    assert d["category"] == "diminishing"
+    assert d["hot_bins"] == 6 and d["s"] == -15
+    assert a["category"] == "emerging"
+    assert a["hot_bins"] == 0 and a["s"] == 15
+
+
+def test_emerging_persistent_constant_spike(spark):
+    # Gi* is standardized: a constant spike on a constant background has
+    # the SAME z every bin (ties -> Var(S)=0 -> z_mk NULL -> flat) while
+    # staying hot -> persistent; every background cell's series is
+    # constant too -> flat, never hot -> none
+    got = _emerge(spark, {(5, 5): [50] * 6})
+    p = got[(5, 5)]
+    assert p["category"] == "persistent"
+    assert p["hot_bins"] == 6 and p["n_bins"] == 6
+    assert p["s"] == 0 and p["z_mk"] is None
+    assert got[(0, 0)]["category"] == "none"
+    assert got[(0, 0)]["z_mk"] is None
+
+
+def test_emerging_degenerate_bins_drop_out(spark):
+    from gotrackmaster_spark.operators.spatial import emerging_hotspots
+
+    # bin 2 has a SINGLE occupied cell (n == 1 -> z degenerate-NULL) and
+    # an isolated far cell occupied ONLY in that bin: the bin contributes
+    # nothing to any series and the far cell is absent from the output
+    rows = []
+    for t in (0, 1, 3):
+        rows += [(x, y, t, 1 + x + y * t) for x in range(4) for y in range(4)]
+    rows.append((50, 50, 2, 99))
+    df = spark.createDataFrame(rows, "gx long, gy long, t long, cnt long")
+    got = {(r["gx"], r["gy"]): r for r in emerging_hotspots(df).collect()}
+    assert (50, 50) not in got
+    assert all(r["n_bins"] == 3 for r in got.values())
+
+
+def test_emerging_brute_force_reference(spark):
+    # seeded random lattice with random per-bin presence: every output
+    # column must match the plain-Python replay of the whole composite
+    import random
+    from collections import Counter
+
+    rnd = random.Random(31)
+    bins, side = 5, 6
+    data = {}  # (t, x, y) -> cnt
+    for t in range(bins):
+        for x in range(side):
+            for y in range(side):
+                if rnd.random() < 0.8:
+                    data[(t, x, y)] = rnd.randint(1, 20)
+    rows = [(x, y, t, c) for (t, x, y), c in data.items()]
+    df = spark.createDataFrame(rows, "gx long, gy long, t long, cnt long")
+    from gotrackmaster_spark.operators.spatial import emerging_hotspots
+
+    got = {(r["gx"], r["gy"]): r for r in emerging_hotspots(df).collect()}
+
+    series = {}
+    for t in range(bins):
+        cells = {(x, y): c for (tt, x, y), c in data.items() if tt == t}
+        n = len(cells)
+        s1 = sum(cells.values())
+        s2 = sum(c * c for c in cells.values())
+        xbar = s1 / n
+        var = s2 / n - xbar * xbar
+        for (x, y), c in cells.items():
+            occ = [
+                (x + dx, y + dy)
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+                if (x + dx, y + dy) in cells
+            ]
+            k = len(occ)
+            wsum = sum(cells[p] for p in occ)
+            if n > 1 and n * k - k * k > 0 and var > 0:
+                z = (wsum - xbar * k) / (
+                    math.sqrt(var) * math.sqrt((n * k - k * k) / (n - 1.0))
+                )
+                series.setdefault((x, y), []).append((t, z))
+    assert set(got) == set(series)
+    for cell, zs in series.items():
+        zs.sort()
+        vals = [z for _, z in zs]
+        T = len(vals)
+        s = sum(
+            (vals[j] > vals[i]) - (vals[j] < vals[i])
+            for i in range(T)
+            for j in range(i + 1, T)
+        )
+        tie = sum(t * (t - 1) * (2 * t + 5) for t in Counter(vals).values())
+        var_s = (T * (T - 1) * (2 * T + 5) - tie) / 18.0
+        if var_s > 0:
+            zmk = (s - 1) / math.sqrt(var_s) if s > 0 else (s + 1) / math.sqrt(var_s) if s < 0 else 0.0
+        else:
+            zmk = None
+        trend = (
+            "flat"
+            if zmk is None
+            else "increasing" if zmk > 1.96 else "decreasing" if zmk < -1.96 else "flat"
+        )
+        hot_now = vals[-1] > 1.96
+        was_hot = any(v > 1.96 for v in vals)
+        if hot_now:
+            cat = {"increasing": "intensifying", "decreasing": "diminishing"}.get(
+                trend, "persistent"
+            )
+        elif was_hot:
+            cat = "historical"
+        elif trend == "increasing":
+            cat = "emerging"
+        else:
+            cat = "none"
+        r = got[cell]
+        assert r["n_bins"] == T and r["s"] == s
+        assert r["hot_bins"] == sum(v > 1.96 for v in vals)
+        if zmk is None:
+            assert r["z_mk"] is None
+        else:
+            assert r["z_mk"] == pytest.approx(zmk, rel=1e-12)
+        assert r["category"] == cat, (cell, r, zmk, trend)
