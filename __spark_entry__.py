@@ -154,6 +154,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semivariogram": _wrap(Q.q_semivariogram),
         "sd_ellipses": _wrap(Q.q_sd_ellipses),
         "emerging_hotspots": _wrap(Q.q_emerging_hotspots),
+        "geary_c": _wrap(Q.q_geary_c),
+        "general_g": _wrap(Q.q_general_g),
+        "join_counts": _wrap(Q.q_join_counts),
+        "bivariate_moran": _wrap(Q.q_bivariate_moran),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
         # interval_events were driver-green in r02; the r03 changes
@@ -251,6 +255,10 @@ def oracle_sql() -> dict[str, str]:
         "semivariogram": Q.SQL_SEMIVARIOGRAM,
         "sd_ellipses": Q.SQL_SD_ELLIPSES,
         "emerging_hotspots": Q.SQL_EMERGING_HOTSPOTS,
+        "geary_c": Q.SQL_GEARY_C,
+        "general_g": Q.SQL_GENERAL_G,
+        "join_counts": Q.SQL_JOIN_COUNTS,
+        "bivariate_moran": Q.SQL_BIVARIATE_MORAN,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,
         "dwell_cells": Q.SQL_DWELL_CELLS,

@@ -6359,3 +6359,260 @@ SELECT gx, gy, n_bins, hot_bins, s, z_mk_r,
             ELSE 'none' END AS category
 FROM labeled
 """
+
+
+# --------------------------------------------------------------------------
+# E14k — global spatial-statistics completions over the 5° event
+# lattice: Geary's C (`spatial.geary_c`, pairwise-difference companion
+# to Moran's I) and Getis-Ord General G (`spatial.general_g`, the
+# global hotspot statistic).  Both ride the shared ×9 occupancy
+# topology with NO joins; Geary's pairwise sum expands per cell to
+# k_ex·x² − 2x·nbrsum + nbrsum2 (exact ints), General G's numerator
+# AND denominator ((Σx)² − Σx²) are exact ints, so G is one exact-int
+# division.
+# --------------------------------------------------------------------------
+
+
+def q_geary_c(spark, sf_dir):
+    from gotrackmaster_spark.operators.spatial import geary_c
+
+    out = geary_c(_hot_cells(geo_events(spark, sf_dir)))
+    return out.select(
+        "n_cells",
+        "w_pairs",
+        "d_sum",
+        F.round(F.col("c_geary"), 6).alias("c_geary_r"),
+        "e_c",
+    )
+
+
+_STAT_CELLS_CTE = f"""
+cells AS (
+  SELECT CAST(floor(lon / {_HOT_G}) AS BIGINT) AS gx,
+         CAST(floor(lat / {_HOT_G}) AS BIGINT) AS gy,
+         count(*) AS cnt
+  FROM geo GROUP BY 1, 2
+),
+off AS (SELECT dx - 1 AS dx, dy - 1 AS dy FROM range(3) t1(dx), range(3) t2(dy)),
+nbr AS (
+  SELECT gx + dx AS gx, gy + dy AS gy,
+         sum(cnt) AS wsum, sum(cnt * cnt) AS wsum2, count(*) AS k,
+         max(CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END) AS occ,
+         max(CASE WHEN dx = 0 AND dy = 0 THEN cnt END) AS cnt
+  FROM cells, off GROUP BY 1, 2
+),
+occupied AS (SELECT * FROM nbr WHERE occ = 1)
+"""
+
+
+SQL_GEARY_C = f"""
+WITH {GEO_CTE},
+{_STAT_CELLS_CTE},
+agg AS (
+  SELECT count(*) AS n, sum(cnt) AS s1, sum(cnt * cnt) AS s2,
+         CAST(sum((k - 1) * (cnt * cnt) - 2 * cnt * (wsum - cnt)
+                  + (wsum2 - cnt * cnt)) AS BIGINT) AS d,
+         CAST(sum(k - 1) AS BIGINT) AS w
+  FROM occupied
+)
+SELECT n AS n_cells, w AS w_pairs, d AS d_sum,
+       round(
+         CASE WHEN n > 1 AND w > 0
+                   AND s2 - n * ((s1 / n) * (s1 / n)) > 0
+              THEN ((n - 1) * d) / (2.0 * w)
+                   / (s2 - n * ((s1 / n) * (s1 / n)))
+         END, 6) AS c_geary_r,
+       CASE WHEN n > 1 AND w > 0 THEN CAST(1.0 AS DOUBLE) END AS e_c
+FROM agg
+"""
+
+
+def q_general_g(spark, sf_dir):
+    from gotrackmaster_spark.operators.spatial import general_g
+
+    out = general_g(_hot_cells(geo_events(spark, sf_dir)))
+    # g_obs / e_g are single exact-int divisions — bit-identical, no rounding
+    return out.select("n_cells", "w_pairs", "g_num", "g_den", "g_obs", "e_g")
+
+
+SQL_GENERAL_G = f"""
+WITH {GEO_CTE},
+{_STAT_CELLS_CTE},
+agg AS (
+  SELECT count(*) AS n,
+         CAST(sum(cnt) AS BIGINT) AS s1, CAST(sum(cnt * cnt) AS BIGINT) AS s2,
+         CAST(sum(cnt * (wsum - cnt)) AS BIGINT) AS g_num,
+         CAST(sum(k - 1) AS BIGINT) AS w
+  FROM occupied
+),
+alg AS (
+  SELECT n, w, g_num, CAST(s1 * s1 - s2 AS BIGINT) AS g_den FROM agg
+)
+SELECT n AS n_cells, w AS w_pairs, g_num, g_den,
+       CASE WHEN n > 1 AND w > 0 AND g_den > 0 THEN g_num / g_den END AS g_obs,
+       CASE WHEN n > 1 AND w > 0 AND g_den > 0
+            THEN w / (n * (n - 1)) END AS e_g
+FROM alg
+"""
+
+
+# --------------------------------------------------------------------------
+# E14l — join-count statistics (`spatial.join_counts`): the categorical
+# autocorrelation statistic over the binary lattice black = cnt ≥ 5
+# (median event count per 5° cell is 4 at sf0.01 — both colors
+# populated).  One occupancy pass over the 0/1 indicator; observed
+# BB/BW/WW exact integers, expectations exact-int ratios under
+# nonfree (hypergeometric) sampling.
+# --------------------------------------------------------------------------
+
+_JC_THR = 5
+
+
+def q_join_counts(spark, sf_dir):
+    from gotrackmaster_spark.operators.spatial import join_counts
+
+    return join_counts(_hot_cells(geo_events(spark, sf_dir)), _JC_THR)
+
+
+SQL_JOIN_COUNTS = f"""
+WITH {GEO_CTE},
+rawcells AS (
+  SELECT CAST(floor(lon / {_HOT_G}) AS BIGINT) AS gx,
+         CAST(floor(lat / {_HOT_G}) AS BIGINT) AS gy,
+         count(*) AS cnt
+  FROM geo GROUP BY 1, 2
+),
+cells AS (
+  SELECT gx, gy, CASE WHEN cnt >= {_JC_THR} THEN 1 ELSE 0 END AS cnt
+  FROM rawcells
+),
+off AS (SELECT dx - 1 AS dx, dy - 1 AS dy FROM range(3) t1(dx), range(3) t2(dy)),
+nbr AS (
+  SELECT gx + dx AS gx, gy + dy AS gy,
+         sum(cnt) AS wsum, count(*) AS k,
+         max(CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END) AS occ,
+         max(CASE WHEN dx = 0 AND dy = 0 THEN cnt END) AS cnt
+  FROM cells, off GROUP BY 1, 2
+),
+occupied AS (SELECT * FROM nbr WHERE occ = 1),
+agg AS (
+  SELECT count(*) AS n, CAST(sum(cnt) AS BIGINT) AS nb,
+         CAST(sum(k - 1) AS BIGINT) AS w2,
+         CAST(sum(cnt * (wsum - cnt)) AS BIGINT) AS bb_o,
+         CAST(sum(cnt * ((k - 1) - (wsum - cnt))
+                  + (1 - cnt) * (wsum - cnt)) AS BIGINT) AS bw_o,
+         CAST(sum((1 - cnt) * ((k - 1) - (wsum - cnt))) AS BIGINT) AS ww_o
+  FROM occupied
+)
+SELECT n AS n_cells, nb AS n_black, w2 // 2 AS w_pairs,
+       bb_o // 2 AS bb, bw_o // 2 AS bw, ww_o // 2 AS ww,
+       CASE WHEN n > 1 AND w2 // 2 > 0
+            THEN ((w2 // 2) * nb * (nb - 1)) / (n * (n - 1)) END AS e_bb,
+       CASE WHEN n > 1 AND w2 // 2 > 0
+            THEN (2 * (w2 // 2) * nb * (n - nb)) / (n * (n - 1)) END AS e_bw,
+       CASE WHEN n > 1 AND w2 // 2 > 0
+            THEN ((w2 // 2) * (n - nb) * ((n - nb) - 1)) / (n * (n - 1)) END AS e_ww
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# E14m — bivariate Moran's I (E7×E14 crossover,
+# `spatial.bivariate_morans_i`): does EVENT DENSITY in a 20° cell
+# co-vary with IMAGE PIXEL MASS in the neighboring cells?  x = event
+# counts, y = per-cell pixel sums from the real decode chain (exact
+# integers, closed-form oracle); inner join of the two layers, then
+# one ×9 explode carrying y with x/y tagged on the self offset —
+# cross term and both variances expand over exact int aggregates.
+# --------------------------------------------------------------------------
+
+
+def q_bivariate_moran(spark, sf_dir):
+    from gotrackmaster_spark.operators.images import decode_stats, synthesize_images
+    from gotrackmaster_spark.operators.spatial import bivariate_morans_i
+
+    geo = geo_events(spark, sf_dir)
+    xc = geo.groupBy(
+        F.floor(F.col("lon") / _IMG_HOT_G).cast("long").alias("gx"),
+        F.floor(F.col("lat") / _IMG_HOT_G).cast("long").alias("gy"),
+    ).agg(F.count("*").alias("x"))
+    imgs = synthesize_images(spark, sf_dir, w=_IMG_W, h=_IMG_H)
+    st = decode_stats(imgs).withColumn("img_key", _img_key_col())
+    g_lat, g_lon = _img_geotag_cols(F.col("img_key"))
+    yc = (
+        st.select(F.col("pixel_sum"), g_lat.alias("lat"), g_lon.alias("lon"))
+        .groupBy(
+            F.floor(F.col("lon") / _IMG_HOT_G).cast("long").alias("gx"),
+            F.floor(F.col("lat") / _IMG_HOT_G).cast("long").alias("gy"),
+        )
+        .agg(F.sum("pixel_sum").alias("y"))
+    )
+    out = bivariate_morans_i(xc.join(yc, ["gx", "gy"]))
+    return out.select(
+        "n_cells",
+        "w_pairs",
+        F.round(F.col("i_xy"), 6).alias("i_xy_r"),
+        F.round(F.col("e_i"), 6).alias("e_i_r"),
+    )
+
+
+SQL_BIVARIATE_MORAN = f"""
+WITH {GEO_CTE},
+xc AS (
+  SELECT CAST(floor(lon / {_IMG_HOT_G}) AS BIGINT) AS gx,
+         CAST(floor(lat / {_IMG_HOT_G}) AS BIGINT) AS gy,
+         count(*) AS x
+  FROM geo GROUP BY 1, 2
+),
+per_image AS (
+  SELECT ((doc_id * 2654435761) % 1600000) / 10000.0 - 80.0 AS lat,
+         ((doc_id * 40503 + 7) % 3600000) / 10000.0 - 180.0 AS lon,
+         CASE WHEN doc_id % 3 = 2
+              THEN list_sum(list_transform(generate_series(0, {_N_PIX - 1}),
+                            i -> {_PIX} - ({_PIX}) % 4))
+              ELSE list_sum(list_transform(generate_series(0, {_N_PIX - 1}),
+                            i -> {_PIX}))
+         END AS pixel_sum
+  FROM documents
+),
+yc AS (
+  SELECT CAST(floor(lon / {_IMG_HOT_G}) AS BIGINT) AS gx,
+         CAST(floor(lat / {_IMG_HOT_G}) AS BIGINT) AS gy,
+         CAST(sum(pixel_sum) AS BIGINT) AS y
+  FROM per_image GROUP BY 1, 2
+),
+cells AS (
+  SELECT xc.gx, xc.gy, xc.x, yc.y
+  FROM xc JOIN yc ON yc.gx = xc.gx AND yc.gy = xc.gy
+),
+off AS (SELECT dx - 1 AS dx, dy - 1 AS dy FROM range(3) t1(dx), range(3) t2(dy)),
+nbr AS (
+  SELECT gx + dx AS gx, gy + dy AS gy,
+         sum(y) AS ysum, count(*) AS k,
+         max(CASE WHEN dx = 0 AND dy = 0 THEN 1 ELSE 0 END) AS occ,
+         max(CASE WHEN dx = 0 AND dy = 0 THEN x END) AS x,
+         max(CASE WHEN dx = 0 AND dy = 0 THEN y END) AS y
+  FROM cells, off GROUP BY 1, 2
+),
+occupied AS (SELECT * FROM nbr WHERE occ = 1),
+agg AS (
+  SELECT count(*) AS n, sum(x) AS sx1, sum(x * x) AS sx2,
+         sum(y) AS sy1, sum(y * y) AS sy2,
+         sum(x * (ysum - y)) AS a, sum(ysum - y) AS p,
+         sum((k - 1) * x) AS q, CAST(sum(k - 1) AS BIGINT) AS w
+  FROM occupied
+)
+SELECT n AS n_cells, w AS w_pairs,
+       round(
+         CASE WHEN n > 1 AND w > 0
+                   AND sx2 - n * ((sx1 / n) * (sx1 / n)) > 0
+                   AND sy2 - n * ((sy1 / n) * (sy1 / n)) > 0
+              THEN n / (w * 1.0)
+                   * (a - (sx1 / n) * p - (sy1 / n) * q
+                      + (sx1 / n) * (sy1 / n) * w)
+                   / sqrt((sx2 - n * ((sx1 / n) * (sx1 / n)))
+                          * (sy2 - n * ((sy1 / n) * (sy1 / n))))
+         END, 6) AS i_xy_r,
+       round(CASE WHEN n > 1 THEN -1.0 / (n - 1.0) END, 6) AS e_i_r
+FROM agg
+"""

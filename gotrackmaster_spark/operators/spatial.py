@@ -1526,8 +1526,9 @@ def _occupancy_counts(cells: DataFrame, extra_cols: tuple = ()) -> DataFrame:
     local Moran's I): each occupied ``(gx, gy, cnt)`` cell explodes its
     count to its 9 3×3 targets; ONE hash aggregate then yields, per
     target, the neighborhood count sum ``__wsum`` (self included), the
-    occupied-neighbor count ``__k`` (self included) and the cell's own
-    ``cnt`` — and the self-offset flag marks which targets are
+    neighborhood sum of squares ``__wsum2`` (self included — Geary's C
+    needs it), the occupied-neighbor count ``__k`` (self included) and
+    the cell's own ``cnt`` — and the self-offset flag marks which targets are
     themselves occupied, so membership needs NO join-back (the
     erode argument).  Neighborhoods are restricted to occupied cells:
     absent cells are "no data", not zeros.
@@ -1557,6 +1558,7 @@ def _occupancy_counts(cells: DataFrame, extra_cols: tuple = ()) -> DataFrame:
         contrib.groupBy(*extra, "gx", "gy")
         .agg(
             F.sum("cnt").alias("__wsum"),
+            F.sum(F.col("cnt") * F.col("cnt")).alias("__wsum2"),
             F.count("*").alias("__k"),
             F.max("__self").alias("__occ"),
             F.max(F.when(F.col("__self") == 1, F.col("cnt"))).alias("cnt"),
@@ -1878,6 +1880,230 @@ def emerging_hotspots(occupancy: DataFrame, hot_z: float = 1.96) -> DataFrame:
     )
     return out.select(
         "gx", "gy", "n_bins", "hot_bins", "s", "z_mk", category.alias("category")
+    )
+
+
+def geary_c(cells: DataFrame) -> DataFrame:
+    """Global Geary's C spatial autocorrelation of a count lattice with
+    binary 3×3 queen weights (self excluded) over occupied cells — the
+    pairwise-difference companion to :func:`morans_i` (C < 1 clustered,
+    C > 1 dispersed, E[C] = 1):
+
+      C = (n−1) · Σᵢⱼ wᵢⱼ(xᵢ−xⱼ)² / (2W · Σᵢ(xᵢ−x̄)²)
+
+    Determinism at scale: the pairwise-difference sum is NOT enumerated
+    over pairs — per cell it expands exactly to
+    ``k_ex·xᵢ² − 2·xᵢ·nbrsumᵢ + nbrsum2ᵢ`` over the shared ×9 occupancy
+    aggregates (``__wsum2`` carries the neighborhood Σx²), ALL exact
+    integers; the float algebra happens once on the final 1-row
+    scalars.  Same no-join plan as :func:`morans_i`: one ×9 explode +
+    two hash aggregates.
+
+    Output: ONE row ``(n_cells, w_pairs, d_sum, c_geary, e_c)`` —
+    NULLs when n < 2, W == 0, or a constant lattice.
+    """
+    occupied = _occupancy_counts(cells)
+    nbr_sum = F.col("__wsum") - F.col("cnt")
+    nbr_sum2 = F.col("__wsum2") - F.col("cnt") * F.col("cnt")
+    k_ex = F.col("__k") - 1
+    x = F.col("cnt")
+    agg = occupied.agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(k_ex * (x * x) - 2 * x * nbr_sum + nbr_sum2).alias("d"),
+        F.sum(k_ex).alias("w"),
+    )
+    n, w = F.col("n"), F.col("w")
+    xbar = F.col("s1") / n
+    den = F.col("s2") - n * (xbar * xbar)
+    c_val = F.when(
+        (n > 1) & (w > 0) & (den > 0),
+        ((n - F.lit(1)) * F.col("d")) / (F.lit(2.0) * w) / den,
+    )
+    e_c = F.when((n > 1) & (w > 0), F.lit(1.0))
+    return agg.select(
+        n.alias("n_cells"),
+        w.alias("w_pairs"),
+        F.col("d").alias("d_sum"),
+        c_val.alias("c_geary"),
+        e_c.alias("e_c"),
+    )
+
+
+def general_g(cells: DataFrame) -> DataFrame:
+    """Getis-Ord General G — the GLOBAL hotspot statistic companion to
+    the local :func:`gi_star_hotspots` — with binary 3×3 queen weights
+    (self excluded) over occupied cells of a nonnegative count lattice:
+
+      G = Σᵢⱼ wᵢⱼ xᵢxⱼ / Σᵢ Σ_{j≠i} xᵢxⱼ,   E[G] = W / (n(n−1))
+
+    G > E[G] means the HIGH values are the ones spatially concentrated.
+    BOTH numerator and denominator are exact integers (numerator
+    Σ xᵢ·nbrsumᵢ over the occupancy aggregates; denominator the
+    algebraic identity (Σx)² − Σx²), so the observed G is ONE exact-int
+    division — no float accumulation anywhere.  Same no-join plan as
+    :func:`morans_i`.
+
+    Output: ONE row ``(n_cells, w_pairs, g_num, g_den, g_obs, e_g)`` —
+    NULLs when n < 2, W == 0, or a lattice with < 2 nonzero cells
+    (denominator 0).
+    """
+    occupied = _occupancy_counts(cells)
+    nbr_sum = F.col("__wsum") - F.col("cnt")
+    k_ex = F.col("__k") - 1
+    x = F.col("cnt")
+    agg = occupied.agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+        F.sum(x * nbr_sum).alias("g_num"),
+        F.sum(k_ex).alias("w"),
+    )
+    n, w = F.col("n"), F.col("w")
+    g_den = F.col("s1") * F.col("s1") - F.col("s2")
+    ok = (n > 1) & (w > 0) & (g_den > 0)
+    g_obs = F.when(ok, F.col("g_num") / g_den)
+    e_g = F.when(ok, w / (n * (n - 1)))
+    return agg.select(
+        n.alias("n_cells"),
+        w.alias("w_pairs"),
+        F.col("g_num").alias("g_num"),
+        g_den.alias("g_den"),
+        g_obs.alias("g_obs"),
+        e_g.alias("e_g"),
+    )
+
+
+def join_counts(cells: DataFrame, thr: int) -> DataFrame:
+    """Black-white join-count statistics of the binary lattice
+    ``black = cnt ≥ thr`` with binary 3×3 queen adjacency (self
+    excluded) over occupied cells — the categorical companion to
+    Moran/Geary: are same-color cells adjacent more often than chance?
+
+    Observed unordered join counts come from ONE occupancy pass over
+    the 0/1 indicator (``__wsum`` = black neighbors incl. self): per
+    cell the ordered BB/BW/WW contributions are exact-integer
+    expressions of (bᵢ, black-nbrs, k_ex); ordered totals are even, so
+    halving stays exact.  Expectations under nonfree sampling
+    (hypergeometric color assignment):
+
+      E[BB] = W·n_b(n_b−1)/(n(n−1)),  E[BW] = 2W·n_b·n_w/(n(n−1)),
+      E[WW] = W·n_w(n_w−1)/(n(n−1))
+
+    Same no-join plan as :func:`morans_i`; every observed statistic an
+    exact integer, expectations exact-int ratios.
+
+    Output: ONE row ``(n_cells, n_black, w_pairs, bb, bw, ww, e_bb,
+    e_bw, e_ww)`` — expectations NULL when n < 2 or W == 0.
+    """
+    b = (F.col("cnt") >= F.lit(int(thr))).cast("long")
+    binary = cells.select("gx", "gy", b.alias("cnt"))
+    occupied = _occupancy_counts(binary)
+    bi = F.col("cnt")
+    bnbr = F.col("__wsum") - bi          # black neighbors, self excluded
+    k_ex = F.col("__k") - 1
+    agg = occupied.agg(
+        F.count("*").alias("n"),
+        F.sum(bi).alias("nb"),
+        F.sum(k_ex).alias("w2"),
+        F.sum(bi * bnbr).alias("bb_o"),
+        F.sum(bi * (k_ex - bnbr) + (1 - bi) * bnbr).alias("bw_o"),
+        F.sum((1 - bi) * (k_ex - bnbr)).alias("ww_o"),
+    )
+    n, nb = F.col("n"), F.col("nb")
+    nw = n - nb
+    w = F.expr("w2 DIV 2")
+    ok = (n > 1) & (w > 0)
+    return agg.select(
+        n.alias("n_cells"),
+        nb.alias("n_black"),
+        w.alias("w_pairs"),
+        F.expr("bb_o DIV 2").alias("bb"),
+        F.expr("bw_o DIV 2").alias("bw"),
+        F.expr("ww_o DIV 2").alias("ww"),
+        F.when(ok, (w * nb * (nb - 1)) / (n * (n - 1))).alias("e_bb"),
+        F.when(ok, (2 * w * nb * nw) / (n * (n - 1))).alias("e_bw"),
+        F.when(ok, (w * nw * (nw - 1)) / (n * (n - 1))).alias("e_ww"),
+    )
+
+
+def bivariate_morans_i(cells: DataFrame) -> DataFrame:
+    """Bivariate Moran's I between two layers of ONE lattice — does
+    variable x in a cell co-vary with variable y in the NEIGHBORING
+    cells?  ``cells`` carries ``(gx, gy, x, y)`` (both integer-valued;
+    one row per cell where both layers are defined); binary 3×3 queen
+    weights, self excluded:
+
+      I_xy = (n / W) · Σᵢⱼ wᵢⱼ(xᵢ−x̄)(yⱼ−ȳ)
+             / √(Σᵢ(xᵢ−x̄)² · Σᵢ(yᵢ−ȳ)²)
+
+    (symmetric weights make I_xy = I_yx; with y = x this reduces
+    exactly to :func:`morans_i`).  The cross term expands to
+    ``A − x̄·P − ȳ·Q + x̄·ȳ·W`` with A = Σ xᵢ·ynbrᵢ, P = Σ ynbrᵢ,
+    Q = Σ k_ex·xᵢ, W = Σ k_ex — ALL exact integer aggregates over one
+    ×9 explode that carries y to the neighbors and tags x/y on the
+    self offset; float algebra only on the final 1-row scalars.
+    NOTE: Σx·ynbr must stay under int64 — quantize/downscale heavy
+    layers (e.g. pixel-mass sums) before calling at large SF.
+
+    Output: ONE row ``(n_cells, w_pairs, i_xy, e_i)`` — NULLs when
+    n < 2, W == 0, or either layer is constant.
+    """
+    contrib = cells.withColumn(
+        "__o",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ])
+        ),
+    ).select(
+        (F.col("gx") + F.col("__o.dx")).alias("gx"),
+        (F.col("gy") + F.col("__o.dy")).alias("gy"),
+        F.col("y"),
+        F.col("x"),
+        ((F.col("__o.dx") == 0) & (F.col("__o.dy") == 0)).cast("int").alias("__self"),
+    )
+    occupied = (
+        contrib.groupBy("gx", "gy")
+        .agg(
+            F.sum("y").alias("__ysum"),
+            F.count("*").alias("__k"),
+            F.max("__self").alias("__occ"),
+            F.max(F.when(F.col("__self") == 1, F.col("x"))).alias("x"),
+            F.max(F.when(F.col("__self") == 1, F.col("y"))).alias("y"),
+        )
+        .filter(F.col("__occ") == 1)
+    )
+    ynbr = F.col("__ysum") - F.col("y")
+    k_ex = F.col("__k") - 1
+    agg = occupied.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx1"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+        F.sum("y").alias("sy1"),
+        F.sum(F.col("y") * F.col("y")).alias("sy2"),
+        F.sum(F.col("x") * ynbr).alias("a"),
+        F.sum(ynbr).alias("p"),
+        F.sum(k_ex * F.col("x")).alias("q"),
+        F.sum(k_ex).alias("w"),
+    )
+    n, w = F.col("n"), F.col("w")
+    xbar = F.col("sx1") / n
+    ybar = F.col("sy1") / n
+    cross = F.col("a") - xbar * F.col("p") - ybar * F.col("q") + xbar * ybar * w
+    varx = F.col("sx2") - n * (xbar * xbar)
+    vary = F.col("sy2") - n * (ybar * ybar)
+    ok = (n > 1) & (w > 0) & (varx > 0) & (vary > 0)
+    i_xy = F.when(ok, (n / (w * F.lit(1.0))) * cross / F.sqrt(varx * vary))
+    e_i = F.when(n > 1, F.lit(-1.0) / (n - F.lit(1.0)))
+    return agg.select(
+        n.alias("n_cells"),
+        w.alias("w_pairs"),
+        i_xy.alias("i_xy"),
+        e_i.alias("e_i"),
     )
 
 

@@ -762,3 +762,204 @@ def test_emerging_brute_force_reference(spark):
         else:
             assert r["z_mk"] == pytest.approx(zmk, rel=1e-12)
         assert r["category"] == cat, (cell, r, zmk, trend)
+
+
+def _lattice_dict(cells):
+    return {(x, y): c for x, y, c in cells}
+
+
+def _queen_pairs(vals):
+    """Ordered occupied queen-neighbor pairs (i, j), i != j."""
+    for (x, y) in vals:
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if (dx, dy) != (0, 0) and (x + dx, y + dy) in vals:
+                    yield (x, y), (x + dx, y + dy)
+
+
+def test_geary_c_brute_force(spark):
+    import random
+
+    from gotrackmaster_spark.operators.spatial import geary_c
+
+    rnd = random.Random(43)
+    cells = [(x, y, rnd.randint(1, 20)) for x in range(5) for y in range(4)]
+    df = spark.createDataFrame(cells, "gx long, gy long, cnt long")
+    r = geary_c(df).collect()[0]
+    vals = _lattice_dict(cells)
+    n = len(vals)
+    xbar = sum(vals.values()) / n
+    d = sum((vals[i] - vals[j]) ** 2 for i, j in _queen_pairs(vals))
+    w = sum(1 for _ in _queen_pairs(vals))
+    den = sum((c - xbar) ** 2 for c in vals.values())
+    assert r["w_pairs"] == w and r["d_sum"] == d
+    assert r["c_geary"] == pytest.approx((n - 1) * d / (2 * w) / den, rel=1e-12)
+    assert r["e_c"] == 1.0
+
+
+def test_geary_c_checkerboard_vs_clustered(spark):
+    from gotrackmaster_spark.operators.spatial import geary_c
+
+    # alternation -> big pairwise differences -> C > 1 (dispersed)
+    cb = [(x, y, 10 if (x + y) % 2 == 0 else 1) for x in range(6) for y in range(6)]
+    r = geary_c(spark.createDataFrame(cb, "gx long, gy long, cnt long")).collect()[0]
+    assert r["c_geary"] > 1.0
+    # two homogeneous halves -> small differences -> C < 1 (clustered)
+    cl = [(x, y, 50 if x < 3 else 1) for x in range(6) for y in range(6)]
+    r = geary_c(spark.createDataFrame(cl, "gx long, gy long, cnt long")).collect()[0]
+    assert r["c_geary"] < 0.5
+    # constant lattice / single cell -> NULL
+    r = geary_c(
+        spark.createDataFrame([(0, 0, 5), (0, 1, 5)], "gx long, gy long, cnt long")
+    ).collect()[0]
+    assert r["c_geary"] is None
+
+
+def test_general_g_brute_force_and_direction(spark):
+    import random
+
+    from gotrackmaster_spark.operators.spatial import general_g
+
+    rnd = random.Random(47)
+    cells = [(x, y, rnd.randint(1, 20)) for x in range(5) for y in range(4)]
+    df = spark.createDataFrame(cells, "gx long, gy long, cnt long")
+    r = general_g(df).collect()[0]
+    vals = _lattice_dict(cells)
+    n = len(vals)
+    num = sum(vals[i] * vals[j] for i, j in _queen_pairs(vals))
+    den = sum(
+        vals[i] * vals[j]
+        for i in vals
+        for j in vals
+        if i != j
+    )
+    w = sum(1 for _ in _queen_pairs(vals))
+    assert (r["g_num"], r["g_den"], r["w_pairs"]) == (num, den, w)
+    assert r["g_obs"] == num / den
+    assert r["e_g"] == w / (n * (n - 1))
+    # high values clustered together -> G > E[G]
+    hi = [(x, y, 100 if x < 2 else 1) for x in range(6) for y in range(6)]
+    rh = general_g(
+        spark.createDataFrame(hi, "gx long, gy long, cnt long")
+    ).collect()[0]
+    assert rh["g_obs"] > rh["e_g"]
+    # high values spread to opposite corners -> G < E[G]
+    far = [(x, y, 1) for x in range(6) for y in range(6)]
+    far = [
+        (x, y, 100 if (x, y) in ((0, 0), (5, 5), (0, 5), (5, 0)) else 1)
+        for x, y, _ in far
+    ]
+    rf = general_g(
+        spark.createDataFrame(far, "gx long, gy long, cnt long")
+    ).collect()[0]
+    assert rf["g_obs"] < rf["e_g"]
+
+
+def test_join_counts_brute_force(spark):
+    import random
+
+    from gotrackmaster_spark.operators.spatial import join_counts
+
+    rnd = random.Random(53)
+    cells = [(x, y, rnd.randint(1, 10)) for x in range(6) for y in range(5)]
+    thr = 6
+    df = spark.createDataFrame(cells, "gx long, gy long, cnt long")
+    r = join_counts(df, thr).collect()[0]
+    vals = {k: int(v >= thr) for k, v in _lattice_dict(cells).items()}
+    pairs = [(vals[i], vals[j]) for i, j in _queen_pairs(vals)]
+    w = len(pairs) // 2
+    bb = sum(1 for a, b in pairs if a and b) // 2
+    ww = sum(1 for a, b in pairs if not a and not b) // 2
+    bw = sum(1 for a, b in pairs if a != b) // 2
+    n = len(vals)
+    nb = sum(vals.values())
+    nw = n - nb
+    assert (r["n_cells"], r["n_black"], r["w_pairs"]) == (n, nb, w)
+    assert (r["bb"], r["bw"], r["ww"]) == (bb, bw, ww)
+    assert bb + bw + ww == w
+    assert r["e_bb"] == pytest.approx(w * nb * (nb - 1) / (n * (n - 1)), rel=1e-12)
+    assert r["e_bw"] == pytest.approx(2 * w * nb * nw / (n * (n - 1)), rel=1e-12)
+    assert r["e_ww"] == pytest.approx(w * nw * (nw - 1) / (n * (n - 1)), rel=1e-12)
+
+
+def test_join_counts_checkerboard_bw_excess(spark):
+    from gotrackmaster_spark.operators.spatial import join_counts
+
+    # checkerboard: every ROOK pair is mixed -> BW far above expectation
+    cells = [(x, y, 9 if (x + y) % 2 == 0 else 1) for x in range(6) for y in range(6)]
+    r = join_counts(
+        spark.createDataFrame(cells, "gx long, gy long, cnt long"), 5
+    ).collect()[0]
+    assert r["bw"] > r["e_bw"]
+    # all-black lattice: bw == ww == 0, expectations defined, e_ww == 0
+    allb = [(x, y, 9) for x in range(3) for y in range(3)]
+    rb = join_counts(
+        spark.createDataFrame(allb, "gx long, gy long, cnt long"), 5
+    ).collect()[0]
+    assert rb["bw"] == 0 and rb["ww"] == 0 and rb["bb"] == rb["w_pairs"]
+    assert rb["e_ww"] == 0.0
+
+
+def test_bivariate_moran_reduces_to_univariate(spark):
+    import random
+
+    from gotrackmaster_spark.operators.spatial import bivariate_morans_i, morans_i
+
+    rnd = random.Random(59)
+    cells = [(x, y, rnd.randint(1, 20)) for x in range(5) for y in range(5)]
+    uni = morans_i(
+        spark.createDataFrame(cells, "gx long, gy long, cnt long")
+    ).collect()[0]
+    bi = bivariate_morans_i(
+        spark.createDataFrame(
+            [(x, y, c, c) for x, y, c in cells], "gx long, gy long, x long, y long"
+        )
+    ).collect()[0]
+    assert bi["w_pairs"] == uni["w_pairs"]
+    assert bi["i_xy"] == pytest.approx(uni["i_moran"], rel=1e-12)
+    # y = -x + const flips the sign exactly
+    neg = bivariate_morans_i(
+        spark.createDataFrame(
+            [(x, y, c, 21 - c) for x, y, c in cells],
+            "gx long, gy long, x long, y long",
+        )
+    ).collect()[0]
+    assert neg["i_xy"] == pytest.approx(-bi["i_xy"], rel=1e-12)
+
+
+def test_bivariate_moran_brute_force(spark):
+    import math as _m
+    import random
+
+    from gotrackmaster_spark.operators.spatial import bivariate_morans_i
+
+    rnd = random.Random(61)
+    cells = [
+        (x, y, rnd.randint(1, 20), rnd.randint(1, 50))
+        for x in range(5)
+        for y in range(4)
+    ]
+    r = bivariate_morans_i(
+        spark.createDataFrame(cells, "gx long, gy long, x long, y long")
+    ).collect()[0]
+    xs = {(x, y): a for x, y, a, _ in cells}
+    ys = {(x, y): b for x, y, _, b in cells}
+    n = len(xs)
+    xbar = sum(xs.values()) / n
+    ybar = sum(ys.values()) / n
+    cross = sum((xs[i] - xbar) * (ys[j] - ybar) for i, j in _queen_pairs(xs))
+    w = sum(1 for _ in _queen_pairs(xs))
+    den = _m.sqrt(
+        sum((v - xbar) ** 2 for v in xs.values())
+        * sum((v - ybar) ** 2 for v in ys.values())
+    )
+    assert r["w_pairs"] == w
+    assert r["i_xy"] == pytest.approx((n / w) * cross / den, rel=1e-12)
+    # degenerate: constant y layer -> NULL
+    rc = bivariate_morans_i(
+        spark.createDataFrame(
+            [(x, y, a, 7) for x, y, a, _ in cells],
+            "gx long, gy long, x long, y long",
+        )
+    ).collect()[0]
+    assert rc["i_xy"] is None
