@@ -158,6 +158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "general_g": _wrap(Q.q_general_g),
         "join_counts": _wrap(Q.q_join_counts),
         "bivariate_moran": _wrap(Q.q_bivariate_moran),
+        "image_pixel_features": _wrap(Q.q_image_pixel_features),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
         # interval_events were driver-green in r02; the r03 changes
@@ -259,6 +260,7 @@ def oracle_sql() -> dict[str, str]:
         "general_g": Q.SQL_GENERAL_G,
         "join_counts": Q.SQL_JOIN_COUNTS,
         "bivariate_moran": Q.SQL_BIVARIATE_MORAN,
+        "image_pixel_features": Q.SQL_IMAGE_PIXEL_FEATURES,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,
         "dwell_cells": Q.SQL_DWELL_CELLS,

@@ -6616,3 +6616,92 @@ SELECT n AS n_cells, w AS w_pairs,
        round(CASE WHEN n > 1 THEN -1.0 / (n - 1.0) END, 6) AS e_i_r
 FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# E7e — per-image histogram + gradient features
+# (`images.pixel_feature_stats`): the texture/contrast leg of the image
+# feature extractor over the REAL decode chain (raw/png/qnt4), built so
+# every output is an exact integer (histogram mode/median/nonzero,
+# Σ|Δ| / max / edge counts over channel-aligned ±3 / ±3w strides) or an
+# exact-int ratio (Gini impurity (n²−Σc²)/n² — the entropy stand-in: a
+# Shannon Σ c·log₂c is a float SUM whose accumulation order no SQL
+# engine pins).  ONE decode pass; ~60 B/row output regardless of image
+# size.  The oracle replays bins, window cumulative, lead-strides and
+# the Gini division from the closed-form pixel generator.
+# --------------------------------------------------------------------------
+
+
+def q_image_pixel_features(spark, sf_dir):
+    from gotrackmaster_spark.operators.images import (
+        pixel_feature_stats,
+        synthesize_images,
+    )
+
+    imgs = synthesize_images(spark, sf_dir, w=_IMG_W, h=_IMG_H)
+    st = pixel_feature_stats(imgs)
+    n2 = F.col("n_pix") * F.col("n_pix")
+    return st.select(
+        "image_id",
+        "fmt",
+        "nonzero_bins",
+        "mode_bin",
+        "mode_count",
+        "median_bin",
+        "gx_sum",
+        "gx_max",
+        "gx_edges",
+        "gy_sum",
+        "gy_max",
+        "gy_edges",
+        ((n2 - F.col("hist_sq")) / n2).alias("gini"),
+    )
+
+
+SQL_IMAGE_PIXEL_FEATURES = f"""
+WITH px AS (
+  SELECT doc_id, i,
+         CASE WHEN doc_id % 3 = 2 THEN {_PIX} - ({_PIX}) % 4
+              ELSE {_PIX} END AS p
+  FROM documents, range({_N_PIX}) t(i)
+),
+hist AS (SELECT doc_id, p // 16 AS b, count(*) AS c FROM px GROUP BY 1, 2),
+hist2 AS (
+  SELECT doc_id, b, c,
+         max(c) OVER (PARTITION BY doc_id) AS mc,
+         sum(c) OVER (PARTITION BY doc_id ORDER BY b) AS cum,
+         sum(c) OVER (PARTITION BY doc_id) AS np
+  FROM hist
+),
+hfeat AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS nonzero_bins,
+         CAST(min(CASE WHEN c = mc THEN b END) AS BIGINT) AS mode_bin,
+         CAST(max(mc) AS BIGINT) AS mode_count,
+         CAST(min(CASE WHEN cum >= (np + 1) // 2 THEN b END) AS BIGINT) AS median_bin,
+         CAST(sum(c * c) AS BIGINT) AS hist_sq,
+         CAST(max(np) AS BIGINT) AS n_pix
+  FROM hist2 GROUP BY doc_id
+),
+g AS (
+  SELECT doc_id,
+         abs(lead(p, 3) OVER w - p) AS dx,
+         abs(lead(p, {3 * _IMG_W}) OVER w - p) AS dy
+  FROM px
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+gfeat AS (
+  SELECT doc_id,
+         CAST(sum(dx) AS BIGINT) AS gx_sum, CAST(max(dx) AS BIGINT) AS gx_max,
+         CAST(sum(CASE WHEN dx > 32 THEN 1 ELSE 0 END) AS BIGINT) AS gx_edges,
+         CAST(sum(dy) AS BIGINT) AS gy_sum, CAST(max(dy) AS BIGINT) AS gy_max,
+         CAST(sum(CASE WHEN dy > 32 THEN 1 ELSE 0 END) AS BIGINT) AS gy_edges
+  FROM g GROUP BY doc_id
+)
+SELECT format('img{{:08d}}', h.doc_id) AS image_id,
+       ['raw', 'png', 'qnt4'][CAST(h.doc_id % 3 AS INT) + 1] AS fmt,
+       h.nonzero_bins, h.mode_bin, h.mode_count, h.median_bin,
+       g.gx_sum, g.gx_max, g.gx_edges, g.gy_sum, g.gy_max, g.gy_edges,
+       (h.n_pix * h.n_pix - h.hist_sq) / (h.n_pix * h.n_pix) AS gini
+FROM hfeat h JOIN gfeat g ON g.doc_id = h.doc_id
+"""

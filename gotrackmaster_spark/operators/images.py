@@ -298,6 +298,116 @@ def roundtrip_check(images: DataFrame) -> DataFrame:
     return images.mapInPandas(check, schema)
 
 
+def pixel_feature_stats(
+    images: DataFrame, n_bins: int = 16, edge_thr: int = 32
+) -> DataFrame:
+    """Per-image histogram + gradient features from ONE decode pass —
+    the texture/contrast leg of the image feature extractor, built so
+    every output is either an exact integer or an exact-int ratio (no
+    float accumulation → a DuckDB oracle can replay it bit-for-bit
+    from the closed-form pixel generator).
+
+    Histogram over the flat RGB byte array, ``bin = p DIV (256/n_bins)``:
+
+    * ``nonzero_bins``, ``mode_count`` — exact ints
+    * ``mode_bin`` — argmax bin, ties broken LOW (deterministic)
+    * ``median_bin`` — smallest bin whose cumulative count reaches
+      ``(n_pix + 1) DIV 2``
+    * ``hist_sq`` = Σ c² — feeds Gini impurity
+      (n² − Σc²)/n², ONE exact-int division (the entropy stand-in
+      chosen because Shannon's Σ c·log₂c is a float SUM whose
+      accumulation order no SQL engine pins)
+
+    Gradients over the SAME flat array with channel-aligned strides —
+    ``+3`` (next pixel, same channel; row-wrap pairs included by
+    definition) and ``+3w`` (same pixel, next row):
+
+    * ``gx_sum``/``gy_sum`` = Σ|Δ|, ``gx_max``/``gy_max``,
+      ``gx_edges``/``gy_edges`` = #{|Δ| > edge_thr} — all exact ints
+
+    Plan at scale: one ``mapInPandas`` over Arrow batches (vectorized
+    numpy, zero per-row Python for raw/qnt4; png decodes per row like
+    :func:`decode_stats`); output is ~60 B/row regardless of image
+    size, so the feature table broadcasts/joins freely downstream.
+    """
+    if 256 % n_bins != 0:
+        raise ValueError(f"n_bins must divide 256, got {n_bins}")
+    div = 256 // n_bins
+
+    def _features(flat: np.ndarray, ws: np.ndarray) -> dict:
+        """flat: (B, N) int64 pixel rows (same w within a call)."""
+        b, n = flat.shape
+        bins = flat // div
+        # per-row bincount via offsetting each row into its own bin range
+        offs = bins + (np.arange(b, dtype=np.int64)[:, None] * n_bins)
+        hist = np.bincount(offs.ravel(), minlength=b * n_bins).reshape(b, n_bins)
+        mode_count = hist.max(axis=1)
+        mode_bin = hist.argmax(axis=1)  # numpy argmax ties -> first (lowest)
+        cum = hist.cumsum(axis=1)
+        half = (n + 1) // 2
+        median_bin = (cum < half).sum(axis=1)
+        stride = 3 * int(ws[0])
+        # degenerate 1-row/1-pixel images: empty difference -> all-zero stats
+        zc = np.zeros((b, 1), dtype=np.int64)
+        gx = np.abs(flat[:, 3:] - flat[:, :-3]) if n > 3 else zc
+        gy = np.abs(flat[:, stride:] - flat[:, :-stride]) if n > stride else zc
+        return {
+            "n_pix": np.full(b, n, dtype=np.int64),
+            "nonzero_bins": (hist > 0).sum(axis=1).astype(np.int64),
+            "mode_bin": mode_bin.astype(np.int64),
+            "mode_count": mode_count.astype(np.int64),
+            "median_bin": median_bin.astype(np.int64),
+            "hist_sq": (hist * hist).sum(axis=1).astype(np.int64),
+            "gx_sum": gx.sum(axis=1),
+            "gx_max": gx.max(axis=1),
+            "gx_edges": (gx > edge_thr).sum(axis=1).astype(np.int64),
+            "gy_sum": gy.sum(axis=1),
+            "gy_max": gy.max(axis=1),
+            "gy_edges": (gy > edge_thr).sum(axis=1).astype(np.int64),
+        }
+
+    cols = [
+        "n_pix", "nonzero_bins", "mode_bin", "mode_count", "median_bin",
+        "hist_sq", "gx_sum", "gx_max", "gx_edges", "gy_sum", "gy_max",
+        "gy_edges",
+    ]
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            n_rows = len(pdf)
+            acc = {c: np.zeros(n_rows, dtype=np.int64) for c in cols}
+            fmts = pdf["fmt"].to_numpy()
+            for grp in np.unique(fmts):
+                idx = np.where(fmts == grp)[0]
+                sub = pdf.iloc[idx]
+                if grp in ("raw", "qnt4"):
+                    flat = np.stack(
+                        [np.frombuffer(b, dtype=np.uint8) for b in sub["bytes"]]
+                    ).astype(np.int64)
+                    feats = _features(flat, sub["w"].to_numpy())
+                    for c in cols:
+                        acc[c][idx] = feats[c]
+                else:
+                    for j, r in zip(idx, sub.itertuples(index=False)):
+                        px = decode_image(r.bytes, r.w, r.h, r.fmt)
+                        feats = _features(
+                            px.reshape(1, -1).astype(np.int64),
+                            np.array([r.w]),
+                        )
+                        for c in cols:
+                            acc[c][j] = feats[c][0]
+            out = {"image_id": pdf["image_id"].to_numpy(), "fmt": fmts}
+            out.update(acc)
+            yield pd.DataFrame(out)
+
+    schema = "image_id string, fmt string, " + ", ".join(
+        f"{c} long" for c in cols
+    )
+    return images.mapInPandas(stats, schema)
+
+
 def phash_near_dups(images: DataFrame, max_hamming: int = 10) -> DataFrame:
     """Near-duplicate images by phash Hamming distance — chunked band join
     (pigeonhole over max_hamming+1 chunks), same shape as SimHash dedup.
