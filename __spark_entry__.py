@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_counts": _wrap(Q.q_join_counts),
         "bivariate_moran": _wrap(Q.q_bivariate_moran),
         "image_pixel_features": _wrap(Q.q_image_pixel_features),
+        "kde_raster": _wrap(Q.q_kde_raster),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
         # interval_events were driver-green in r02; the r03 changes
@@ -261,6 +262,7 @@ def oracle_sql() -> dict[str, str]:
         "join_counts": Q.SQL_JOIN_COUNTS,
         "bivariate_moran": Q.SQL_BIVARIATE_MORAN,
         "image_pixel_features": Q.SQL_IMAGE_PIXEL_FEATURES,
+        "kde_raster": Q.SQL_KDE_RASTER,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,
         "dwell_cells": Q.SQL_DWELL_CELLS,

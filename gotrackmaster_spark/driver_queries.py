@@ -6705,3 +6705,55 @@ SELECT format('img{{:08d}}', h.doc_id) AS image_id,
        (h.n_pix * h.n_pix - h.hist_sq) / (h.n_pix * h.n_pix) AS gini
 FROM hfeat h JOIN gfeat g ON g.doc_id = h.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# E14n — kernel-density raster (`spatial.kde_raster`): the smoothed
+# density surface over the geotagged points with a QUANTIZED
+# Epanechnikov kernel — kde(c) = Σ (Q − d²) over in-support points,
+# Q = (r·cell)².  Milli-degree fixed-point coords make d² and every
+# weight exact int64; ONE ×25 explode + ONE map-side-combinable hash
+# aggregate (the occupancy shape), no joins.  1° raster, 2° bandwidth.
+# --------------------------------------------------------------------------
+
+_KDE_CELL, _KDE_R = 1000, 2
+_KDE_Q = (_KDE_R * _KDE_CELL) ** 2
+
+
+def q_kde_raster(spark, sf_dir):
+    from gotrackmaster_spark.operators.spatial import kde_raster
+
+    geo = geo_events(spark, sf_dir)
+    pts = geo.select(
+        F.round((F.col("lon") + 180.0) * 1000, 0).cast("long").alias("x"),
+        F.round((F.col("lat") + 80.0) * 1000, 0).cast("long").alias("y"),
+    )
+    return kde_raster(pts, _KDE_CELL, _KDE_R)
+
+
+SQL_KDE_RASTER = f"""
+WITH {GEO_CTE},
+pts AS (
+  SELECT CAST(round((lon + 180.0) * 1000) AS BIGINT) AS x,
+         CAST(round((lat + 80.0) * 1000) AS BIGINT) AS y
+  FROM geo
+),
+off AS (SELECT dx - {_KDE_R} AS dx, dy - {_KDE_R} AS dy
+        FROM range({2 * _KDE_R + 1}) t1(dx), range({2 * _KDE_R + 1}) t2(dy)),
+cand AS (
+  SELECT CAST(floor(x / {_KDE_CELL}.0) AS BIGINT) + dx AS cx,
+         CAST(floor(y / {_KDE_CELL}.0) AS BIGINT) + dy AS cy,
+         x, y
+  FROM pts, off
+),
+wtab AS (
+  SELECT cx, cy,
+         {_KDE_Q} - ((x - (cx * {_KDE_CELL} + {_KDE_CELL // 2}))
+                     * (x - (cx * {_KDE_CELL} + {_KDE_CELL // 2}))
+                     + (y - (cy * {_KDE_CELL} + {_KDE_CELL // 2}))
+                     * (y - (cy * {_KDE_CELL} + {_KDE_CELL // 2}))) AS w
+  FROM cand
+)
+SELECT cx, cy, CAST(count(*) AS BIGINT) AS n_pts, CAST(sum(w) AS BIGINT) AS kde
+FROM wtab WHERE w > 0 GROUP BY 1, 2
+"""

@@ -2107,6 +2107,66 @@ def bivariate_morans_i(cells: DataFrame) -> DataFrame:
     )
 
 
+def kde_raster(points: DataFrame, cell: int, r_cells: int) -> DataFrame:
+    """Kernel-density raster over fixed-point integer coordinates — the
+    smoothed companion to a plain count raster, with a QUANTIZED
+    Epanechnikov kernel so every output is an exact integer:
+
+      kde(c) = Σ_{points p: d²(p, center(c)) < Q} (Q − d²),
+      Q = (r_cells · cell)²
+
+    ``points`` carries integer columns ``(x, y)`` (fixed-point, e.g.
+    milli-degrees); ``cell`` is the raster pitch in the same units
+    (must be even so centers ``cx·cell + cell/2`` stay integral);
+    the kernel support is r_cells · cell, so each point contributes to
+    at most (2r+1)² raster cells.
+
+    Plan at scale: ONE ×(2r+1)² explode + ONE hash aggregate — the
+    same bounded fan-out shape as the occupancy statistics, map-side
+    combinable, no joins, no windows; d² and the kernel weights are
+    exact int64, so the aggregate is partition-order invariant and a
+    DuckDB twin replays it bit-for-bit.  Choose cell/r so the fan-out
+    stays O(10) per point (r = 2 → ×25); for a finer kernel raise the
+    raster resolution, not r.
+
+    Output: ``(cx, cy, n_pts, kde)`` — one row per raster cell with at
+    least one in-support point; ``n_pts`` counts the contributing
+    points (strictly inside the support).
+    """
+    if cell % 2 != 0:
+        raise ValueError(f"cell must be even (integral centers), got {cell}")
+    if r_cells < 1:
+        raise ValueError(f"r_cells must be >= 1, got {r_cells}")
+    q = (r_cells * cell) ** 2
+    half = cell // 2
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in range(-r_cells, r_cells + 1)
+        for dy in range(-r_cells, r_cells + 1)
+    ])
+    px = F.floor(F.col("x") / cell).cast("long")
+    py = F.floor(F.col("y") / cell).cast("long")
+    contrib = (
+        points.select("x", "y", px.alias("px"), py.alias("py"))
+        .withColumn("__o", F.explode(offsets))
+        .select(
+            (F.col("px") + F.col("__o.dx")).alias("cx"),
+            (F.col("py") + F.col("__o.dy")).alias("cy"),
+            F.col("x"),
+            F.col("y"),
+        )
+    )
+    dx = F.col("x") - (F.col("cx") * cell + F.lit(half))
+    dy = F.col("y") - (F.col("cy") * cell + F.lit(half))
+    w = F.lit(q) - (dx * dx + dy * dy)
+    return (
+        contrib.withColumn("__w", w)
+        .filter(F.col("__w") > 0)
+        .groupBy("cx", "cy")
+        .agg(F.count("*").alias("n_pts"), F.sum("__w").alias("kde"))
+    )
+
+
 def ripley_k(
     points: DataFrame,
     radii: list[float],

@@ -963,3 +963,67 @@ def test_bivariate_moran_brute_force(spark):
         )
     ).collect()[0]
     assert rc["i_xy"] is None
+
+
+def _kde(spark, pts, cell, r):
+    from gotrackmaster_spark.operators.spatial import kde_raster
+
+    df = spark.createDataFrame(pts, "x long, y long")
+    return {
+        (row["cx"], row["cy"]): row
+        for row in kde_raster(df, cell, r).collect()
+    }
+
+
+def _kde_brute(pts, cell, r):
+    q = (r * cell) ** 2
+    out = {}
+    for x, y in pts:
+        px, py = x // cell, y // cell
+        for cx in range(px - r, px + r + 1):
+            for cy in range(py - r, py + r + 1):
+                d2 = (x - (cx * cell + cell // 2)) ** 2 + (
+                    y - (cy * cell + cell // 2)
+                ) ** 2
+                if q - d2 > 0:
+                    n, k = out.get((cx, cy), (0, 0))
+                    out[(cx, cy)] = (n + 1, k + (q - d2))
+    return out
+
+
+def test_kde_raster_brute_force(spark):
+    import random
+
+    rnd = random.Random(67)
+    # negative coords included: pins the floor (not truncate) cell math
+    pts = [(rnd.randrange(-5000, 5000), rnd.randrange(-5000, 5000)) for _ in range(300)]
+    got = _kde(spark, pts, 100, 2)
+    ref = _kde_brute(pts, 100, 2)
+    assert set(got) == set(ref)
+    for c, (n, k) in ref.items():
+        assert (got[c]["n_pts"], got[c]["kde"]) == (n, k)
+
+
+def test_kde_raster_support_boundary_and_center(spark):
+    # a point exactly R away from a center contributes ZERO there
+    # (strict inequality), and a point AT a center gets the full Q
+    cell, r = 10, 1
+    q = (r * cell) ** 2
+    # center of cell (0, 0) is (5, 5); (15, 5) is exactly R=10 from it
+    got = _kde(spark, [(15, 5)], cell, r)
+    assert (0, 0) not in got
+    assert got[(1, 0)]["kde"] == q  # its own center exactly
+    # fan-out bound: a single point touches at most (2r+1)^2 cells
+    assert len(got) <= (2 * r + 1) ** 2
+
+
+def test_kde_raster_validation(spark):
+    import pytest as _pt
+
+    from gotrackmaster_spark.operators.spatial import kde_raster
+
+    df = spark.createDataFrame([(0, 0)], "x long, y long")
+    with _pt.raises(ValueError):
+        kde_raster(df, 11, 1)   # odd cell -> non-integral centers
+    with _pt.raises(ValueError):
+        kde_raster(df, 10, 0)
