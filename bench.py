@@ -141,6 +141,7 @@ def bench_queries():
         "map_match": Q.q_map_match,
         "track_diameter": Q.q_track_diameter,
         "hotspot_cells": Q.q_hotspot_cells,
+        "kde_raster": Q.q_kde_raster,
     }
 
 
