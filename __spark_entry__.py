@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bivariate_moran": _wrap(Q.q_bivariate_moran),
         "image_pixel_features": _wrap(Q.q_image_pixel_features),
         "kde_raster": _wrap(Q.q_kde_raster),
+        "image_ssim": _wrap(Q.q_image_ssim),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
         # interval_events were driver-green in r02; the r03 changes
@@ -263,6 +264,7 @@ def oracle_sql() -> dict[str, str]:
         "bivariate_moran": Q.SQL_BIVARIATE_MORAN,
         "image_pixel_features": Q.SQL_IMAGE_PIXEL_FEATURES,
         "kde_raster": Q.SQL_KDE_RASTER,
+        "image_ssim": Q.SQL_IMAGE_SSIM,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,
         "dwell_cells": Q.SQL_DWELL_CELLS,

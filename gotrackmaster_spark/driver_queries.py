@@ -6757,3 +6757,88 @@ wtab AS (
 SELECT cx, cy, CAST(count(*) AS BIGINT) AS n_pts, CAST(sum(w) AS BIGINT) AS kde
 FROM wtab WHERE w > 0 GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# E7c — pairwise structural similarity (`images.pairwise_ssim`): global
+# SSIM between every planted variant and its base image over the REAL
+# decode chain.  One equi-join on img_key builds the pairs, ONE
+# mapInPandas pass decodes both payloads into five exact int64 moments,
+# and the SSIM float algebra (only +,−,×,÷ on doubles, fixed order)
+# runs in Catalyst — bit-identical in DuckDB from the closed-form
+# generator (_PIX_DEC base vs _PIX_VAR bumped variant), NO rounding.
+# --------------------------------------------------------------------------
+
+
+def q_image_ssim(spark, sf_dir):
+    from gotrackmaster_spark.operators.images import (
+        pairwise_ssim,
+        synthesize_image_variants,
+        synthesize_images,
+    )
+
+    imgs = synthesize_images(spark, sf_dir, w=_IMG_W, h=_IMG_H)
+    variants = synthesize_image_variants(imgs, every=_PH_EVERY)
+    base = imgs.filter(F.col("img_key") % _PH_EVERY == 0).select(
+        "img_key",
+        "image_id",
+        F.col("bytes").alias("bytes_a"),
+        "w",
+        "h",
+        F.col("fmt").alias("fmt_a"),
+    )
+    var = variants.select(
+        "img_key", F.col("bytes").alias("bytes_b"), F.col("fmt").alias("fmt_b")
+    )
+    pairs = base.join(var, "img_key").select(
+        F.col("image_id").alias("pair_id"),
+        "bytes_a",
+        "bytes_b",
+        "w",
+        "h",
+        "fmt_a",
+        "fmt_b",
+    )
+    out = pairwise_ssim(pairs)
+    return out.select(
+        F.col("pair_id").alias("image_id"),
+        "sxy",
+        "ssim",
+        (F.col("ssim") >= 0.99).alias("near"),
+    )
+
+
+_SSIM_DEC = _PIX_DEC.replace("{f}", "i")
+_SSIM_VAR = _PIX_VAR.replace("{f}", "i")
+_SSIM_N = f"CAST({float(_N_PIX)} AS DOUBLE)"
+_SSIM_MX = f"(sx / {_SSIM_N})"
+_SSIM_MY = f"(sy / {_SSIM_N})"
+_SSIM_EXPR = (
+    f"((CAST(2.0 AS DOUBLE) * {_SSIM_MX} * {_SSIM_MY} + CAST(6.5025 AS DOUBLE))"
+    f" * (CAST(2.0 AS DOUBLE) * (sxy / {_SSIM_N} - {_SSIM_MX} * {_SSIM_MY})"
+    f"    + CAST(58.5225 AS DOUBLE)))"
+    f" / (({_SSIM_MX} * {_SSIM_MX} + {_SSIM_MY} * {_SSIM_MY} + CAST(6.5025 AS DOUBLE))"
+    f"    * ((sxx / {_SSIM_N} - {_SSIM_MX} * {_SSIM_MX})"
+    f"       + (syy / {_SSIM_N} - {_SSIM_MY} * {_SSIM_MY}) + CAST(58.5225 AS DOUBLE)))"
+)
+
+SQL_IMAGE_SSIM = f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(generate_series(0, {_N_PIX - 1}),
+              i -> {_SSIM_DEC})) AS BIGINT) AS sx,
+         CAST(list_sum(list_transform(generate_series(0, {_N_PIX - 1}),
+              i -> {_SSIM_VAR})) AS BIGINT) AS sy,
+         CAST(list_sum(list_transform(generate_series(0, {_N_PIX - 1}),
+              i -> {_SSIM_DEC} * {_SSIM_DEC})) AS BIGINT) AS sxx,
+         CAST(list_sum(list_transform(generate_series(0, {_N_PIX - 1}),
+              i -> {_SSIM_VAR} * {_SSIM_VAR})) AS BIGINT) AS syy,
+         CAST(list_sum(list_transform(generate_series(0, {_N_PIX - 1}),
+              i -> {_SSIM_DEC} * {_SSIM_VAR})) AS BIGINT) AS sxy
+  FROM documents WHERE doc_id % {_PH_EVERY} = 0
+)
+SELECT format('img{{:08d}}', doc_id) AS image_id, sxy,
+       {_SSIM_EXPR} AS ssim,
+       {_SSIM_EXPR} >= CAST(0.99 AS DOUBLE) AS near
+FROM m
+"""

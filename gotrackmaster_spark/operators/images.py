@@ -545,3 +545,97 @@ def render_density_rasters(
     return counts.groupBy("ty", "tx").applyInPandas(
         lambda key, pdf: render(pdf), schema
     )
+
+
+# ----------------------------------------------------------- pairwise SSIM ---
+
+SSIM_C1 = 6.5025   # (0.01 * 255)^2 — the standard SSIM stabilizers
+SSIM_C2 = 58.5225  # (0.03 * 255)^2
+
+
+def pairwise_ssim(pairs: DataFrame) -> DataFrame:
+    """Global structural similarity between two image payloads per row —
+    the perceptual-similarity verifier that sits behind a phash candidate
+    cut (phash says "maybe the same picture"; SSIM grades HOW similar the
+    decoded pixels actually are).
+
+    ``pairs`` carries ``(pair_id, bytes_a, bytes_b, w, h, fmt_a, fmt_b)``
+    with both payloads the same (w, h).  ONE ``mapInPandas`` pass decodes
+    both sides and emits the five EXACT int64 moments over the flat RGB
+    arrays (n = w·h·3)::
+
+        sx = Σx   sy = Σy   sxx = Σx²   syy = Σy²   sxy = Σx·y
+
+    The float algebra — global (single-window) SSIM with population
+    variances,
+
+        SSIM = (2·μx·μy + C1)(2·cov + C2)
+               ───────────────────────────────,   cov = sxy/n − μx·μy
+               (μx² + μy² + C1)(σx² + σy² + C2)
+
+    — runs in Catalyst Column expressions in a FIXED order (only
+    +,−,×,÷ on doubles: IEEE-identical in any engine), so a DuckDB twin
+    that replays the integer moments from the closed-form generator
+    reproduces the double bit-for-bit — no rounding needed.
+
+    Plan at scale: whatever produced the pairing (usually a phash
+    chunk-join) fixes the shuffle topology; this stage is row-local —
+    one Arrow decode pass, zero additional exchanges.
+    """
+
+    def moments(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            n = len(pdf)
+            sx = np.zeros(n, dtype=np.int64)
+            sy = np.zeros(n, dtype=np.int64)
+            sxx = np.zeros(n, dtype=np.int64)
+            syy = np.zeros(n, dtype=np.int64)
+            sxy = np.zeros(n, dtype=np.int64)
+            for j, r in enumerate(pdf.itertuples(index=False)):
+                a = decode_image(bytes(r.bytes_a), int(r.w), int(r.h), r.fmt_a)
+                b = decode_image(bytes(r.bytes_b), int(r.w), int(r.h), r.fmt_b)
+                x = a.reshape(-1).astype(np.int64)
+                y = b.reshape(-1).astype(np.int64)
+                sx[j] = int(x.sum())
+                sy[j] = int(y.sum())
+                sxx[j] = int((x * x).sum())
+                syy[j] = int((y * y).sum())
+                sxy[j] = int((x * y).sum())
+            yield pd.DataFrame(
+                {
+                    "pair_id": pdf["pair_id"].to_numpy(),
+                    "n_pix": (
+                        pdf["w"].to_numpy().astype(np.int64)
+                        * pdf["h"].to_numpy().astype(np.int64)
+                        * 3
+                    ),
+                    "sx": sx,
+                    "sy": sy,
+                    "sxx": sxx,
+                    "syy": syy,
+                    "sxy": sxy,
+                }
+            )
+
+    m = pairs.mapInPandas(
+        moments,
+        "pair_id string, n_pix long, sx long, sy long, sxx long, syy long, sxy long",
+    )
+    return m.select("pair_id", "n_pix", "sxy", ssim_col().alias("ssim"))
+
+
+def ssim_col() -> "F.Column":
+    """The fixed-order SSIM float algebra over the exact integer moment
+    columns (n_pix, sx, sy, sxx, syy, sxy) — shared between the operator
+    and tests; the DuckDB twin spells the same parenthesization."""
+    n = F.col("n_pix").cast("double")
+    mx = F.col("sx") / n
+    my = F.col("sy") / n
+    vx = F.col("sxx") / n - mx * mx
+    vy = F.col("syy") / n - my * my
+    cov = F.col("sxy") / n - mx * my
+    num = (F.lit(2.0) * mx * my + F.lit(SSIM_C1)) * (F.lit(2.0) * cov + F.lit(SSIM_C2))
+    den = (mx * mx + my * my + F.lit(SSIM_C1)) * (vx + vy + F.lit(SSIM_C2))
+    return num / den

@@ -190,3 +190,97 @@ def test_images_table_checkpoint_cell_layout(spark, tmp_path):
         if mn is not None:
             spreads.append((mx - mn) / (glob_max - glob_min))
     assert sorted(spreads)[len(spreads) // 2] < 0.5  # median file is tight
+
+
+def _ssim_np(a, b):
+    """Reference global SSIM (population variances) straight from numpy."""
+    x = a.reshape(-1).astype(np.float64)
+    y = b.reshape(-1).astype(np.float64)
+    mx, my = x.mean(), y.mean()
+    vx = (x * x).mean() - mx * mx
+    vy = (y * y).mean() - my * my
+    cov = (x * y).mean() - mx * my
+    return ((2 * mx * my + 6.5025) * (2 * cov + 58.5225)) / (
+        (mx * mx + my * my + 6.5025) * (vx + vy + 58.5225)
+    )
+
+
+def _ssim_pairs(spark, rows):
+    from gotrackmaster_spark.operators.images import pairwise_ssim
+
+    df = spark.createDataFrame(
+        rows,
+        "pair_id string, bytes_a binary, bytes_b binary, w int, h int, "
+        "fmt_a string, fmt_b string",
+    )
+    return {r["pair_id"]: r for r in pairwise_ssim(df).collect()}
+
+
+def test_pairwise_ssim_identity_symmetry_and_reference(spark):
+    from gotrackmaster_spark.operators.images import (
+        decode_image,
+        encode_image,
+        gen_pixels,
+    )
+
+    rows = []
+    expected = {}
+    for key, fmt in [(3, "raw"), (4, "png"), (5, "qnt4"), (11, "qnt4")]:
+        px = gen_pixels(key, 16, 8)
+        other = gen_pixels(key + 1, 16, 8)
+        ea, eb = encode_image(px, fmt), encode_image(other, fmt)
+        da = decode_image(ea, 16, 8, fmt)
+        db = decode_image(eb, 16, 8, fmt)
+        rows.append((f"id{key}", ea, ea, 16, 8, fmt, fmt))
+        expected[f"id{key}"] = _ssim_np(da, da)
+        rows.append((f"ab{key}", ea, eb, 16, 8, fmt, fmt))
+        rows.append((f"ba{key}", eb, ea, 16, 8, fmt, fmt))
+        expected[f"ab{key}"] = _ssim_np(da, db)
+        expected[f"ba{key}"] = _ssim_np(db, da)
+    got = _ssim_pairs(spark, rows)
+    for key in (3, 4, 5, 11):
+        assert got[f"id{key}"]["ssim"] == 1.0          # identical payloads
+        assert got[f"ab{key}"]["ssim"] == got[f"ba{key}"]["ssim"]  # symmetric
+    for pid, exp in expected.items():
+        assert abs(got[pid]["ssim"] - exp) < 1e-12, pid
+
+
+def test_pairwise_ssim_discriminates_variants_from_strangers(spark):
+    """A planted near-dup variant must score far above an unrelated image
+    — SSIM is the verifier behind the phash candidate cut."""
+    from pyspark.sql import functions as F
+
+    from gotrackmaster_spark.operators.images import (
+        pairwise_ssim,
+        synthesize_image_variants,
+        synthesize_images,
+    )
+
+    imgs = synthesize_images(spark, SF_DIR).limit(40).cache()
+    var = synthesize_image_variants(imgs, every=5)
+    base = imgs.select(
+        "img_key",
+        F.col("image_id").alias("pair_id"),
+        F.col("bytes").alias("bytes_a"),
+        "w",
+        "h",
+        F.col("fmt").alias("fmt_a"),
+    )
+    near = base.join(
+        var.select("img_key", F.col("bytes").alias("bytes_b"), F.col("fmt").alias("fmt_b")),
+        "img_key",
+    ).drop("img_key")
+    near_scores = [r["ssim"] for r in pairwise_ssim(near).collect()]
+    assert near_scores and all(s >= 0.99 for s in near_scores)
+
+    # stranger pair: two different base images, same fmt
+    two = sorted(
+        imgs.filter(F.col("img_key") % 3 == 0).collect(),  # raw-format rows
+        key=lambda r: r.img_key,
+    )[:2]
+    a, b = two
+    far = _ssim_pairs(
+        spark, [("far", a.bytes, b.bytes, a.w, a.h, a.fmt, b.fmt)]
+    )["far"]["ssim"]
+    assert far < 0.5 < min(near_scores)
+    imgs.unpersist()
