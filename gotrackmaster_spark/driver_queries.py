@@ -6842,3 +6842,69 @@ SELECT format('img{{:08d}}', doc_id) AS image_id, sxy,
        {_SSIM_EXPR} >= CAST(0.99 AS DOUBLE) AS near
 FROM m
 """
+
+
+# --------------------------------------------------------------------------
+# E15 — 2SFCA accessibility (`spatial.accessibility_2sfca`): supply
+# sites from the supplier table (deterministic lattice + integer
+# capacity), demand = the geotagged events on the same tenth-milli-
+# degree integer lattice; radius 100k units (10°).  The catchment test
+# is the exact int predicate d² ≤ R², the supply ratio is fixed-point
+# quantized (cap·10⁹ DIV D_j), so the accessibility sum is exact int64
+# — DuckDB replays it from a brute-force distance join.
+# --------------------------------------------------------------------------
+
+_SFCA_RADIUS = 100_000
+_SFCA_SCALE = 10**9
+
+
+def q_accessibility_2sfca(spark, sf_dir):
+    from gotrackmaster_spark.operators.spatial import accessibility_2sfca
+
+    ev = _t(spark, sf_dir, "events")
+    demand = ev.select(
+        F.col("event_id").alias("demand_id"),
+        ((F.col("event_id") * F.lit(2654435761)) % 1600000).alias("x"),
+        ((F.col("event_id") * 40503 + 7) % 3600000).alias("y"),
+    )
+    sup = _t(spark, sf_dir, "supplier")
+    supply = sup.select(
+        F.col("s_suppkey").alias("supply_id"),
+        ((F.col("s_suppkey") * 7919) % 1600000).alias("x"),
+        ((F.col("s_suppkey") * 104729 + 13) % 3600000).alias("y"),
+        (F.col("s_suppkey") % 20 + 1).alias("capacity"),
+    )
+    return accessibility_2sfca(demand, supply, _SFCA_RADIUS, _SFCA_SCALE)
+
+
+SQL_ACCESSIBILITY_2SFCA = f"""
+WITH d AS (
+  SELECT event_id AS demand_id,
+         (event_id * 2654435761) % 1600000 AS x,
+         (event_id * 40503 + 7) % 3600000 AS y
+  FROM events
+),
+s AS (
+  SELECT s_suppkey AS supply_id,
+         (s_suppkey * 7919) % 1600000 AS sx,
+         (s_suppkey * 104729 + 13) % 3600000 AS sy,
+         s_suppkey % 20 + 1 AS capacity
+  FROM supplier
+),
+pairs AS (
+  SELECT d.demand_id, s.supply_id, s.capacity
+  FROM d JOIN s
+    ON (d.x - s.sx) * (d.x - s.sx) + (d.y - s.sy) * (d.y - s.sy)
+       <= CAST({_SFCA_RADIUS} AS BIGINT) * {_SFCA_RADIUS}
+),
+ratio AS (
+  SELECT supply_id,
+         (capacity * CAST({_SFCA_SCALE} AS BIGINT)) // count(*) AS r_j
+  FROM pairs GROUP BY supply_id, capacity
+)
+SELECT p.demand_id,
+       CAST(count(*) AS BIGINT) AS n_supply,
+       CAST(sum(r.r_j) AS BIGINT) AS access
+FROM pairs p JOIN ratio r USING (supply_id)
+GROUP BY p.demand_id
+"""

@@ -2167,6 +2167,99 @@ def kde_raster(points: DataFrame, cell: int, r_cells: int) -> DataFrame:
     )
 
 
+_bound_2sfca_cache = make_bounded_cache()  # catchment pairs (consumed twice)
+
+
+def accessibility_2sfca(
+    demand: DataFrame,
+    supply: DataFrame,
+    radius: int,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Two-step floating catchment area (2SFCA) — the classic spatial
+    ACCESSIBILITY statistic (how well is each demand location served by
+    the supply layer, competition included):
+
+      step 1 (supply side):  R_j = capacity_j / D_j, with D_j = number
+      of demand points within ``radius`` of supply site j;
+      step 2 (demand side):  A_i = Σ R_j over supply sites within
+      ``radius`` of demand point i.
+
+    ``demand`` carries ``(demand_id, x, y)`` and ``supply``
+    ``(supply_id, x, y, capacity)`` with integer fixed-point coords and
+    integer capacities.  The ratio is FIXED-POINT QUANTIZED —
+    ``r_j = (capacity_j · scale) DIV D_j`` — so step 2's sum is a sum
+    of exact int64 (partition-order invariant, DuckDB-exact); the true
+    accessibility is ``access / scale``.  The catchment test is the
+    exact integer predicate ``d² ≤ radius²`` (inclusive boundary).
+
+    Plan at 100 TB: the demand side is scanned once and reaches the
+    candidate join shuffle-free on the radius-pitch grid key (the
+    supply side explodes ×9 — supply layers are the small dimension by
+    nature; AQE picks broadcast vs shuffle).  The pair set is bounded
+    by catchment density, aggregates once per side (two key shuffles),
+    and the D_j table joins back co-partitioned on supply_id.
+
+    Output: ``(demand_id, n_supply, access)`` — one row per demand
+    point with ≥ 1 in-range supply site; supply sites with an empty
+    catchment contribute nothing (no demand to serve ⇒ no ratio).
+    """
+    if radius <= 0:
+        raise ValueError(f"radius must be positive, got {radius}")
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    ])
+    d = demand.select(
+        "demand_id",
+        "x",
+        "y",
+        F.floor(F.col("x") / radius).alias("gx"),
+        F.floor(F.col("y") / radius).alias("gy"),
+    )
+    s9 = (
+        supply.select(
+            "supply_id",
+            F.col("x").alias("sx"),
+            F.col("y").alias("sy"),
+            "capacity",
+            F.floor(F.col("x") / radius).alias("sgx"),
+            F.floor(F.col("y") / radius).alias("sgy"),
+        )
+        .withColumn("__o", F.explode(offsets))
+        .select(
+            "supply_id",
+            "sx",
+            "sy",
+            "capacity",
+            (F.col("sgx") + F.col("__o.dx")).alias("gx"),
+            (F.col("sgy") + F.col("__o.dy")).alias("gy"),
+        )
+    )
+    dx = F.col("x") - F.col("sx")
+    dy = F.col("y") - F.col("sy")
+    pairs = _bound_2sfca_cache(
+        d.join(s9, ["gx", "gy"])
+        .filter(dx * dx + dy * dy <= F.lit(int(radius) * int(radius)).cast("long"))
+        .select("demand_id", "supply_id", "capacity")
+    )
+    ratio = (
+        pairs.groupBy("supply_id", "capacity")
+        .agg(F.count("*").alias("d_j"))
+        .select(
+            "supply_id",
+            F.expr(f"(capacity * CAST({scale} AS BIGINT)) DIV d_j").alias("r_j"),
+        )
+    )
+    return (
+        pairs.select("demand_id", "supply_id")
+        .join(ratio, "supply_id")
+        .groupBy("demand_id")
+        .agg(F.count("*").alias("n_supply"), F.sum("r_j").alias("access"))
+    )
+
+
 def ripley_k(
     points: DataFrame,
     radii: list[float],
