@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kde_raster": _wrap(Q.q_kde_raster),
         "image_ssim": _wrap(Q.q_image_ssim),
         "accessibility_2sfca": _wrap(Q.q_accessibility_2sfca),
+        "clark_evans": _wrap(Q.q_clark_evans),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
         # interval_events were driver-green in r02; the r03 changes
@@ -267,6 +268,7 @@ def oracle_sql() -> dict[str, str]:
         "kde_raster": Q.SQL_KDE_RASTER,
         "image_ssim": Q.SQL_IMAGE_SSIM,
         "accessibility_2sfca": Q.SQL_ACCESSIBILITY_2SFCA,
+        "clark_evans": Q.SQL_CLARK_EVANS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,
         "dwell_cells": Q.SQL_DWELL_CELLS,

@@ -6908,3 +6908,75 @@ SELECT p.demand_id,
 FROM pairs p JOIN ratio r USING (supply_id)
 GROUP BY p.demand_id
 """
+
+
+# --------------------------------------------------------------------------
+# E16 — Clark-Evans nearest-neighbor index (`spatial.clark_evans`): the
+# first-order point-pattern statistic over the geotagged events on the
+# tenth-milli-degree integer lattice.  Per-point NN via the r_max grid
+# candidate cut (exact int d², bounded-search contract: NN > r_max →
+# counted in n_far); per-point distances quantized floor(√d²·10³) so
+# the mean is one exact-int sum + fixed-order scalar algebra — the
+# DuckDB twin replays the identical probe join bit-for-bit.
+# --------------------------------------------------------------------------
+
+_CE_RMAX = 50_000
+_CE_AREA = 1_600_000.0 * 3_600_000.0
+_CE_QUANT = 1000
+
+
+def q_clark_evans(spark, sf_dir):
+    from gotrackmaster_spark.operators.spatial import clark_evans
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        ((F.col("event_id") * F.lit(2654435761)) % 1600000).alias("x"),
+        ((F.col("event_id") * 40503 + 7) % 3600000).alias("y"),
+    )
+    return clark_evans(pts, _CE_RMAX, _CE_AREA, _CE_QUANT)
+
+
+SQL_CLARK_EVANS = f"""
+WITH pts AS (
+  SELECT event_id AS id,
+         (event_id * 2654435761) % 1600000 AS x,
+         (event_id * 40503 + 7) % 3600000 AS y
+  FROM events
+),
+cells AS (SELECT id, x, y, x // {_CE_RMAX} AS cx, y // {_CE_RMAX} AS cy FROM pts),
+off AS (SELECT dx - 1 AS dx, dy - 1 AS dy FROM range(3) t1(dx), range(3) t2(dy)),
+nn AS (
+  SELECT a.id,
+         min((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) AS d2
+  FROM cells a CROSS JOIN off o
+  JOIN cells b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+  WHERE a.id <> b.id
+  GROUP BY a.id
+  HAVING min((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))
+         <= CAST({_CE_RMAX} AS BIGINT) * {_CE_RMAX}
+),
+near AS (
+  SELECT count(*) AS n_near,
+         CAST(sum(CAST(floor(sqrt(CAST(d2 AS DOUBLE)) * CAST({float(_CE_QUANT)} AS DOUBLE))
+                       AS BIGINT)) AS BIGINT) AS sum_dq
+  FROM nn
+),
+tot AS (SELECT count(*) AS n_pts FROM pts)
+SELECT n_pts, n_near, n_pts - n_near AS n_far, sum_dq,
+       CASE WHEN n_near > 0 THEN
+         (sum_dq / CAST(n_near AS DOUBLE)) / CAST({float(_CE_QUANT)} AS DOUBLE)
+       END AS mean_nn,
+       CASE WHEN n_near > 0 THEN
+         ((sum_dq / CAST(n_near AS DOUBLE)) / CAST({float(_CE_QUANT)} AS DOUBLE))
+         / (CAST(0.5 AS DOUBLE) / sqrt(CAST(n_pts AS DOUBLE) / CAST({_CE_AREA!r} AS DOUBLE)))
+       END AS r_index,
+       CASE WHEN n_near > 0 THEN
+         (((sum_dq / CAST(n_near AS DOUBLE)) / CAST({float(_CE_QUANT)} AS DOUBLE))
+          - (CAST(0.5 AS DOUBLE) / sqrt(CAST(n_pts AS DOUBLE) / CAST({_CE_AREA!r} AS DOUBLE))))
+         / (CAST(0.26136 AS DOUBLE)
+            / sqrt(CAST(n_pts AS DOUBLE)
+                   * (CAST(n_pts AS DOUBLE) / CAST({_CE_AREA!r} AS DOUBLE))))
+       END AS z_score
+FROM tot CROSS JOIN near
+"""

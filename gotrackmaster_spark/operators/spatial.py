@@ -2351,6 +2351,112 @@ def ripley_k(
     )
 
 
+_bound_ce_cache = make_bounded_cache()  # gridded points (Clark-Evans NN)
+
+
+def clark_evans(
+    points: DataFrame,
+    r_max: int,
+    area: float,
+    quant: int = 1000,
+    id_col: str = "event_id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Clark-Evans nearest-neighbor index — the classic first-order
+    point-pattern statistic (R < 1 clustered, R ≈ 1 CSR, R → 2.15
+    perfectly dispersed):
+
+      R = d̄_obs / E[d],   E[d] = 1 / (2·√λ),   λ = n / area,
+      z = (d̄_obs − E[d]) / (0.26136 / √(n·λ))
+
+    with a BOUNDED-search contract: each point's nearest neighbor is
+    found within ``r_max`` via the grid candidate cut (×9 probe-side
+    explode on an r_max-pitch grid — any true NN ≤ r_max must share a
+    probe cell, so the per-point min over candidates IS the NN);
+    points whose NN is farther than ``r_max`` are excluded from the
+    mean and reported as ``n_far`` (on a CSR field P(NN > r_max) =
+    exp(−λπr²) — choose r_max so this is negligible and n_far ≈ 0).
+
+    Determinism: coords are integer fixed-point, so each point's NN d²
+    is an exact int64; the per-point distance is then QUANTIZED —
+    ``d_q = floor(√d² · quant)`` (√ and × are IEEE exact-rounded, so
+    d_q is bit-deterministic in any engine) — making Σ d_q an exact
+    integer and the remaining algebra a fixed-order scalar expression
+    a DuckDB twin replays bit-for-bit.
+
+    Output: ONE row — ``(n_pts, n_near, n_far, sum_dq, mean_nn,
+    r_index, z_score)``; mean/index/z are NULL when ``n_near = 0``.
+    """
+    if r_max <= 0:
+        raise ValueError(f"r_max must be positive, got {r_max}")
+    cells = _bound_ce_cache(
+        points.select(
+            F.col(id_col).alias("__id"),
+            F.col(x_col).alias("__x"),
+            F.col(y_col).alias("__y"),
+            F.floor(F.col(x_col) / r_max).cast("long").alias("cx"),
+            F.floor(F.col(y_col) / r_max).cast("long").alias("cy"),
+        )
+    )
+    n_row = cells.agg(F.count("*").alias("n_pts"))
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    ])
+    probe = cells.withColumn("__o", F.explode(offs)).select(
+        F.col("__id").alias("id_a"),
+        F.col("__x").alias("xa"),
+        F.col("__y").alias("ya"),
+        (F.col("cx") + F.col("__o.dx")).alias("jx"),
+        (F.col("cy") + F.col("__o.dy")).alias("jy"),
+    )
+    build = cells.select(
+        F.col("__id").alias("id_b"),
+        F.col("__x").alias("xb"),
+        F.col("__y").alias("yb"),
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    nn = (
+        probe.join(build, ["jx", "jy"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a")
+        .agg(F.min(d2).alias("__d2"))
+        # a min over ring candidates beyond r_max is NOT the true NN —
+        # only the in-range min is trusted (the rest count as far)
+        .filter(F.col("__d2") <= F.lit(int(r_max) * int(r_max)).cast("long"))
+    )
+    dq = F.floor(F.sqrt(F.col("__d2")) * F.lit(float(quant))).cast("long")
+    near = nn.agg(
+        F.count("*").alias("n_near"), F.sum(dq).alias("sum_dq")
+    )
+    # 1-row × 1-row scalar join (both sides are ungrouped aggregations —
+    # the ripley_k / knox_stat BNLJ-allowlisted shape)
+    j = n_row.crossJoin(F.broadcast(near))
+    n = F.col("n_pts").cast("double")
+    lam = n / F.lit(float(area))
+    mean_nn = (F.col("sum_dq") / F.col("n_near").cast("double")) / F.lit(float(quant))
+    expected = F.lit(0.5) / F.sqrt(lam)
+    guard = F.col("n_near") > 0
+    return j.select(
+        "n_pts",
+        F.coalesce(F.col("n_near"), F.lit(0)).alias("n_near"),
+        (F.col("n_pts") - F.coalesce(F.col("n_near"), F.lit(0))).alias("n_far"),
+        "sum_dq",
+        F.when(guard, mean_nn).alias("mean_nn"),
+        F.when(guard, mean_nn / expected).alias("r_index"),
+        F.when(
+            guard,
+            (mean_nn - expected) / (F.lit(0.26136) / F.sqrt(n * lam)),
+        ).alias("z_score"),
+    )
+
+
 def knox_statistic(
     points: DataFrame,
     delta: float,

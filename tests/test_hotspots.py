@@ -1027,3 +1027,97 @@ def test_kde_raster_validation(spark):
         kde_raster(df, 11, 1)   # odd cell -> non-integral centers
     with _pt.raises(ValueError):
         kde_raster(df, 10, 0)
+
+
+def _ce(spark, pts, r_max, area, quant=1000):
+    from gotrackmaster_spark.operators.spatial import clark_evans
+
+    df = spark.createDataFrame(pts, "event_id long, x long, y long")
+    return clark_evans(df, r_max, area, quant).collect()[0]
+
+
+def _ce_brute(pts, r_max, area, quant=1000):
+    import math as m
+
+    n = len(pts)
+    dqs = []
+    n_far = 0
+    for i, (_, x, y) in enumerate(pts):
+        d2s = [
+            (x - bx) ** 2 + (y - by) ** 2
+            for j, (_, bx, by) in enumerate(pts)
+            if i != j
+        ]
+        d2 = min(d2s) if d2s else None
+        if d2 is None or d2 > r_max * r_max:
+            n_far += 1
+        else:
+            dqs.append(m.floor(m.sqrt(d2) * float(quant)))
+    if not dqs:
+        return n, 0, n_far, None, None, None
+    mean_nn = (sum(dqs) / float(len(dqs))) / float(quant)
+    lam = n / area
+    expected = 0.5 / m.sqrt(lam)
+    r_index = mean_nn / expected
+    z = (mean_nn - expected) / (0.26136 / m.sqrt(n * lam))
+    return n, len(dqs), n_far, sum(dqs), mean_nn, r_index, z
+
+
+def test_clark_evans_brute_force(spark):
+    import random
+
+    rnd = random.Random(91)
+    pts = [(i, rnd.randrange(0, 20000), rnd.randrange(0, 20000)) for i in range(250)]
+    got = _ce(spark, pts, 3000, 20000.0 * 20000.0)
+    n, n_near, n_far, sum_dq, mean_nn, r_index, z = _ce_brute(
+        pts, 3000, 20000.0 * 20000.0
+    )
+    assert (got["n_pts"], got["n_near"], got["n_far"], got["sum_dq"]) == (
+        n, n_near, n_far, sum_dq,
+    )
+    assert abs(got["mean_nn"] - mean_nn) < 1e-9
+    assert abs(got["r_index"] - r_index) < 1e-9
+    assert abs(got["z_score"] - z) < 1e-9
+
+
+def test_clark_evans_discriminates_patterns(spark):
+    import random
+
+    rnd = random.Random(13)
+    area = 40000.0 * 40000.0
+    # CSR: uniform random -> R near 1
+    csr = [(i, rnd.randrange(0, 40000), rnd.randrange(0, 40000)) for i in range(500)]
+    # clustered: 10 tight blobs -> R well below 1
+    clustered = [
+        (i, (i % 10) * 4000 + rnd.randrange(0, 80), (i % 10) * 4000 + rnd.randrange(0, 80))
+        for i in range(500)
+    ]
+    # dispersed: regular lattice -> R above 1 (max 2.149 for a perfect grid)
+    grid = [(i, (i % 22) * 1800 + 200, (i // 22) * 1800 + 200) for i in range(484)]
+    r_csr = _ce(spark, csr, 6000, area)["r_index"]
+    r_clu = _ce(spark, clustered, 6000, area)["r_index"]
+    r_grid = _ce(spark, grid, 6000, area)["r_index"]
+    assert r_clu < 0.5 < r_csr < 1.5 < r_grid
+    # z agrees in sign with R - 1
+    assert _ce(spark, clustered, 6000, area)["z_score"] < 0
+    assert _ce(spark, grid, 6000, area)["z_score"] > 0
+
+
+def test_clark_evans_far_points_and_degenerate(spark):
+    # two coincident points + one isolated: NN distance 0 counts (d_q = 0),
+    # the isolated point lands in n_far
+    pts = [(1, 0, 0), (2, 0, 0), (3, 900_000, 900_000)]
+    got = _ce(spark, pts, 100, 1e12)
+    assert (got["n_pts"], got["n_near"], got["n_far"], got["sum_dq"]) == (3, 2, 1, 0)
+    assert got["mean_nn"] == 0.0 and got["r_index"] == 0.0
+    # single point: nothing within range -> all-NULL statistics
+    got = _ce(spark, [(1, 0, 0)], 100, 1e6)
+    assert (got["n_pts"], got["n_near"], got["n_far"]) == (1, 0, 1)
+    assert got["mean_nn"] is None and got["r_index"] is None and got["z_score"] is None
+
+    from gotrackmaster_spark.operators.spatial import clark_evans
+    import pytest as _pt
+
+    df = spark.createDataFrame([(1, 0, 0)], "event_id long, x long, y long")
+    with _pt.raises(ValueError):
+        clark_evans(df, 0, 1.0)

@@ -39,6 +39,9 @@ BNLJ_ALLOWED = {
     "image_hotspots",
     "ripley_k",
     "knox_stat",
+    # clark_evans: 1-row total × 1-row near-aggregate scalar join (both
+    # sides are ungrouped aggregations — the ripley_k shape)
+    "clark_evans",
 }
 
 QUERIES = entrymod.queries()
