@@ -163,6 +163,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_ssim": _wrap(Q.q_image_ssim),
         "accessibility_2sfca": _wrap(Q.q_accessibility_2sfca),
         "clark_evans": _wrap(Q.q_clark_evans),
+        "nn_gfunction": _wrap(Q.q_nn_gfunction),
+        "quadrat_test": _wrap(Q.q_quadrat_test),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
         # interval_events were driver-green in r02; the r03 changes
@@ -269,6 +271,8 @@ def oracle_sql() -> dict[str, str]:
         "image_ssim": Q.SQL_IMAGE_SSIM,
         "accessibility_2sfca": Q.SQL_ACCESSIBILITY_2SFCA,
         "clark_evans": Q.SQL_CLARK_EVANS,
+        "nn_gfunction": Q.SQL_NN_GFUNCTION,
+        "quadrat_test": Q.SQL_QUADRAT_TEST,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,
         "dwell_cells": Q.SQL_DWELL_CELLS,

@@ -6980,3 +6980,137 @@ SELECT n_pts, n_near, n_pts - n_near AS n_far, sum_dq,
        END AS z_score
 FROM tot CROSS JOIN near
 """
+
+
+# --------------------------------------------------------------------------
+# E17 — nearest-neighbor G-function (`spatial.nn_gfunction`): the NN
+# distance CDF on the clark_evans lattice — one _grid_nn_d2 pass at
+# r_max = 5·10⁴, whole ladder answered by conditional int sums (the
+# ripley_k idiom); g_r = n_le / n is one int division both engines
+# perform identically.
+# --------------------------------------------------------------------------
+
+_GFN_STEP = 10_000
+_GFN_BANDS = 5
+
+
+def q_nn_gfunction(spark, sf_dir):
+    from gotrackmaster_spark.operators.spatial import nn_gfunction
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        ((F.col("event_id") * F.lit(2654435761)) % 1600000).alias("x"),
+        ((F.col("event_id") * 40503 + 7) % 3600000).alias("y"),
+    )
+    return nn_gfunction(pts, _GFN_STEP, _GFN_BANDS)
+
+
+SQL_NN_GFUNCTION = f"""
+WITH pts AS (
+  SELECT event_id AS id,
+         (event_id * 2654435761) % 1600000 AS x,
+         (event_id * 40503 + 7) % 3600000 AS y
+  FROM events
+),
+cells AS (
+  SELECT id, x, y,
+         x // {_GFN_STEP * _GFN_BANDS} AS cx,
+         y // {_GFN_STEP * _GFN_BANDS} AS cy
+  FROM pts
+),
+off AS (SELECT dx - 1 AS dx, dy - 1 AS dy FROM range(3) t1(dx), range(3) t2(dy)),
+nn AS (
+  SELECT a.id,
+         min((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) AS d2
+  FROM cells a CROSS JOIN off o
+  JOIN cells b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+  WHERE a.id <> b.id
+  GROUP BY a.id
+  HAVING min((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))
+         <= CAST({_GFN_STEP * _GFN_BANDS} AS BIGINT) * {_GFN_STEP * _GFN_BANDS}
+),
+tot AS (SELECT count(*) AS n_pts FROM pts),
+bands AS (SELECT CAST((k + 1) * {_GFN_STEP} AS BIGINT) AS r FROM range({_GFN_BANDS}) t(k)),
+cnt AS (
+  SELECT b.r AS r,
+         CAST(coalesce(sum(CASE WHEN nn.d2 <= b.r * b.r THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_le
+  FROM bands b LEFT JOIN nn ON true
+  GROUP BY b.r
+)
+SELECT c.r, c.n_le,
+       CASE WHEN t.n_pts > 0 THEN c.n_le / t.n_pts END AS g_r
+FROM cnt c CROSS JOIN tot t
+"""
+
+
+# --------------------------------------------------------------------------
+# E18 — quadrat-count CSR test (`spatial.quadrat_test`): variance-mean
+# ratio over the 100 km-pitch partition of a 1.5M × 3.6M window (540
+# quadrats, empties included via the window count, ~6 % of the hashed
+# lattice deliberately out-of-window to exercise n_out).  One occupancy
+# groupBy + one tiny aggregate; Σc² exact int64, VMR/χ²/z fixed-order
+# scalar algebra replayed by the DuckDB twin bit-for-bit.
+# --------------------------------------------------------------------------
+
+_QT_CELL = 100_000
+_QT_W = 1_500_000
+_QT_H = 3_600_000
+_QT_NQ = (_QT_W // _QT_CELL) * (_QT_H // _QT_CELL)
+
+
+def q_quadrat_test(spark, sf_dir):
+    from gotrackmaster_spark.operators.spatial import quadrat_test
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "event_id",
+        ((F.col("event_id") * F.lit(1103515245) + 12345) % 1600000).alias("x"),
+        ((F.col("event_id") * 69069 + 1) % 3600000).alias("y"),
+    )
+    return quadrat_test(pts, _QT_CELL, _QT_W, _QT_H)
+
+
+SQL_QUADRAT_TEST = f"""
+WITH pts AS (
+  SELECT (event_id * 1103515245 + 12345) % 1600000 AS x,
+         (event_id * 69069 + 1) % 3600000 AS y
+  FROM events
+),
+base AS (
+  SELECT (x >= 0 AND x < {_QT_W} AND y >= 0 AND y < {_QT_H}) AS inw,
+         x // {_QT_CELL} AS qx, y // {_QT_CELL} AS qy
+  FROM pts
+),
+tot AS (
+  SELECT count(*) AS n_pts,
+         CAST(coalesce(sum(CAST(inw AS BIGINT)), 0) AS BIGINT) AS n_in
+  FROM base
+),
+occ0 AS (SELECT qx, qy, count(*) AS c FROM base WHERE inw GROUP BY qx, qy),
+occ AS (
+  SELECT count(*) AS n_occupied,
+         CAST(coalesce(sum(c * c), 0) AS BIGINT) AS sum_c2
+  FROM occ0
+)
+SELECT n_pts, n_in, n_pts - n_in AS n_out,
+       CAST({_QT_NQ} AS BIGINT) AS n_quadrats, n_occupied, sum_c2,
+       n_in / CAST({float(_QT_NQ)} AS DOUBLE) AS mean_c,
+       CASE WHEN n_in > 0 THEN
+         ((sum_c2 - (n_in / CAST({float(_QT_NQ)} AS DOUBLE)) * n_in)
+          / CAST({float(_QT_NQ - 1)} AS DOUBLE))
+         / (n_in / CAST({float(_QT_NQ)} AS DOUBLE))
+       END AS vmr,
+       CASE WHEN n_in > 0 THEN
+         (sum_c2 - (n_in / CAST({float(_QT_NQ)} AS DOUBLE)) * n_in)
+         / (n_in / CAST({float(_QT_NQ)} AS DOUBLE))
+       END AS chi2,
+       CASE WHEN n_in > 0 THEN
+         (((sum_c2 - (n_in / CAST({float(_QT_NQ)} AS DOUBLE)) * n_in)
+           / CAST({float(_QT_NQ - 1)} AS DOUBLE))
+          / (n_in / CAST({float(_QT_NQ)} AS DOUBLE)) - CAST(1.0 AS DOUBLE))
+         / sqrt(CAST(2.0 AS DOUBLE) / CAST({float(_QT_NQ - 1)} AS DOUBLE))
+       END AS z_score
+FROM tot CROSS JOIN occ
+"""

@@ -2352,6 +2352,74 @@ def ripley_k(
 
 
 _bound_ce_cache = make_bounded_cache()  # gridded points (Clark-Evans NN)
+_bound_gfn_cache = make_bounded_cache()  # gridded points (G-function NN)
+_bound_quadrat_cache = make_bounded_cache()  # flagged quadrat points
+
+
+def _grid_nn_d2(
+    points: DataFrame,
+    r_max: int,
+    cache,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Per-point nearest-neighbor squared distance within ``r_max`` via
+    the grid candidate cut shared by ``clark_evans`` / ``nn_gfunction``:
+    points land in an r_max-pitch grid, the probe side explodes ×9 to
+    its neighborhood and equi-joins the build side on the cell — any
+    true NN ≤ r_max shares a probe cell, so the per-point candidate min
+    IS the NN; a min beyond r_max is only a candidate-set artifact and
+    is dropped (the caller counts those points as out-of-range).
+
+    Returns ``(nn, n_row)``: ``nn(__id, __d2)`` for in-range points
+    (``__d2`` exact int64 on integer fixed-point coords) and the 1-row
+    total count ``n_row(n_pts)``.
+    """
+    if r_max <= 0:
+        raise ValueError(f"r_max must be positive, got {r_max}")
+    cells = cache(
+        points.select(
+            F.col(id_col).alias("__id"),
+            F.col(x_col).alias("__x"),
+            F.col(y_col).alias("__y"),
+            F.floor(F.col(x_col) / r_max).cast("long").alias("cx"),
+            F.floor(F.col(y_col) / r_max).cast("long").alias("cy"),
+        )
+    )
+    n_row = cells.agg(F.count("*").alias("n_pts"))
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    ])
+    probe = cells.withColumn("__o", F.explode(offs)).select(
+        F.col("__id").alias("id_a"),
+        F.col("__x").alias("xa"),
+        F.col("__y").alias("ya"),
+        (F.col("cx") + F.col("__o.dx")).alias("jx"),
+        (F.col("cy") + F.col("__o.dy")).alias("jy"),
+    )
+    build = cells.select(
+        F.col("__id").alias("id_b"),
+        F.col("__x").alias("xb"),
+        F.col("__y").alias("yb"),
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    nn = (
+        probe.join(build, ["jx", "jy"])
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy(F.col("id_a").alias("__id"))
+        .agg(F.min(d2).alias("__d2"))
+        # a min over ring candidates beyond r_max is NOT the true NN —
+        # only the in-range min is trusted (the rest count as far)
+        .filter(F.col("__d2") <= F.lit(int(r_max) * int(r_max)).cast("long"))
+    )
+    return nn, n_row
 
 
 def clark_evans(
@@ -2388,49 +2456,7 @@ def clark_evans(
     Output: ONE row — ``(n_pts, n_near, n_far, sum_dq, mean_nn,
     r_index, z_score)``; mean/index/z are NULL when ``n_near = 0``.
     """
-    if r_max <= 0:
-        raise ValueError(f"r_max must be positive, got {r_max}")
-    cells = _bound_ce_cache(
-        points.select(
-            F.col(id_col).alias("__id"),
-            F.col(x_col).alias("__x"),
-            F.col(y_col).alias("__y"),
-            F.floor(F.col(x_col) / r_max).cast("long").alias("cx"),
-            F.floor(F.col(y_col) / r_max).cast("long").alias("cy"),
-        )
-    )
-    n_row = cells.agg(F.count("*").alias("n_pts"))
-    offs = F.array(*[
-        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-        for dx in (-1, 0, 1)
-        for dy in (-1, 0, 1)
-    ])
-    probe = cells.withColumn("__o", F.explode(offs)).select(
-        F.col("__id").alias("id_a"),
-        F.col("__x").alias("xa"),
-        F.col("__y").alias("ya"),
-        (F.col("cx") + F.col("__o.dx")).alias("jx"),
-        (F.col("cy") + F.col("__o.dy")).alias("jy"),
-    )
-    build = cells.select(
-        F.col("__id").alias("id_b"),
-        F.col("__x").alias("xb"),
-        F.col("__y").alias("yb"),
-        F.col("cx").alias("jx"),
-        F.col("cy").alias("jy"),
-    )
-    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
-        F.col("ya") - F.col("yb")
-    ) * (F.col("ya") - F.col("yb"))
-    nn = (
-        probe.join(build, ["jx", "jy"])
-        .filter(F.col("id_a") != F.col("id_b"))
-        .groupBy("id_a")
-        .agg(F.min(d2).alias("__d2"))
-        # a min over ring candidates beyond r_max is NOT the true NN —
-        # only the in-range min is trusted (the rest count as far)
-        .filter(F.col("__d2") <= F.lit(int(r_max) * int(r_max)).cast("long"))
-    )
+    nn, n_row = _grid_nn_d2(points, r_max, _bound_ce_cache, id_col, x_col, y_col)
     dq = F.floor(F.sqrt(F.col("__d2")) * F.lit(float(quant))).cast("long")
     near = nn.agg(
         F.count("*").alias("n_near"), F.sum(dq).alias("sum_dq")
@@ -2453,6 +2479,166 @@ def clark_evans(
         F.when(
             guard,
             (mean_nn - expected) / (F.lit(0.26136) / F.sqrt(n * lam)),
+        ).alias("z_score"),
+    )
+
+
+def nn_gfunction(
+    points: DataFrame,
+    step: int,
+    n_bands: int,
+    id_col: str = "event_id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Nearest-neighbor G-function — the empirical CDF of NN distances,
+    the distribution companion to the ``clark_evans`` scalar:
+
+      G(r) = |{i : d_NN(i) ≤ r}| / n
+
+    evaluated on the radius ladder r = step, 2·step, …, n_bands·step.
+    Under CSR G(r) = 1 − exp(−λπr²); clustered patterns rise faster,
+    dispersed ones slower.
+
+    Plan at scale: ONE ``_grid_nn_d2`` pass at r_max = n_bands·step
+    (×9 probe explode, per-point min — candidates O(n · local
+    density)), then the whole ladder is answered by conditional sums
+    over the per-point NN table, exactly the ``ripley_k`` idiom.  NN d²
+    is an exact int64 on integer fixed-point coords and every band
+    count compares ints, so ``n_le`` is partition-order invariant and a
+    DuckDB twin reproduces ``g_r = n_le / n`` bit-for-bit.  Points with
+    no neighbor within the top rung count in ``n`` only (the true CDF
+    denominator — G is exact for r ≤ the ladder top).
+
+    Output: one row per rung — ``(r, n_le, g_r)``; ``g_r`` is NULL on
+    an empty input.
+    """
+    if step <= 0 or n_bands <= 0:
+        raise ValueError(f"step and n_bands must be positive, got {step}, {n_bands}")
+    r_max = int(step) * int(n_bands)
+    nn, n_row = _grid_nn_d2(points, r_max, _bound_gfn_cache, id_col, x_col, y_col)
+    counts = nn.agg(*[
+        F.coalesce(
+            F.sum(
+                (
+                    F.col("__d2")
+                    <= F.lit(int(step) * k * int(step) * k).cast("long")
+                ).cast("long")
+            ),
+            F.lit(0),
+        ).alias(f"__c{k}")
+        for k in range(1, n_bands + 1)
+    ])
+    ladder = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(int(step) * k).cast("long").alias("r"),
+                F.col(f"__c{k}").alias("n_le"),
+            )
+            for k in range(1, n_bands + 1)
+        ])
+    )
+    # 1-row × 1-row scalar join (both sides ungrouped aggregations —
+    # the ripley_k / clark_evans BNLJ-allowlisted shape)
+    out = counts.crossJoin(F.broadcast(n_row)).select(
+        ladder.alias("__l"), F.col("n_pts")
+    )
+    return out.select(
+        F.col("__l.r").alias("r"),
+        F.col("__l.n_le").alias("n_le"),
+        F.when(
+            F.col("n_pts") > 0,
+            F.col("__l.n_le") / F.col("n_pts"),
+        ).alias("g_r"),
+    )
+
+
+def quadrat_test(
+    points: DataFrame,
+    cell: int,
+    width: int,
+    height: int,
+    id_col: str = "event_id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Quadrat-count test of complete spatial randomness — the
+    variance-mean ratio over a ``cell``-pitch partition of the
+    ``[0,width) × [0,height)`` study window:
+
+      VMR = s² / x̄   (Poisson ⇒ 1; >1 clustered, <1 dispersed)
+      χ² = Σ_q (c_q − x̄)² / x̄ = (n_q − 1)·VMR,  df = n_q − 1
+      z = (VMR − 1) / √(2 / (n_q − 1))
+
+    Empty quadrats COUNT (the classic trap): n_q = (width/cell)·
+    (height/cell) comes from the window, not from the data, so
+    Σ(c−x̄)² = Σc² − x̄·n_in needs only the occupied-cell Σc² — one
+    map-side-combinable groupBy + one tiny aggregate, no joins on the
+    points side (the occupancy shape — scales to any point count).
+    Points outside the window are excluded and reported as ``n_out``.
+    Σc² and the counts are exact integers; the VMR/χ²/z algebra is a
+    fixed-order scalar expression a DuckDB twin replays bit-for-bit.
+
+    Output: ONE row — ``(n_pts, n_in, n_out, n_quadrats, n_occupied,
+    sum_c2, mean_c, vmr, chi2, z_score)``; vmr/chi2/z are NULL when
+    ``n_in = 0``.
+    """
+    if cell <= 0 or width <= 0 or height <= 0:
+        raise ValueError("cell, width and height must be positive")
+    if width % cell or height % cell:
+        raise ValueError(
+            f"window {width}×{height} must be a whole number of {cell}-cells"
+        )
+    n_q = (width // cell) * (height // cell)
+    if n_q < 2:
+        raise ValueError("need at least 2 quadrats for a variance")
+    base = _bound_quadrat_cache(
+        points.select(
+            (
+                (F.col(x_col) >= 0)
+                & (F.col(x_col) < width)
+                & (F.col(y_col) >= 0)
+                & (F.col(y_col) < height)
+            ).alias("__in"),
+            F.floor(F.col(x_col) / cell).cast("long").alias("qx"),
+            F.floor(F.col(y_col) / cell).cast("long").alias("qy"),
+        )
+    )
+    tot = base.agg(
+        F.count("*").alias("n_pts"),
+        F.coalesce(F.sum(F.col("__in").cast("long")), F.lit(0)).alias("n_in"),
+    )
+    occ = (
+        base.filter("__in")
+        .groupBy("qx", "qy")
+        .agg(F.count("*").alias("__c"))
+        .agg(
+            F.count("*").alias("n_occupied"),
+            F.coalesce(F.sum(F.col("__c") * F.col("__c")), F.lit(0)).alias(
+                "sum_c2"
+            ),
+        )
+    )
+    # 1-row × 1-row scalar join (the clark_evans BNLJ-allowlisted shape)
+    j = tot.crossJoin(F.broadcast(occ))
+    n_q_d = F.lit(float(n_q))
+    mean_c = F.col("n_in") / n_q_d
+    ss = F.col("sum_c2") - mean_c * F.col("n_in")
+    vmr = (ss / F.lit(float(n_q - 1))) / mean_c
+    guard = F.col("n_in") > 0
+    return j.select(
+        "n_pts",
+        "n_in",
+        (F.col("n_pts") - F.col("n_in")).alias("n_out"),
+        F.lit(int(n_q)).cast("long").alias("n_quadrats"),
+        "n_occupied",
+        "sum_c2",
+        mean_c.alias("mean_c"),
+        F.when(guard, vmr).alias("vmr"),
+        F.when(guard, ss / mean_c).alias("chi2"),
+        F.when(
+            guard,
+            (vmr - F.lit(1.0)) / F.sqrt(F.lit(2.0) / F.lit(float(n_q - 1))),
         ).alias("z_score"),
     )
 

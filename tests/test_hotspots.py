@@ -1121,3 +1121,138 @@ def test_clark_evans_far_points_and_degenerate(spark):
     df = spark.createDataFrame([(1, 0, 0)], "event_id long, x long, y long")
     with _pt.raises(ValueError):
         clark_evans(df, 0, 1.0)
+
+
+def _gfn(spark, pts, step, n_bands):
+    from gotrackmaster_spark.operators.spatial import nn_gfunction
+
+    df = spark.createDataFrame(pts, "event_id long, x long, y long")
+    rows = nn_gfunction(df, step, n_bands).collect()
+    return {r["r"]: (r["n_le"], r["g_r"]) for r in rows}
+
+
+def test_nn_gfunction_brute_force(spark):
+    import random
+
+    rnd = random.Random(47)
+    pts = [(i, rnd.randrange(0, 30000), rnd.randrange(0, 30000)) for i in range(300)]
+    step, n_bands = 500, 6
+    got = _gfn(spark, pts, step, n_bands)
+    assert sorted(got) == [step * k for k in range(1, n_bands + 1)]
+    n = len(pts)
+    for k in range(1, n_bands + 1):
+        r = step * k
+        n_le = sum(
+            1
+            for i, (_, x, y) in enumerate(pts)
+            if min(
+                (x - bx) ** 2 + (y - by) ** 2
+                for j, (_, bx, by) in enumerate(pts)
+                if i != j
+            )
+            <= r * r
+        )
+        assert got[r][0] == n_le
+        assert abs(got[r][1] - n_le / n) < 1e-12
+
+
+def test_nn_gfunction_monotone_and_empty(spark):
+    # CDF is monotone nondecreasing in r and bounded by 1
+    pts = [(i, (i % 20) * 700, (i // 20) * 700) for i in range(400)]
+    got = _gfn(spark, pts, 250, 4)
+    vals = [got[250 * k][1] for k in range(1, 5)]
+    assert vals == sorted(vals) and vals[-1] <= 1.0
+    # lattice pitch 700: nothing within 500, everything within 750
+    assert got[500][0] == 0 and got[750][0] == 400
+    # empty input -> zero counts, NULL g
+    got = _gfn(spark, [], 100, 3)
+    assert all(v == (0, None) for v in got.values())
+
+    from gotrackmaster_spark.operators.spatial import nn_gfunction
+    import pytest as _pt
+
+    df = spark.createDataFrame([(1, 0, 0)], "event_id long, x long, y long")
+    with _pt.raises(ValueError):
+        nn_gfunction(df, 0, 3)
+    with _pt.raises(ValueError):
+        nn_gfunction(df, 100, 0)
+
+
+def _qt(spark, pts, cell, w, h):
+    from gotrackmaster_spark.operators.spatial import quadrat_test
+
+    df = spark.createDataFrame(pts, "event_id long, x long, y long")
+    return quadrat_test(df, cell, w, h).collect()[0]
+
+
+def test_quadrat_test_brute_force(spark):
+    import math as m
+    import random
+
+    rnd = random.Random(29)
+    # some points deliberately outside the 8000x6000 window
+    pts = [(i, rnd.randrange(0, 9000), rnd.randrange(0, 7000)) for i in range(400)]
+    cell, w, h = 1000, 8000, 6000
+    got = _qt(spark, pts, cell, w, h)
+    inw = [(x, y) for _, x, y in pts if x < w and y < h]
+    counts = {}
+    for x, y in inw:
+        counts[(x // cell, y // cell)] = counts.get((x // cell, y // cell), 0) + 1
+    n_q = (w // cell) * (h // cell)
+    n_in = len(inw)
+    sum_c2 = sum(c * c for c in counts.values())
+    mean = n_in / float(n_q)
+    ss = sum_c2 - mean * n_in
+    vmr = (ss / float(n_q - 1)) / mean
+    assert (got["n_pts"], got["n_in"], got["n_out"]) == (400, n_in, 400 - n_in)
+    assert (got["n_quadrats"], got["n_occupied"], got["sum_c2"]) == (
+        n_q, len(counts), sum_c2,
+    )
+    assert abs(got["mean_c"] - mean) < 1e-12
+    assert abs(got["vmr"] - vmr) < 1e-9
+    assert abs(got["chi2"] - ss / mean) < 1e-9
+    assert abs(
+        got["z_score"] - (vmr - 1.0) / m.sqrt(2.0 / (n_q - 1))
+    ) < 1e-9
+
+
+def test_quadrat_test_discriminates_patterns(spark):
+    import random
+
+    rnd = random.Random(3)
+    w = h = 10000
+    # one point per quadrat exactly -> VMR = 0 (maximally dispersed)
+    regular = [
+        (i, (i % 10) * 1000 + 500, (i // 10) * 1000 + 500) for i in range(100)
+    ]
+    # all points in one quadrat -> VMR >> 1
+    clustered = [(i, rnd.randrange(0, 900), rnd.randrange(0, 900)) for i in range(100)]
+    # CSR -> VMR near 1
+    csr = [(i, rnd.randrange(0, w), rnd.randrange(0, h)) for i in range(100)]
+    v_reg = _qt(spark, regular, 1000, w, h)["vmr"]
+    v_clu = _qt(spark, clustered, 1000, w, h)["vmr"]
+    v_csr = _qt(spark, csr, 1000, w, h)["vmr"]
+    assert v_reg == 0.0
+    assert v_clu > 50.0
+    assert 0.5 < v_csr < 2.0
+    assert _qt(spark, regular, 1000, w, h)["z_score"] < 0
+    assert _qt(spark, clustered, 1000, w, h)["z_score"] > 0
+
+
+def test_quadrat_test_degenerate_and_validation(spark):
+    # empty window occupancy: all points outside -> NULL statistics
+    got = _qt(spark, [(1, 5000, 5000)], 1000, 2000, 2000)
+    assert (got["n_pts"], got["n_in"], got["n_out"]) == (1, 0, 1)
+    assert (got["n_occupied"], got["sum_c2"]) == (0, 0)
+    assert got["vmr"] is None and got["chi2"] is None and got["z_score"] is None
+
+    from gotrackmaster_spark.operators.spatial import quadrat_test
+    import pytest as _pt
+
+    df = spark.createDataFrame([(1, 0, 0)], "event_id long, x long, y long")
+    with _pt.raises(ValueError):
+        quadrat_test(df, 0, 1000, 1000)     # bad cell
+    with _pt.raises(ValueError):
+        quadrat_test(df, 300, 1000, 900)    # window not a whole cell count
+    with _pt.raises(ValueError):
+        quadrat_test(df, 1000, 1000, 1000)  # single quadrat: no variance
