@@ -7114,3 +7114,73 @@ SELECT n_pts, n_in, n_pts - n_in AS n_out,
        END AS z_score
 FROM tot CROSS JOIN occ
 """
+
+
+# --------------------------------------------------------------------------
+# E7f — per-image GLCM texture features (`images.glcm_stats`): the
+# second-order texture leg over the REAL decode chain — co-occurrence
+# of 16-level pairs at the channel-aligned +3 stride, with contrast /
+# diagonal / energy / inverse-difference-moment all reduced to exact
+# integers (the IDM weight pre-quantized to quant DIV (1+d²)) so the
+# DuckDB twin replays the co-occurrence matrix from the closed-form
+# pixel generator bit-for-bit.  Float conveniences are single int
+# divisions (long/long → double in both engines).
+# --------------------------------------------------------------------------
+
+_GLCM_QUANT = 10**9
+
+
+def q_image_glcm(spark, sf_dir):
+    from gotrackmaster_spark.operators.images import glcm_stats, synthesize_images
+
+    imgs = synthesize_images(spark, sf_dir, w=_IMG_W, h=_IMG_H)
+    st = glcm_stats(imgs, n_levels=16, quant=_GLCM_QUANT)
+    guard = F.col("n_pairs") > 0
+    return st.select(
+        "image_id",
+        "fmt",
+        "n_pairs",
+        "contrast",
+        "diag_pairs",
+        "energy_sq",
+        "hom_q",
+        F.when(guard, F.col("contrast") / F.col("n_pairs")).alias("contrast_mean"),
+        F.when(
+            guard, F.col("hom_q") / (F.col("n_pairs") * F.lit(_GLCM_QUANT))
+        ).alias("homogeneity"),
+    )
+
+
+SQL_IMAGE_GLCM = f"""
+WITH px AS (
+  SELECT doc_id, i,
+         CASE WHEN doc_id % 3 = 2 THEN {_PIX} - ({_PIX}) % 4
+              ELSE {_PIX} END AS p
+  FROM documents, range({_N_PIX}) t(i)
+),
+pr AS (
+  SELECT doc_id, p // 16 AS pl,
+         (lead(p, 3) OVER w) // 16 AS ql
+  FROM px
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+cm AS (
+  SELECT doc_id, pl, ql, count(*) AS c
+  FROM pr WHERE ql IS NOT NULL GROUP BY 1, 2, 3
+),
+feat AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_pairs,
+         CAST(sum(c * ((pl - ql) * (pl - ql))) AS BIGINT) AS contrast,
+         CAST(coalesce(sum(CASE WHEN pl = ql THEN c END), 0) AS BIGINT) AS diag_pairs,
+         CAST(sum(c * c) AS BIGINT) AS energy_sq,
+         CAST(sum(c * ({_GLCM_QUANT} // (1 + (pl - ql) * (pl - ql)))) AS BIGINT) AS hom_q
+  FROM cm GROUP BY doc_id
+)
+SELECT format('img{{:08d}}', doc_id) AS image_id,
+       ['raw', 'png', 'qnt4'][CAST(doc_id % 3 AS INT) + 1] AS fmt,
+       n_pairs, contrast, diag_pairs, energy_sq, hom_q,
+       CASE WHEN n_pairs > 0 THEN contrast / n_pairs END AS contrast_mean,
+       CASE WHEN n_pairs > 0 THEN hom_q / (n_pairs * {_GLCM_QUANT}) END AS homogeneity
+FROM feat
+"""

@@ -408,6 +408,105 @@ def pixel_feature_stats(
     return images.mapInPandas(stats, schema)
 
 
+def glcm_stats(
+    images: DataFrame, n_levels: int = 16, quant: int = 10**9
+) -> DataFrame:
+    """Per-image gray-level co-occurrence (GLCM) texture features from
+    ONE decode pass — the second-order companion to
+    :func:`pixel_feature_stats` (which is first-order: histogram +
+    gradients).  The co-occurrence matrix counts level pairs
+    ``(p DIV (256/n_levels), q DIV (256/n_levels))`` over the flat RGB
+    array at the channel-aligned ``+3`` stride (next pixel, same
+    channel — the ``gx`` pair set), and every classic Haralick feature
+    is reduced to an exact integer so a DuckDB oracle replays it
+    bit-for-bit from the closed-form pixel generator:
+
+    * ``n_pairs``      — N − 3
+    * ``contrast``     = Σ n_pq·(p−q)²  (exact int)
+    * ``diag_pairs``   = Σ_p n_pp — the homogeneity numerator's integer
+      core (fraction of perfectly-smooth neighbor pairs)
+    * ``energy_sq``    = Σ n_pq² — angular second moment × n_pairs²
+    * ``hom_q``        = Σ n_pq · (quant DIV (1 + (p−q)²)) — inverse
+      difference moment with the per-class weight PRE-QUANTIZED to an
+      integer, so the sum is exact (a float Σ c/(1+d²) would be
+      accumulation-order dependent)
+
+    Float conveniences (mean contrast, homogeneity in [0,1]) are single
+    int divisions left to the caller — see ``q_image_glcm``.
+
+    Plan at scale: one ``mapInPandas`` over Arrow batches (vectorized
+    per-row bincount of pair codes into n_levels² bins; png decodes per
+    row like :func:`decode_stats`); output is ~50 B/row regardless of
+    image size.
+    """
+    if 256 % n_levels != 0:
+        raise ValueError(f"n_levels must divide 256, got {n_levels}")
+    if quant <= 0:
+        raise ValueError(f"quant must be positive, got {quant}")
+    div = 256 // n_levels
+    n2 = n_levels * n_levels
+    codes = np.arange(n2, dtype=np.int64)
+    dd = (codes // n_levels - codes % n_levels) ** 2
+    contrast_w = dd
+    diag_w = (dd == 0).astype(np.int64)
+    hom_w = quant // (1 + dd)
+
+    def _features(flat: np.ndarray) -> dict:
+        """flat: (B, N) int64 pixel rows."""
+        b, n = flat.shape
+        if n <= 3:  # degenerate: no +3 pair exists
+            z = np.zeros(b, dtype=np.int64)
+            return {
+                "n_pairs": z, "contrast": z.copy(), "diag_pairs": z.copy(),
+                "energy_sq": z.copy(), "hom_q": z.copy(),
+            }
+        lev = flat // div
+        pair = lev[:, :-3] * n_levels + lev[:, 3:]
+        offs = pair + (np.arange(b, dtype=np.int64)[:, None] * n2)
+        cm = np.bincount(offs.ravel(), minlength=b * n2).reshape(b, n2)
+        return {
+            "n_pairs": np.full(b, n - 3, dtype=np.int64),
+            "contrast": cm @ contrast_w,
+            "diag_pairs": cm @ diag_w,
+            "energy_sq": (cm * cm).sum(axis=1),
+            "hom_q": cm @ hom_w,
+        }
+
+    cols = ["n_pairs", "contrast", "diag_pairs", "energy_sq", "hom_q"]
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            n_rows = len(pdf)
+            acc = {c: np.zeros(n_rows, dtype=np.int64) for c in cols}
+            fmts = pdf["fmt"].to_numpy()
+            for grp in np.unique(fmts):
+                idx = np.where(fmts == grp)[0]
+                sub = pdf.iloc[idx]
+                if grp in ("raw", "qnt4"):
+                    flat = np.stack(
+                        [np.frombuffer(b, dtype=np.uint8) for b in sub["bytes"]]
+                    ).astype(np.int64)
+                    feats = _features(flat)
+                    for c in cols:
+                        acc[c][idx] = feats[c]
+                else:
+                    for j, r in zip(idx, sub.itertuples(index=False)):
+                        px = decode_image(r.bytes, r.w, r.h, r.fmt)
+                        feats = _features(px.reshape(1, -1).astype(np.int64))
+                        for c in cols:
+                            acc[c][j] = feats[c][0]
+            out = {"image_id": pdf["image_id"].to_numpy(), "fmt": fmts}
+            out.update(acc)
+            yield pd.DataFrame(out)
+
+    schema = "image_id string, fmt string, " + ", ".join(
+        f"{c} long" for c in cols
+    )
+    return images.mapInPandas(stats, schema)
+
+
 def phash_near_dups(images: DataFrame, max_hamming: int = 10) -> DataFrame:
     """Near-duplicate images by phash Hamming distance — chunked band join
     (pigeonhole over max_hamming+1 chunks), same shape as SimHash dedup.

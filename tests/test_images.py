@@ -284,3 +284,87 @@ def test_pairwise_ssim_discriminates_variants_from_strangers(spark):
     )["far"]["ssim"]
     assert far < 0.5 < min(near_scores)
     imgs.unpersist()
+
+
+def _glcm_brute(flat, n_levels=16, quant=10**9):
+    div = 256 // n_levels
+    lev = [p // div for p in flat]
+    pairs = list(zip(lev[:-3], lev[3:]))
+    from collections import Counter
+
+    cm = Counter(pairs)
+    return {
+        "n_pairs": len(pairs),
+        "contrast": sum(c * (p - q) ** 2 for (p, q), c in cm.items()),
+        "diag_pairs": sum(c for (p, q), c in cm.items() if p == q),
+        "energy_sq": sum(c * c for c in cm.values()),
+        "hom_q": sum(c * (quant // (1 + (p - q) ** 2)) for (p, q), c in cm.items()),
+    }
+
+
+def test_glcm_stats_matches_brute_force_all_formats(spark):
+    """GLCM features must equal a per-image Python replay of the decoded
+    pixels for raw, png and qnt4 payloads alike."""
+    from gotrackmaster_spark.operators.images import (
+        decode_image,
+        glcm_stats,
+        synthesize_images,
+    )
+
+    imgs = synthesize_images(spark, SF_DIR).limit(12).cache()
+    rows = {r["image_id"]: r for r in imgs.collect()}
+    got = {r["image_id"]: r for r in glcm_stats(imgs).collect()}
+    assert set(got) == set(rows) and len(got) == 12
+    fmts_seen = set()
+    for iid, src in rows.items():
+        px = decode_image(src.bytes, src.w, src.h, src.fmt)
+        exp = _glcm_brute(px.reshape(-1).astype(int).tolist())
+        g = got[iid]
+        assert g["fmt"] == src.fmt
+        fmts_seen.add(src.fmt)
+        for k, v in exp.items():
+            assert g[k] == v, (iid, k)
+    assert fmts_seen == {"raw", "png", "qnt4"}
+    imgs.unpersist()
+
+
+def test_glcm_discriminates_smooth_from_noisy(spark):
+    """A constant image is all-diagonal (contrast 0, homogeneity 1);
+    the pseudo-random generator image is textured."""
+    from gotrackmaster_spark.operators.images import gen_pixels, glcm_stats
+
+    w, h = 16, 8
+    smooth = np.full((h, w, 3), 77, dtype=np.uint8)
+    noisy = gen_pixels(5, w, h)
+    df = spark.createDataFrame(
+        [
+            ("smooth", smooth.tobytes(), w, h, "raw"),
+            ("noisy", noisy.tobytes(), w, h, "raw"),
+        ],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    got = {r["image_id"]: r for r in glcm_stats(df).collect()}
+    n = w * h * 3 - 3
+    s = got["smooth"]
+    assert (s["n_pairs"], s["contrast"], s["diag_pairs"]) == (n, 0, n)
+    assert s["hom_q"] == n * 10**9 and s["energy_sq"] == n * n
+    z = got["noisy"]
+    assert z["contrast"] > 0 and z["diag_pairs"] < n and z["hom_q"] < n * 10**9
+
+
+def test_glcm_degenerate_and_validation(spark):
+    from gotrackmaster_spark.operators.images import glcm_stats
+    import pytest as _pt
+
+    # a 1x1 image has 3 bytes -> no +3 pair -> all-zero features
+    df = spark.createDataFrame(
+        [("tiny", bytes([1, 2, 3]), 1, 1, "raw")],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    got = glcm_stats(df).collect()[0]
+    assert (got["n_pairs"], got["contrast"], got["diag_pairs"],
+            got["energy_sq"], got["hom_q"]) == (0, 0, 0, 0, 0)
+    with _pt.raises(ValueError):
+        glcm_stats(df, n_levels=10)
+    with _pt.raises(ValueError):
+        glcm_stats(df, quant=0)
