@@ -7184,3 +7184,71 @@ SELECT format('img{{:08d}}', doc_id) AS image_id,
        CASE WHEN n_pairs > 0 THEN hom_q / (n_pairs * {_GLCM_QUANT}) END AS homogeneity
 FROM feat
 """
+
+
+# --------------------------------------------------------------------------
+# E19 — bivariate (cross-type) Ripley's K (`spatial.cross_ripley_k`):
+# does event class A cluster around class B?  Same ONE-candidate-pass
+# grid topology as ripley_k (×9 probe explode, conditional sums per
+# radius), probe side = A rows, build side = B rows; exact-int pair
+# counts, fixed-order K/L algebra rounded to 6 — DuckDB twin replays
+# the identical candidate join.
+# --------------------------------------------------------------------------
+
+_XK_RADII = (1.25, 1.75, 2.5)  # same ladder as ripley_k (lattice pitch ~1.18)
+_XK_AREA = 360.0 * 160.0
+_XK_G = max(_XK_RADII)
+
+
+def q_cross_k(spark, sf_dir):
+    from gotrackmaster_spark.operators.spatial import cross_ripley_k
+
+    pts = geo_events(spark, sf_dir).select(
+        "event_id", "lat", "lon", (F.col("event_id") % 3 == 0).alias("is_a")
+    )
+    out = cross_ripley_k(pts, list(_XK_RADII), _XK_AREA)
+    return out.select(
+        "r",
+        "n_pairs",
+        F.round(F.col("k_ab"), 6).alias("k_ab"),
+        F.round(F.col("l_ab"), 6).alias("l_ab"),
+    )
+
+
+_XK_COUNTS = ", ".join(
+    f"CAST(coalesce(sum(CASE WHEN d2 <= {r * r!r} THEN 1 ELSE 0 END), 0)"
+    f" AS BIGINT) AS c{i}"
+    for i, r in enumerate(_XK_RADII)
+)
+_XK_LADDER = " UNION ALL ".join(
+    f"SELECT CAST({float(r)!r} AS DOUBLE) AS r, c{i} AS n_pairs, "
+    f"round(CASE WHEN na > 0 AND nb > 0 THEN {_XK_AREA!r} * c{i} / (na * nb) END, 6) AS k_ab, "
+    f"round(CASE WHEN na > 0 AND nb > 0 THEN "
+    f"sqrt({_XK_AREA!r} * c{i} / (na * nb) / 3.141592653589793) END, 6) AS l_ab "
+    f"FROM counts, n_tab"
+    for i, r in enumerate(_XK_RADII)
+)
+
+SQL_CROSS_K = f"""
+WITH {GEO_CTE},
+base AS (
+  SELECT event_id % 3 = 0 AS is_a, lon AS x, lat AS y,
+         CAST(floor(lon / {_XK_G!r}) AS BIGINT) AS cx,
+         CAST(floor(lat / {_XK_G!r}) AS BIGINT) AS cy
+  FROM geo
+),
+off AS (SELECT dx - 1 AS dx, dy - 1 AS dy FROM range(3) t1(dx), range(3) t2(dy)),
+cand AS (
+  SELECT (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+  FROM base a, off o
+  JOIN base b ON b.cx = a.cx + o.dx AND b.cy = a.cy + o.dy
+  WHERE a.is_a AND NOT b.is_a
+),
+counts AS (SELECT {_XK_COUNTS} FROM cand),
+n_tab AS (
+  SELECT CAST(coalesce(sum(CASE WHEN is_a THEN 1 ELSE 0 END), 0) AS BIGINT) AS na,
+         CAST(coalesce(sum(CASE WHEN NOT is_a THEN 1 ELSE 0 END), 0) AS BIGINT) AS nb
+  FROM base
+)
+{_XK_LADDER}
+"""

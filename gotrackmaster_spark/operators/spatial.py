@@ -2351,6 +2351,105 @@ def ripley_k(
     )
 
 
+_bound_xk_cache = make_bounded_cache()  # gridded flagged points (cross-K)
+
+
+def cross_ripley_k(
+    points: DataFrame,
+    radii: list[float],
+    area: float,
+    cat_col: str = "is_a",
+    id_col: str = "event_id",
+    x_col: str = "lon",
+    y_col: str = "lat",
+) -> DataFrame:
+    """Bivariate (cross-type) Ripley's K — does type A cluster AROUND
+    type B, beyond what each pattern does alone?
+
+      K_AB(r) = A · |{(i∈A, j∈B): d_ij ≤ r}| / (n_A · n_B),
+      L_AB(r) = √(K_AB(r)/π)
+
+    for the radius ladder; under independent CSR patterns
+    K_AB(r) ≈ πr², so L_AB(r) − r > 0 flags cross-attraction and < 0
+    repulsion at scale r.  ``cat_col`` is a boolean — TRUE rows are the
+    A (probe) pattern, FALSE rows the B (build) pattern; A↛B pairs are
+    the statistic (i ≠ j is implied: the types are disjoint).
+
+    Plan at scale: identical to :func:`ripley_k` — ONE grid candidate
+    pass at max(radii) pitch (×9 probe explode, equi-join on the cell,
+    conditional sums per radius), candidates O(n · local cross-density),
+    never n_A·n_B.  Pair counts are exact integers, so K is
+    partition-order invariant given fixed-order float division.
+
+    Output: one row per radius — ``(r, n_pairs, k_ab, l_ab)``;
+    k/l are NULL when either pattern is empty.
+    """
+    g = float(max(radii))
+    base = _bound_xk_cache(
+        points.select(
+            F.col(id_col).alias("__id"),
+            F.col(cat_col).cast("boolean").alias("__a"),
+            F.col(x_col).alias("__x"),
+            F.col(y_col).alias("__y"),
+            F.floor(F.col(x_col) / g).cast("long").alias("cx"),
+            F.floor(F.col(y_col) / g).cast("long").alias("cy"),
+        )
+    )
+    n_row = base.agg(
+        F.coalesce(F.sum(F.col("__a").cast("long")), F.lit(0)).alias("n_a"),
+        F.coalesce(F.sum((~F.col("__a")).cast("long")), F.lit(0)).alias("n_b"),
+    )
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+    ])
+    probe = base.filter("__a").withColumn("__o", F.explode(offs)).select(
+        F.col("__x").alias("xa"),
+        F.col("__y").alias("ya"),
+        (F.col("cx") + F.col("__o.dx")).alias("jx"),
+        (F.col("cy") + F.col("__o.dy")).alias("jy"),
+    )
+    build = base.filter(~F.col("__a")).select(
+        F.col("__x").alias("xb"),
+        F.col("__y").alias("yb"),
+        F.col("cx").alias("jx"),
+        F.col("cy").alias("jy"),
+    )
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    cand = probe.join(build, ["jx", "jy"])
+    counts = cand.agg(*[
+        F.coalesce(
+            F.sum((d2 <= F.lit(float(r) * float(r))).cast("long")), F.lit(0)
+        ).alias(f"__c{i}")
+        for i, r in enumerate(radii)
+    ])
+    ladder = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(float(r)).alias("r"), F.col(f"__c{i}").alias("n_pairs")
+            )
+            for i, r in enumerate(radii)
+        ])
+    )
+    # 1-row × 1-row scalar join (the ripley_k BNLJ-allowlisted shape)
+    out = counts.crossJoin(F.broadcast(n_row)).select(
+        ladder.alias("__l"), F.col("n_a"), F.col("n_b")
+    )
+    guard = (F.col("n_a") > 0) & (F.col("n_b") > 0)
+    k_ab = (
+        F.lit(float(area)) * F.col("__l.n_pairs") / (F.col("n_a") * F.col("n_b"))
+    )
+    return out.select(
+        F.col("__l.r").alias("r"),
+        F.col("__l.n_pairs").alias("n_pairs"),
+        F.when(guard, k_ab).alias("k_ab"),
+        F.when(guard, F.sqrt(k_ab / F.lit(math.pi))).alias("l_ab"),
+    )
+
+
 _bound_ce_cache = make_bounded_cache()  # gridded points (Clark-Evans NN)
 _bound_gfn_cache = make_bounded_cache()  # gridded points (G-function NN)
 _bound_quadrat_cache = make_bounded_cache()  # flagged quadrat points

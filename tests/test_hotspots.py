@@ -1256,3 +1256,81 @@ def test_quadrat_test_degenerate_and_validation(spark):
         quadrat_test(df, 300, 1000, 900)    # window not a whole cell count
     with _pt.raises(ValueError):
         quadrat_test(df, 1000, 1000, 1000)  # single quadrat: no variance
+
+
+def _xk(spark, pts, radii, area):
+    from gotrackmaster_spark.operators.spatial import cross_ripley_k
+
+    df = spark.createDataFrame(
+        pts, "event_id long, lon double, lat double, is_a boolean"
+    )
+    rows = cross_ripley_k(df, radii, area).collect()
+    return {r["r"]: (r["n_pairs"], r["k_ab"], r["l_ab"]) for r in rows}
+
+
+def test_cross_k_brute_force(spark):
+    import math as m
+    import random
+
+    rnd = random.Random(71)
+    pts = [
+        (i, rnd.uniform(0, 50), rnd.uniform(0, 50), i % 3 == 0)
+        for i in range(240)
+    ]
+    radii, area = [2.0, 4.0, 8.0], 2500.0
+    got = _xk(spark, pts, radii, area)
+    a = [(x, y) for _, x, y, f in pts if f]
+    b = [(x, y) for _, x, y, f in pts if not f]
+    for r in radii:
+        n_pairs = sum(
+            1
+            for ax, ay in a
+            for bx, by in b
+            if (ax - bx) ** 2 + (ay - by) ** 2 <= r * r
+        )
+        k = area * n_pairs / (len(a) * len(b))
+        assert got[r][0] == n_pairs
+        assert abs(got[r][1] - k) < 1e-9
+        assert abs(got[r][2] - m.sqrt(k / m.pi)) < 1e-9
+
+
+def test_cross_k_discriminates_attraction_repulsion(spark):
+    # attraction: every A point sits 0.1 away from a B point
+    att = []
+    for i in range(100):
+        bx, by = (i % 10) * 10.0 + 3.0, (i // 10) * 10.0 + 3.0
+        att.append((2 * i, bx, by, False))
+        att.append((2 * i + 1, bx + 0.1, by, True))
+    # repulsion: A on one side of the window, B on the other
+    rep = [(i, (i % 10) * 1.0, (i // 10) * 1.0, True) for i in range(100)] + [
+        (100 + i, 80.0 + (i % 10) * 1.0, 80.0 + (i // 10) * 1.0, False)
+        for i in range(100)
+    ]
+    area = 100.0 * 100.0
+    k_att = _xk(spark, att, [1.0], area)[1.0]
+    k_rep = _xk(spark, rep, [1.0], area)[1.0]
+    import math as m
+
+    csr_k = m.pi * 1.0  # K under independence at r=1
+    assert k_att[1] > 10 * csr_k     # strong cross-attraction
+    assert k_rep == (0, 0.0, 0.0)    # total separation
+
+
+def test_cross_k_empty_side_and_symmetry_of_counts(spark):
+    # all points are A -> no B side: NULL k/l, zero pairs
+    pts = [(i, float(i), 0.0, True) for i in range(5)]
+    got = _xk(spark, pts, [1.0, 2.0], 25.0)
+    assert got[1.0] == (0, None, None) and got[2.0] == (0, None, None)
+    # A->B pair count equals B->A pair count with flags inverted
+    import random
+
+    rnd = random.Random(9)
+    pts = [
+        (i, rnd.uniform(0, 20), rnd.uniform(0, 20), i % 2 == 0)
+        for i in range(80)
+    ]
+    inv = [(i, x, y, not f) for i, x, y, f in pts]
+    assert (
+        _xk(spark, pts, [3.0], 400.0)[3.0][0]
+        == _xk(spark, inv, [3.0], 400.0)[3.0][0]
+    )
