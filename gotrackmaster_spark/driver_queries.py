@@ -7252,3 +7252,50 @@ n_tab AS (
 )
 {_XK_LADDER}
 """
+
+
+# --------------------------------------------------------------------------
+# E20 — Theil-Sen slopes (`spatial.theil_sen_slopes`): the robust
+# trend-magnitude companion to trend_cells, on the SAME per-cell daily
+# occupancy series.  Pairwise slopes are single long/long divisions,
+# the median is rank-select — bit-deterministic; the DuckDB twin
+# replays the identical pair join + order statistics.
+# --------------------------------------------------------------------------
+
+
+def q_theil_sen(spark, sf_dir):
+    from gotrackmaster_spark.operators.spatial import theil_sen_slopes
+
+    geo = geo_events(spark, sf_dir)
+    occ = geo.groupBy(
+        F.floor(F.col("lon") / _TREND_G).cast("long").alias("gx"),
+        F.floor(F.col("lat") / _TREND_G).cast("long").alias("gy"),
+        F.expr(f"unix_micros(CAST(ts AS timestamp)) DIV {_US_PER_DAY}").alias("t"),
+    ).agg(F.count("*").alias("cnt"))
+    return theil_sen_slopes(occ)
+
+
+SQL_THEIL_SEN = f"""
+WITH {GEO_CTE},
+occ AS (
+  SELECT CAST(floor(lon / {_TREND_G}) AS BIGINT) AS gx,
+         CAST(floor(lat / {_TREND_G}) AS BIGINT) AS gy,
+         epoch_us(ts) // {_US_PER_DAY} AS t,
+         count(*) AS cnt
+  FROM geo GROUP BY 1, 2, 3
+),
+pairs AS (
+  SELECT a.gx, a.gy, (b.cnt - a.cnt) / (b.t - a.t) AS s
+  FROM occ a JOIN occ b ON a.gx = b.gx AND a.gy = b.gy AND a.t < b.t
+),
+ranked AS (
+  SELECT gx, gy, s,
+         row_number() OVER (PARTITION BY gx, gy ORDER BY s) AS rn,
+         count(*) OVER (PARTITION BY gx, gy) AS n
+  FROM pairs
+)
+SELECT gx, gy, CAST(max(n) AS BIGINT) AS n_pairs,
+       (min(CASE WHEN rn = (n + 1) // 2 THEN s END)
+        + min(CASE WHEN rn = n // 2 + 1 THEN s END)) / CAST(2.0 AS DOUBLE) AS slope
+FROM ranked GROUP BY gx, gy
+"""

@@ -1801,6 +1801,84 @@ def mann_kendall_trends(occupancy: DataFrame) -> DataFrame:
     return out.withColumn("trend", trend)
 
 
+_bound_ts_cache = make_bounded_cache()  # binned counts (Theil-Sen)
+
+
+def theil_sen_slopes(occupancy: DataFrame) -> DataFrame:
+    """Theil-Sen slope estimator per grid cell over a binned count
+    series — the robust slope companion to :func:`mann_kendall_trends`
+    (MK says WHETHER a monotonic trend exists; Theil-Sen says HOW
+    steep, immune to up to ~29 % outlier bins):
+
+      slope = median_{i<j} (cnt_j − cnt_i) / (t_j − t_i)
+
+    Determinism: every pairwise slope is ONE long/long division (IEEE
+    exactly rounded — bit-identical in any engine) and the median is
+    RANK-SELECT — the order statistics at ``(n+1) DIV 2`` and
+    ``n DIV 2 + 1`` averaged — never a float accumulation, so the
+    output is partition-order invariant and a DuckDB twin replays it
+    bit-for-bit.
+
+    Plan at scale: the pair enumeration is the :func:`mann_kendall_trends`
+    shape — a self-join of per-cell binned counts on the cell key,
+    bounded by T²/2 per cell (T = time bins), never points²; the median
+    is one window (rank + count) over each cell's pair set, partitioned
+    on the same key the join just shuffled on, so no extra exchange.
+    The binned counts feed both self-join sides → bounded-lifetime
+    cached (the points-scale aggregation runs once).
+
+    Output: ``(gx, gy, n_pairs, slope)`` — one row per cell with ≥ 2
+    distinct time bins (a single-bin cell has no pair, hence no slope).
+    """
+    from pyspark.sql import Window
+
+    occ = _bound_ts_cache(occupancy.select("gx", "gy", "t", "cnt"))
+    a = occ.select("gx", "gy", F.col("t").alias("t1"), F.col("cnt").alias("c1"))
+    b = occ.select("gx", "gy", F.col("t").alias("t2"), F.col("cnt").alias("c2"))
+    pairs = (
+        a.join(b, ["gx", "gy"])
+        .filter(F.col("t1") < F.col("t2"))
+        .select(
+            "gx",
+            "gy",
+            (
+                (F.col("c2") - F.col("c1")) / (F.col("t2") - F.col("t1"))
+            ).alias("__s"),
+        )
+    )
+    w = Window.partitionBy("gx", "gy")
+    ranked = pairs.select(
+        "gx",
+        "gy",
+        "__s",
+        F.row_number().over(w.orderBy("__s")).alias("__rn"),
+        F.count("*").over(w).alias("__n"),
+    )
+    # rank-select median: order stats at (n+1) DIV 2 and n DIV 2 + 1
+    return (
+        ranked.groupBy("gx", "gy")
+        .agg(
+            F.max("__n").alias("n_pairs"),
+            F.min(
+                F.when(
+                    F.col("__rn") == F.floor((F.col("__n") + 1) / 2), F.col("__s")
+                )
+            ).alias("__lo"),
+            F.min(
+                F.when(
+                    F.col("__rn") == F.floor(F.col("__n") / 2) + 1, F.col("__s")
+                )
+            ).alias("__hi"),
+        )
+        .select(
+            "gx",
+            "gy",
+            "n_pairs",
+            ((F.col("__lo") + F.col("__hi")) / F.lit(2.0)).alias("slope"),
+        )
+    )
+
+
 def emerging_hotspots(occupancy: DataFrame, hot_z: float = 1.96) -> DataFrame:
     """Emerging hotspot analysis — the capstone composite of the
     spatial-statistics suite (the ESRI space-time-cube workflow): a

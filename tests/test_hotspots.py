@@ -1334,3 +1334,56 @@ def test_cross_k_empty_side_and_symmetry_of_counts(spark):
         _xk(spark, pts, [3.0], 400.0)[3.0][0]
         == _xk(spark, inv, [3.0], 400.0)[3.0][0]
     )
+
+
+def _ts(spark, rows):
+    from gotrackmaster_spark.operators.spatial import theil_sen_slopes
+
+    df = spark.createDataFrame(rows, "gx long, gy long, t long, cnt long")
+    return {
+        (r["gx"], r["gy"]): (r["n_pairs"], r["slope"])
+        for r in theil_sen_slopes(df).collect()
+    }
+
+
+def _ts_brute(series):
+    slopes = sorted(
+        (c2 - c1) / (t2 - t1)
+        for i, (t1, c1) in enumerate(series)
+        for t2, c2 in series[i + 1:]
+    )
+    n = len(slopes)
+    return n, (slopes[(n + 1) // 2 - 1] + slopes[n // 2]) / 2.0
+
+
+def test_theil_sen_brute_force(spark):
+    import random
+
+    rnd = random.Random(37)
+    rows, expected = [], {}
+    for cell in range(8):
+        t_bins = sorted(rnd.sample(range(60), rnd.randrange(2, 14)))
+        series = [(t, rnd.randrange(0, 50)) for t in t_bins]
+        rows += [(cell, 0, t, c) for t, c in series]
+        expected[(cell, 0)] = _ts_brute(series)
+    got = _ts(spark, rows)
+    assert set(got) == set(expected)
+    for cell, (n, med) in expected.items():
+        assert got[cell][0] == n
+        assert abs(got[cell][1] - med) < 1e-12
+
+
+def test_theil_sen_robust_to_outliers_and_exact_lines(spark):
+    # exact line cnt = 3t + 2 -> slope exactly 3.0
+    line = [(0, 0, t, 3 * t + 2) for t in range(10)]
+    got = _ts(spark, line)
+    assert got[(0, 0)] == (45, 3.0)
+    # one wild outlier bin must not move the median slope much
+    spiked = line[:-1] + [(0, 0, 9, 1000)]
+    n, med = _ts(spark, spiked)[(0, 0)]
+    assert n == 45 and abs(med - 3.0) < 1.0
+    # a single-bin cell yields no pair -> no output row
+    assert (1, 1) not in _ts(spark, line + [(1, 1, 5, 7)])
+    # two-bin cell: the lone pairwise slope IS the median
+    got = _ts(spark, [(2, 2, 0, 10), (2, 2, 4, 2)])
+    assert got[(2, 2)] == (1, -2.0)
