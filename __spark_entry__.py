@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_glcm": _wrap(Q.q_image_glcm),
         "cross_k": _wrap(Q.q_cross_k),
         "theil_sen": _wrap(Q.q_theil_sen),
+        "image_moments": _wrap(Q.q_image_moments),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
         # interval_events were driver-green in r02; the r03 changes
@@ -279,6 +280,7 @@ def oracle_sql() -> dict[str, str]:
         "image_glcm": Q.SQL_IMAGE_GLCM,
         "cross_k": Q.SQL_CROSS_K,
         "theil_sen": Q.SQL_THEIL_SEN,
+        "image_moments": Q.SQL_IMAGE_MOMENTS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,
         "dwell_cells": Q.SQL_DWELL_CELLS,

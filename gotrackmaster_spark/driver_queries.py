@@ -7299,3 +7299,94 @@ SELECT gx, gy, CAST(max(n) AS BIGINT) AS n_pairs,
         + min(CASE WHEN rn = n // 2 + 1 THEN s END)) / CAST(2.0 AS DOUBLE) AS slope
 FROM ranked GROUP BY gx, gy
 """
+
+
+# --------------------------------------------------------------------------
+# E7g — per-image luma spatial moments (`images.image_moments`): the
+# shape/centroid leg over the REAL decode chain — six exact-int64 raw
+# moments m_pq (p+q ≤ 2) of the integer luma plane, plus fixed-order
+# float conveniences (centroid, central moments, anisotropy — pure
+# +,−,×,÷, no transcendentals, so both engines agree bit-for-bit).
+# The DuckDB twin replays luma and the moment sums from the
+# closed-form pixel generator at per-channel flat indices 3j, 3j+1,
+# 3j+2.
+# --------------------------------------------------------------------------
+
+
+def _mom_pix_at(e: str) -> str:
+    p = f"((doc_id * 31 + ({e}) * 2654435761) % 256)"
+    return f"(CASE WHEN doc_id % 3 = 2 THEN {p} - {p} % 4 ELSE {p} END)"
+
+
+def q_image_moments(spark, sf_dir):
+    from gotrackmaster_spark.operators.images import image_moments, synthesize_images
+
+    imgs = synthesize_images(spark, sf_dir, w=_IMG_W, h=_IMG_H)
+    st = image_moments(imgs)
+    xc = F.col("m10") / F.col("m00")
+    yc = F.col("m01") / F.col("m00")
+    mu20 = F.col("m20") - xc * F.col("m10")
+    mu02 = F.col("m02") - yc * F.col("m01")
+    mu11 = F.col("m11") - xc * F.col("m01")
+    den = (mu20 + mu02) * (mu20 + mu02)
+    num = (mu20 - mu02) * (mu20 - mu02) + F.lit(4.0) * (mu11 * mu11)
+    g0 = F.col("m00") > 0
+    return st.select(
+        "image_id",
+        "fmt",
+        "m00",
+        "m10",
+        "m01",
+        "m20",
+        "m02",
+        "m11",
+        F.when(g0, xc).alias("xc"),
+        F.when(g0, yc).alias("yc"),
+        F.when(g0, mu20).alias("mu20"),
+        F.when(g0, mu02).alias("mu02"),
+        F.when(g0, mu11).alias("mu11"),
+        F.when(g0 & (den > 0), num / den).alias("anisotropy"),
+    )
+
+
+_MOM_XC = "(m10 / m00)"
+_MOM_YC = "(m01 / m00)"
+_MOM_MU20 = f"(m20 - {_MOM_XC} * m10)"
+_MOM_MU02 = f"(m02 - {_MOM_YC} * m01)"
+_MOM_MU11 = f"(m11 - {_MOM_XC} * m01)"
+_MOM_DEN = f"(({_MOM_MU20} + {_MOM_MU02}) * ({_MOM_MU20} + {_MOM_MU02}))"
+_MOM_NUM = (
+    f"(({_MOM_MU20} - {_MOM_MU02}) * ({_MOM_MU20} - {_MOM_MU02})"
+    f" + CAST(4.0 AS DOUBLE) * ({_MOM_MU11} * {_MOM_MU11}))"
+)
+
+SQL_IMAGE_MOMENTS = f"""
+WITH lum AS (
+  SELECT doc_id, j % {_IMG_W} AS x, j // {_IMG_W} AS y,
+         (299 * {_mom_pix_at('j * 3')}
+          + 587 * {_mom_pix_at('j * 3 + 1')}
+          + 114 * {_mom_pix_at('j * 3 + 2')}) // 1000 AS l
+  FROM documents, range({_IMG_W * _IMG_H}) t(j)
+),
+feat AS (
+  SELECT doc_id,
+         CAST(sum(l) AS BIGINT) AS m00,
+         CAST(sum(x * l) AS BIGINT) AS m10,
+         CAST(sum(y * l) AS BIGINT) AS m01,
+         CAST(sum(x * x * l) AS BIGINT) AS m20,
+         CAST(sum(y * y * l) AS BIGINT) AS m02,
+         CAST(sum(x * y * l) AS BIGINT) AS m11
+  FROM lum GROUP BY doc_id
+)
+SELECT format('img{{:08d}}', doc_id) AS image_id,
+       ['raw', 'png', 'qnt4'][CAST(doc_id % 3 AS INT) + 1] AS fmt,
+       m00, m10, m01, m20, m02, m11,
+       CASE WHEN m00 > 0 THEN {_MOM_XC} END AS xc,
+       CASE WHEN m00 > 0 THEN {_MOM_YC} END AS yc,
+       CASE WHEN m00 > 0 THEN {_MOM_MU20} END AS mu20,
+       CASE WHEN m00 > 0 THEN {_MOM_MU02} END AS mu02,
+       CASE WHEN m00 > 0 THEN {_MOM_MU11} END AS mu11,
+       CASE WHEN m00 > 0 AND {_MOM_DEN} > 0
+            THEN {_MOM_NUM} / {_MOM_DEN} END AS anisotropy
+FROM feat
+"""

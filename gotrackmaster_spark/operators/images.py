@@ -507,6 +507,83 @@ def glcm_stats(
     return images.mapInPandas(stats, schema)
 
 
+def image_moments(images: DataFrame) -> DataFrame:
+    """Per-image raw spatial moments of the luma plane from ONE decode
+    pass — the shape/centroid leg of the image feature extractor
+    (centroid, spread and orientation all derive from these six sums):
+
+      m_pq = Σ_{x,y} x^p · y^q · luma(x, y),  (p+q) ≤ 2
+
+    with ``luma = (299R + 587G + 114B) DIV 1000`` — the same integer
+    luma as :func:`phash64_batch` — so every moment is an EXACT int64
+    (for 255-luma images up to ~1500×1500 m11 stays < 2⁶³) and a
+    DuckDB oracle replays them bit-for-bit from the closed-form pixel
+    generator.  The float conveniences (centroid x̄ = m10/m00, central
+    moments μ20 = m20 − x̄·m10 …, anisotropy) are fixed-order scalar
+    divisions left to the caller — see ``q_image_moments``.
+
+    Plan at scale: one ``mapInPandas`` over Arrow batches (vectorized
+    dot products against precomputed coordinate vectors; png decodes
+    per row like :func:`decode_stats`); output is ~60 B/row.
+    """
+
+    def _features(flat: np.ndarray, w: int, h: int) -> dict:
+        """flat: (B, 3wh) int64 interleaved RGB rows."""
+        b = flat.shape[0]
+        px = flat.reshape(b, h * w, 3)
+        luma = (299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]) // 1000
+        idx = np.arange(h * w, dtype=np.int64)
+        x, y = idx % w, idx // w
+        return {
+            "m00": luma.sum(axis=1),
+            "m10": luma @ x,
+            "m01": luma @ y,
+            "m20": luma @ (x * x),
+            "m02": luma @ (y * y),
+            "m11": luma @ (x * y),
+        }
+
+    cols = ["m00", "m10", "m01", "m20", "m02", "m11"]
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            n_rows = len(pdf)
+            acc = {c: np.zeros(n_rows, dtype=np.int64) for c in cols}
+            fmts = pdf["fmt"].to_numpy()
+            # vectorized path requires uniform (w, h) within a stack —
+            # group on (fmt, w, h) so mixed-size tables stay correct
+            keys = list(zip(fmts, pdf["w"].to_numpy(), pdf["h"].to_numpy()))
+            for grp in set(keys):
+                idx = np.array([i for i, k in enumerate(keys) if k == grp])
+                sub = pdf.iloc[idx]
+                fmt, w, h = grp
+                if fmt in ("raw", "qnt4"):
+                    flat = np.stack(
+                        [np.frombuffer(b, dtype=np.uint8) for b in sub["bytes"]]
+                    ).astype(np.int64)
+                    feats = _features(flat, int(w), int(h))
+                    for c in cols:
+                        acc[c][idx] = feats[c]
+                else:
+                    for j, r in zip(idx, sub.itertuples(index=False)):
+                        px = decode_image(r.bytes, r.w, r.h, r.fmt)
+                        feats = _features(
+                            px.reshape(1, -1).astype(np.int64), int(r.w), int(r.h)
+                        )
+                        for c in cols:
+                            acc[c][j] = feats[c][0]
+            out = {"image_id": pdf["image_id"].to_numpy(), "fmt": fmts}
+            out.update(acc)
+            yield pd.DataFrame(out)
+
+    schema = "image_id string, fmt string, " + ", ".join(
+        f"{c} long" for c in cols
+    )
+    return images.mapInPandas(stats, schema)
+
+
 def phash_near_dups(images: DataFrame, max_hamming: int = 10) -> DataFrame:
     """Near-duplicate images by phash Hamming distance — chunked band join
     (pigeonhole over max_hamming+1 chunks), same shape as SimHash dedup.

@@ -368,3 +368,69 @@ def test_glcm_degenerate_and_validation(spark):
         glcm_stats(df, n_levels=10)
     with _pt.raises(ValueError):
         glcm_stats(df, quant=0)
+
+
+def test_image_moments_brute_force_all_formats(spark):
+    """Six raw luma moments must equal a per-image Python replay of the
+    decoded pixels for raw, png and qnt4 payloads alike."""
+    from gotrackmaster_spark.operators.images import (
+        decode_image,
+        image_moments,
+        synthesize_images,
+    )
+
+    imgs = synthesize_images(spark, SF_DIR).limit(9).cache()
+    rows = {r["image_id"]: r for r in imgs.collect()}
+    got = {r["image_id"]: r for r in image_moments(imgs).collect()}
+    assert set(got) == set(rows)
+    for iid, src in rows.items():
+        px = decode_image(src.bytes, src.w, src.h, src.fmt).astype(int)
+        exp = {"m00": 0, "m10": 0, "m01": 0, "m20": 0, "m02": 0, "m11": 0}
+        for y in range(src.h):
+            for x in range(src.w):
+                r, g, b = px[y, x]
+                l = (299 * r + 587 * g + 114 * b) // 1000
+                exp["m00"] += l
+                exp["m10"] += x * l
+                exp["m01"] += y * l
+                exp["m20"] += x * x * l
+                exp["m02"] += y * y * l
+                exp["m11"] += x * y * l
+        for k, v in exp.items():
+            assert got[iid][k] == v, (iid, k)
+    imgs.unpersist()
+
+
+def test_image_moments_centroid_and_mixed_sizes(spark):
+    """A single bright pixel puts the centroid exactly on it; mixed
+    (w, h) rows in one batch must not cross-contaminate."""
+    from gotrackmaster_spark.operators.images import image_moments
+
+    w1, h1 = 8, 4
+    a = np.zeros((h1, w1, 3), dtype=np.uint8)
+    a[2, 5] = 255  # luma (299+587+114)*255//1000 = 255 exactly
+    w2, h2 = 4, 4
+    b = np.full((h2, w2, 3), 10, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [
+            ("dot", a.tobytes(), w1, h1, "raw"),
+            ("flat", b.tobytes(), w2, h2, "raw"),
+        ],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    got = {r["image_id"]: r for r in image_moments(df).collect()}
+    d = got["dot"]
+    assert (d["m00"], d["m10"], d["m01"]) == (255, 5 * 255, 2 * 255)
+    assert (d["m20"], d["m02"], d["m11"]) == (25 * 255, 4 * 255, 10 * 255)
+    f = got["flat"]
+    # uniform image: centroid at the exact coordinate mean
+    assert f["m10"] / f["m00"] == sum(range(w2)) / w2
+    assert f["m01"] / f["m00"] == sum(range(h2)) / h2
+    # all-black image: zero mass
+    z = np.zeros((2, 2, 3), dtype=np.uint8)
+    df0 = spark.createDataFrame(
+        [("black", z.tobytes(), 2, 2, "raw")],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    g0 = image_moments(df0).collect()[0]
+    assert all(g0[k] == 0 for k in ("m00", "m10", "m01", "m20", "m02", "m11"))
