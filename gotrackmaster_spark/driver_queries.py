@@ -7390,3 +7390,69 @@ SELECT format('img{{:08d}}', doc_id) AS image_id,
             THEN {_MOM_NUM} / {_MOM_DEN} END AS anisotropy
 FROM feat
 """
+
+
+# --------------------------------------------------------------------------
+# E21 — movement-direction rose (`spatial.movement_rose`): per-user
+# consecutive-leg headings classified into 8 octants with PURE integer
+# comparisons (no atan2 — not bit-pinned across engines) over the
+# fixed-point event lattice; exact-int counts / Σd², one lag window +
+# one ≤9-group aggregate.  DuckDB twin replays the identical CASE arm
+# order.
+# --------------------------------------------------------------------------
+
+
+def q_movement_rose(spark, sf_dir):
+    from gotrackmaster_spark.operators.spatial import movement_rose
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        ((F.col("event_id") * F.lit(2654435761)) % 1600000).alias("x"),
+        ((F.col("event_id") * 40503 + 7) % 3600000).alias("y"),
+    )
+    return movement_rose(pts)
+
+
+SQL_MOVEMENT_ROSE = """
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         (event_id * 2654435761) % 1600000 AS x,
+         (event_id * 40503 + 7) % 3600000 AS y
+  FROM events
+),
+legs AS (
+  SELECT x - lag(x) OVER w AS dx, y - lag(y) OVER w AS dy
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sec AS (
+  SELECT CASE
+           WHEN dx = 0 AND dy = 0 THEN CAST(NULL AS INT)
+           WHEN dx > 0 AND dy >= 0 AND dy < dx THEN 0
+           WHEN dy > 0 AND dx > 0 AND dx <= dy THEN 1
+           WHEN dy > 0 AND dx <= 0 AND -dx < dy THEN 2
+           WHEN dx < 0 AND dy > 0 AND dy <= -dx THEN 3
+           WHEN dx < 0 AND dy <= 0 AND -dy < -dx THEN 4
+           WHEN dy < 0 AND dx < 0 AND -dx <= -dy THEN 5
+           WHEN dy < 0 AND dx >= 0 AND dx < -dy THEN 6
+           ELSE 7
+         END AS sector,
+         dx * dx + dy * dy AS d2
+  FROM legs WHERE dx IS NOT NULL AND dy IS NOT NULL
+),
+per AS (
+  SELECT sector, CAST(count(*) AS BIGINT) AS n_legs,
+         CAST(sum(d2) AS BIGINT) AS sum_d2
+  FROM sec GROUP BY sector
+)
+SELECT sector,
+       CASE WHEN sector IS NULL THEN 'none'
+            ELSE ['E', 'NE', 'N', 'NW', 'W', 'SW', 'S', 'SE'][sector + 1]
+       END AS label,
+       n_legs, sum_d2,
+       n_legs / sum(n_legs) OVER () AS share
+FROM per
+"""

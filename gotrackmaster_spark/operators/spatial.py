@@ -2429,6 +2429,85 @@ def ripley_k(
     )
 
 
+_ROSE_LABELS = ["E", "NE", "N", "NW", "W", "SW", "S", "SE"]
+
+
+def octant_sector(dx, dy):
+    """8-way direction sector of an INTEGER displacement by pure
+    comparisons — deliberately NO atan2 (transcendental boundary
+    values are not bit-pinned across engines, integer comparisons
+    are).  Sector k covers bearings [45k°, 45k°+45°) CCW from +x;
+    labels name each octant's START bearing (0=E 1=NE 2=N 3=NW 4=W
+    5=SW 6=S 7=SE); NULL for the zero displacement.  The CASE arms are
+    mutually exclusive and exhaustive over nonzero (dx, dy) — axis and
+    diagonal boundaries land in the octant they open (half-open
+    contract), so a DuckDB twin with the same arm order agrees on
+    every leg."""
+    return (
+        F.when((dx == 0) & (dy == 0), F.lit(None).cast("int"))
+        .when((dx > 0) & (dy >= 0) & (dy < dx), F.lit(0))
+        .when((dy > 0) & (dx > 0) & (dx <= dy), F.lit(1))
+        .when((dy > 0) & (dx <= 0) & (-dx < dy), F.lit(2))
+        .when((dx < 0) & (dy > 0) & (dy <= -dx), F.lit(3))
+        .when((dx < 0) & (dy <= 0) & (-dy < -dx), F.lit(4))
+        .when((dy < 0) & (dx < 0) & (-dx <= -dy), F.lit(5))
+        .when((dy < 0) & (dx >= 0) & (dx < -dy), F.lit(6))
+        .otherwise(F.lit(7))
+    )
+
+
+def movement_rose(
+    points: DataFrame,
+    user_col: str = "user_id",
+    order_cols: tuple = ("ts", "event_id"),
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Movement-direction rose — the trajectory-heading distribution
+    over consecutive per-user displacement legs, classified into the
+    eight :func:`octant_sector` octants entirely with integer
+    comparisons (bit-exact in any engine; the usual atan2 rose is
+    not).  Zero-displacement legs form their own ``none`` row.
+
+    Plan at scale: ONE lag window per user (the ``leg_haversine``
+    shuffle — points exchange once on the user key) feeding ONE
+    map-side-combinable ≤9-group aggregate; the share normalisation is
+    a window over the 9-row result, not the data.  ``n_legs`` and
+    ``sum_d2`` are exact int64 (contract: Σ d² < 2⁶³ — at 10⁹ legs
+    keep coordinates ≲ 10⁶ units); ``share`` is one long/long
+    division.
+
+    Output: ``(sector, label, n_legs, sum_d2, share)`` — one row per
+    octant that actually occurs (plus ``none`` if any zero leg).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(*[F.col(c) for c in order_cols])
+    legs = points.select(
+        (F.col(x_col) - F.lag(x_col).over(w)).alias("dx"),
+        (F.col(y_col) - F.lag(y_col).over(w)).alias("dy"),
+    ).filter(F.col("dx").isNotNull() & F.col("dy").isNotNull())
+    d2 = F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy")
+    per = (
+        legs.select(octant_sector(F.col("dx"), F.col("dy")).alias("sector"), d2.alias("__d2"))
+        .groupBy("sector")
+        .agg(F.count("*").alias("n_legs"), F.sum("__d2").alias("sum_d2"))
+    )
+    wall = Window.partitionBy()  # ≤9 rows: the share normaliser
+    label = F.when(F.col("sector").isNull(), F.lit("none")).otherwise(
+        F.element_at(
+            F.array(*[F.lit(s) for s in _ROSE_LABELS]), F.col("sector") + 1
+        )
+    )
+    return per.select(
+        "sector",
+        label.alias("label"),
+        "n_legs",
+        "sum_d2",
+        (F.col("n_legs") / F.sum("n_legs").over(wall)).alias("share"),
+    )
+
+
 _bound_xk_cache = make_bounded_cache()  # gridded flagged points (cross-K)
 
 

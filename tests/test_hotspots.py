@@ -1387,3 +1387,59 @@ def test_theil_sen_robust_to_outliers_and_exact_lines(spark):
     # two-bin cell: the lone pairwise slope IS the median
     got = _ts(spark, [(2, 2, 0, 10), (2, 2, 4, 2)])
     assert got[(2, 2)] == (1, -2.0)
+
+
+def test_octant_sector_agrees_with_atan2(spark):
+    """The comparison-only octant must match floor(atan2/45°) for every
+    displacement off the ambiguous boundaries, and place boundaries in
+    the octant they open (half-open contract)."""
+    import math as m
+
+    from pyspark.sql import functions as F
+    from gotrackmaster_spark.operators.spatial import octant_sector
+
+    disp = [
+        (dx, dy)
+        for dx in range(-4, 5)
+        for dy in range(-4, 5)
+        if (dx, dy) != (0, 0)
+    ]
+    df = spark.createDataFrame(disp, "dx long, dy long")
+    got = {
+        (r["dx"], r["dy"]): r["sec"]
+        for r in df.select(
+            "dx", "dy", octant_sector(F.col("dx"), F.col("dy")).alias("sec")
+        ).collect()
+    }
+    for dx, dy in disp:
+        ang = m.degrees(m.atan2(dy, dx)) % 360.0
+        assert got[(dx, dy)] == int(ang // 45.0) % 8, (dx, dy, ang)
+    # zero displacement -> NULL
+    from pyspark.sql import functions as F  # noqa: F811
+    z = spark.createDataFrame([(0, 0)], "dx long, dy long")
+    assert z.select(octant_sector(F.col("dx"), F.col("dy")).alias("s")).collect()[0]["s"] is None
+
+
+def test_movement_rose_counts_and_shares(spark):
+    from gotrackmaster_spark.operators.spatial import movement_rose
+
+    # one user walking E, E, N, zero, SW-diagonal: legs are consecutive
+    # deltas of this path
+    path = [(0, 0), (5, 0), (9, 1), (9, 7), (9, 7), (5, 3)]
+    rows = [("u1", i, i, x, y) for i, (x, y) in enumerate(path)]
+    df = spark.createDataFrame(rows, "user_id string, ts long, event_id long, x long, y long")
+    got = {r["label"]: (r["n_legs"], r["sum_d2"], r["share"]) for r in movement_rose(df).collect()}
+    # legs: (5,0)->E, (4,1)->E, (0,6)->N, (0,0)->none, (-4,-4)->SW
+    assert got["E"] == (2, 25 + 17, 0.4)
+    assert got["N"] == (1, 36, 0.2)
+    assert got["SW"] == (1, 32, 0.2)
+    assert got["none"] == (1, 0, 0.2)
+    assert set(got) == {"E", "N", "SW", "none"}
+    # shares sum to 1
+    assert abs(sum(v[2] for v in got.values()) - 1.0) < 1e-12
+    # legs never cross users: two single-point users yield no legs
+    df2 = spark.createDataFrame(
+        [("a", 0, 0, 0, 0), ("b", 1, 1, 100, 100)],
+        "user_id string, ts long, event_id long, x long, y long",
+    )
+    assert movement_rose(df2).count() == 0
