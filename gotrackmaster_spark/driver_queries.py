@@ -7456,3 +7456,81 @@ SELECT sector,
        n_legs / sum(n_legs) OVER () AS share
 FROM per
 """
+
+
+# --------------------------------------------------------------------------
+# E22 — gravity-model O-D residuals (`spatial.gravity_residuals`):
+# which corridors out/under-perform the size×distance expectation?
+# Flows = per-user first→last 15° cell transitions (the od_matrix
+# extraction on the trend grid); margins broadcast back, one scalar
+# normaliser over OBSERVED pairs only (never n_cells²); exact-int
+# weights/margins, fixed-order float residuals — DuckDB-exact.
+# --------------------------------------------------------------------------
+
+_GRAV_QUANT = 10**6
+
+
+def q_gravity_od(spark, sf_dir):
+    from gotrackmaster_spark.operators.spatial import gravity_residuals
+
+    geo = geo_events(spark, sf_dir)
+    od = geo.groupBy("user_id").agg(
+        F.min(F.struct("ts", "event_id", "lat", "lon")).alias("o"),
+        F.max(F.struct("ts", "event_id", "lat", "lon")).alias("d"),
+    )
+    flows = (
+        od.select(
+            F.floor(F.col("o.lon") / _TREND_G).cast("long").alias("o_gx"),
+            F.floor(F.col("o.lat") / _TREND_G).cast("long").alias("o_gy"),
+            F.floor(F.col("d.lon") / _TREND_G).cast("long").alias("d_gx"),
+            F.floor(F.col("d.lat") / _TREND_G).cast("long").alias("d_gy"),
+        )
+        .groupBy("o_gx", "o_gy", "d_gx", "d_gy")
+        .agg(F.count("*").alias("flow"))
+    )
+    return gravity_residuals(flows, _GRAV_QUANT)
+
+
+_GRAV_NUM = "((j.o_tot * j.d_tot) * j.w_q)"
+_GRAV_EXP = f"(CAST(t_tot AS DOUBLE) * {_GRAV_NUM}) / den"
+
+SQL_GRAVITY_OD = f"""
+WITH {GEO_CTE},
+ranked AS (
+  SELECT user_id, lat, lon,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_o,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM geo
+),
+o AS (SELECT user_id, CAST(floor(lon / {_TREND_G}) AS BIGINT) AS o_gx,
+             CAST(floor(lat / {_TREND_G}) AS BIGINT) AS o_gy
+      FROM ranked WHERE rn_o = 1),
+d AS (SELECT user_id, CAST(floor(lon / {_TREND_G}) AS BIGINT) AS d_gx,
+             CAST(floor(lat / {_TREND_G}) AS BIGINT) AS d_gy
+      FROM ranked WHERE rn_d = 1),
+flows AS (
+  SELECT o_gx, o_gy, d_gx, d_gy, CAST(count(*) AS BIGINT) AS flow
+  FROM o JOIN d USING (user_id) GROUP BY 1, 2, 3, 4
+),
+om AS (SELECT o_gx, o_gy, CAST(sum(flow) AS BIGINT) AS o_tot FROM flows GROUP BY 1, 2),
+dm AS (SELECT d_gx, d_gy, CAST(sum(flow) AS BIGINT) AS d_tot FROM flows GROUP BY 1, 2),
+j AS (
+  SELECT f.o_gx, f.o_gy, f.d_gx, f.d_gy, f.flow, om.o_tot, dm.d_tot,
+         {_GRAV_QUANT} // (1 + (f.o_gx - f.d_gx) * (f.o_gx - f.d_gx)
+                             + (f.o_gy - f.d_gy) * (f.o_gy - f.d_gy)) AS w_q
+  FROM flows f
+  JOIN om ON om.o_gx = f.o_gx AND om.o_gy = f.o_gy
+  JOIN dm ON dm.d_gx = f.d_gx AND dm.d_gy = f.d_gy
+),
+tot AS (
+  SELECT CAST(sum(flow) AS BIGINT) AS t_tot,
+         CAST(sum((o_tot * d_tot) * w_q) AS BIGINT) AS den
+  FROM j
+)
+SELECT j.o_gx, j.o_gy, j.d_gx, j.d_gy, j.flow, j.o_tot, j.d_tot, j.w_q,
+       CASE WHEN den > 0 THEN {_GRAV_EXP} END AS expected,
+       CASE WHEN den > 0 THEN j.flow - {_GRAV_EXP} END AS residual,
+       CASE WHEN den > 0 AND {_GRAV_NUM} > 0
+            THEN (j.flow - {_GRAV_EXP}) / sqrt({_GRAV_EXP}) END AS z_score
+FROM j CROSS JOIN tot
+"""

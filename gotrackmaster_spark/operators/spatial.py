@@ -2429,6 +2429,76 @@ def ripley_k(
     )
 
 
+_bound_grav_cache = make_bounded_cache()  # observed O-D flows (gravity)
+
+
+def gravity_residuals(flows: DataFrame, quant: int = 10**6) -> DataFrame:
+    """Unconstrained gravity-model fit of an observed O-D flow table —
+    which corridors carry MORE traffic than their size and distance
+    explain?  Over ``flows(o_gx, o_gy, d_gx, d_gy, flow)`` (cell-index
+    O-D pairs with observed counts):
+
+      w_ij      = quant DIV (1 + d²_ij)        (integer inverse-square
+                  deterrence; d² = cell-index distance, exact int)
+      expected  = T_tot · (O_i·D_j·w_ij) / Σ_obs (O·D·w)
+      residual  = flow − expected,   z = residual / √expected
+
+    The normalisation runs over the OBSERVED pairs only — never the
+    n_cells² universe — so the whole model is joins on real cell keys:
+    two margin aggregates broadcast back onto the flow table, one
+    1-row (T_tot, denominator) aggregate attached as a scalar.
+    Everything before the final division is an exact integer (margins,
+    weights, O·D·w products — contract: Σ O·D·w < 2⁶³, i.e. total flow
+    ≲ 10⁶ at quant = 10⁶), and the float algebra is fixed-order, so a
+    DuckDB twin reproduces every residual bit-for-bit.
+
+    Output: one row per observed pair — ``(o_gx, o_gy, d_gx, d_gy,
+    flow, o_tot, d_tot, w_q, expected, residual, z_score)``; the float
+    columns are NULL when the denominator degenerates to 0.
+    """
+    if quant <= 0:
+        raise ValueError(f"quant must be positive, got {quant}")
+    f = _bound_grav_cache(
+        flows.select("o_gx", "o_gy", "d_gx", "d_gy", "flow")
+    )
+    o_m = f.groupBy("o_gx", "o_gy").agg(F.sum("flow").alias("o_tot"))
+    d_m = f.groupBy("d_gx", "d_gy").agg(F.sum("flow").alias("d_tot"))
+    j = (
+        f.join(F.broadcast(o_m), ["o_gx", "o_gy"])
+        .join(F.broadcast(d_m), ["d_gx", "d_gy"])
+        .withColumn(
+            "w_q",
+            F.expr(
+                f"{int(quant)} DIV (1 + (o_gx - d_gx) * (o_gx - d_gx)"
+                " + (o_gy - d_gy) * (o_gy - d_gy))"
+            ),
+        )
+    )
+    num = (F.col("o_tot") * F.col("d_tot")) * F.col("w_q")
+    scalar = j.agg(
+        F.sum("flow").alias("__tot"), F.sum(num).alias("__den")
+    )
+    # 1-row scalar attach (the ripley_k BNLJ-allowlisted shape)
+    out = j.crossJoin(F.broadcast(scalar))
+    expected = (F.col("__tot").cast("double") * num) / F.col("__den")
+    guard = F.col("__den") > 0
+    return out.select(
+        "o_gx",
+        "o_gy",
+        "d_gx",
+        "d_gy",
+        "flow",
+        "o_tot",
+        "d_tot",
+        "w_q",
+        F.when(guard, expected).alias("expected"),
+        F.when(guard, F.col("flow") - expected).alias("residual"),
+        F.when(
+            guard & (num > 0), (F.col("flow") - expected) / F.sqrt(expected)
+        ).alias("z_score"),
+    )
+
+
 _ROSE_LABELS = ["E", "NE", "N", "NW", "W", "SW", "S", "SE"]
 
 

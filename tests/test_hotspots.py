@@ -1443,3 +1443,79 @@ def test_movement_rose_counts_and_shares(spark):
         "user_id string, ts long, event_id long, x long, y long",
     )
     assert movement_rose(df2).count() == 0
+
+
+def _grav(spark, flows, quant=10**6):
+    from gotrackmaster_spark.operators.spatial import gravity_residuals
+
+    df = spark.createDataFrame(
+        flows, "o_gx long, o_gy long, d_gx long, d_gy long, flow long"
+    )
+    return {
+        (r["o_gx"], r["o_gy"], r["d_gx"], r["d_gy"]): r
+        for r in gravity_residuals(df, quant).collect()
+    }
+
+
+def test_gravity_residuals_brute_force(spark):
+    import math as m
+    import random
+
+    rnd = random.Random(53)
+    cells = [(x, y) for x in range(4) for y in range(4)]
+    flows = []
+    for o in cells:
+        for d in rnd.sample(cells, 5):
+            flows.append((o[0], o[1], d[0], d[1], rnd.randrange(1, 30)))
+    # dedup O-D keys (sample can repeat)
+    seen = {}
+    for f in flows:
+        seen[f[:4]] = f
+    flows = list(seen.values())
+    got = _grav(spark, flows)
+    q = 10**6
+    o_tot, d_tot = {}, {}
+    for ox, oy, dx_, dy_, fl in flows:
+        o_tot[(ox, oy)] = o_tot.get((ox, oy), 0) + fl
+        d_tot[(dx_, dy_)] = d_tot.get((dx_, dy_), 0) + fl
+    t_tot = sum(f[4] for f in flows)
+    nums = {
+        f[:4]: o_tot[f[:2]] * d_tot[f[2:4]]
+        * (q // (1 + (f[0] - f[2]) ** 2 + (f[1] - f[3]) ** 2))
+        for f in flows
+    }
+    den = sum(nums.values())
+    assert len(got) == len(flows)
+    for f in flows:
+        k = f[:4]
+        exp = float(t_tot) * nums[k] / den
+        g = got[k]
+        assert (g["flow"], g["o_tot"], g["d_tot"]) == (f[4], o_tot[f[:2]], d_tot[f[2:4]])
+        assert g["w_q"] == q // (1 + (f[0] - f[2]) ** 2 + (f[1] - f[3]) ** 2)
+        assert abs(g["expected"] - exp) < 1e-9
+        assert abs(g["residual"] - (f[4] - exp)) < 1e-9
+        assert abs(g["z_score"] - (f[4] - exp) / m.sqrt(exp)) < 1e-9
+    # model conservation: expected sums to T_tot
+    assert abs(sum(r["expected"] for r in got.values()) - t_tot) < 1e-6
+
+
+def test_gravity_residuals_flags_outlier_corridor(spark):
+    # symmetric 2-cell world, one corridor carries 10x its mirror
+    flows = [
+        (0, 0, 1, 0, 100),  # hot corridor
+        (1, 0, 0, 0, 10),
+        (0, 0, 0, 0, 50),
+        (1, 0, 1, 0, 50),
+    ]
+    got = _grav(spark, flows)
+    assert got[(0, 0, 1, 0)]["residual"] > 0 > got[(1, 0, 0, 0)]["residual"]
+    assert got[(0, 0, 1, 0)]["z_score"] > 2.0
+    # validation + single-flow degenerate: expected == flow exactly
+    one = _grav(spark, [(0, 0, 2, 0, 7)])
+    assert one[(0, 0, 2, 0)]["expected"] == 7.0 and one[(0, 0, 2, 0)]["residual"] == 0.0
+    from gotrackmaster_spark.operators.spatial import gravity_residuals
+    import pytest as _pt
+
+    df = spark.createDataFrame([(0, 0, 0, 0, 1)], "o_gx long, o_gy long, d_gx long, d_gy long, flow long")
+    with _pt.raises(ValueError):
+        gravity_residuals(df, 0)

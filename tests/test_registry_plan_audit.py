@@ -42,10 +42,12 @@ BNLJ_ALLOWED = {
     # clark_evans: 1-row total × 1-row near-aggregate scalar join (both
     # sides are ungrouped aggregations — the ripley_k shape)
     "clark_evans",
-    # nn_gfunction / quadrat_test / cross_k: same 1-row × 1-row scalar shape
+    # nn_gfunction / quadrat_test / cross_k / gravity_od: same 1-row
+    # scalar-attach shape
     "nn_gfunction",
     "quadrat_test",
     "cross_k",
+    "gravity_od",
 }
 
 QUERIES = entrymod.queries()
