@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_moments": _wrap(Q.q_image_moments),
         "movement_rose": _wrap(Q.q_movement_rose),
         "gravity_od": _wrap(Q.q_gravity_od),
+        "d8_flow": _wrap(Q.q_d8_flow),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
         # interval_events were driver-green in r02; the r03 changes
@@ -285,6 +286,7 @@ def oracle_sql() -> dict[str, str]:
         "image_moments": Q.SQL_IMAGE_MOMENTS,
         "movement_rose": Q.SQL_MOVEMENT_ROSE,
         "gravity_od": Q.SQL_GRAVITY_OD,
+        "d8_flow": Q.SQL_D8_FLOW,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,
         "dwell_cells": Q.SQL_DWELL_CELLS,

@@ -7534,3 +7534,82 @@ SELECT j.o_gx, j.o_gy, j.d_gx, j.d_gy, j.flow, j.o_tot, j.d_tot, j.w_q,
             THEN (j.flow - {_GRAV_EXP}) / sqrt({_GRAV_EXP}) END AS z_score
 FROM j CROSS JOIN tot
 """
+
+
+# --------------------------------------------------------------------------
+# E23 — D8 flow direction (`spatial.d8_flow_direction`): steepest-
+# descent direction per occupied 1° DEM cell (ESRI codes, 0 = sink)
+# with the drop/√2 comparison replaced by its exact squared-integer
+# form (straight 2·drop² vs diagonal drop²) and fixed clockwise tie
+# order.  Raster = the integer corner-hash DEM sampled at the cells
+# the events actually occupy (sparse — boundary/missing-neighbor
+# semantics exercised).  The occupancy ×9 explode + ONE hash
+# aggregate; DuckDB twin replays the identical CASE fold.
+# --------------------------------------------------------------------------
+
+# (code, nx, ny) clockwise from east — MUST match spatial._D8_DIRS
+# (pinned by tests/test_hotspots.py::test_d8_codes_match)
+_D8 = [
+    (1, 1, 0), (2, 1, -1), (4, 0, -1), (8, -1, -1),
+    (16, -1, 0), (32, -1, 1), (64, 0, 1), (128, 1, 1),
+]
+
+
+def q_d8_flow(spark, sf_dir):
+    from gotrackmaster_spark.operators.spatial import d8_flow_direction
+
+    geo = geo_events(spark, sf_dir)
+    cells = geo.select(
+        F.floor("lon").cast("long").alias("x"),
+        F.floor("lat").cast("long").alias("y"),
+    ).distinct()
+    ele = ((F.col("y") + 90) * 361 + (F.col("x") + 180)) * F.lit(2654435761) % 40000
+    return d8_flow_direction(cells.select("x", "y", ele.alias("ele")))
+
+
+_D8_OFF_VALUES = ", ".join(
+    ["(0, 0, 0)"] + [f"({-nx}, {-ny}, {code})" for code, nx, ny in _D8]
+)
+_D8_EMAX = ",\n         ".join(
+    f"max(CASE WHEN d = {code} THEN ele END) AS e{code}" for code, _, _ in _D8
+)
+_D8_SCORES = ",\n       ".join(
+    f"coalesce(CASE WHEN c - e{code} > 0 THEN "
+    f"{2 if nx * ny == 0 else 1} * ((c - e{code}) * (c - e{code})) END, 0) AS s{code}"
+    for code, nx, ny in _D8
+)
+_D8_GREATEST = "greatest(" + ", ".join(f"s{code}" for code, _, _ in _D8) + ")"
+_D8_PICK = " ".join(
+    f"WHEN s{code} = m THEN {code}" for code, _, _ in _D8
+)
+
+SQL_D8_FLOW = f"""
+WITH {GEO_CTE},
+cells AS (
+  SELECT DISTINCT CAST(floor(lon) AS BIGINT) AS x,
+                  CAST(floor(lat) AS BIGINT) AS y
+  FROM geo
+),
+r AS (
+  SELECT x, y, ((y + 90) * 361 + (x + 180)) * 2654435761 % 40000 AS ele
+  FROM cells
+),
+off AS (SELECT * FROM (VALUES {_D8_OFF_VALUES}) t(dx, dy, d)),
+fan AS (SELECT r.x + o.dx AS x, r.y + o.dy AS y, o.d, r.ele FROM r, off o),
+agg AS (
+  SELECT x, y,
+         max(CASE WHEN d = 0 THEN ele END) AS c,
+         {_D8_EMAX}
+  FROM fan GROUP BY x, y
+),
+sc AS (
+  SELECT x, y, c AS ele,
+       {_D8_SCORES}
+  FROM agg WHERE c IS NOT NULL
+),
+scm AS (SELECT *, {_D8_GREATEST} AS m FROM sc)
+SELECT x, y, ele,
+       CASE WHEN m = 0 THEN 0 {_D8_PICK} END AS flow_dir,
+       m AS best_score
+FROM scm
+"""

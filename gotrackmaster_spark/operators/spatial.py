@@ -2429,6 +2429,100 @@ def ripley_k(
     )
 
 
+# ESRI D8 direction codes, clockwise from east; the tuple order IS the
+# deterministic tie-break priority
+_D8_DIRS = [
+    (1, 1, 0), (2, 1, -1), (4, 0, -1), (8, -1, -1),
+    (16, -1, 0), (32, -1, 1), (64, 0, 1), (128, 1, 1),
+]
+
+
+def d8_flow_direction(
+    raster: DataFrame,
+    x_col: str = "x",
+    y_col: str = "y",
+    ele_col: str = "ele",
+) -> DataFrame:
+    """D8 flow direction over an integer-elevation raster — for each
+    cell, the ESRI direction code (E=1, SE=2, S=4, SW=8, W=16, NW=32,
+    N=64, NE=128; 0 = sink/flat) of the steepest-DESCENT neighbor.
+
+    Exactness: the classic drop/distance comparison (diagonals ÷ √2)
+    is replaced by its squared integer form — straight neighbors score
+    ``2·drop²``, diagonals ``drop²`` (equivalent ordering for positive
+    drops, no float anywhere); ties break by the fixed clockwise-from-
+    east code order, missing (boundary) neighbors simply never score.
+    Every score is an exact int64, so any engine replaying the same
+    CASE order produces identical directions.
+
+    Plan at scale: the occupancy shape — each cell's elevation is
+    EXPLODED ×9 to its neighborhood (itself included as the center
+    tag) and ONE map-side-combinable hash aggregate per target cell
+    collects the 8 directional elevations as conditional maxes; no
+    self-join of the raster.  Output is one row per cell that exists
+    in the input.
+
+    Output: ``(x, y, ele, flow_dir, best_score)`` — ``best_score`` the
+    winning squared-scaled drop (0 for sinks/flats).
+    """
+    offs = F.array(
+        F.struct(F.lit(0).alias("dx"), F.lit(0).alias("dy"), F.lit(0).alias("d")),
+        *[
+            # a row emitted from source s with offset (dx,dy) lands on
+            # target t = s + (dx,dy); s is then t's neighbor in
+            # direction (-dx,-dy) — so each code (nx,ny) is emitted
+            # with offset (-nx,-ny)
+            F.struct(
+                F.lit(dx).alias("dx"), F.lit(dy).alias("dy"), F.lit(code).alias("d")
+            )
+            for code, nx, ny in _D8_DIRS
+            for dx, dy in [(-nx, -ny)]
+        ],
+    )
+    fan = raster.select(
+        F.col(x_col).alias("__x"),
+        F.col(y_col).alias("__y"),
+        F.col(ele_col).cast("long").alias("__e"),
+        F.explode(offs).alias("__o"),
+    ).select(
+        (F.col("__x") + F.col("__o.dx")).alias("x"),
+        (F.col("__y") + F.col("__o.dy")).alias("y"),
+        F.col("__o.d").alias("__d"),
+        F.col("__e"),
+    )
+    agg = fan.groupBy("x", "y").agg(
+        F.max(F.when(F.col("__d") == 0, F.col("__e"))).alias("__c"),
+        *[
+            F.max(F.when(F.col("__d") == code, F.col("__e"))).alias(f"__e{code}")
+            for code, _, _ in _D8_DIRS
+        ],
+    )
+    # cells that exist in the input carry the center tag; pure-neighbor
+    # phantom rows (outside the raster) do not
+    agg = agg.filter(F.col("__c").isNotNull())
+    scores = []
+    for code, nx, ny in _D8_DIRS:
+        drop = F.col("__c") - F.col(f"__e{code}")
+        mult = 2 if nx * ny == 0 else 1  # straight beats diagonal at eq drop
+        scores.append(
+            F.coalesce(
+                F.when(drop > 0, F.lit(mult) * (drop * drop)), F.lit(0)
+            ).alias(f"__s{code}")
+        )
+    sc = agg.select("x", "y", F.col("__c").alias("ele"), *scores)
+    m = F.greatest(*[F.col(f"__s{code}") for code, _, _ in _D8_DIRS])
+    best = F.when(m == 0, F.lit(0))
+    for code, _, _ in _D8_DIRS:
+        best = best.when(F.col(f"__s{code}") == m, F.lit(code))
+    return sc.select(
+        "x",
+        "y",
+        "ele",
+        best.alias("flow_dir"),
+        m.alias("best_score"),
+    )
+
+
 _bound_grav_cache = make_bounded_cache()  # observed O-D flows (gravity)
 
 

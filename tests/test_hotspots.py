@@ -1519,3 +1519,77 @@ def test_gravity_residuals_flags_outlier_corridor(spark):
     df = spark.createDataFrame([(0, 0, 0, 0, 1)], "o_gx long, o_gy long, d_gx long, d_gy long, flow long")
     with _pt.raises(ValueError):
         gravity_residuals(df, 0)
+
+
+def test_d8_codes_match():
+    """driver_queries._D8 must mirror spatial._D8_DIRS exactly (the SQL
+    oracle is generated from the former, the plan from the latter)."""
+    from gotrackmaster_spark.driver_queries import _D8
+    from gotrackmaster_spark.operators.spatial import _D8_DIRS
+
+    assert _D8 == _D8_DIRS
+
+
+def _d8(spark, cells):
+    from gotrackmaster_spark.operators.spatial import d8_flow_direction
+
+    df = spark.createDataFrame(cells, "x long, y long, ele long")
+    return {(r["x"], r["y"]): r for r in d8_flow_direction(df).collect()}
+
+
+def _d8_brute(cells):
+    from gotrackmaster_spark.operators.spatial import _D8_DIRS
+
+    ele = {(x, y): e for x, y, e in cells}
+    out = {}
+    for (x, y), c in ele.items():
+        best_s, best_d = 0, 0
+        for code, nx, ny in _D8_DIRS:
+            n = ele.get((x + nx, y + ny))
+            if n is None or c - n <= 0:
+                continue
+            s = (2 if nx * ny == 0 else 1) * (c - n) ** 2
+            if s > best_s:  # first-wins on ties: strict >
+                best_s, best_d = s, code
+        out[(x, y)] = (best_d, best_s)
+    return out
+
+
+def test_d8_flow_brute_force(spark):
+    import random
+
+    rnd = random.Random(61)
+    # dense block with a hole + ragged boundary: exercises missing nbrs
+    cells = [
+        (x, y, rnd.randrange(0, 1000))
+        for x in range(8)
+        for y in range(8)
+        if (x, y) != (3, 3) and not (x > 5 and y > 5)
+    ]
+    got = _d8(spark, cells)
+    exp = _d8_brute(cells)
+    assert set(got) == set(exp)
+    for k, (d, s) in exp.items():
+        assert (got[k]["flow_dir"], got[k]["best_score"]) == (d, s), k
+
+
+def test_d8_flow_semantics(spark):
+    # a pit is a sink; a peak flows to its steepest drop; straight beats
+    # diagonal at equal drop (2x scaling); ties break clockwise from E
+    plus = [(1, 1, 100), (2, 1, 90), (1, 2, 90), (0, 1, 90), (1, 0, 90),
+            (2, 2, 90), (0, 0, 90), (0, 2, 90), (2, 0, 90)]
+    got = _d8(spark, plus)
+    # center: all 4 straight neighbors drop 10 (score 200) beating the
+    # diagonals (100); E (code 1) wins the 4-way tie
+    assert got[(1, 1)]["flow_dir"] == 1 and got[(1, 1)]["best_score"] == 200
+    # corner (2,2): equal drops? ele 90; neighbors (1,1)=100 up, (2,1)/(1,2)=90
+    # flat -> no descent -> sink
+    assert got[(2, 2)]["flow_dir"] == 0 and got[(2, 2)]["best_score"] == 0
+    # diagonal-only descent: isolated pair
+    pair = [(0, 0, 50), (1, 1, 10)]
+    got = _d8(spark, pair)
+    assert got[(0, 0)]["flow_dir"] == 128  # NE... (1,1) is code 128
+    assert got[(0, 0)]["best_score"] == 40 * 40
+    assert got[(1, 1)]["flow_dir"] == 0
+    # lone cell: sink
+    assert _d8(spark, [(5, 5, 7)])[(5, 5)]["flow_dir"] == 0
