@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "movement_rose": _wrap(Q.q_movement_rose),
         "gravity_od": _wrap(Q.q_gravity_od),
         "d8_flow": _wrap(Q.q_d8_flow),
+        "d8_basins": _wrap(Q.q_d8_basins),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
         # interval_events were driver-green in r02; the r03 changes
@@ -287,6 +288,7 @@ def oracle_sql() -> dict[str, str]:
         "movement_rose": Q.SQL_MOVEMENT_ROSE,
         "gravity_od": Q.SQL_GRAVITY_OD,
         "d8_flow": Q.SQL_D8_FLOW,
+        "d8_basins": Q.SQL_D8_BASINS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,
         "dwell_cells": Q.SQL_DWELL_CELLS,

@@ -7583,8 +7583,9 @@ _D8_PICK = " ".join(
     f"WHEN s{code} = m THEN {code}" for code, _, _ in _D8
 )
 
-SQL_D8_FLOW = f"""
-WITH {GEO_CTE},
+# CTE body shared by SQL_D8_FLOW and SQL_D8_BASINS (the latter needs a
+# WITH RECURSIVE prefix, so the WITH keyword is not baked in here)
+_D8_CTES = f"""{GEO_CTE},
 cells AS (
   SELECT DISTINCT CAST(floor(lon) AS BIGINT) AS x,
                   CAST(floor(lat) AS BIGINT) AS y
@@ -7607,9 +7608,62 @@ sc AS (
        {_D8_SCORES}
   FROM agg WHERE c IS NOT NULL
 ),
-scm AS (SELECT *, {_D8_GREATEST} AS m FROM sc)
+scm AS (SELECT *, {_D8_GREATEST} AS m FROM sc)"""
+
+SQL_D8_FLOW = f"""
+WITH {_D8_CTES}
 SELECT x, y, ele,
        CASE WHEN m = 0 THEN 0 {_D8_PICK} END AS flow_dir,
        m AS best_score
 FROM scm
+"""
+
+
+# --------------------------------------------------------------------------
+# E24 — D8 watershed basins (`spatial.d8_basins`): every cell drains
+# along its D8 pointer to a unique sink (strictly-downhill ⇒ acyclic);
+# Spark resolves the forest by POINTER DOUBLING (⌈log₂ L⌉ equi-join
+# rounds, plan_snapshotter lineage truncation — the dup_components
+# iterative contract), the DuckDB twin by a recursive-CTE walk.
+# --------------------------------------------------------------------------
+
+
+def q_d8_basins(spark, sf_dir):
+    from gotrackmaster_spark.operators.spatial import d8_basins
+
+    return d8_basins(q_d8_flow(spark, sf_dir).select("x", "y", "flow_dir"))
+
+
+_D8_DX_SQL = (
+    "CASE f.flow_dir "
+    + " ".join(f"WHEN {code} THEN {nx}" for code, nx, ny in _D8)
+    + " ELSE 0 END"
+)
+_D8_DY_SQL = (
+    "CASE f.flow_dir "
+    + " ".join(f"WHEN {code} THEN {ny}" for code, nx, ny in _D8)
+    + " ELSE 0 END"
+)
+
+SQL_D8_BASINS = f"""
+WITH RECURSIVE {_D8_CTES},
+ftab AS (
+  SELECT x, y, CASE WHEN m = 0 THEN 0 {_D8_PICK} END AS flow_dir FROM scm
+),
+walk AS (
+  SELECT x AS x0, y AS y0, x AS cx, y AS cy FROM ftab
+  UNION ALL
+  SELECT w.x0, w.y0,
+         w.cx + {_D8_DX_SQL},
+         w.cy + {_D8_DY_SQL}
+  FROM walk w JOIN ftab f ON f.x = w.cx AND f.y = w.cy
+  WHERE f.flow_dir <> 0
+),
+final AS (
+  SELECT w.cx, w.cy
+  FROM walk w JOIN ftab f ON f.x = w.cx AND f.y = w.cy
+  WHERE f.flow_dir = 0
+)
+SELECT cx AS sink_x, cy AS sink_y, CAST(count(*) AS BIGINT) AS n_cells
+FROM final GROUP BY 1, 2
 """

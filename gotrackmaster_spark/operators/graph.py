@@ -25,6 +25,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+class plan_snapshotter:
+    """Per-round lineage truncation for iterative algorithms, shared by
+    :func:`connected_components` and ``spatial.d8_basins`` — returns a
+    callable snapping a DataFrame via ``localCheckpoint`` (fast, NOT
+    executor-loss-tolerant) or reliable ``checkpoint(dir)`` (use at
+    100 TB).  A context manager because ``setCheckpointDir`` is GLOBAL
+    to the SparkContext: the previous dir is restored on exit so later
+    ``df.checkpoint()`` calls in the session are not silently
+    redirected."""
+
+    def __init__(self, spark, checkpoint_dir: str | None):
+        self._spark = spark
+        self._dir = checkpoint_dir
+        self._prev = None
+
+    def __enter__(self):
+        if self._dir is not None:
+            opt = self._spark.sparkContext._jsc.sc().getCheckpointDir()
+            self._prev = opt.get() if opt.isDefined() else None
+            self._spark.sparkContext.setCheckpointDir(self._dir)
+            return lambda df: df.checkpoint(eager=True)
+        return lambda df: df.localCheckpoint(eager=True)
+
+    def __exit__(self, *exc):
+        if self._dir is not None and self._prev is not None:
+            self._spark.sparkContext.setCheckpointDir(self._prev)
+        return False
+
+
 def connected_components(
     edges: DataFrame,
     a_col: str = "a_id",

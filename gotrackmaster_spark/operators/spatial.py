@@ -2523,6 +2523,95 @@ def d8_flow_direction(
     )
 
 
+def d8_basins(
+    flow: DataFrame,
+    max_iter: int = 40,
+    checkpoint_dir: str | None = None,
+    on_nonconverged: str = "raise",
+) -> DataFrame:
+    """Watershed basins from a D8 flow-direction raster — every cell
+    drains along its :func:`d8_flow_direction` pointer to a unique
+    sink (D8 descent is strictly downhill, so the pointer forest is
+    acyclic); basins are the sink-rooted trees, reported as sizes.
+
+    Pointer DOUBLING, not step-by-step walking: ``parent(c)`` starts
+    as c's D8 neighbor (sinks self-loop); each round sets
+    ``parent = parent(parent)`` with ONE equi-join of the label table
+    against itself on the cell key — a drainage path of length L
+    resolves in ⌈log₂ L⌉ rounds (the default ``max_iter=40`` covers
+    paths of 2⁴⁰ cells), vs L rounds for naive following.  Each
+    round's labels are snapshot via ``graph.plan_snapshotter``
+    (``localCheckpoint`` by default; pass ``checkpoint_dir`` for the
+    executor-loss-tolerant mode at cluster scale — the
+    ``connected_components`` contract) so lineage stays flat.
+    Convergence = a fixpoint round with zero parent changes;
+    ``on_nonconverged`` ("raise"/"warn") guards truncated runs.
+
+    Input: ``(x, y, flow_dir)`` with ESRI codes (0 = sink).  Output:
+    one row per basin — ``(sink_x, sink_y, n_cells)``.
+    """
+    if on_nonconverged not in ("raise", "warn"):
+        raise ValueError(
+            f"on_nonconverged must be 'raise' or 'warn', got {on_nonconverged!r}"
+        )
+    from gotrackmaster_spark.operators.graph import plan_snapshotter
+
+    dx = F.lit(0)
+    dy = F.lit(0)
+    for code, nx, ny in _D8_DIRS:
+        dx = F.when(F.col("flow_dir") == code, F.lit(nx)).otherwise(dx)
+        dy = F.when(F.col("flow_dir") == code, F.lit(ny)).otherwise(dy)
+    with plan_snapshotter(flow.sparkSession, checkpoint_dir) as snap:
+        lab = snap(
+            flow.select(
+                F.col("x"),
+                F.col("y"),
+                (F.col("x") + dx).alias("px"),
+                (F.col("y") + dy).alias("py"),
+            )
+        )
+        changed = -1
+        for _ in range(max_iter):
+            p2 = lab.select(
+                F.col("x").alias("qx"),
+                F.col("y").alias("qy"),
+                F.col("px").alias("npx"),
+                F.col("py").alias("npy"),
+            )
+            new = snap(
+                lab.join(
+                    p2,
+                    (lab["px"] == p2["qx"]) & (lab["py"] == p2["qy"]),
+                ).select("x", "y", F.col("npx").alias("px"), F.col("npy").alias("py"))
+            )
+            changed = (
+                new.withColumnRenamed("px", "nx2")
+                .withColumnRenamed("py", "ny2")
+                .join(lab, ["x", "y"])
+                .filter((F.col("nx2") != F.col("px")) | (F.col("ny2") != F.col("py")))
+                .count()
+            )
+            lab = new
+            if changed == 0:
+                break
+    if changed != 0:
+        msg = (
+            f"d8_basins did NOT converge in max_iter={max_iter} doubling "
+            f"rounds ({changed} parents still changing) — drainage length "
+            f"exceeds 2^max_iter?! Labels are WRONG for unresolved cells."
+        )
+        if on_nonconverged == "raise":
+            raise ValueError(msg)
+        _LOG.warning(msg)
+    return (
+        lab.groupBy("px", "py")
+        .agg(F.count("*").alias("n_cells"))
+        .select(
+            F.col("px").alias("sink_x"), F.col("py").alias("sink_y"), "n_cells"
+        )
+    )
+
+
 _bound_grav_cache = make_bounded_cache()  # observed O-D flows (gravity)
 
 

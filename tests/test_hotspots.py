@@ -1593,3 +1593,79 @@ def test_d8_flow_semantics(spark):
     assert got[(1, 1)]["flow_dir"] == 0
     # lone cell: sink
     assert _d8(spark, [(5, 5, 7)])[(5, 5)]["flow_dir"] == 0
+
+
+def _basins(spark, cells, **kw):
+    from gotrackmaster_spark.operators.spatial import d8_basins, d8_flow_direction
+
+    df = spark.createDataFrame(cells, "x long, y long, ele long")
+    flow = d8_flow_direction(df).select("x", "y", "flow_dir")
+    return {
+        (r["sink_x"], r["sink_y"]): r["n_cells"]
+        for r in d8_basins(flow, **kw).collect()
+    }
+
+
+def _basins_brute(cells):
+    from gotrackmaster_spark.operators.spatial import _D8_DIRS
+
+    flow = {}
+    ele = {(x, y): e for x, y, e in cells}
+    step = {code: (nx, ny) for code, nx, ny in _D8_DIRS}
+    for (x, y), c in ele.items():
+        best_s, best_d = 0, 0
+        for code, nx, ny in _D8_DIRS:
+            n = ele.get((x + nx, y + ny))
+            if n is not None and c - n > 0:
+                s = (2 if nx * ny == 0 else 1) * (c - n) ** 2
+                if s > best_s:
+                    best_s, best_d = s, code
+        flow[(x, y)] = best_d
+    out = {}
+    for cell in flow:
+        cur = cell
+        while flow[cur] != 0:
+            nx, ny = step[flow[cur]]
+            cur = (cur[0] + nx, cur[1] + ny)
+        out[cur] = out.get(cur, 0) + 1
+    return out
+
+
+def test_d8_basins_brute_force(spark):
+    import random
+
+    rnd = random.Random(83)
+    cells = [
+        (x, y, rnd.randrange(0, 500))
+        for x in range(10)
+        for y in range(10)
+        if (x + y) % 17 != 0  # punch some holes
+    ]
+    got = _basins(spark, cells)
+    exp = _basins_brute(cells)
+    assert got == exp
+    # conservation: basin sizes sum to the cell count
+    assert sum(got.values()) == len(cells)
+
+
+def test_d8_basins_long_chain_and_modes(spark, tmp_path):
+    # a strictly descending staircase: one basin rooted at the far end;
+    # path length 40 forces several doubling rounds
+    chain = [(i, 0, 1000 - i) for i in range(40)]
+    got = _basins(spark, chain)
+    assert got == {(39, 0): 40}
+    # reliable-checkpoint mode must agree
+    got_ck = _basins(spark, chain, checkpoint_dir=str(tmp_path / "ck"))
+    assert got_ck == {(39, 0): 40}
+    # max_iter too small -> raise (default) or warn with partial labels
+    import pytest as _pt
+
+    from gotrackmaster_spark.operators.spatial import d8_basins, d8_flow_direction
+
+    df = spark.createDataFrame(chain, "x long, y long, ele long")
+    flow = d8_flow_direction(df).select("x", "y", "flow_dir")
+    with _pt.raises(ValueError, match="did NOT converge"):
+        d8_basins(flow, max_iter=2)
+    with _pt.raises(ValueError, match="on_nonconverged"):
+        d8_basins(flow, on_nonconverged="explode")
+    assert d8_basins(flow, max_iter=2, on_nonconverged="warn").count() >= 1
