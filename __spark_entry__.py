@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gravity_od": _wrap(Q.q_gravity_od),
         "d8_flow": _wrap(Q.q_d8_flow),
         "d8_basins": _wrap(Q.q_d8_basins),
+        "shared_blocks": _wrap(Q.q_shared_blocks),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
         # interval_events were driver-green in r02; the r03 changes
@@ -289,6 +290,7 @@ def oracle_sql() -> dict[str, str]:
         "gravity_od": Q.SQL_GRAVITY_OD,
         "d8_flow": Q.SQL_D8_FLOW,
         "d8_basins": Q.SQL_D8_BASINS,
+        "shared_blocks": Q.SQL_SHARED_BLOCKS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,
         "dwell_cells": Q.SQL_DWELL_CELLS,

@@ -7667,3 +7667,50 @@ final AS (
 SELECT cx AS sink_x, cy AS sink_y, CAST(count(*) AS BIGINT) AS n_cells
 FROM final GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# E7h — shared-block detection (`images.shared_blocks`): sub-image
+# duplicate tiles across images (the watermark/logo dedup primitive).
+# 8×8×3 blocks, EXACT integer signature pair (Σp, Σp·(j+1)), one
+# shuffle on the signature key.  The generator plants true positives:
+# doc k and k+256 produce identical pixels (31·256 ≡ 0 mod 256), and
+# the pair survives exactly when neither side is qnt4-quantized — the
+# oracle replays blocks from per-channel generator indices.
+# --------------------------------------------------------------------------
+
+_SB_BW, _SB_BH = 8, 8
+_SB_NLOC = _SB_BW * _SB_BH * 3
+_SB_NBX = _IMG_W // _SB_BW
+_SB_NB = (_IMG_W // _SB_BW) * (_IMG_H // _SB_BH)
+# flat pixel index of block bi, block-local byte j (row-major dy,dx,c)
+_SB_I = (
+    f"((((bi // {_SB_NBX}) * {_SB_BH} + j // {_SB_BW * 3}) * {_IMG_W}"
+    f" + ((bi % {_SB_NBX}) * {_SB_BW} + (j % {_SB_BW * 3}) // 3)) * 3"
+    f" + (j % {_SB_BW * 3}) % 3)"
+)
+
+
+def q_shared_blocks(spark, sf_dir):
+    from gotrackmaster_spark.operators.images import shared_blocks, synthesize_images
+
+    imgs = synthesize_images(spark, sf_dir, w=_IMG_W, h=_IMG_H)
+    return shared_blocks(imgs, _SB_BW, _SB_BH, min_images=2)
+
+
+SQL_SHARED_BLOCKS = f"""
+WITH px AS (
+  SELECT doc_id, bi, j, {_mom_pix_at(_SB_I)} AS p
+  FROM documents, range({_SB_NB}) b(bi), range({_SB_NLOC}) t(j)
+),
+sig AS (
+  SELECT doc_id, bi,
+         CAST(sum(p) AS BIGINT) AS sig0,
+         CAST(sum(p * (j + 1)) AS BIGINT) AS sig1
+  FROM px GROUP BY doc_id, bi
+)
+SELECT sig0, sig1, CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_imgs
+FROM sig GROUP BY 1, 2
+HAVING count(DISTINCT doc_id) >= 2
+"""

@@ -584,6 +584,92 @@ def image_moments(images: DataFrame) -> DataFrame:
     return images.mapInPandas(stats, schema)
 
 
+def shared_blocks(
+    images: DataFrame, bw: int = 8, bh: int = 8, min_images: int = 2
+) -> DataFrame:
+    """Sub-image duplicate-tile detection — which pixel blocks recur
+    across DIFFERENT images?  The block-granular dedup primitive that
+    catches shared watermarks / logos / letterboxes that whole-image
+    hashes (phash) dilute away.
+
+    Each image is cut into ``bw×bh`` pixel blocks (w, h must divide —
+    the synthesizer's 32×24 yields 4×3); a block's signature is the
+    EXACT integer pair ``(Σp, Σ p·(j+1))`` over its flat RGB bytes in
+    block-local row-major order — deterministic in any engine (no
+    float, no real hash), and the two weighted sums make accidental
+    collisions vanishingly unlikely at 8×8×3 = 192 bytes.  Blocks are
+    then grouped BY SIGNATURE: a signature spanning ≥ ``min_images``
+    distinct images is a shared tile.
+
+    Plan at scale: one ``mapInPandas`` decode pass emits the tiny
+    (image_id, bx, by, sig) table (~40 B per block), then ONE shuffle
+    on the signature key.  Real-corpus caveat: degenerate blocks
+    (all-black bars) are hot signature keys — at 10⁹ images salt or
+    pre-filter constant blocks (``n1 = n0·(n+1)/2`` detects them) the
+    same way ``skew.salt_hot_cells`` handles hot cells.
+
+    Output: ``(sig0, sig1, n_blocks, n_imgs)`` — one row per signature
+    shared by ≥ ``min_images`` images.
+    """
+    if bw <= 0 or bh <= 0:
+        raise ValueError("bw and bh must be positive")
+    if min_images < 1:
+        raise ValueError(f"min_images must be ≥ 1, got {min_images}")
+    n_loc = bw * bh * 3
+    wts = np.arange(1, n_loc + 1, dtype=np.int64)
+
+    def _sigs(flat: np.ndarray, w: int, h: int) -> tuple[np.ndarray, np.ndarray]:
+        """flat: (B, 3wh) int64 → (B, nblocks) signature pair."""
+        b = flat.shape[0]
+        px = flat.reshape(b, h, w, 3)
+        nby, nbx = h // bh, w // bw
+        # (B, nby, bh, nbx, bw, 3) → (B, nblocks, bh, bw, 3) → flat blocks
+        blocks = (
+            px.reshape(b, nby, bh, nbx, bw, 3)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(b, nby * nbx, n_loc)
+        )
+        return blocks.sum(axis=2), blocks @ wts
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_rows = {
+                "image_id": [], "bx": [], "by": [], "sig0": [], "sig1": [],
+            }
+            for r in pdf.itertuples(index=False):
+                if r.w % bw or r.h % bh:
+                    raise ValueError(
+                        f"image {r.image_id}: {r.w}×{r.h} not divisible by "
+                        f"{bw}×{bh} blocks"
+                    )
+                px = decode_image(r.bytes, r.w, r.h, r.fmt)
+                s0, s1 = _sigs(
+                    px.reshape(1, -1).astype(np.int64), int(r.w), int(r.h)
+                )
+                nbx = r.w // bw
+                for bi in range(s0.shape[1]):
+                    out_rows["image_id"].append(r.image_id)
+                    out_rows["bx"].append(bi % nbx)
+                    out_rows["by"].append(bi // nbx)
+                    out_rows["sig0"].append(int(s0[0, bi]))
+                    out_rows["sig1"].append(int(s1[0, bi]))
+            yield pd.DataFrame(out_rows)
+
+    sig = images.mapInPandas(
+        stats, "image_id string, bx long, by long, sig0 long, sig1 long"
+    )
+    return (
+        sig.groupBy("sig0", "sig1")
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.countDistinct("image_id").alias("n_imgs"),
+        )
+        .filter(F.col("n_imgs") >= min_images)
+    )
+
+
 def phash_near_dups(images: DataFrame, max_hamming: int = 10) -> DataFrame:
     """Near-duplicate images by phash Hamming distance — chunked band join
     (pigeonhole over max_hamming+1 chunks), same shape as SimHash dedup.

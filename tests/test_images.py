@@ -434,3 +434,71 @@ def test_image_moments_centroid_and_mixed_sizes(spark):
     )
     g0 = image_moments(df0).collect()[0]
     assert all(g0[k] == 0 for k in ("m00", "m10", "m01", "m20", "m02", "m11"))
+
+
+def test_shared_blocks_plants_and_brute_force(spark):
+    """doc k and k+256 decode to identical pixels (31*256 = 0 mod 256);
+    shared-block signatures must find exactly the non-qnt4 pairs, and
+    every signature must match a Python replay."""
+    from pyspark.sql import functions as F
+
+    from gotrackmaster_spark.operators.images import (
+        decode_image,
+        shared_blocks,
+        synthesize_images,
+    )
+
+    imgs = synthesize_images(spark, "/root/testdata/sf0.01").filter(
+        F.col("img_key").isin([0, 1, 2, 256, 257, 258, 7])
+    ).cache()
+    rows = imgs.collect()
+    # python replay of all block signatures
+    sigs = {}
+    for r in rows:
+        px = decode_image(r.bytes, r.w, r.h, r.fmt).astype(int)
+        for by in range(r.h // 8):
+            for bx in range(r.w // 8):
+                blk = px[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8, :].reshape(-1)
+                s0 = int(blk.sum())
+                s1 = int((blk * np.arange(1, len(blk) + 1)).sum())
+                sigs.setdefault((s0, s1), set()).add(r.image_id)
+    exp = {
+        k: (sum(1 for r in rows for by in range(r.h // 8) for bx in range(r.w // 8)
+                if _blk_sig(decode_image(r.bytes, r.w, r.h, r.fmt), bx, by) == k),
+            len(v))
+        for k, v in sigs.items() if len(v) >= 2
+    }
+    got = {
+        (r["sig0"], r["sig1"]): (r["n_blocks"], r["n_imgs"])
+        for r in shared_blocks(imgs).collect()
+    }
+    assert got == exp
+    # the planted pair: keys 0 (raw) & 256 (png) decode identically, and
+    # the generator's 768·by ≡ 0 (mod 256) row stride makes same-COLUMN
+    # blocks repeat — so the pair shares exactly 4 distinct column
+    # signatures, each spanning 3+3 blocks of the 2 images.  1 (png) vs
+    # 257 (qnt4) and 2 (qnt4) vs 258 (raw) must NOT match (quantized).
+    assert len(got) == 4
+    assert all(v == (6, 2) for v in got.values())
+    imgs.unpersist()
+
+
+def _blk_sig(px, bx, by):
+    blk = px.astype(int)[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8, :].reshape(-1)
+    return int(blk.sum()), int((blk * np.arange(1, len(blk) + 1)).sum())
+
+
+def test_shared_blocks_validation(spark):
+    from gotrackmaster_spark.operators.images import shared_blocks
+    import pytest as _pt
+
+    df = spark.createDataFrame(
+        [("odd", bytes(5 * 7 * 3), 5, 7, "raw")],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    with _pt.raises(ValueError):
+        shared_blocks(df, 0, 8)
+    with _pt.raises(ValueError):
+        shared_blocks(df, 8, 8, min_images=0)
+    with _pt.raises(Exception, match="not divisible"):
+        shared_blocks(df).collect()
