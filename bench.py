@@ -142,6 +142,7 @@ def bench_queries():
         "track_diameter": Q.q_track_diameter,
         "hotspot_cells": Q.q_hotspot_cells,
         "kde_raster": Q.q_kde_raster,
+        "d8_basins": Q.q_d8_basins,
     }
 
 
