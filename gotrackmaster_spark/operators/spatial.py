@@ -2613,6 +2613,7 @@ def d8_basins(
 
 
 _bound_grav_cache = make_bounded_cache()  # observed O-D flows (gravity)
+_bound_grav_j_cache = make_bounded_cache()  # margin-joined flows (2 readers)
 
 
 def gravity_residuals(flows: DataFrame, quant: int = 10**6) -> DataFrame:
@@ -2646,7 +2647,10 @@ def gravity_residuals(flows: DataFrame, quant: int = 10**6) -> DataFrame:
     )
     o_m = f.groupBy("o_gx", "o_gy").agg(F.sum("flow").alias("o_tot"))
     d_m = f.groupBy("d_gx", "d_gy").agg(F.sum("flow").alias("d_tot"))
-    j = (
+    # the margin-joined table feeds TWO consumers (the scalar normaliser
+    # and the output projection) — bounded cache so the margin aggs +
+    # broadcast joins execute once, not per consumer
+    j = _bound_grav_j_cache(
         f.join(F.broadcast(o_m), ["o_gx", "o_gy"])
         .join(F.broadcast(d_m), ["d_gx", "d_gy"])
         .withColumn(
