@@ -7714,3 +7714,65 @@ SELECT sig0, sig1, CAST(count(*) AS BIGINT) AS n_blocks,
 FROM sig GROUP BY 1, 2
 HAVING count(DISTINCT doc_id) >= 2
 """
+
+
+# --------------------------------------------------------------------------
+# E25 — PIP with holes (`spatial.point_in_polygon_join_holes`): donut
+# polygons (the nation rectangles with a centered half-size hole) via
+# COMPOSITION — shell hits LEFT ANTI hole hits on (event_id, poly_id);
+# both legs the standard broadcast-covering PIP.  Oracle: inside outer
+# AND NOT inside hole, brute-force bounds join.
+# --------------------------------------------------------------------------
+
+
+def donut_polygons(spark, sf_dir) -> DataFrame:
+    """The rect_polygons layer with a centered half-size rectangular
+    hole — rings[0] = shell, rings[1] = hole."""
+    nat = _t(spark, sf_dir, "nation")
+    lat0, lat1, lon0, lon1 = _rect_bounds_cols()
+    h_lat0, h_lat1 = lat0 + (lat1 - lat0) * 0.25, lat1 - (lat1 - lat0) * 0.25
+    h_lon0, h_lon1 = lon0 + (lon1 - lon0) * 0.25, lon1 - (lon1 - lon0) * 0.25
+
+    def rect_ring(a0, a1, b0, b1):
+        return F.array(
+            F.struct(a0.alias("lat"), b0.alias("lon")),
+            F.struct(a0.alias("lat"), b1.alias("lon")),
+            F.struct(a1.alias("lat"), b1.alias("lon")),
+            F.struct(a1.alias("lat"), b0.alias("lon")),
+        )
+
+    return nat.select(
+        F.col("n_nationkey").cast("string").alias("poly_id"),
+        F.array(
+            rect_ring(lat0, lat1, lon0, lon1),
+            rect_ring(h_lat0, h_lat1, h_lon0, h_lon1),
+        ).alias("rings"),
+    )
+
+
+def q_pip_donut(spark, sf_dir):
+    from gotrackmaster_spark.operators.spatial import point_in_polygon_join_holes
+
+    pts = geo_events(spark, sf_dir).select("event_id", "lat", "lon")
+    hits = point_in_polygon_join_holes(pts, donut_polygons(spark, sf_dir), level=7)
+    return hits.groupBy("poly_id").agg(F.count("*").alias("n_points"))
+
+
+SQL_PIP_DONUT = f"""
+WITH {GEO_CTE},
+rects AS ({_RECT_SQL}),
+donut AS (
+  SELECT poly_id, lat0, lat1, lon0, lon1,
+         lat0 + (lat1 - lat0) * 0.25 AS h_lat0,
+         lat1 - (lat1 - lat0) * 0.25 AS h_lat1,
+         lon0 + (lon1 - lon0) * 0.25 AS h_lon0,
+         lon1 - (lon1 - lon0) * 0.25 AS h_lon1
+  FROM rects
+)
+SELECT r.poly_id, count(*) AS n_points
+FROM geo g JOIN donut r
+  ON g.lat > r.lat0 AND g.lat < r.lat1 AND g.lon > r.lon0 AND g.lon < r.lon1
+ AND NOT (g.lat > r.h_lat0 AND g.lat < r.h_lat1
+          AND g.lon > r.h_lon0 AND g.lon < r.h_lon1)
+GROUP BY r.poly_id
+"""

@@ -312,6 +312,49 @@ def point_in_polygon_join(
     return boundary.mapInPandas(refine, out_schema).unionByName(full_hits)
 
 
+def point_in_polygon_join_holes(
+    points: DataFrame,
+    polygons: DataFrame,
+    level: int = 7,
+    point_cols: tuple[str, str] = ("lat", "lon"),
+    id_cols: tuple[str, ...] = ("event_id",),
+) -> DataFrame:
+    """E2 with HOLES — PIP over standard (OGC-valid) polygons carrying
+    ``rings: array<array<struct<lat,lon>>>``: ring 0 the outer shell,
+    the rest disjoint interior holes.  A point is inside iff it is in
+    the shell and in NO hole (even-odd for valid polygons — nested
+    hole-in-hole islands are out of contract).
+
+    Built by COMPOSITION of the existing packed-covering machinery:
+
+      hits(shell)  LEFT ANTI JOIN  hits(any hole)  ON (id, poly_id)
+
+    both legs are :func:`point_in_polygon_join` (broadcast covering +
+    ray-cast refine — the points side is never shuffled pre-join).  The
+    anti join co-partitions the two HIT sets on (id, poly_id) — the
+    already-PIP-filtered rows, not the raw points; hole hits are
+    additionally collapsed to distinct (id, poly_id) first, so a point
+    in several holes costs one row.
+
+    Output: the shell-hit rows (original point columns + poly_id) whose
+    point lies in no hole of that polygon.
+    """
+    outer = polygons.select("poly_id", F.col("rings").getItem(0).alias("ring"))
+    holes = polygons.select(
+        "poly_id",
+        F.explode(F.expr("slice(rings, 2, greatest(size(rings) - 1, 0))")).alias(
+            "ring"
+        ),
+    )
+    in_outer = point_in_polygon_join(points, outer, level, point_cols)
+    in_holes = (
+        point_in_polygon_join(points, holes, level, point_cols)
+        .select(*id_cols, "poly_id")
+        .distinct()
+    )
+    return in_outer.join(in_holes, [*id_cols, "poly_id"], "left_anti")
+
+
 def point_in_polygon_anti(
     points: DataFrame,
     polygons: DataFrame,

@@ -78,3 +78,80 @@ def test_od_matrix_plan_two_aggregates_no_join(spark):
     # one shuffle on user_id (struct min/max partial-aggregates map-side),
     # one on the (o_cell, d_cell) pair key
     assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def _donut_hits(spark, pts, polys, level=5):
+    from pyspark.sql import functions as F
+
+    from gotrackmaster_spark.operators.spatial import point_in_polygon_join_holes
+
+    pdf = spark.createDataFrame(pts, "event_id long, lat double, lon double")
+    ring_t = "array<struct<lat:double,lon:double>>"
+    gdf = spark.createDataFrame(polys, f"poly_id string, rings array<{ring_t}>")
+    return {
+        (r["event_id"], r["poly_id"])
+        for r in point_in_polygon_join_holes(pdf, gdf, level=level).collect()
+    }
+
+
+def _rect(a0, a1, b0, b1):
+    return [
+        {"lat": a0, "lon": b0}, {"lat": a0, "lon": b1},
+        {"lat": a1, "lon": b1}, {"lat": a1, "lon": b0},
+    ]
+
+
+def test_pip_holes_donut_semantics(spark):
+    donut = [("d", [_rect(0.0, 10.0, 0.0, 10.0), _rect(3.0, 7.0, 3.0, 7.0)])]
+    pts = [
+        (1, 1.5, 1.5),    # in shell, outside hole -> hit
+        (2, 5.0, 5.0),    # inside the hole -> miss
+        (3, 3.5, 8.5),    # in shell, lat inside hole band but lon not -> hit
+        (4, 15.0, 15.0),  # outside the shell -> miss
+        (5, 6.9, 6.9),    # just inside hole -> miss
+        (6, 7.2, 7.2),    # just past the hole corner -> hit
+    ]
+    assert _donut_hits(spark, pts, donut) == {(1, "d"), (3, "d"), (6, "d")}
+
+
+def test_pip_holes_no_holes_and_multi_hole(spark):
+    # hole-less polygon degenerates to the plain PIP
+    plain = [("p", [_rect(0.0, 4.0, 0.0, 4.0)])]
+    pts = [(1, 2.0, 2.0), (2, 5.0, 5.0)]
+    assert _donut_hits(spark, pts, plain) == {(1, "p")}
+    # two disjoint holes: a point in EITHER hole is excluded; overlapping
+    # polygons each judged independently
+    two = [
+        ("a", [_rect(0.0, 10.0, 0.0, 10.0),
+               _rect(1.0, 2.0, 1.0, 2.0), _rect(8.0, 9.0, 8.0, 9.0)]),
+        ("b", [_rect(0.0, 6.0, 0.0, 6.0)]),
+    ]
+    pts = [(1, 1.5, 1.5), (2, 8.5, 8.5), (3, 5.0, 5.0)]
+    assert _donut_hits(spark, pts, two) == {(3, "a"), (3, "b"), (1, "b")}
+
+
+def test_pip_holes_brute_force_random(spark):
+    import random
+
+    rnd = random.Random(17)
+    donuts = []
+    for k in range(6):
+        a0, b0 = rnd.uniform(-50, 30), rnd.uniform(-50, 30)
+        da, db = rnd.uniform(4, 12), rnd.uniform(4, 12)
+        h = [_rect(a0 + da * 0.3, a0 + da * 0.6, b0 + db * 0.3, b0 + db * 0.6)]
+        donuts.append((f"p{k}", [_rect(a0, a0 + da, b0, b0 + db)] + h))
+    pts = [
+        (i, rnd.uniform(-55, 45), rnd.uniform(-55, 45)) for i in range(400)
+    ]
+    got = _donut_hits(spark, pts, donuts)
+    exp = set()
+    for pid, rings in donuts:
+        (s, h) = rings
+        s_lat = sorted({p["lat"] for p in s}); s_lon = sorted({p["lon"] for p in s})
+        h_lat = sorted({p["lat"] for p in h}); h_lon = sorted({p["lon"] for p in h})
+        for i, la, lo in pts:
+            in_s = s_lat[0] < la < s_lat[1] and s_lon[0] < lo < s_lon[1]
+            in_h = h_lat[0] < la < h_lat[1] and h_lon[0] < lo < h_lon[1]
+            if in_s and not in_h:
+                exp.add((i, pid))
+    assert got == exp
