@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d8_basins": _wrap(Q.q_d8_basins),
         "shared_blocks": _wrap(Q.q_shared_blocks),
         "pip_donut": _wrap(Q.q_pip_donut),
+        "phash_topk": _wrap(Q.q_phash_topk),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
         # interval_events were driver-green in r02; the r03 changes
@@ -293,6 +294,7 @@ def oracle_sql() -> dict[str, str]:
         "d8_basins": Q.SQL_D8_BASINS,
         "shared_blocks": Q.SQL_SHARED_BLOCKS,
         "pip_donut": Q.SQL_PIP_DONUT,
+        "phash_topk": Q.SQL_PHASH_TOPK,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,
         "dwell_cells": Q.SQL_DWELL_CELLS,

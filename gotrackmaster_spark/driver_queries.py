@@ -7776,3 +7776,75 @@ FROM geo g JOIN donut r
           AND g.lon > r.h_lon0 AND g.lon < r.h_lon1)
 GROUP BY r.poly_id
 """
+
+
+# --------------------------------------------------------------------------
+# E7i — per-query phash top-k (`images.phash_topk`): the image twin of
+# embedding_topk — rank the corpus (base ∪ planted variants) for each
+# variant-bearing base image by Hamming distance WITHIN 16 (bounded-
+# search pigeonhole contract; banding guarantees candidate completeness
+# at ≤ max_hamming).  Exact-int hamming + (hamming, id) rank — DuckDB
+# twin replays the brute-force ranking over the generator phashes.
+# --------------------------------------------------------------------------
+
+_PTK_K = 5
+_PTK_H = 16
+
+
+def q_phash_topk(spark, sf_dir):
+    from gotrackmaster_spark.operators.images import (
+        phash_topk,
+        synthesize_image_variants,
+        synthesize_images,
+    )
+
+    imgs = synthesize_images(spark, sf_dir, w=_IMG_W, h=_IMG_H)
+    cols = ["img_key", "image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+    both = imgs.select(*cols).unionByName(
+        synthesize_image_variants(imgs, every=_PH_EVERY)
+    )
+    queries = both.filter(
+        (F.col("img_key") % _PH_EVERY == 0) & F.col("image_id").startswith("img")
+    )
+    return phash_topk(
+        both.select("image_id", "phash"),
+        queries.select("image_id", "phash"),
+        k=_PTK_K,
+        max_hamming=_PTK_H,
+    )
+
+
+SQL_PHASH_TOPK = f"""
+WITH base_bs AS (
+  SELECT doc_id, {_phash_bs_sql(_PIX_F)} AS bs FROM documents
+),
+var_bs AS (
+  SELECT doc_id, {_phash_bs_sql(_PIX_VAR)} AS bs
+  FROM documents WHERE doc_id % {_PH_EVERY} = 0
+),
+base AS (
+  SELECT doc_id, format('img{{:08d}}', doc_id) AS image_id, {_PHASH_FROM_BS} AS phash
+  FROM (SELECT doc_id, bs, list_sum(bs) AS tot FROM base_bs)
+),
+vars AS (
+  SELECT format('var{{:08d}}', doc_id) AS image_id, {_PHASH_FROM_BS} AS phash
+  FROM (SELECT doc_id, bs, list_sum(bs) AS tot FROM var_bs)
+),
+all_imgs AS (
+  SELECT image_id, phash FROM base UNION ALL SELECT image_id, phash FROM vars
+),
+qs AS (SELECT image_id, phash FROM base WHERE doc_id % {_PH_EVERY} = 0),
+pairs AS (
+  SELECT q.image_id AS q_id, b.image_id AS b_id,
+         CAST(bit_count(xor(q.phash, b.phash)) AS INT) AS hamming
+  FROM qs q JOIN all_imgs b ON b.image_id <> q.image_id
+  WHERE bit_count(xor(q.phash, b.phash)) <= {_PTK_H}
+),
+ranked AS (
+  SELECT q_id, b_id, hamming,
+         CAST(row_number() OVER (PARTITION BY q_id ORDER BY hamming, b_id)
+              AS INT) AS rnk
+  FROM pairs
+)
+SELECT q_id, b_id, hamming, rnk FROM ranked WHERE rnk <= {_PTK_K}
+"""

@@ -670,6 +670,20 @@ def shared_blocks(
     )
 
 
+def _hamming_chunk_masks(chunks: int) -> list[int]:
+    """Even bit split of the 64-bit hash into ``chunks`` pigeonhole
+    masks; the top chunk's mask includes bit 63 → wrap to signed int64
+    for F.lit / LongType."""
+    starts = [c * 64 // chunks for c in range(chunks)] + [64]
+    masks = []
+    for c in range(chunks):
+        mask = ((1 << (starts[c + 1] - starts[c])) - 1) << starts[c]
+        if mask >= 1 << 63:
+            mask -= 1 << 64
+        masks.append(mask)
+    return masks
+
+
 def phash_near_dups(images: DataFrame, max_hamming: int = 10) -> DataFrame:
     """Near-duplicate images by phash Hamming distance — chunked band join
     (pigeonhole over max_hamming+1 chunks), same shape as SimHash dedup.
@@ -681,16 +695,7 @@ def phash_near_dups(images: DataFrame, max_hamming: int = 10) -> DataFrame:
     policy as the text-dedup shingle cache)."""
     from gotrackmaster_spark.operators.dedup import band_stack
 
-    chunks = max_hamming + 1
-    # even bit split over exactly 64 bits; the top chunk's mask includes bit
-    # 63 → wrap to signed int64 for F.lit / LongType
-    starts = [c * 64 // chunks for c in range(chunks)] + [64]
-    masks = []
-    for c in range(chunks):
-        mask = ((1 << (starts[c + 1] - starts[c])) - 1) << starts[c]
-        if mask >= 1 << 63:
-            mask -= 1 << 64
-        masks.append(mask)
+    masks = _hamming_chunk_masks(max_hamming + 1)
     sig = images.select("image_id", "phash")
     sig = _bound_sig_cache(sig)
     stacked = band_stack(sig, "image_id", "phash", masks)
@@ -705,6 +710,68 @@ def phash_near_dups(images: DataFrame, max_hamming: int = 10) -> DataFrame:
     ham = F.bit_count(F.col("a_ph").bitwiseXOR(F.col("b_ph"))).cast("int")
     return cand.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
         "a_id", "b_id", "hamming"
+    )
+
+
+_bound_ptk_cache = make_bounded_cache()  # corpus signatures (phash top-k)
+
+
+def phash_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    max_hamming: int = 16,
+) -> DataFrame:
+    """Per-query top-k visually-similar images by phash Hamming distance
+    — the image twin of ``dedup.embedding_topk``: rank the corpus for
+    each query, WITHIN ``max_hamming`` (the bounded-search contract:
+    pigeonhole banding guarantees every corpus image at distance ≤
+    max_hamming is a candidate; anything farther is out of scope by
+    design, so a query with no near neighbor returns < k rows, never a
+    wrong one).
+
+    ``corpus`` / ``queries``: ``(image_id, phash)`` rows (queries
+    usually a bounded subset — the ``embedding_topk`` bounded-Q
+    contract).  Candidates come from the chunk equi-join between the
+    banded query subset and the banded corpus (never |Q|·|C|); the
+    Hamming verify and the (hamming, image_id) ranking are exact-int
+    and fully deterministic.
+
+    Output: ``(q_id, b_id, hamming, rnk)`` — up to k rows per query,
+    rnk 1-based by (hamming asc, b_id asc), self-matches excluded.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from pyspark.sql import Window
+
+    from gotrackmaster_spark.operators.dedup import band_stack
+
+    masks = _hamming_chunk_masks(max_hamming + 1)
+    sig = _bound_ptk_cache(corpus.select("image_id", "phash"))
+    b = band_stack(sig, "image_id", "phash", masks).select(
+        F.col("image_id").alias("b_id"), F.col("phash").alias("b_ph"),
+        "chunk", "chunk_val",
+    )
+    q = band_stack(
+        queries.select("image_id", "phash"), "image_id", "phash", masks
+    ).select(
+        F.col("image_id").alias("q_id"), F.col("phash").alias("q_ph"),
+        "chunk", "chunk_val",
+    )
+    cand = (
+        q.join(b, ["chunk", "chunk_val"])
+        .filter(F.col("q_id") != F.col("b_id"))
+        .select("q_id", "b_id", "q_ph", "b_ph")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("q_ph").bitwiseXOR(F.col("b_ph"))).cast("int")
+    w = Window.partitionBy("q_id").orderBy("hamming", "b_id")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "b_id", "hamming", "rnk")
     )
 
 

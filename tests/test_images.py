@@ -502,3 +502,56 @@ def test_shared_blocks_validation(spark):
         shared_blocks(df, 8, 8, min_images=0)
     with _pt.raises(Exception, match="not divisible"):
         shared_blocks(df).collect()
+
+
+def test_phash_topk_brute_force_and_contract(spark):
+    """Band-join top-k must equal a brute-force hamming ranking over the
+    same signatures; planted variants rank first for their base."""
+    from pyspark.sql import functions as F
+
+    from gotrackmaster_spark.operators.images import (
+        phash_topk,
+        synthesize_image_variants,
+        synthesize_images,
+    )
+
+    imgs = synthesize_images(spark, "/root/testdata/sf0.01").limit(60)
+    cols = ["img_key", "image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+    both = imgs.select(*cols).unionByName(
+        synthesize_image_variants(imgs, every=5)
+    ).cache()
+    sig = {r["image_id"]: r["phash"] for r in both.select("image_id", "phash").collect()}
+    queries = both.filter(
+        (F.col("img_key") % 5 == 0) & F.col("image_id").startswith("img")
+    )
+    k, h = 4, 20
+    got = {}
+    rows = phash_topk(
+        both.select("image_id", "phash"), queries.select("image_id", "phash"),
+        k=k, max_hamming=h,
+    ).collect()
+    for r in rows:
+        got.setdefault(r["q_id"], []).append((r["rnk"], r["b_id"], r["hamming"]))
+    q_ids = {r["image_id"] for r in queries.select("image_id").collect()}
+    m64 = (1 << 64) - 1  # phash bit 63 wraps signed: mask before popcount
+    for q in q_ids:
+        cands = sorted(
+            (bin((sig[q] ^ p) & m64).count("1"), b)
+            for b, p in sig.items()
+            if b != q and bin((sig[q] ^ p) & m64).count("1") <= h
+        )[:k]
+        exp = [(i + 1, b, d) for i, (d, b) in enumerate(cands)]
+        assert sorted(got.get(q, [])) == exp, q
+    # discrimination: most queries see their planted variant in the top-k
+    # (another base image may occasionally tie closer — that's fine)
+    with_var = sum(
+        1 for q in q_ids
+        if any(b == "var" + q[3:] for _, b, _ in got.get(q, []))
+    )
+    assert with_var >= len(q_ids) // 2 > 0
+    both.unpersist()
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        phash_topk(both.select("image_id", "phash"), queries.select("image_id", "phash"), k=0)
