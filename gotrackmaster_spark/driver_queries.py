@@ -7848,3 +7848,69 @@ ranked AS (
 )
 SELECT q_id, b_id, hamming, rnk FROM ranked WHERE rnk <= {_PTK_K}
 """
+
+
+# --------------------------------------------------------------------------
+# E26 — distinctive terms per tile (`tile_top_terms` composite): the
+# text×geo leg — per 10° tile, the top-3 caption terms ranked by the
+# INTEGER-QUANTIZED tf/df score (tf·10⁶ DIV df; a float tf-idf with ln
+# would make near-tie ranking engine-dependent).  One word explode,
+# two hash aggregates, the tiny global df table broadcast back; rank =
+# (score DESC, term ASC) — fully deterministic.
+# --------------------------------------------------------------------------
+
+_TTT_K = 3
+_TTT_QUANT = 10**6
+_TTT_TILE_DEG = 10.0
+
+
+def q_tile_top_terms(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    lat, lon = _img_geotag_cols(F.col("doc_id"))
+    words = docs.select(
+        "doc_id",
+        tile_name_col(lat, lon, _TTT_TILE_DEG).alias("tile"),
+        F.explode(F.split(F.lower("text"), " ")).alias("term"),
+    ).filter(F.length("term") > 0)
+    tf = words.groupBy("tile", "term").agg(F.count("*").alias("tf"))
+    df_ = words.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    j = tf.join(F.broadcast(df_), "term").withColumn(
+        "score", F.expr(f"(tf * {_TTT_QUANT}) DIV df")
+    )
+    w = Window.partitionBy("tile").orderBy(F.col("score").desc(), "term")
+    return (
+        j.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TTT_K)
+        .select("tile", "term", "tf", "df", "score", "rnk")
+    )
+
+
+SQL_TILE_TOP_TERMS = f"""
+WITH tagged AS (
+  SELECT doc_id,
+         {tile_name_sql("((doc_id * 2654435761) % 1600000) / 10000.0 - 80.0",
+                        "((doc_id * 40503 + 7) % 3600000) / 10000.0 - 180.0",
+                        _TTT_TILE_DEG)} AS tile,
+         text
+  FROM documents
+),
+words AS (
+  SELECT doc_id, tile, unnest(string_split(lower(text), ' ')) AS term
+  FROM tagged
+),
+flt AS (SELECT * FROM words WHERE length(term) > 0),
+tf AS (SELECT tile, term, CAST(count(*) AS BIGINT) AS tf FROM flt GROUP BY 1, 2),
+df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM flt GROUP BY 1),
+j AS (
+  SELECT tile, t.term, tf, df, (tf * {_TTT_QUANT}) // df AS score
+  FROM tf t JOIN df USING (term)
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY tile ORDER BY score DESC, term)
+                 AS INT) AS rnk
+  FROM j
+)
+SELECT tile, term, tf, df, score, rnk FROM ranked WHERE rnk <= {_TTT_K}
+"""

@@ -281,3 +281,40 @@ def test_dedup_no_per_doc_broadcast_hints(spark):
     mh = minhash_lsh_dups(docs)
     mh_hints = mh._jdf.queryExecution().analyzed().toString().count("ResolvedHint")
     assert mh_hints == 1, f"minhash_lsh_dups hints: {mh_hints} (want 1: candidates only)"
+
+
+def test_tile_top_terms_ranking_contract(spark):
+    """Rank must be (score DESC, term ASC) with the integer-quantized
+    tf·Q DIV df score — verified against a Python replay at sf0.001."""
+    from gotrackmaster_spark.driver_queries import (
+        _TTT_K, _TTT_QUANT, q_tile_top_terms,
+    )
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    got = {}
+    for r in q_tile_top_terms(spark, sf).collect():
+        got.setdefault(r["tile"], []).append(
+            (r["rnk"], r["term"], r["tf"], r["df"], r["score"])
+        )
+    # python replay
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+    dfc = {}
+    for k, text in docs:
+        for w in text.lower().split(" "):
+            if w:
+                dfc.setdefault(w, set()).add(k)
+    # tile naming is engine-specific — only verify the per-tile ranking laws
+    for tile_id, rows in got.items():
+        rows = sorted(rows)
+        assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= _TTT_K
+        for rnk, term, tfv, dfv, score in rows:
+            assert score == (tfv * _TTT_QUANT) // dfv
+            assert dfv == len(dfc[term])
+        # strictly non-increasing score, term-ascending within equal score
+        for a, b in zip(rows, rows[1:]):
+            assert a[4] > b[4] or (a[4] == b[4] and a[1] < b[1])
