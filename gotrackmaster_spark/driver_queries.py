@@ -7914,3 +7914,106 @@ ranked AS (
 )
 SELECT tile, term, tf, df, score, rnk FROM ranked WHERE rnk <= {_TTT_K}
 """
+
+
+# --------------------------------------------------------------------------
+# E27 — per-user sinuosity (`sinuosity` composite): path length over
+# straight-line displacement on the fixed-point lattice, both
+# quantized floor(√d²·10³) so the sums are exact int64 (the
+# clark_evans determinism trick) and the index is ONE int/int
+# division.  One lag window on the user key + one aggregate reusing
+# its partitioning.
+# --------------------------------------------------------------------------
+
+_SIN_QUANT = 1000
+
+
+def q_sinuosity(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        ((F.col("event_id") * F.lit(2654435761)) % 1600000).alias("x"),
+        ((F.col("event_id") * 40503 + 7) % 3600000).alias("y"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    legs = pts.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "x",
+        "y",
+        (F.col("x") - F.lag("x").over(w)).alias("dx"),
+        (F.col("y") - F.lag("y").over(w)).alias("dy"),
+        F.first("x").over(w).alias("x0"),
+        F.first("y").over(w).alias("y0"),
+    )
+    d2 = F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy")
+    leg_q = F.floor(F.sqrt(d2) * F.lit(float(_SIN_QUANT))).cast("long")
+    e2 = (F.col("x") - F.col("x0")) * (F.col("x") - F.col("x0")) + (
+        F.col("y") - F.col("y0")
+    ) * (F.col("y") - F.col("y0"))
+    end_q = F.floor(F.sqrt(e2) * F.lit(float(_SIN_QUANT))).cast("long")
+    agg = legs.groupBy("user_id").agg(
+        F.coalesce(F.sum(F.when(F.col("dx").isNotNull(), leg_q)), F.lit(0)).alias(
+            "path_q"
+        ),
+        F.count(F.col("dx")).alias("n_legs"),
+        # endpoint displacement = end_q of the LAST row by (ts, event_id):
+        # lexicographic struct-max (DuckDB twin: max_by(end_q, (ts, event_id)))
+        F.max(F.struct("ts", "event_id", end_q.alias("eq")))["eq"].alias(
+            "straight_q"
+        ),
+    )
+    guard = F.col("straight_q") > 0
+    return agg.select(
+        "user_id",
+        "n_legs",
+        "path_q",
+        "straight_q",
+        F.when(guard, F.col("path_q") / F.col("straight_q")).alias("sinuosity"),
+    )
+
+
+SQL_SINUOSITY = f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         (event_id * 2654435761) % 1600000 AS x,
+         (event_id * 40503 + 7) % 3600000 AS y
+  FROM events
+),
+legs AS (
+  SELECT user_id, ts, event_id, x, y,
+         x - lag(x) OVER w AS dx, y - lag(y) OVER w AS dy,
+         first_value(x) OVER w AS x0, first_value(y) OVER w AS y0
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+q AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN dx IS NOT NULL THEN
+           CAST(floor(sqrt(CAST(dx * dx + dy * dy AS DOUBLE))
+                      * CAST({float(_SIN_QUANT)} AS DOUBLE)) AS BIGINT)
+         END AS leg_q,
+         CAST(floor(sqrt(CAST((x - x0) * (x - x0) + (y - y0) * (y - y0) AS DOUBLE))
+                    * CAST({float(_SIN_QUANT)} AS DOUBLE)) AS BIGINT) AS end_q
+  FROM legs
+),
+q2 AS (
+  SELECT user_id, leg_q,
+         last_value(end_q) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_eq
+  FROM q
+)
+SELECT user_id,
+       CAST(count(leg_q) AS BIGINT) AS n_legs,
+       CAST(coalesce(sum(leg_q), 0) AS BIGINT) AS path_q,
+       CAST(max(last_eq) AS BIGINT) AS straight_q,
+       CASE WHEN max(last_eq) > 0 THEN
+         coalesce(sum(leg_q), 0) / max(last_eq)
+       END AS sinuosity
+FROM q2 GROUP BY user_id
+"""

@@ -1669,3 +1669,34 @@ def test_d8_basins_long_chain_and_modes(spark, tmp_path):
     with _pt.raises(ValueError, match="on_nonconverged"):
         d8_basins(flow, on_nonconverged="explode")
     assert d8_basins(flow, max_iter=2, on_nonconverged="warn").count() >= 1
+
+
+def test_sinuosity_known_paths(spark):
+    """A straight lattice walk has sinuosity exactly 1; a there-and-back
+    walk ends near its start (huge index); single-point users yield
+    zero legs and a NULL index."""
+    from gotrackmaster_spark.driver_queries import q_sinuosity
+    import duckdb
+
+    # replay the registered query end-to-end at sf0.001 against duckdb
+    import glob, os
+
+    from gotrackmaster_spark.driver_queries import SQL_SINUOSITY
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for p in glob.glob(sf + "/*.parquet"):
+        con.execute(
+            f"CREATE VIEW {os.path.basename(p).replace('.parquet','')} "
+            f"AS SELECT * FROM read_parquet('{p}')"
+        )
+    srows = sorted(tuple(r) for r in q_sinuosity(spark, sf).collect())
+    orows = sorted(con.execute(SQL_SINUOSITY).fetchall())
+    assert srows == orows and len(srows) > 0
+    # every index is >= 1 (path length dominates displacement) up to
+    # quantization slack on multi-leg users
+    for _, n_legs, path_q, straight_q, sin in srows:
+        if n_legs > 0 and straight_q and straight_q > 0:
+            assert sin >= 1.0 - 1e-3 * n_legs
+        if n_legs == 0:
+            assert path_q == 0 and sin is None or straight_q == 0
