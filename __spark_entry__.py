@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_topk": _wrap(Q.q_phash_topk),
         "tile_top_terms": _wrap(Q.q_tile_top_terms),
         "sinuosity": _wrap(Q.q_sinuosity),
+        "stkde": _wrap(Q.q_stkde),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
         # interval_events were driver-green in r02; the r03 changes
@@ -299,6 +300,7 @@ def oracle_sql() -> dict[str, str]:
         "phash_topk": Q.SQL_PHASH_TOPK,
         "tile_top_terms": Q.SQL_TILE_TOP_TERMS,
         "sinuosity": Q.SQL_SINUOSITY,
+        "stkde": Q.SQL_STKDE,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,
         "dwell_cells": Q.SQL_DWELL_CELLS,

@@ -8017,3 +8017,64 @@ SELECT user_id,
        END AS sinuosity
 FROM q2 GROUP BY user_id
 """
+
+
+# --------------------------------------------------------------------------
+# E28 — space-time KDE (`spatial.stkde_raster`): the kde_raster shape
+# with a separable day axis — quantized Epanechnikov product kernel
+# (Q_s − d²)·(Q_t − dt²), all exact int64 (t pre-quantized to DAYS so
+# Q_t stays tiny).  ONE ×25·3 explode + ONE hash aggregate.
+# --------------------------------------------------------------------------
+
+_STK_CELL, _STK_R = 1000, 2
+_STK_TBIN, _STK_RT = 2, 1
+_STK_QS = (_STK_R * _STK_CELL) ** 2
+_STK_QT = (_STK_RT * _STK_TBIN) ** 2
+
+
+def q_stkde(spark, sf_dir):
+    from gotrackmaster_spark.operators.spatial import stkde_raster
+
+    geo = geo_events(spark, sf_dir)
+    pts = geo.select(
+        F.round((F.col("lon") + 180.0) * 1000, 0).cast("long").alias("x"),
+        F.round((F.col("lat") + 80.0) * 1000, 0).cast("long").alias("y"),
+        F.expr(f"unix_micros(CAST(ts AS timestamp)) DIV {_US_PER_DAY}").alias("t"),
+    )
+    return stkde_raster(pts, _STK_CELL, _STK_R, _STK_TBIN, _STK_RT)
+
+
+SQL_STKDE = f"""
+WITH {GEO_CTE},
+pts AS (
+  SELECT CAST(round((lon + 180.0) * 1000) AS BIGINT) AS x,
+         CAST(round((lat + 80.0) * 1000) AS BIGINT) AS y,
+         epoch_us(ts) // {_US_PER_DAY} AS t
+  FROM geo
+),
+off AS (
+  SELECT dx - {_STK_R} AS dx, dy - {_STK_R} AS dy, dt - {_STK_RT} AS dt
+  FROM range({2 * _STK_R + 1}) t1(dx), range({2 * _STK_R + 1}) t2(dy),
+       range({2 * _STK_RT + 1}) t3(dt)
+),
+cand AS (
+  SELECT CAST(floor(x / {_STK_CELL}.0) AS BIGINT) + dx AS cx,
+         CAST(floor(y / {_STK_CELL}.0) AS BIGINT) + dy AS cy,
+         CAST(floor(t / {_STK_TBIN}.0) AS BIGINT) + dt AS ct,
+         x, y, t
+  FROM pts, off
+),
+wtab AS (
+  SELECT cx, cy, ct,
+         {_STK_QS} - ((x - (cx * {_STK_CELL} + {_STK_CELL // 2}))
+                      * (x - (cx * {_STK_CELL} + {_STK_CELL // 2}))
+                      + (y - (cy * {_STK_CELL} + {_STK_CELL // 2}))
+                      * (y - (cy * {_STK_CELL} + {_STK_CELL // 2}))) AS ws,
+         {_STK_QT} - ((t - (ct * {_STK_TBIN} + {_STK_TBIN // 2}))
+                      * (t - (ct * {_STK_TBIN} + {_STK_TBIN // 2}))) AS wt
+  FROM cand
+)
+SELECT cx, cy, ct, CAST(count(*) AS BIGINT) AS n_pts,
+       CAST(sum(ws * wt) AS BIGINT) AS stkde
+FROM wtab WHERE ws > 0 AND wt > 0 GROUP BY 1, 2, 3
+"""

@@ -2288,6 +2288,81 @@ def kde_raster(points: DataFrame, cell: int, r_cells: int) -> DataFrame:
     )
 
 
+def stkde_raster(
+    points: DataFrame, cell: int, r_cells: int, t_bin: int, r_t: int
+) -> DataFrame:
+    """Space-TIME kernel-density raster — :func:`kde_raster` with a
+    separable time axis, the smoothed space-time-cube surface behind
+    emerging-hotspot workflows:
+
+      stkde(c, τ) = Σ_p (Q_s − d²_s)·(Q_t − d²_t)  over points inside
+      BOTH supports, Q_s = (r_cells·cell)², Q_t = (r_t·t_bin)²
+
+    ``points`` carries integer ``(x, y, t)`` — coordinates fixed-point,
+    ``t`` PRE-QUANTIZED to coarse units (e.g. days, not µs) so the
+    integer products stay exact: the caller must keep
+    Q_s·Q_t·n_points < 2⁶³ (µs-scale t would overflow Q_t alone).
+    ``cell`` and ``t_bin`` must be even (integral centers).
+
+    Plan at scale: ONE bounded ×(2r+1)²·(2r_t+1) explode + ONE
+    map-side-combinable hash aggregate — the kde_raster shape with a
+    third key column; no joins, no windows, partition-order invariant.
+
+    Output: ``(cx, cy, ct, n_pts, stkde)`` — one row per space-time
+    cell with ≥ 1 point inside both supports.
+    """
+    if cell % 2 != 0 or t_bin % 2 != 0:
+        raise ValueError(
+            f"cell and t_bin must be even (integral centers), got {cell}, {t_bin}"
+        )
+    if r_cells < 1 or r_t < 1:
+        raise ValueError(f"r_cells and r_t must be >= 1, got {r_cells}, {r_t}")
+    q_s = (r_cells * cell) ** 2
+    q_t = (r_t * t_bin) ** 2
+    offsets = F.array(*[
+        F.struct(
+            F.lit(dx).alias("dx"), F.lit(dy).alias("dy"), F.lit(dt).alias("dt")
+        )
+        for dx in range(-r_cells, r_cells + 1)
+        for dy in range(-r_cells, r_cells + 1)
+        for dt in range(-r_t, r_t + 1)
+    ])
+    contrib = (
+        points.select(
+            "x",
+            "y",
+            "t",
+            F.floor(F.col("x") / cell).cast("long").alias("px"),
+            F.floor(F.col("y") / cell).cast("long").alias("py"),
+            F.floor(F.col("t") / t_bin).cast("long").alias("pt"),
+        )
+        .withColumn("__o", F.explode(offsets))
+        .select(
+            (F.col("px") + F.col("__o.dx")).alias("cx"),
+            (F.col("py") + F.col("__o.dy")).alias("cy"),
+            (F.col("pt") + F.col("__o.dt")).alias("ct"),
+            F.col("x"),
+            F.col("y"),
+            F.col("t"),
+        )
+    )
+    dx = F.col("x") - (F.col("cx") * cell + F.lit(cell // 2))
+    dy = F.col("y") - (F.col("cy") * cell + F.lit(cell // 2))
+    dt = F.col("t") - (F.col("ct") * t_bin + F.lit(t_bin // 2))
+    w_s = F.lit(q_s) - (dx * dx + dy * dy)
+    w_t = F.lit(q_t) - dt * dt
+    return (
+        contrib.withColumn("__ws", w_s)
+        .withColumn("__wt", w_t)
+        .filter((F.col("__ws") > 0) & (F.col("__wt") > 0))
+        .groupBy("cx", "cy", "ct")
+        .agg(
+            F.count("*").alias("n_pts"),
+            F.sum(F.col("__ws") * F.col("__wt")).alias("stkde"),
+        )
+    )
+
+
 _bound_2sfca_cache = make_bounded_cache()  # catchment pairs (consumed twice)
 
 

@@ -1700,3 +1700,57 @@ def test_sinuosity_known_paths(spark):
             assert sin >= 1.0 - 1e-3 * n_legs
         if n_legs == 0:
             assert path_q == 0 and sin is None or straight_q == 0
+
+
+def test_stkde_brute_force_and_validation(spark):
+    import random
+
+    from gotrackmaster_spark.operators.spatial import stkde_raster
+
+    rnd = random.Random(101)
+    pts = [
+        (rnd.randrange(0, 8000), rnd.randrange(0, 8000), rnd.randrange(0, 30))
+        for _ in range(300)
+    ]
+    cell, r, tb, rt = 1000, 2, 2, 1
+    qs, qt = (r * cell) ** 2, (rt * tb) ** 2
+    df = spark.createDataFrame(pts, "x long, y long, t long")
+    got = {
+        (rw["cx"], rw["cy"], rw["ct"]): (rw["n_pts"], rw["stkde"])
+        for rw in stkde_raster(df, cell, r, tb, rt).collect()
+    }
+    exp = {}
+    cxs = {x // cell + d for x, _, _ in pts for d in range(-r, r + 1)}
+    cys = {y // cell + d for _, y, _ in pts for d in range(-r, r + 1)}
+    cts = {t // tb + d for _, _, t in pts for d in range(-rt, rt + 1)}
+    for cx in cxs:
+        for cy in cys:
+            for ct in cts:
+                n = s = 0
+                for x, y, t in pts:
+                    ws = qs - ((x - (cx * cell + cell // 2)) ** 2
+                               + (y - (cy * cell + cell // 2)) ** 2)
+                    wt = qt - (t - (ct * tb + tb // 2)) ** 2
+                    if ws > 0 and wt > 0:
+                        n += 1
+                        s += ws * wt
+                if n:
+                    exp[(cx, cy, ct)] = (n, s)
+    assert got == exp
+    # time separation: points a day outside the support do not leak
+    iso = spark.createDataFrame(
+        [(500, 500, 0), (500, 500, 10)], "x long, y long, t long"
+    )
+    rows = stkde_raster(iso, cell, r, tb, rt).collect()
+    assert all(
+        not (r0["ct"] in (0,) and r0["n_pts"] == 2) for r0 in rows
+    )  # the two points never land in one time cell
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        stkde_raster(iso, 999, 2, 2, 1)
+    with _pt.raises(ValueError):
+        stkde_raster(iso, 1000, 2, 3, 1)
+    with _pt.raises(ValueError):
+        stkde_raster(iso, 1000, 0, 2, 1)
