@@ -179,6 +179,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_top_terms": _wrap(Q.q_tile_top_terms),
         "sinuosity": _wrap(Q.q_sinuosity),
         "stkde": _wrap(Q.q_stkde),
+        "ohlc_bars": _wrap(Q.q_ohlc_bars),
+        "type_runs": _wrap(Q.q_type_runs),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
         # interval_events were driver-green in r02; the r03 changes
@@ -301,6 +303,8 @@ def oracle_sql() -> dict[str, str]:
         "tile_top_terms": Q.SQL_TILE_TOP_TERMS,
         "sinuosity": Q.SQL_SINUOSITY,
         "stkde": Q.SQL_STKDE,
+        "ohlc_bars": Q.SQL_OHLC_BARS,
+        "type_runs": Q.SQL_TYPE_RUNS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,
         "dwell_cells": Q.SQL_DWELL_CELLS,

@@ -8078,3 +8078,96 @@ SELECT cx, cy, ct, CAST(count(*) AS BIGINT) AS n_pts,
        CAST(sum(ws * wt) AS BIGINT) AS stkde
 FROM wtab WHERE ws > 0 AND wt > 0 GROUP BY 1, 2, 3
 """
+
+
+# --------------------------------------------------------------------------
+# E29 — OHLC bars (`ohlc_bars` composite): per-(user, day) open/high/
+# low/close of the event value — the classic downsampling aggregate,
+# entirely map-side combinable (open/close via lexicographic struct
+# min/max on (ts, event_id), no window at all).  Exact ints.
+# --------------------------------------------------------------------------
+
+
+def q_ohlc_bars(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr(f"unix_micros(CAST(ts AS timestamp)) DIV {_US_PER_DAY}")
+    return (
+        ev.select("user_id", day.alias("day"), "ts", "event_id", "value")
+        .groupBy("user_id", "day")
+        .agg(
+            F.min(F.struct("ts", "event_id", "value"))["value"].alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.struct("ts", "event_id", "value"))["value"].alias("close"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+SQL_OHLC_BARS = f"""
+WITH e AS (
+  SELECT user_id, epoch_us(ts) // {_US_PER_DAY} AS day, ts, event_id, value
+  FROM events
+),
+w AS (
+  SELECT user_id, day, value,
+         first_value(value) OVER win AS open_v,
+         last_value(value) OVER win AS close_v
+  FROM e
+  WINDOW win AS (PARTITION BY user_id, day ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, day,
+       max(open_v) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(close_v) AS close,
+       count(*) AS n_events
+FROM w GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# E30 — event-type run lengths (`type_runs` composite): gaps-and-
+# islands per user — consecutive same-event-type runs via the
+# two-row_number difference trick (both engines replay the identical
+# window pair); per (type, run length) histogram output.
+# --------------------------------------------------------------------------
+
+
+def q_type_runs(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    runs = (
+        ev.select(
+            "user_id",
+            "event_type",
+            (F.row_number().over(w_all) - F.row_number().over(w_typ)).alias("grp"),
+        )
+        .groupBy("user_id", "event_type", "grp")
+        .agg(F.count("*").alias("run_len"))
+    )
+    return (
+        runs.groupBy("event_type", "run_len")
+        .agg(F.count("*").alias("n_runs"))
+    )
+
+
+SQL_TYPE_RUNS = """
+WITH marked AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         - row_number() OVER (PARTITION BY user_id, event_type
+                              ORDER BY ts, event_id) AS grp
+  FROM events
+),
+runs AS (
+  SELECT user_id, event_type, grp, CAST(count(*) AS BIGINT) AS run_len
+  FROM marked GROUP BY 1, 2, 3
+)
+SELECT event_type, run_len, CAST(count(*) AS BIGINT) AS n_runs
+FROM runs GROUP BY 1, 2
+"""

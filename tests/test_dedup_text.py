@@ -318,3 +318,59 @@ def test_tile_top_terms_ranking_contract(spark):
         # strictly non-increasing score, term-ascending within equal score
         for a, b in zip(rows, rows[1:]):
             assert a[4] > b[4] or (a[4] == b[4] and a[1] < b[1])
+
+
+def test_ohlc_and_type_runs_laws(spark):
+    """OHLC: low ≤ open/close ≤ high, n_events sums to the table size.
+    Runs: Σ run_len·n_runs = table size; single-element runs dominate a
+    hash-random type column."""
+    from gotrackmaster_spark.driver_queries import q_ohlc_bars, q_type_runs
+
+    sf = "/root/testdata/sf0.001"
+    bars = q_ohlc_bars(spark, sf).collect()
+    n_total = spark.read.parquet(f"{sf}/events.parquet").count()
+    assert sum(r["n_events"] for r in bars) == n_total
+    for r in bars:
+        assert r["low"] <= r["open"] <= r["high"]
+        assert r["low"] <= r["close"] <= r["high"]
+        if r["n_events"] == 1:
+            assert r["open"] == r["close"] == r["high"] == r["low"]
+    runs = q_type_runs(spark, sf).collect()
+    assert sum(r["run_len"] * r["n_runs"] for r in runs) == n_total
+    assert all(r["run_len"] >= 1 for r in runs)
+
+
+def test_type_runs_islands_exactness(spark):
+    """The two-row_number trick must reproduce hand-counted islands."""
+    from pyspark.sql import functions as F
+    from gotrackmaster_spark.operators import timeseries  # noqa: F401 (module import sanity)
+    from gotrackmaster_spark import driver_queries as Q
+
+    rows = []
+    seq = ["a", "a", "b", "a", "a", "a", "b", "b", "c"]
+    for i, t in enumerate(seq):
+        rows.append(("u1", i, i, t))
+    seq2 = ["b", "b"]
+    for i, t in enumerate(seq2):
+        rows.append(("u2", i, 100 + i, t))
+    df = spark.createDataFrame(rows, "user_id string, ts long, event_id long, event_type string")
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    runs = (
+        df.select(
+            "user_id", "event_type",
+            (F.row_number().over(w_all) - F.row_number().over(w_typ)).alias("grp"),
+        )
+        .groupBy("user_id", "event_type", "grp")
+        .agg(F.count("*").alias("run_len"))
+    )
+    got = sorted(
+        (r["user_id"], r["event_type"], r["run_len"]) for r in runs.collect()
+    )
+    # u1: a×2, b×1, a×3, b×2, c×1; u2: b×2
+    assert got == sorted([
+        ("u1", "a", 2), ("u1", "b", 1), ("u1", "a", 3),
+        ("u1", "b", 2), ("u1", "c", 1), ("u2", "b", 2),
+    ])
