@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stkde": _wrap(Q.q_stkde),
         "ohlc_bars": _wrap(Q.q_ohlc_bars),
         "type_runs": _wrap(Q.q_type_runs),
+        "areal_disagg": _wrap(Q.q_areal_disagg),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
         # interval_events were driver-green in r02; the r03 changes
@@ -305,6 +306,7 @@ def oracle_sql() -> dict[str, str]:
         "stkde": Q.SQL_STKDE,
         "ohlc_bars": Q.SQL_OHLC_BARS,
         "type_runs": Q.SQL_TYPE_RUNS,
+        "areal_disagg": Q.SQL_AREAL_DISAGG,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,
         "dwell_cells": Q.SQL_DWELL_CELLS,

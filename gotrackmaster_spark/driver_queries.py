@@ -8171,3 +8171,59 @@ runs AS (
 SELECT event_type, run_len, CAST(count(*) AS BIGINT) AS n_runs
 FROM runs GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# E31 — areal disaggregation (`spatial.areal_disaggregate`): split each
+# nation-rect's integer value exactly over the level-7 cells whose
+# centers it contains (value DIV n per cell, remainder to the lowest
+# cell ids), summed per cell.  Conservation is exact-int; the oracle
+# enumerates centers from the rect bounds and replays the identical
+# window allocation.
+# --------------------------------------------------------------------------
+
+_AD_LEVEL = 7
+_AD_N = 1 << _AD_LEVEL
+
+
+def q_areal_disagg(spark, sf_dir):
+    from gotrackmaster_spark.operators.spatial import areal_disaggregate
+
+    polys = rect_polygons(spark, sf_dir).join(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").cast("string").alias("poly_id"),
+            ((F.col("n_nationkey").cast("long") + 1) * 1000 + 7).alias("value"),
+        ),
+        "poly_id",
+    )
+    return areal_disaggregate(polys, _AD_LEVEL)
+
+
+SQL_AREAL_DISAGG = f"""
+WITH rects AS ({_RECT_SQL}),
+vals AS (
+  SELECT poly_id, (CAST(poly_id AS BIGINT) + 1) * 1000 + 7 AS v,
+         lat0, lat1, lon0, lon1
+  FROM rects
+),
+cand AS (
+  SELECT poly_id, v, lat0, lat1, lon0, lon1,
+         -90.0 + 180.0 * (j + 0.5) / {_AD_N} AS clat,
+         -180.0 + 360.0 * (i + 0.5) / {_AD_N} AS clon
+  FROM vals, range({_AD_N}) ti(i), range({_AD_N}) tj(j)
+),
+inside AS (
+  SELECT poly_id, v, {cell_sql('clat', 'clon', _AD_LEVEL)} AS cell
+  FROM cand
+  WHERE clat > lat0 AND clat < lat1 AND clon > lon0 AND clon < lon1
+),
+sh AS (
+  SELECT poly_id, cell, v,
+         count(*) OVER (PARTITION BY poly_id) AS n,
+         row_number() OVER (PARTITION BY poly_id ORDER BY cell) AS rn
+  FROM inside
+)
+SELECT cell, CAST(count(*) AS BIGINT) AS n_polys,
+       CAST(sum(v // n + CASE WHEN rn <= v % n THEN 1 ELSE 0 END) AS BIGINT) AS total
+FROM sh GROUP BY cell
+"""

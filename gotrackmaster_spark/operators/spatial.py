@@ -355,6 +355,75 @@ def point_in_polygon_join_holes(
     return in_outer.join(in_holes, [*id_cols, "poly_id"], "left_anti")
 
 
+def areal_disaggregate(
+    polygons: DataFrame, level: int, value_col: str = "value"
+) -> DataFrame:
+    """Areal disaggregation (dasymetric allocation) — split each
+    polygon's INTEGER value exactly over the grid cells whose centers
+    fall inside it, then sum per cell across polygons: the standard
+    population-to-raster downscaling, with NO float proration:
+
+      share(cell) = value DIV n_cells  (+1 for the value MOD n_cells
+      lowest cell ids — deterministic remainder placement)
+
+    so Σ shares == value exactly for every polygon with ≥ 1 inside
+    cell (conservation law; zero-cell polygons contribute nothing —
+    pick ``level`` fine enough for the smallest polygon).
+
+    Plan at scale: the covering (``polygon_covering``) and the
+    center-inside refine run on the POLYGON-COVERING table (tiny next
+    to any point table); full cells skip Python, boundary cells
+    ray-cast their centers in one Arrow pass; the share arithmetic is
+    a window + two broadcast joins on the same covering-scale table.
+    Input: ``polygons(poly_id, ring, value)`` with integer values.
+    Output: ``(cell, n_polys, total)``.
+    """
+    from pyspark.sql import Window
+
+    from gotrackmaster_spark.functions.cells import cell_to_ij_np
+
+    cov = polygon_covering(polygons.select("poly_id", "ring"), level)
+    n_grid = 1 << level
+
+    def refine(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            i, j, _ = cell_to_ij_np(pdf["cell"].to_numpy())
+            clat = -90.0 + 180.0 * (j + 0.5) / n_grid
+            clon = -180.0 + 360.0 * (i + 0.5) / n_grid
+            keep = pdf["full"].to_numpy().copy()
+            for pid, idx in pdf.groupby("poly_id", sort=False).indices.items():
+                bidx = idx[~keep[idx]]
+                if len(bidx) == 0:
+                    continue
+                ring = pdf["ring"].iloc[bidx[0]]
+                rl = np.array([p["lat"] for p in ring])
+                rx = np.array([p["lon"] for p in ring])
+                keep[bidx] = _ray_cast_np(clat[bidx], clon[bidx], rl, rx)
+            out = pdf.loc[keep, ["cell", "poly_id"]]
+            if len(out):
+                yield out
+
+    inside = cov.mapInPandas(refine, "cell long, poly_id string")
+    counted = inside.groupBy("poly_id").agg(F.count("*").alias("__n"))
+    vals = polygons.select("poly_id", F.col(value_col).cast("long").alias("__v"))
+    w = Window.partitionBy("poly_id").orderBy("cell")
+    shares = (
+        inside.join(F.broadcast(counted), "poly_id")
+        .join(F.broadcast(vals), "poly_id")
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "share",
+            F.expr("__v DIV __n")
+            + (F.col("__rn") <= F.expr("__v % __n")).cast("long"),
+        )
+    )
+    return shares.groupBy("cell").agg(
+        F.count("*").alias("n_polys"), F.sum("share").alias("total")
+    )
+
+
 def point_in_polygon_anti(
     points: DataFrame,
     polygons: DataFrame,

@@ -155,3 +155,41 @@ def test_pip_holes_brute_force_random(spark):
             if in_s and not in_h:
                 exp.add((i, pid))
     assert got == exp
+
+
+def test_areal_disaggregate_conservation_and_remainder(spark):
+    """Exact conservation: Σ cell shares == Σ values of polygons with
+    ≥1 inside cell; remainder goes to the LOWEST cell ids."""
+    from pyspark.sql import functions as F
+
+    from gotrackmaster_spark.operators.spatial import areal_disaggregate
+
+    ring_t = "array<struct<lat:double,lon:double>>"
+    polys = spark.createDataFrame(
+        [
+            # spans several level-5 cells (5.625 deg pitch)
+            ("big", _rect(-20.0, 20.0, -30.0, 30.0), 1003),
+            # too small to contain any level-5 center -> contributes 0
+            ("tiny", _rect(0.1, 0.2, 0.1, 0.2), 999),
+        ],
+        f"poly_id string, ring {ring_t}, value long",
+    )
+    out = areal_disaggregate(polys, 5).collect()
+    total = sum(r["total"] for r in out)
+    assert total == 1003  # tiny dropped, big conserved exactly
+    shares = sorted((r["cell"], r["total"]) for r in out)
+    n = len(shares)
+    base, rem = 1003 // n, 1003 % n
+    # lowest `rem` cell ids carry base+1, the rest base
+    assert [s for _, s in shares] == [base + 1] * rem + [base] * (n - rem)
+    # overlapping polygons: shares ADD per cell
+    polys2 = spark.createDataFrame(
+        [
+            ("a", _rect(-20.0, 20.0, -30.0, 30.0), 100),
+            ("b", _rect(-20.0, 20.0, -30.0, 30.0), 50),
+        ],
+        f"poly_id string, ring {ring_t}, value long",
+    )
+    out2 = areal_disaggregate(polys2, 5).collect()
+    assert sum(r["total"] for r in out2) == 150
+    assert all(r["n_polys"] == 2 for r in out2)
