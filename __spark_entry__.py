@@ -182,6 +182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ohlc_bars": _wrap(Q.q_ohlc_bars),
         "type_runs": _wrap(Q.q_type_runs),
         "areal_disagg": _wrap(Q.q_areal_disagg),
+        "benford_digits": _wrap(Q.q_benford_digits),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
         # interval_events were driver-green in r02; the r03 changes
@@ -307,6 +308,7 @@ def oracle_sql() -> dict[str, str]:
         "ohlc_bars": Q.SQL_OHLC_BARS,
         "type_runs": Q.SQL_TYPE_RUNS,
         "areal_disagg": Q.SQL_AREAL_DISAGG,
+        "benford_digits": Q.SQL_BENFORD_DIGITS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,
         "dwell_cells": Q.SQL_DWELL_CELLS,

@@ -8227,3 +8227,67 @@ SELECT cell, CAST(count(*) AS BIGINT) AS n_polys,
        CAST(sum(v // n + CASE WHEN rn <= v % n THEN 1 ELSE 0 END) AS BIGINT) AS total
 FROM sh GROUP BY cell
 """
+
+
+# --------------------------------------------------------------------------
+# E32 — Benford first-digit QC (`benford_digits` composite): the
+# classic anomaly screen over the event values — first significant
+# digit extracted from the EXACT integer cents representation via its
+# decimal string (no float log10 near power-of-ten boundaries), counts
+# exact ints, expected frequencies log10(1+1/d) embedded as IDENTICAL
+# Python-computed literals in both engines.
+# --------------------------------------------------------------------------
+
+_BENFORD_EXP = {
+    1: 0.3010299956639812, 2: 0.17609125905568124, 3: 0.12493873660829992,
+    4: 0.09691001300805642, 5: 0.07918124604762482, 6: 0.06694678963061322,
+    7: 0.05799194697768673, 8: 0.05115252244738129, 9: 0.04575749056067514,
+}
+
+
+def q_benford_digits(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    per = (
+        ev.select(digit.alias("digit"))
+        .filter(F.col("digit").isNotNull())
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    from pyspark.sql import Window
+
+    tot = F.sum("n").over(Window.partitionBy())  # ≤9 rows
+    exp = F.element_at(
+        F.array(*[F.lit(_BENFORD_EXP[d]) for d in range(1, 10)]), F.col("digit")
+    )
+    share = F.col("n") / tot
+    return per.select(
+        "digit",
+        "n",
+        share.alias("share"),
+        exp.alias("expected"),
+        (share - exp).alias("deviation"),
+    )
+
+
+_BENFORD_ARR = "[" + ", ".join(
+    f"CAST({_BENFORD_EXP[d]!r} AS DOUBLE)" for d in range(1, 10)
+) + "]"
+
+SQL_BENFORD_DIGITS = f"""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INT) AS digit
+  FROM events
+),
+per AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n
+  FROM d WHERE digit IS NOT NULL GROUP BY digit
+)
+SELECT digit, n,
+       n / sum(n) OVER () AS share,
+       {_BENFORD_ARR}[digit] AS expected,
+       n / sum(n) OVER () - {_BENFORD_ARR}[digit] AS deviation
+FROM per
+"""

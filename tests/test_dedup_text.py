@@ -374,3 +374,33 @@ def test_type_runs_islands_exactness(spark):
         ("u1", "a", 2), ("u1", "b", 1), ("u1", "a", 3),
         ("u1", "b", 2), ("u1", "c", 1), ("u2", "b", 2),
     ])
+
+
+def test_benford_digits_laws(spark):
+    """Digits 1-9 only, shares sum to 1, expected sums to 1, and a
+    hand-built corpus reproduces exact counts."""
+    from gotrackmaster_spark.driver_queries import _BENFORD_EXP, q_benford_digits
+
+    rows = q_benford_digits(spark, "/root/testdata/sf0.001").collect()
+    assert {r["digit"] for r in rows} <= set(range(1, 10))
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-12
+    assert abs(sum(_BENFORD_EXP.values()) - 1.0) < 1e-12
+    for r in rows:
+        assert r["expected"] == _BENFORD_EXP[r["digit"]]
+        assert abs(r["deviation"] - (r["share"] - r["expected"])) < 1e-15
+    # exact counts on a constructed table: values 1.00, 19.99, 0.02, 911.0
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"value": [1.00, 19.99, 0.02, 911.0]})
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    got = dict(
+        (r["digit"], r["n"])
+        for r in df.select(digit.alias("digit")).groupBy("digit").count()
+        .withColumnRenamed("count", "n").collect()
+    )
+    assert got == {1: 2, 2: 1, 9: 1}  # 100->1, 1999->1, 2->2, 91100->9
