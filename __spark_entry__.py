@@ -183,6 +183,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "type_runs": _wrap(Q.q_type_runs),
         "areal_disagg": _wrap(Q.q_areal_disagg),
         "benford_digits": _wrap(Q.q_benford_digits),
+        "delta_dedup": _wrap(Q.q_delta_dedup),
+        "ngram_novelty": _wrap(Q.q_ngram_novelty),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
         # interval_events were driver-green in r02; the r03 changes
@@ -309,6 +311,8 @@ def oracle_sql() -> dict[str, str]:
         "type_runs": Q.SQL_TYPE_RUNS,
         "areal_disagg": Q.SQL_AREAL_DISAGG,
         "benford_digits": Q.SQL_BENFORD_DIGITS,
+        "delta_dedup": Q.SQL_DELTA_DEDUP,
+        "ngram_novelty": Q.SQL_NGRAM_NOVELTY,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,
         "dwell_cells": Q.SQL_DWELL_CELLS,

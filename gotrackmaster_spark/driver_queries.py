@@ -8291,3 +8291,95 @@ SELECT digit, n,
        n / sum(n) OVER () - {_BENFORD_ARR}[digit] AS deviation
 FROM per
 """
+
+
+# --------------------------------------------------------------------------
+# E33 — incremental-ingest dedup + novelty (`dedup.delta_jaccard_pairs`
+# / `dedup.ngram_novelty`): the daily-crawl-against-catalog pair — new
+# batch = doc_id % 5 = 4.  Delta dedup probes only the NEW shingles
+# against the corpus inverted index (cost scales with the delta);
+# novelty anti-joins each new doc's distinct shingles against the
+# catalog VOCABULARY.  Exact ints; novelty one long/long division.
+# --------------------------------------------------------------------------
+
+_DELTA_NEW_MOD = 5
+_DELTA_NEW_REM = 4
+
+
+def _delta_docs(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").withColumn(
+        "is_new", F.col("doc_id") % _DELTA_NEW_MOD == _DELTA_NEW_REM
+    )
+
+
+def q_delta_dedup(spark, sf_dir):
+    from gotrackmaster_spark.operators.dedup import delta_jaccard_pairs
+
+    return delta_jaccard_pairs(_delta_docs(spark, sf_dir))
+
+
+def q_ngram_novelty(spark, sf_dir):
+    from gotrackmaster_spark.operators.dedup import ngram_novelty
+
+    return ngram_novelty(_delta_docs(spark, sf_dir))
+
+
+def _sql_delta_flag() -> str:
+    return f"doc_id % {_DELTA_NEW_MOD} = {_DELTA_NEW_REM}"
+
+
+def _sql_delta_dedup() -> str:
+    from gotrackmaster_spark.operators.dedup import (
+        JACCARD_MAX_SHINGLE_DF,
+        _SHINGLES_CTE,
+    )
+
+    return f"""
+WITH {_SHINGLES_CTE},
+capped AS (
+  SELECT s.doc_id, s.shingle_h FROM shingles s
+  JOIN (SELECT shingle_h FROM shingles GROUP BY 1
+        HAVING count(*) <= {JACCARD_MAX_SHINGLE_DF}) k USING (shingle_h)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS new_id, b.doc_id AS old_id, count(*) AS inter
+  FROM capped a JOIN capped b ON a.shingle_h = b.shingle_h
+  WHERE ({_sql_delta_flag().replace('doc_id', 'a.doc_id')})
+    AND NOT ({_sql_delta_flag().replace('doc_id', 'b.doc_id')})
+  GROUP BY 1, 2
+)
+SELECT i.new_id, i.old_id, i.inter, sa.sz AS s_new, sb.sz AS s_old
+FROM inter i JOIN sizes sa ON i.new_id = sa.doc_id
+             JOIN sizes sb ON i.old_id = sb.doc_id
+WHERE 2 * i.inter >= 1 * (sa.sz + sb.sz - i.inter)
+"""
+
+
+def _sql_ngram_novelty() -> str:
+    from gotrackmaster_spark.operators.dedup import _SHINGLES_CTE
+
+    return f"""
+WITH {_SHINGLES_CTE},
+seen AS (
+  SELECT DISTINCT shingle_h FROM shingles WHERE NOT ({_sql_delta_flag()})
+),
+new_sh AS (SELECT doc_id, shingle_h FROM shingles WHERE {_sql_delta_flag()}),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles FROM new_sh GROUP BY 1),
+unseen AS (
+  SELECT n.doc_id, CAST(count(*) AS BIGINT) AS n_unseen
+  FROM new_sh n LEFT JOIN seen s USING (shingle_h)
+  WHERE s.shingle_h IS NULL
+  GROUP BY 1
+)
+SELECT t.doc_id, t.n_shingles,
+       CAST(coalesce(u.n_unseen, 0) AS BIGINT) AS n_unseen,
+       CASE WHEN t.n_shingles > 0 THEN
+         coalesce(u.n_unseen, 0) / t.n_shingles
+       END AS novelty
+FROM tot t LEFT JOIN unseen u ON t.doc_id = u.doc_id
+"""
+
+
+SQL_DELTA_DEDUP = _sql_delta_dedup()
+SQL_NGRAM_NOVELTY = _sql_ngram_novelty()

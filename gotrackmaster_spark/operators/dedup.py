@@ -878,3 +878,125 @@ FROM (SELECT doc_id FROM documents WHERE doc_id % {eval_mod} <> 0) d
 LEFT JOIN sizes s USING (doc_id)
 LEFT JOIN hits h USING (doc_id)
 """
+
+
+# ------------------------------------------------- incremental-ingest dedup ---
+
+_bounded_delta_cache = make_bounded_cache()  # flagged shingles (delta dedup)
+_bounded_novel_cache = make_bounded_cache()  # flagged shingles (novelty)
+
+
+def delta_jaccard_pairs(
+    docs: DataFrame,
+    new_col: str = "is_new",
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_df: int | None = JACCARD_MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Incremental-ingest dedup — which NEW documents near-duplicate the
+    EXISTING corpus?  :func:`jaccard_pairs` restricted ACROSS the batch
+    split (new probe side × old build side, never new×new or old×old),
+    the shape of a daily crawl landing against a 10⁹-doc catalog:
+
+      J(new, old) ≥ num/den  ⟺  den·inter ≥ num·(s_new + s_old − inter)
+
+    exact integer arithmetic over the capped shingle space (the
+    stop-shingle DF cap is computed over the WHOLE corpus — old + new —
+    so a shingle hot in the catalog stays dropped for the delta too).
+    The inverted-index join's probe side is only the NEW batch's
+    shingles: candidate cost scales with the delta, not the catalog.
+
+    Output: ``(new_id, old_id, inter, s_new, s_old)``.
+    """
+    sh = docs.select(
+        F.col(id_col),
+        F.col(new_col).cast("boolean").alias("__new"),
+        F.explode(F.expr(shingles_spark_expr(text_col, SHINGLE_K))).alias("sh"),
+    ).select(id_col, "__new", F.expr(h0_spark_expr("sh")).alias("shingle_h"))
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle_h")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle_h")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle_h", "left_anti")
+    sh = _bounded_delta_cache(sh)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    new = sh.filter("__new").select(F.col(id_col).alias("new_id"), "shingle_h")
+    old = sh.filter(~F.col("__new")).select(
+        F.col(id_col).alias("old_id"), "shingle_h"
+    )
+    inter = (
+        new.join(old, "shingle_h")
+        .groupBy("new_id", "old_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(
+            sizes.withColumnRenamed(id_col, "new_id").withColumnRenamed("sz", "s_new"),
+            "new_id",
+        )
+        .join(
+            sizes.withColumnRenamed(id_col, "old_id").withColumnRenamed("sz", "s_old"),
+            "old_id",
+        )
+        .filter(
+            F.lit(threshold_den) * F.col("inter")
+            >= F.lit(threshold_num) * (F.col("s_new") + F.col("s_old") - F.col("inter"))
+        )
+    )
+    return out.select("new_id", "old_id", "inter", "s_new", "s_old")
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    new_col: str = "is_new",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-NEW-document n-gram novelty — what fraction of a new doc's
+    distinct shingles has the existing corpus NEVER seen?  The positive
+    companion to :func:`delta_jaccard_pairs` (dedup kills copies;
+    novelty ranks what genuinely adds information):
+
+      novelty = |shingles(doc) ∖ shingles(catalog)| / |shingles(doc)|
+
+    UNCAPPED shingle sets (novelty needs the true sets — a stop-shingle
+    is by definition not novel, so the cap would only bias the
+    denominator).  The catalog side collapses to DISTINCT shingle
+    hashes first, so the anti join runs against O(vocabulary), not
+    O(catalog rows); counts exact ints, novelty one long/long division.
+
+    Output: ``(doc_id, n_shingles, n_unseen, novelty)`` — one row per
+    new document with ≥ 1 shingle.
+    """
+    sh = docs.select(
+        F.col(id_col),
+        F.col(new_col).cast("boolean").alias("__new"),
+        F.explode(F.expr(shingles_spark_expr(text_col, SHINGLE_K))).alias("sh"),
+    ).select(id_col, "__new", F.expr(h0_spark_expr("sh")).alias("shingle_h"))
+    sh = _bounded_novel_cache(sh)
+    seen = sh.filter(~F.col("__new")).select("shingle_h").distinct()
+    new = sh.filter("__new").select(id_col, "shingle_h")
+    tot = new.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    unseen = (
+        new.join(seen, "shingle_h", "left_anti")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_unseen"))
+    )
+    j = tot.join(unseen, id_col, "left").select(
+        id_col,
+        "n_shingles",
+        F.coalesce(F.col("n_unseen"), F.lit(0)).alias("n_unseen"),
+    )
+    return j.select(
+        id_col,
+        "n_shingles",
+        "n_unseen",
+        F.when(
+            F.col("n_shingles") > 0, F.col("n_unseen") / F.col("n_shingles")
+        ).alias("novelty"),
+    )

@@ -404,3 +404,47 @@ def test_benford_digits_laws(spark):
         .withColumnRenamed("count", "n").collect()
     )
     assert got == {1: 2, 2: 1, 9: 1}  # 100->1, 1999->1, 2->2, 91100->9
+
+
+def test_delta_dedup_sides_and_threshold(spark):
+    """Pairs must cross the split (new × old only) and satisfy the exact
+    Jaccard threshold; planted copies are found."""
+    from pyspark.sql import functions as F
+
+    from gotrackmaster_spark.operators.dedup import delta_jaccard_pairs
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (0, base, False),              # catalog original
+        (1, base + " extra tail", False),
+        (2, "totally different words " * 3, False),
+        (10, base, True),              # new exact copy of 0 -> pair
+        (11, "unrelated fresh content " * 3, True),
+        (12, base + " extra tail", True),  # copy of 1 -> pair
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_new boolean")
+    got = {
+        (r["new_id"], r["old_id"]) for r in delta_jaccard_pairs(df).collect()
+    }
+    assert (10, 0) in got and (12, 1) in got
+    assert all(n >= 10 > o for n, o in got)  # never new×new or old×old
+    # exact copy: inter == s_new == s_old
+    row = [r for r in delta_jaccard_pairs(df).collect() if r["new_id"] == 10 and r["old_id"] == 0][0]
+    assert row["inter"] == row["s_new"] == row["s_old"] > 0
+
+
+def test_ngram_novelty_bounds_and_known_values(spark):
+    from gotrackmaster_spark.operators.dedup import ngram_novelty
+
+    cat = "one two three four five six seven eight nine ten"
+    rows = [
+        (0, cat, False),
+        (10, cat, True),                       # all shingles seen -> 0.0
+        (11, "brand new never seen words here today friends", True),  # all novel -> 1.0
+        (12, "tiny", True),                    # < k tokens -> no shingles, no row
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_new boolean")
+    got = {r["doc_id"]: r for r in ngram_novelty(df).collect()}
+    assert set(got) == {10, 11}
+    assert got[10]["n_unseen"] == 0 and got[10]["novelty"] == 0.0
+    assert got[11]["n_unseen"] == got[11]["n_shingles"] and got[11]["novelty"] == 1.0
