@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_digits": _wrap(Q.q_benford_digits),
         "delta_dedup": _wrap(Q.q_delta_dedup),
         "ngram_novelty": _wrap(Q.q_ngram_novelty),
+        "snapshot_changelog": _wrap(Q.q_snapshot_changelog),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
         # interval_events were driver-green in r02; the r03 changes
@@ -313,6 +314,7 @@ def oracle_sql() -> dict[str, str]:
         "benford_digits": Q.SQL_BENFORD_DIGITS,
         "delta_dedup": Q.SQL_DELTA_DEDUP,
         "ngram_novelty": Q.SQL_NGRAM_NOVELTY,
+        "snapshot_changelog": Q.SQL_SNAPSHOT_CHANGELOG,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,
         "dwell_cells": Q.SQL_DWELL_CELLS,

@@ -8383,3 +8383,68 @@ FROM tot t LEFT JOIN unseen u ON t.doc_id = u.doc_id
 
 SQL_DELTA_DEDUP = _sql_delta_dedup()
 SQL_NGRAM_NOVELTY = _sql_ngram_novelty()
+
+
+# --------------------------------------------------------------------------
+# E34 — row-level snapshot changelog (`plans.checkpoint.
+# snapshot_changelog`): CDC between the pre-merge and post-merge
+# snapshots of the merge_upsert table — insert/update/unchanged counts
+# per partition from ONE co-partitioned full outer join on the key
+# (the row-granular complement of load_changes' file granularity).
+# Oracle replays the classification from the base/src closed forms.
+# --------------------------------------------------------------------------
+
+
+def q_snapshot_changelog(spark, sf_dir):
+    import os
+    import shutil
+    import tempfile
+
+    from gotrackmaster_spark.plans.checkpoint import Catalog, snapshot_changelog
+
+    root = os.path.join(tempfile.gettempdir(), f"cdc_oracle_{os.getpid()}")
+    shutil.rmtree(root, ignore_errors=True)
+    cat = Catalog(root)
+    cat.commit(_merge_base(spark, sf_dir), "t", partition_col="part")
+    cat.merge(spark, "t", _merge_source(spark, sf_dir), key_cols=["part", "event_id"])
+    snaps = cat.snapshots("t")
+    log = snapshot_changelog(cat, spark, "t", snaps[0], snaps[-1], ["part", "event_id"])
+    return log.groupBy("part", "change_type").agg(F.count("*").alias("n"))
+
+
+SQL_SNAPSHOT_CHANGELOG = f"""
+WITH {GEO_CTE},
+base AS (
+  SELECT event_id, CAST(user_id % {_MERGE_NPART} AS VARCHAR) AS part,
+         CAST(value AS DOUBLE) AS value
+  FROM geo
+),
+src AS (
+  SELECT event_id, CAST(user_id % {_MERGE_NPART} AS VARCHAR) AS part,
+         CAST(value * -1.0 AS DOUBLE) AS value
+  FROM geo WHERE event_id % 7 = 0
+  UNION ALL
+  SELECT event_id + 10000000 AS event_id,
+         CAST(user_id % {_MERGE_NPART} AS VARCHAR) AS part,
+         1.5 AS value
+  FROM geo WHERE event_id % 11 = 0
+),
+merged AS (
+  SELECT coalesce(s.part, b.part) AS part,
+         coalesce(s.event_id, b.event_id) AS event_id,
+         CASE WHEN s.event_id IS NOT NULL THEN s.value ELSE b.value END AS value
+  FROM base b FULL OUTER JOIN src s
+    ON b.part = s.part AND b.event_id = s.event_id
+),
+log AS (
+  SELECT coalesce(m.part, b.part) AS part,
+         CASE WHEN b.event_id IS NULL THEN 'insert'
+              WHEN m.event_id IS NULL THEN 'delete'
+              WHEN m.value IS NOT DISTINCT FROM b.value THEN 'unchanged'
+              ELSE 'update' END AS change_type
+  FROM base b FULL OUTER JOIN merged m
+    ON b.part = m.part AND b.event_id = m.event_id
+)
+SELECT part, change_type, CAST(count(*) AS BIGINT) AS n
+FROM log GROUP BY 1, 2
+"""

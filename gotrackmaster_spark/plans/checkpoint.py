@@ -917,3 +917,57 @@ class Catalog:
             == done_df[f"{partition_col}_done"],
             "left_anti",
         )
+
+
+def snapshot_changelog(
+    cat: "Catalog",
+    spark: SparkSession,
+    table: str,
+    from_snapshot: int,
+    to_snapshot: int | None,
+    key_cols: list[str],
+) -> DataFrame:
+    """Row-level CDC between two snapshots — the row-granular complement
+    of :meth:`Catalog.load_changes` (which is file-granular: a rewritten
+    partition reports ALL its rows).  Full outer join of the two
+    time-travel reads on ``key_cols``; every key is classified:
+
+      insert     — key only in ``to``
+      delete     — key only in ``from``
+      update     — key in both, any non-key column differs (null-safe)
+      unchanged  — key in both, all columns equal
+
+    Plan at scale: ONE co-partitioned full outer join on the key
+    (both sides shuffle once on the same key — AQE handles skew); the
+    column comparison is codegen.  For merge-style writers, pair this
+    with :meth:`Catalog.changed_partitions` to prune both reads to the
+    touched partitions before the join.
+
+    Output: key columns + ``change_type`` string.
+    """
+    from pyspark.sql import functions as F
+
+    a = cat.load(spark, table, from_snapshot)
+    b = cat.load(spark, table, to_snapshot)
+    val_cols = [c for c in b.columns if c not in key_cols]
+    a_t = a.select(
+        *[F.col(c).alias(f"__a_{c}") for c in val_cols],
+        *key_cols,
+        F.lit(1).alias("__in_a"),
+    )
+    b_t = b.select(
+        *[F.col(c).alias(f"__b_{c}") for c in val_cols],
+        *key_cols,
+        F.lit(1).alias("__in_b"),
+    )
+    j = a_t.join(b_t, key_cols, "full_outer")
+    same = F.lit(True)
+    for c in val_cols:
+        same = same & F.col(f"__a_{c}").eqNullSafe(F.col(f"__b_{c}"))
+    change = (
+        F.when(F.col("__in_a").isNull(), F.lit("insert"))
+        .when(F.col("__in_b").isNull(), F.lit("delete"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("update"))
+    )
+    return j.select(*key_cols, change.alias("change_type"))

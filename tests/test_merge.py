@@ -214,3 +214,43 @@ def test_load_changes_incremental_scan(spark, tmp_path):
     n_files = sum(len(v) for v in by_dir.values())
     assert n_files >= 1
     assert all(rel.endswith(".parquet") for v in by_dir.values() for rel in v)
+
+
+def test_snapshot_changelog_all_change_types(spark, tmp_path):
+    """insert / update / delete / unchanged must all classify correctly,
+    including a replace that REMOVES keys (merge cannot delete)."""
+    from pyspark.sql import functions as F
+
+    from gotrackmaster_spark.plans.checkpoint import Catalog, snapshot_changelog
+
+    cat = Catalog(str(tmp_path / "cat"))
+    base = spark.createDataFrame(
+        [("p0", 1, 10.0), ("p0", 2, 20.0), ("p1", 3, 30.0), ("p1", 4, None)],
+        "part string, k long, v double",
+    )
+    cat.commit(base, "t", partition_col="part")
+    after = spark.createDataFrame(
+        [
+            ("p0", 1, 10.0),   # unchanged
+            ("p0", 2, 99.0),   # update
+            ("p1", 4, None),   # unchanged (null-safe equality)
+            ("p1", 5, 50.0),   # insert; key 3 deleted
+        ],
+        "part string, k long, v double",
+    )
+    cat.commit(after, "t", partition_col="part")
+    s = cat.snapshots("t")
+    log = {
+        (r["part"], r["k"]): r["change_type"]
+        for r in snapshot_changelog(cat, spark, "t", s[0], s[-1], ["part", "k"]).collect()
+    }
+    assert log == {
+        ("p0", 1): "unchanged",
+        ("p0", 2): "update",
+        ("p1", 3): "delete",
+        ("p1", 4): "unchanged",
+        ("p1", 5): "insert",
+    }
+    # identical snapshots -> everything unchanged
+    log2 = snapshot_changelog(cat, spark, "t", s[-1], s[-1], ["part", "k"])
+    assert {r["change_type"] for r in log2.collect()} == {"unchanged"}
