@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delta_dedup": _wrap(Q.q_delta_dedup),
         "ngram_novelty": _wrap(Q.q_ngram_novelty),
         "snapshot_changelog": _wrap(Q.q_snapshot_changelog),
+        "rolling_active_users": _wrap(Q.q_rolling_active_users),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
         # interval_events were driver-green in r02; the r03 changes
@@ -315,6 +316,7 @@ def oracle_sql() -> dict[str, str]:
         "delta_dedup": Q.SQL_DELTA_DEDUP,
         "ngram_novelty": Q.SQL_NGRAM_NOVELTY,
         "snapshot_changelog": Q.SQL_SNAPSHOT_CHANGELOG,
+        "rolling_active_users": Q.SQL_ROLLING_ACTIVE_USERS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,
         "dwell_cells": Q.SQL_DWELL_CELLS,

@@ -8448,3 +8448,42 @@ log AS (
 SELECT part, change_type, CAST(count(*) AS BIGINT) AS n
 FROM log GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# E35 — rolling 7-day active users (`rolling_active_users` composite):
+# EXACT sliding-window distinct — the metric approximate sketches
+# usually own, made exact with the bounded ×7 explode: (user, day)
+# occupancy → each row contributes to 7 target days → distinct →
+# count.  Cost O(activity·window), never a distinct-over-window scan.
+# --------------------------------------------------------------------------
+
+_RAU_WINDOW = 7
+
+
+def q_rolling_active_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr(f"unix_micros(CAST(ts AS timestamp)) DIV {_US_PER_DAY}")
+    act = ev.select("user_id", day.alias("day")).distinct()
+    target = act.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + (_RAU_WINDOW - 1))
+        ).alias("t_day"),
+    ).distinct()
+    return target.groupBy("t_day").agg(
+        F.countDistinct("user_id").alias("n_active_7d")
+    )
+
+
+SQL_ROLLING_ACTIVE_USERS = f"""
+WITH act AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_US_PER_DAY} AS day FROM events
+),
+target AS (
+  SELECT DISTINCT user_id, day + d AS t_day
+  FROM act, range({_RAU_WINDOW}) t(d)
+)
+SELECT t_day, CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_7d
+FROM target GROUP BY t_day
+"""

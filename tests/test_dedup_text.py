@@ -448,3 +448,28 @@ def test_ngram_novelty_bounds_and_known_values(spark):
     assert set(got) == {10, 11}
     assert got[10]["n_unseen"] == 0 and got[10]["novelty"] == 0.0
     assert got[11]["n_unseen"] == got[11]["n_shingles"] and got[11]["novelty"] == 1.0
+
+
+def test_rolling_active_users_window_law(spark):
+    """n_active_7d(day) must equal the exact distinct-user count over
+    [day-6, day], replayed in Python at sf0.001."""
+    from gotrackmaster_spark.driver_queries import (
+        _RAU_WINDOW, _US_PER_DAY, q_rolling_active_users,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["t_day"]: r["n_active_7d"] for r in q_rolling_active_users(spark, sf).collect()}
+    ev = spark.read.parquet(f"{sf}/events.parquet").selectExpr(
+        "user_id", f"unix_micros(CAST(ts AS timestamp)) DIV {_US_PER_DAY} AS day"
+    ).collect()
+    act = {}
+    for r in ev:
+        act.setdefault(r["day"], set()).add(r["user_id"])
+    days = sorted(got)
+    for d in days:
+        exp = set()
+        for back in range(_RAU_WINDOW):
+            exp |= act.get(d - back, set())
+        assert got[d] == len(exp), d
+    # trailing days beyond the data (day_max + 6) still carry counts
+    assert max(days) == max(act) + _RAU_WINDOW - 1
