@@ -187,6 +187,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": _wrap(Q.q_ngram_novelty),
         "snapshot_changelog": _wrap(Q.q_snapshot_changelog),
         "rolling_active_users": _wrap(Q.q_rolling_active_users),
+        "markov_transitions": _wrap(Q.q_markov_transitions),
+        "funnel_steps": _wrap(Q.q_funnel_steps),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
         # interval_events were driver-green in r02; the r03 changes
@@ -317,6 +319,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_novelty": Q.SQL_NGRAM_NOVELTY,
         "snapshot_changelog": Q.SQL_SNAPSHOT_CHANGELOG,
         "rolling_active_users": Q.SQL_ROLLING_ACTIVE_USERS,
+        "markov_transitions": Q.SQL_MARKOV_TRANSITIONS,
+        "funnel_steps": Q.SQL_FUNNEL_STEPS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,
         "dwell_cells": Q.SQL_DWELL_CELLS,

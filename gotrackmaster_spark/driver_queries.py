@@ -8487,3 +8487,121 @@ target AS (
 SELECT t_day, CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_7d
 FROM target GROUP BY t_day
 """
+
+
+# --------------------------------------------------------------------------
+# E36 — event-type Markov transitions (`markov_transitions` composite):
+# first-order transition counts per (prev_type, type) over each user's
+# time-ordered stream + row-normalized probability — one lag window,
+# one ≤25-group aggregate, probability a single long/long division
+# against the window-sum row total.
+# --------------------------------------------------------------------------
+
+
+def q_markov_transitions(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    per = pairs.groupBy("prev_type", "next_type").agg(F.count("*").alias("n"))
+    row_tot = F.sum("n").over(Window.partitionBy("prev_type"))
+    return per.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n") / row_tot).alias("p"),
+    )
+
+
+SQL_MARKOV_TRANSITIONS = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type,
+         event_type AS next_type
+  FROM events
+),
+per AS (
+  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+  FROM pairs WHERE prev_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+       n / sum(n) OVER (PARTITION BY prev_type) AS p
+FROM per
+"""
+
+
+# --------------------------------------------------------------------------
+# E37 — ordered conversion funnel (`funnel_steps` composite): how many
+# users performed signup → click → purchase IN ORDER?  Stage k's
+# earliest valid timestamp = min ts of a stage-k event AFTER stage
+# k-1's — three conditional min-struct aggregates in ONE pass over the
+# per-user stream (no joins, no window), the product-analytics classic.
+# --------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ("signup", "click", "purchase")
+
+
+def q_funnel_steps(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    key = F.struct("ts", "event_id")
+    base = ev.select("user_id", "event_type", key.alias("k"))
+    s1 = F.min(F.when(F.col("event_type") == _FUNNEL_STEPS[0], F.col("k")))
+    per = base.groupBy("user_id").agg(
+        s1.alias("k1"),
+        F.collect_list(F.struct("k", "event_type")).alias("__evs"),
+    )
+    # stages 2..3: earliest event of the right type strictly after the
+    # previous stage — array minimum over the collected per-user events
+    # (bounded by the user's event count; pure Catalyst higher-order fns)
+    def stage_after(prev_k, step):
+        flt = F.filter(
+            F.col("__evs"),
+            lambda e: (e["event_type"] == F.lit(step))
+            & (
+                (e["k"]["ts"] > prev_k["ts"])
+                | ((e["k"]["ts"] == prev_k["ts"]) & (e["k"]["event_id"] > prev_k["event_id"]))
+            ),
+        )
+        return F.array_min(flt["k"])
+
+    per = per.withColumn(
+        "k2", F.when(F.col("k1").isNotNull(), stage_after(F.col("k1"), _FUNNEL_STEPS[1]))
+    ).withColumn(
+        "k3", F.when(F.col("k2").isNotNull(), stage_after(F.col("k2"), _FUNNEL_STEPS[2]))
+    )
+    return per.agg(
+        F.count("*").alias("n_users"),
+        F.coalesce(F.sum(F.col("k1").isNotNull().cast("long")), F.lit(0)).alias("n_step1"),
+        F.coalesce(F.sum(F.col("k2").isNotNull().cast("long")), F.lit(0)).alias("n_step2"),
+        F.coalesce(F.sum(F.col("k3").isNotNull().cast("long")), F.lit(0)).alias("n_step3"),
+    )
+
+
+SQL_FUNNEL_STEPS = f"""
+WITH s1 AS (
+  SELECT user_id, min(ROW(ts, event_id)) AS k1
+  FROM events WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(ROW(e.ts, e.event_id)) AS k2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = '{_FUNNEL_STEPS[1]}' AND ROW(e.ts, e.event_id) > s1.k1
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(ROW(e.ts, e.event_id)) AS k3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = '{_FUNNEL_STEPS[2]}' AND ROW(e.ts, e.event_id) > s2.k2
+  GROUP BY e.user_id
+),
+u AS (SELECT count(DISTINCT user_id) AS n_users FROM events)
+SELECT u.n_users,
+       (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_step1,
+       (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_step2,
+       (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_step3
+FROM u
+"""

@@ -473,3 +473,48 @@ def test_rolling_active_users_window_law(spark):
         assert got[d] == len(exp), d
     # trailing days beyond the data (day_max + 6) still carry counts
     assert max(days) == max(act) + _RAU_WINDOW - 1
+
+
+def test_markov_transitions_row_stochastic(spark):
+    from gotrackmaster_spark.driver_queries import q_markov_transitions
+
+    rows = q_markov_transitions(spark, "/root/testdata/sf0.001").collect()
+    by_prev = {}
+    for r in rows:
+        by_prev.setdefault(r["prev_type"], []).append(r)
+    for prev, rs in by_prev.items():
+        assert abs(sum(r["p"] for r in rs) - 1.0) < 1e-12, prev
+        tot = sum(r["n"] for r in rs)
+        for r in rs:
+            assert r["p"] == r["n"] / tot
+
+
+def test_funnel_steps_hand_built(spark):
+    """Order matters: click BEFORE signup must not count as stage 2."""
+    from gotrackmaster_spark.driver_queries import q_funnel_steps
+    import os
+    import tempfile
+
+    rows = [
+        # u1: full ordered funnel
+        (1, 100, 1, "signup"), (1, 200, 2, "click"), (1, 300, 3, "purchase"),
+        # u2: click precedes signup -> stops at stage 1
+        (2, 100, 4, "click"), (2, 200, 5, "signup"),
+        # u3: signup + click, purchase BEFORE click -> stage 2 only
+        (3, 100, 6, "signup"), (3, 150, 7, "purchase"), (3, 200, 8, "click"),
+        # u4: never signs up
+        (4, 100, 9, "view"),
+        # u5: same-ts tie broken by event_id: signup(id10) then click(id11) at equal ts
+        (5, 100, 10, "signup"), (5, 100, 11, "click"), (5, 400, 12, "purchase"),
+    ]
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["user_id", "tsec", "event_id", "event_type"])
+    pdf["ts"] = pd.to_datetime(pdf["tsec"], unit="s")
+    df = spark.createDataFrame(pdf[["user_id", "ts", "event_id", "event_type"]])
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = q_funnel_steps(spark, d).collect()[0]
+    assert (got["n_users"], got["n_step1"], got["n_step2"], got["n_step3"]) == (
+        5, 4, 3, 2,
+    )
