@@ -8605,3 +8605,62 @@ SELECT u.n_users,
        (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_step3
 FROM u
 """
+
+
+# --------------------------------------------------------------------------
+# E7j — per-image gradient-orientation histogram (`image_orientation`,
+# `images.orientation_hist`): HOG-lite over the real decode chain —
+# (gx, gy) lead-stride gradients classified into the 8 half-open 45°
+# octants with PURE integer comparisons (the movement_rose rule — no
+# atan2), counts + Σmag² exact int64.  Oracle replays the identical
+# mutually-exclusive CASE arms over the closed-form generator.
+# --------------------------------------------------------------------------
+
+_OH_CONDS = [
+    "gx > 0 AND gy >= 0 AND gy < gx",
+    "gy > 0 AND gx > 0 AND gx <= gy",
+    "gy > 0 AND gx <= 0 AND -gx < gy",
+    "gx < 0 AND gy > 0 AND gy <= -gx",
+    "gx < 0 AND gy <= 0 AND -gy < -gx",
+    "gy < 0 AND gx < 0 AND -gx <= -gy",
+    "gy < 0 AND gx >= 0 AND gx < -gy",
+    "gx > 0 AND gy < 0 AND -gy <= gx",
+]
+
+
+def q_image_orientation(spark, sf_dir):
+    from gotrackmaster_spark.operators.images import (
+        orientation_hist,
+        synthesize_images,
+    )
+
+    return orientation_hist(synthesize_images(spark, sf_dir, w=_IMG_W, h=_IMG_H))
+
+
+_OH_SUMS = ",\n         ".join(
+    f"CAST(sum(CASE WHEN {c} THEN 1 ELSE 0 END) AS BIGINT) AS o{k}"
+    for k, c in enumerate(_OH_CONDS)
+)
+
+SQL_IMAGE_ORIENTATION = f"""
+WITH px AS (
+  SELECT doc_id, i,
+         CASE WHEN doc_id % 3 = 2 THEN {_PIX} - ({_PIX}) % 4
+              ELSE {_PIX} END AS p
+  FROM documents, range({_N_PIX}) t(i)
+),
+g AS (
+  SELECT doc_id, i,
+         (lead(p, 3) OVER w) - p AS gx,
+         (lead(p, {3 * _IMG_W}) OVER w) - p AS gy
+  FROM px
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+v AS (SELECT doc_id, gx, gy FROM g WHERE i < {_N_PIX - 3 * _IMG_W})
+SELECT format('img{{:08d}}', doc_id) AS image_id,
+       ['raw', 'png', 'qnt4'][CAST(doc_id % 3 AS INT) + 1] AS fmt,
+       {_OH_SUMS},
+       CAST(sum(CASE WHEN gx = 0 AND gy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       CAST(sum(gx * gx + gy * gy) AS BIGINT) AS mag2_sum
+FROM v GROUP BY doc_id
+"""

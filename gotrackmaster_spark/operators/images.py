@@ -713,6 +713,87 @@ def phash_near_dups(images: DataFrame, max_hamming: int = 10) -> DataFrame:
     )
 
 
+def orientation_hist(images: DataFrame) -> DataFrame:
+    """Per-image gradient-ORIENTATION histogram (HOG-lite) from ONE
+    decode pass: at every flat byte position with both neighbors in
+    range, the gradient pair ``(gx, gy) = (p[i+3] − p[i], p[i+3w] −
+    p[i])`` (the channel-aligned strides of
+    :func:`pixel_feature_stats`) is classified into the 8 half-open
+    45° octants — by PURE INTEGER COMPARISONS, the
+    ``spatial.octant_sector`` rule, never atan2 — plus a ``zero``
+    class; per class the count and Σ(gx²+gy²) magnitude are exact
+    int64, so a DuckDB oracle replays the histogram bit-for-bit via
+    lead strides and the identical (mutually-exclusive) CASE arms.
+
+    Output (wide — one row per image): ``o0..o7`` counts CCW from +x
+    (0=E … 7=SE by octant START bearing), ``n_zero``, ``mag2_sum``.
+    """
+
+    def _features(flat: np.ndarray, w: int) -> dict:
+        b, n = flat.shape
+        stride = 3 * w
+        m = n - stride  # positions with BOTH neighbors in range (stride ≥ 3)
+        if m <= 0:
+            z = np.zeros(b, dtype=np.int64)
+            return {f"o{k}": z.copy() for k in range(8)} | {
+                "n_zero": z.copy(), "mag2_sum": z.copy(),
+            }
+        p0 = flat[:, :m]
+        gx = flat[:, 3:m + 3] - p0
+        gy = flat[:, stride:] - p0
+        # mutually-exclusive octant conditions (order-free)
+        conds = [
+            (gx > 0) & (gy >= 0) & (gy < gx),
+            (gy > 0) & (gx > 0) & (gx <= gy),
+            (gy > 0) & (gx <= 0) & (-gx < gy),
+            (gx < 0) & (gy > 0) & (gy <= -gx),
+            (gx < 0) & (gy <= 0) & (-gy < -gx),
+            (gy < 0) & (gx < 0) & (-gx <= -gy),
+            (gy < 0) & (gx >= 0) & (gx < -gy),
+            (gx > 0) & (gy < 0) & (-gy <= gx),
+        ]
+        out = {f"o{k}": c.sum(axis=1).astype(np.int64) for k, c in enumerate(conds)}
+        out["n_zero"] = ((gx == 0) & (gy == 0)).sum(axis=1).astype(np.int64)
+        out["mag2_sum"] = (gx * gx + gy * gy).sum(axis=1)
+        return out
+
+    cols = [f"o{k}" for k in range(8)] + ["n_zero", "mag2_sum"]
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            n_rows = len(pdf)
+            acc = {c: np.zeros(n_rows, dtype=np.int64) for c in cols}
+            fmts = pdf["fmt"].to_numpy()
+            for grp in np.unique(fmts):
+                idx = np.where(fmts == grp)[0]
+                sub = pdf.iloc[idx]
+                if grp in ("raw", "qnt4"):
+                    flat = np.stack(
+                        [np.frombuffer(b, dtype=np.uint8) for b in sub["bytes"]]
+                    ).astype(np.int64)
+                    feats = _features(flat, int(sub["w"].iloc[0]))
+                    for c in cols:
+                        acc[c][idx] = feats[c]
+                else:
+                    for j, r in zip(idx, sub.itertuples(index=False)):
+                        px = decode_image(r.bytes, r.w, r.h, r.fmt)
+                        feats = _features(
+                            px.reshape(1, -1).astype(np.int64), int(r.w)
+                        )
+                        for c in cols:
+                            acc[c][j] = feats[c][0]
+            out = {"image_id": pdf["image_id"].to_numpy(), "fmt": fmts}
+            out.update(acc)
+            yield pd.DataFrame(out)
+
+    schema = "image_id string, fmt string, " + ", ".join(
+        f"{c} long" for c in cols
+    )
+    return images.mapInPandas(stats, schema)
+
+
 _bound_ptk_cache = make_bounded_cache()  # corpus signatures (phash top-k)
 
 

@@ -555,3 +555,41 @@ def test_phash_topk_brute_force_and_contract(spark):
 
     with _pt.raises(ValueError):
         phash_topk(both.select("image_id", "phash"), queries.select("image_id", "phash"), k=0)
+
+
+def test_orientation_hist_brute_force_and_octant_parity(spark):
+    """Histogram must match a per-image Python replay whose octant comes
+    from floor(atan2/45°) — proving the comparison arms ARE the octants;
+    totals conserve: Σ octants + n_zero = usable positions."""
+    import math as m
+
+    from gotrackmaster_spark.operators.images import (
+        decode_image,
+        orientation_hist,
+        synthesize_images,
+    )
+
+    imgs = synthesize_images(spark, "/root/testdata/sf0.001").limit(9).cache()
+    rows = {r["image_id"]: r for r in imgs.collect()}
+    got = {r["image_id"]: r for r in orientation_hist(imgs).collect()}
+    for iid, src in rows.items():
+        flat = decode_image(src.bytes, src.w, src.h, src.fmt).reshape(-1).astype(int)
+        stride = 3 * src.w
+        n = len(flat)
+        exp = {f"o{k}": 0 for k in range(8)}
+        exp["n_zero"] = 0
+        mag2 = 0
+        for i in range(n - stride):
+            gx, gy = flat[i + 3] - flat[i], flat[i + stride] - flat[i]
+            mag2 += gx * gx + gy * gy
+            if gx == 0 and gy == 0:
+                exp["n_zero"] += 1
+            else:
+                ang = m.degrees(m.atan2(gy, gx)) % 360.0
+                exp[f"o{int(ang // 45.0) % 8}"] += 1
+        g = got[iid]
+        for k, v in exp.items():
+            assert g[k] == v, (iid, k)
+        assert g["mag2_sum"] == mag2
+        assert sum(g[f"o{k}"] for k in range(8)) + g["n_zero"] == n - stride
+    imgs.unpersist()
