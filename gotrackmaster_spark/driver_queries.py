@@ -8664,3 +8664,113 @@ SELECT format('img{{:08d}}', doc_id) AS image_id,
        CAST(sum(gx * gx + gy * gy) AS BIGINT) AS mag2_sum
 FROM v GROUP BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# E38 — lang × fmt chi-square independence (`chi2_contingency`
+# composite): is the caption language independent of the image format?
+# The 5×3 contingency lands as 15 conditional-sum columns in ONE
+# aggregate row; margins, expectations and the chi² sum are a
+# FIXED-ORDER Python-generated expression (a SQL SUM over cells would
+# have engine-dependent float accumulation order), replayed verbatim
+# by the DuckDB twin.  Known-vocabulary contract: langs/fmts are the
+# generator's closed sets.
+# --------------------------------------------------------------------------
+
+_CHI_LANGS = ("de", "en", "es", "fr", "zh")
+_CHI_FMTS = (0, 1, 2)  # doc_id % 3 → raw / png / qnt4
+
+
+def q_chi2_contingency(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    cells = [(lg, fm) for lg in _CHI_LANGS for fm in _CHI_FMTS]
+    aggs = [
+        F.coalesce(
+            F.sum(
+                (
+                    (F.col("lang") == lg) & (F.col("doc_id") % 3 == fm)
+                ).cast("long")
+            ),
+            F.lit(0),
+        ).alias(f"c_{lg}_{fm}")
+        for lg, fm in cells
+    ]
+    one = docs.agg(F.count("*").alias("n"), *aggs)
+    n_d = F.col("n").cast("double")
+    rows = {
+        lg: sum(F.col(f"c_{lg}_{fm}") for fm in _CHI_FMTS) for lg in _CHI_LANGS
+    }
+    colsums = {
+        fm: sum(F.col(f"c_{lg}_{fm}") for lg in _CHI_LANGS) for fm in _CHI_FMTS
+    }
+    chi2 = None
+    for lg, fm in cells:  # FIXED summation order: the cells tuple order
+        exp = rows[lg].cast("double") * colsums[fm].cast("double") / n_d
+        # empty row/col ⇒ exp = 0 ⇒ the cell contributes nothing (and an
+        # unguarded division throws under ANSI)
+        term = F.when(
+            exp > 0,
+            (F.col(f"c_{lg}_{fm}") - exp) * (F.col(f"c_{lg}_{fm}") - exp) / exp,
+        ).otherwise(F.lit(0.0))
+        chi2 = term if chi2 is None else chi2 + term
+    dof = (len(_CHI_LANGS) - 1) * (len(_CHI_FMTS) - 1)
+    guard = F.col("n") > 0
+    return one.select(
+        "n",
+        F.lit(dof).cast("long").alias("dof"),
+        F.when(guard, chi2).alias("chi2"),
+        F.when(
+            guard,
+            F.sqrt(chi2 / (n_d * F.lit(float(min(len(_CHI_LANGS), len(_CHI_FMTS)) - 1)))),
+        ).alias("cramers_v"),
+    )
+
+
+def _sql_chi2() -> str:
+    cells = [(lg, fm) for lg in _CHI_LANGS for fm in _CHI_FMTS]
+    sums = ",\n       ".join(
+        f"CAST(coalesce(sum(CASE WHEN lang = '{lg}' AND doc_id % 3 = {fm} "
+        f"THEN 1 ELSE 0 END), 0) AS BIGINT) AS c_{lg}_{fm}"
+        for lg, fm in cells
+    )
+    rows = {
+        lg: "(" + " + ".join(f"c_{lg}_{fm}" for fm in _CHI_FMTS) + ")"
+        for lg in _CHI_LANGS
+    }
+    colsums = {
+        fm: "(" + " + ".join(f"c_{lg}_{fm}" for lg in _CHI_LANGS) + ")"
+        for fm in _CHI_FMTS
+    }
+    terms = []
+    for lg, fm in cells:
+        exp = (
+            f"(CAST({rows[lg]} AS DOUBLE) * CAST({colsums[fm]} AS DOUBLE)"
+            f" / CAST(n AS DOUBLE))"
+        )
+        terms.append(
+            f"(CASE WHEN {exp} > 0 THEN "
+            f"(c_{lg}_{fm} - {exp}) * (c_{lg}_{fm} - {exp}) / {exp} "
+            f"ELSE CAST(0.0 AS DOUBLE) END)"
+        )
+    # left-assoc + chain replays Spark's Python-loop accumulation order
+    chi2 = terms[0]
+    for t in terms[1:]:
+        chi2 = f"({chi2} + {t})"
+    dof = (len(_CHI_LANGS) - 1) * (len(_CHI_FMTS) - 1)
+    kmin = float(min(len(_CHI_LANGS), len(_CHI_FMTS)) - 1)
+    return f"""
+WITH agg AS (
+  SELECT count(*) AS n,
+       {sums}
+  FROM documents
+)
+SELECT n, CAST({dof} AS BIGINT) AS dof,
+       CASE WHEN n > 0 THEN {chi2} END AS chi2,
+       CASE WHEN n > 0 THEN
+         sqrt({chi2} / (CAST(n AS DOUBLE) * CAST({kmin!r} AS DOUBLE)))
+       END AS cramers_v
+FROM agg
+"""
+
+
+SQL_CHI2_CONTINGENCY = _sql_chi2()

@@ -518,3 +518,35 @@ def test_funnel_steps_hand_built(spark):
     assert (got["n_users"], got["n_step1"], got["n_step2"], got["n_step3"]) == (
         5, 4, 3, 2,
     )
+
+
+def test_chi2_contingency_known_table(spark):
+    """A hand-built independent table yields chi2 = 0 exactly; a fully
+    dependent one yields chi2 = n·min(r-1,c-1) (Cramér's V = 1)."""
+    import math as m
+
+    from gotrackmaster_spark.driver_queries import (
+        _CHI_FMTS, _CHI_LANGS, q_chi2_contingency,
+    )
+    import os
+    import tempfile
+
+    def run(rows):
+        import pandas as pd
+
+        pdf = pd.DataFrame(rows, columns=["doc_id", "lang"])
+        df = spark.createDataFrame(pdf)
+        d = tempfile.mkdtemp()
+        df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+        return q_chi2_contingency(spark, d).collect()[0]
+
+    # independence: every (lang, fmt) cell equal — doc_id % 3 cycles fmt
+    rows = [(i, _CHI_LANGS[(i // 3) % 5]) for i in range(90)]
+    got = run(rows)
+    assert got["n"] == 90 and got["dof"] == 8
+    assert abs(got["chi2"]) < 1e-9 and abs(got["cramers_v"]) < 1e-6
+    # perfect dependence: lang determined by fmt (3 langs used)
+    rows = [(i, _CHI_LANGS[i % 3]) for i in range(90)]
+    got = run(rows)
+    assert abs(got["chi2"] - 90 * 2) < 1e-9  # n·min(r-1,c-1) with k=2
+    assert abs(got["cramers_v"] - 1.0) < 1e-12
