@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_transitions": _wrap(Q.q_markov_transitions),
         "image_orientation": _wrap(Q.q_image_orientation),
         "chi2_contingency": _wrap(Q.q_chi2_contingency),
+        "term_pmi": _wrap(Q.q_term_pmi),
         "funnel_steps": _wrap(Q.q_funnel_steps),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
@@ -324,6 +325,7 @@ def oracle_sql() -> dict[str, str]:
         "markov_transitions": Q.SQL_MARKOV_TRANSITIONS,
         "image_orientation": Q.SQL_IMAGE_ORIENTATION,
         "chi2_contingency": Q.SQL_CHI2_CONTINGENCY,
+        "term_pmi": Q.SQL_TERM_PMI,
         "funnel_steps": Q.SQL_FUNNEL_STEPS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,

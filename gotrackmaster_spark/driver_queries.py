@@ -8774,3 +8774,70 @@ FROM agg
 
 
 SQL_CHI2_CONTINGENCY = _sql_chi2()
+
+
+# --------------------------------------------------------------------------
+# E39 — term co-occurrence PMI (`term_pmi` composite): which caption
+# term pairs co-occur more than chance?  Distinct terms per doc →
+# within-doc pair self-join (bounded by vocabulary, the colocation
+# shape) → INTEGER-QUANTIZED pointwise mutual information
+# pmi_q = (n_ab·N·10⁶) DIV (n_a·n_b) (a float log PMI would rank
+# near-ties engine-dependently; integer quotients cannot).
+# --------------------------------------------------------------------------
+
+_PMI_QUANT = 10**6
+_PMI_MIN_PAIRS = 5
+
+
+def q_term_pmi(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("term"),
+    ).filter(F.length("term") > 0)
+    # 1-row N attach (no driver-side count(): the scalar rides the plan)
+    nd = words.agg(F.countDistinct("doc_id").alias("n_docs"))
+    tf = words.groupBy("term").agg(F.count("*").alias("df"))
+    a = words.select(F.col("doc_id"), F.col("term").alias("t_a"))
+    b = words.select(F.col("doc_id"), F.col("term").alias("t_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("t_a") < F.col("t_b"))
+        .groupBy("t_a", "t_b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= _PMI_MIN_PAIRS)
+    )
+    j = (
+        pairs.join(F.broadcast(tf.withColumnRenamed("term", "t_a").withColumnRenamed("df", "df_a")), "t_a")
+        .join(F.broadcast(tf.withColumnRenamed("term", "t_b").withColumnRenamed("df", "df_b")), "t_b")
+    )
+    j = j.crossJoin(F.broadcast(nd))
+    pmi_q = F.expr(f"(n_ab * n_docs * {_PMI_QUANT}) DIV (df_a * df_b)")
+    return j.select("t_a", "t_b", "n_ab", "df_a", "df_b", pmi_q.alias("pmi_q"))
+
+
+def _sql_term_pmi(sf_dir_unused: str = "") -> str:
+    return f"""
+WITH words AS (
+  SELECT DISTINCT doc_id, t.term
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+  WHERE length(t.term) > 0
+),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM words),
+tf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM words GROUP BY term),
+pairs AS (
+  SELECT a.term AS t_a, b.term AS t_b, CAST(count(*) AS BIGINT) AS n_ab
+  FROM words a JOIN words b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2
+  HAVING count(*) >= {_PMI_MIN_PAIRS}
+)
+SELECT p.t_a, p.t_b, p.n_ab, fa.df AS df_a, fb.df AS df_b,
+       (p.n_ab * nd.n_docs * {_PMI_QUANT}) // (fa.df * fb.df) AS pmi_q
+FROM pairs p
+JOIN tf fa ON fa.term = p.t_a
+JOIN tf fb ON fb.term = p.t_b
+CROSS JOIN nd
+"""
+
+
+SQL_TERM_PMI = _sql_term_pmi()

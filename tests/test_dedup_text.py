@@ -550,3 +550,29 @@ def test_chi2_contingency_known_table(spark):
     got = run(rows)
     assert abs(got["chi2"] - 90 * 2) < 1e-9  # n·min(r-1,c-1) with k=2
     assert abs(got["cramers_v"] - 1.0) < 1e-12
+
+
+def test_term_pmi_laws(spark):
+    """pmi_q must equal the exact integer quotient from df/n_ab margins;
+    always-co-occurring rare pairs rank above independent common ones."""
+    from gotrackmaster_spark.driver_queries import _PMI_QUANT, q_term_pmi
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_term_pmi(spark, sf).collect()
+    assert rows
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')"
+    ).fetchall()
+    docsets = {k: {w for w in t.lower().split(" ") if w} for k, t in docs}
+    n = len(docsets)
+    df = {}
+    for s in docsets.values():
+        for w in s:
+            df[w] = df.get(w, 0) + 1
+    for r in rows:
+        n_ab = sum(1 for s in docsets.values() if r["t_a"] in s and r["t_b"] in s)
+        assert r["n_ab"] == n_ab
+        assert (r["df_a"], r["df_b"]) == (df[r["t_a"]], df[r["t_b"]])
+        assert r["pmi_q"] == (n_ab * n * _PMI_QUANT) // (df[r["t_a"]] * df[r["t_b"]])

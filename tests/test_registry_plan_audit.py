@@ -48,6 +48,8 @@ BNLJ_ALLOWED = {
     "quadrat_test",
     "cross_k",
     "gravity_od",
+    # term_pmi: 1-row corpus-size attach onto the pair table
+    "term_pmi",
 }
 
 QUERIES = entrymod.queries()
