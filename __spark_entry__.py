@@ -191,6 +191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_orientation": _wrap(Q.q_image_orientation),
         "chi2_contingency": _wrap(Q.q_chi2_contingency),
         "term_pmi": _wrap(Q.q_term_pmi),
+        "cohort_retention": _wrap(Q.q_cohort_retention),
+        "cell_flow_vectors": _wrap(Q.q_cell_flow_vectors),
         "funnel_steps": _wrap(Q.q_funnel_steps),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
@@ -326,6 +328,8 @@ def oracle_sql() -> dict[str, str]:
         "image_orientation": Q.SQL_IMAGE_ORIENTATION,
         "chi2_contingency": Q.SQL_CHI2_CONTINGENCY,
         "term_pmi": Q.SQL_TERM_PMI,
+        "cohort_retention": Q.SQL_COHORT_RETENTION,
+        "cell_flow_vectors": Q.SQL_CELL_FLOW_VECTORS,
         "funnel_steps": Q.SQL_FUNNEL_STEPS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,

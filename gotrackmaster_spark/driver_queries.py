@@ -8841,3 +8841,121 @@ CROSS JOIN nd
 
 
 SQL_TERM_PMI = _sql_term_pmi()
+
+
+# --------------------------------------------------------------------------
+# E40 — cohort retention matrix (`cohort_retention` composite): users
+# cohorted by first-event week; matrix cell (cohort, offset) = distinct
+# users of that cohort active offset weeks later.  Two occupancy
+# aggregates + one broadcast join of the tiny per-user cohort table —
+# the product-analytics classic, all exact ints.
+# --------------------------------------------------------------------------
+
+_US_PER_WEEK = 7 * 86_400_000_000
+
+
+def q_cohort_retention(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    week = F.expr(f"unix_micros(CAST(ts AS timestamp)) DIV {_US_PER_WEEK}")
+    act = ev.select("user_id", week.alias("week")).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    j = act.join(F.broadcast(cohort), "user_id")
+    return (
+        j.groupBy(
+            "cohort_week", (F.col("week") - F.col("cohort_week")).alias("offset")
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+SQL_COHORT_RETENTION = f"""
+WITH act AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_US_PER_WEEK} AS week FROM events
+),
+cohort AS (SELECT user_id, min(week) AS cohort_week FROM act GROUP BY user_id)
+SELECT c.cohort_week, a.week - c.cohort_week AS offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM act a JOIN cohort c ON a.user_id = c.user_id
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# E41 — per-cell net flow vectors (`cell_flow_vectors` composite): the
+# aggregate movement field — per origin grid cell, the exact-int sum of
+# outgoing displacement legs (Σdx, Σdy) + the net direction octant via
+# the comparison-only classifier; one lag window + one hash aggregate.
+# --------------------------------------------------------------------------
+
+_CFV_CELL = 400_000
+
+
+def q_cell_flow_vectors(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from gotrackmaster_spark.operators.spatial import octant_sector
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        ((F.col("event_id") * F.lit(2654435761)) % 1600000).alias("x"),
+        ((F.col("event_id") * 40503 + 7) % 3600000).alias("y"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    legs = pts.select(
+        F.floor(F.col("x") / _CFV_CELL).cast("long").alias("gx"),
+        F.floor(F.col("y") / _CFV_CELL).cast("long").alias("gy"),
+        (F.lead("x").over(w) - F.col("x")).alias("dx"),
+        (F.lead("y").over(w) - F.col("y")).alias("dy"),
+    ).filter(F.col("dx").isNotNull())
+    agg = legs.groupBy("gx", "gy").agg(
+        F.count("*").alias("n_legs"),
+        F.sum("dx").alias("sum_dx"),
+        F.sum("dy").alias("sum_dy"),
+    )
+    return agg.select(
+        "gx",
+        "gy",
+        "n_legs",
+        "sum_dx",
+        "sum_dy",
+        octant_sector(F.col("sum_dx"), F.col("sum_dy")).alias("net_octant"),
+    )
+
+
+SQL_CELL_FLOW_VECTORS = f"""
+WITH pts AS (
+  SELECT user_id, ts, event_id,
+         (event_id * 2654435761) % 1600000 AS x,
+         (event_id * 40503 + 7) % 3600000 AS y
+  FROM events
+),
+legs AS (
+  SELECT x // {_CFV_CELL} AS gx, y // {_CFV_CELL} AS gy,
+         (lead(x) OVER w) - x AS dx,
+         (lead(y) OVER w) - y AS dy
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+agg AS (
+  SELECT gx, gy, CAST(count(*) AS BIGINT) AS n_legs,
+         CAST(sum(dx) AS BIGINT) AS sum_dx,
+         CAST(sum(dy) AS BIGINT) AS sum_dy
+  FROM legs WHERE dx IS NOT NULL GROUP BY 1, 2
+)
+SELECT gx, gy, n_legs, sum_dx, sum_dy,
+       CASE
+         WHEN sum_dx = 0 AND sum_dy = 0 THEN CAST(NULL AS INT)
+         WHEN sum_dx > 0 AND sum_dy >= 0 AND sum_dy < sum_dx THEN 0
+         WHEN sum_dy > 0 AND sum_dx > 0 AND sum_dx <= sum_dy THEN 1
+         WHEN sum_dy > 0 AND sum_dx <= 0 AND -sum_dx < sum_dy THEN 2
+         WHEN sum_dx < 0 AND sum_dy > 0 AND sum_dy <= -sum_dx THEN 3
+         WHEN sum_dx < 0 AND sum_dy <= 0 AND -sum_dy < -sum_dx THEN 4
+         WHEN sum_dy < 0 AND sum_dx < 0 AND -sum_dx <= -sum_dy THEN 5
+         WHEN sum_dy < 0 AND sum_dx >= 0 AND sum_dx < -sum_dy THEN 6
+         ELSE 7
+       END AS net_octant
+FROM agg
+"""

@@ -576,3 +576,60 @@ def test_term_pmi_laws(spark):
         assert r["n_ab"] == n_ab
         assert (r["df_a"], r["df_b"]) == (df[r["t_a"]], df[r["t_b"]])
         assert r["pmi_q"] == (n_ab * n * _PMI_QUANT) // (df[r["t_a"]] * df[r["t_b"]])
+
+
+def test_cohort_retention_laws(spark):
+    """offset-0 row of each cohort counts its full cohort; offsets are
+    non-negative; cohort sizes partition the user base."""
+    from gotrackmaster_spark.driver_queries import q_cohort_retention
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_cohort_retention(spark, sf).collect()
+    by_cohort = {}
+    for r in rows:
+        assert r["offset"] >= 0
+        by_cohort.setdefault(r["cohort_week"], {})[r["offset"]] = r["n_users"]
+    n_users = (
+        spark.read.parquet(f"{sf}/events.parquet").select("user_id").distinct().count()
+    )
+    # every user appears in exactly one cohort's offset-0 cell
+    assert sum(m[0] for m in by_cohort.values()) == n_users
+    # retention never exceeds the cohort size
+    for m in by_cohort.values():
+        assert all(v <= m[0] for v in m.values())
+
+
+def test_cell_flow_vectors_conservation(spark):
+    """Global Σdx/Σdy over cells equals the endpoint-minus-start sum per
+    user (telescoping legs); leg count = events − users."""
+    from gotrackmaster_spark.driver_queries import q_cell_flow_vectors
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_cell_flow_vectors(spark, sf).collect()
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n_legs"] for r in rows) == n_events - n_users
+    # telescoping: per user Σlegs = last − first; sum over users
+    import duckdb
+
+    con = duckdb.connect()
+    tel = con.execute(f"""
+        WITH pts AS (
+          SELECT user_id, ts, event_id,
+                 (event_id * 2654435761) % 1600000 AS x,
+                 (event_id * 40503 + 7) % 3600000 AS y
+          FROM read_parquet('{sf}/events.parquet')
+        ),
+        o AS (SELECT user_id,
+                     first_value(x) OVER w AS x0, last_value(x) OVER w AS x1,
+                     first_value(y) OVER w AS y0, last_value(y) OVER w AS y1
+              FROM pts
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        SELECT sum(DISTINCT_SUM.dx), sum(DISTINCT_SUM.dy) FROM (
+          SELECT DISTINCT user_id, x1 - x0 AS dx, y1 - y0 AS dy FROM o
+        ) DISTINCT_SUM
+    """).fetchall()[0]
+    assert sum(r["sum_dx"] for r in rows) == tel[0]
+    assert sum(r["sum_dy"] for r in rows) == tel[1]
