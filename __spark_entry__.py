@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_pmi": _wrap(Q.q_term_pmi),
         "cohort_retention": _wrap(Q.q_cohort_retention),
         "cell_flow_vectors": _wrap(Q.q_cell_flow_vectors),
+        "user_burstiness": _wrap(Q.q_user_burstiness),
         "funnel_steps": _wrap(Q.q_funnel_steps),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
@@ -330,6 +331,7 @@ def oracle_sql() -> dict[str, str]:
         "term_pmi": Q.SQL_TERM_PMI,
         "cohort_retention": Q.SQL_COHORT_RETENTION,
         "cell_flow_vectors": Q.SQL_CELL_FLOW_VECTORS,
+        "user_burstiness": Q.SQL_USER_BURSTINESS,
         "funnel_steps": Q.SQL_FUNNEL_STEPS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,

@@ -8959,3 +8959,64 @@ SELECT gx, gy, n_legs, sum_dx, sum_dy,
        END AS net_octant
 FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# E42 — per-user burstiness (`user_burstiness` composite): Fano factor
+# (VMR) of each user's daily event counts over their OWN active span
+# (first..last day inclusive — empty days count, the quadrat_test
+# trap temporally).  Σc² exact int; VMR fixed-order scalar algebra;
+# two hash aggregates on the user key, no joins beyond the tiny
+# per-user span attach.
+# --------------------------------------------------------------------------
+
+
+def q_user_burstiness(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr(f"unix_micros(CAST(ts AS timestamp)) DIV {_US_PER_DAY}")
+    per_day = ev.select("user_id", day.alias("day")).groupBy("user_id", "day").agg(
+        F.count("*").alias("c")
+    )
+    agg = per_day.groupBy("user_id").agg(
+        F.sum("c").alias("n_events"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+        (F.max("day") - F.min("day") + 1).alias("span_days"),
+        F.count("*").alias("active_days"),
+    )
+    n_d = F.col("span_days").cast("double")
+    mean = F.col("n_events") / n_d
+    ss = F.col("sum_c2") - mean * F.col("n_events")
+    guard = (F.col("span_days") > 1) & (F.col("n_events") > 0)
+    return agg.select(
+        "user_id",
+        "n_events",
+        "span_days",
+        "active_days",
+        "sum_c2",
+        mean.alias("mean_per_day"),
+        F.when(guard, (ss / (n_d - F.lit(1.0))) / mean).alias("vmr"),
+    )
+
+
+SQL_USER_BURSTINESS = f"""
+WITH per_day AS (
+  SELECT user_id, epoch_us(ts) // {_US_PER_DAY} AS day, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+agg AS (
+  SELECT user_id,
+         CAST(sum(c) AS BIGINT) AS n_events,
+         CAST(sum(c * c) AS BIGINT) AS sum_c2,
+         max(day) - min(day) + 1 AS span_days,
+         CAST(count(*) AS BIGINT) AS active_days
+  FROM per_day GROUP BY user_id
+)
+SELECT user_id, n_events, span_days, active_days, sum_c2,
+       n_events / CAST(span_days AS DOUBLE) AS mean_per_day,
+       CASE WHEN span_days > 1 AND n_events > 0 THEN
+         ((sum_c2 - (n_events / CAST(span_days AS DOUBLE)) * n_events)
+          / (CAST(span_days AS DOUBLE) - CAST(1.0 AS DOUBLE)))
+         / (n_events / CAST(span_days AS DOUBLE))
+       END AS vmr
+FROM agg
+"""

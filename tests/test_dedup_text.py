@@ -633,3 +633,37 @@ def test_cell_flow_vectors_conservation(spark):
     """).fetchall()[0]
     assert sum(r["sum_dx"] for r in rows) == tel[0]
     assert sum(r["sum_dy"] for r in rows) == tel[1]
+
+
+def test_user_burstiness_known_patterns(spark):
+    """Uniform one-event-per-day ⇒ VMR 0; all events on one day of a
+    long span ⇒ VMR ≈ burst size; single-day span ⇒ NULL."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from gotrackmaster_spark.driver_queries import q_user_burstiness
+
+    rows = []
+    # u1: 10 consecutive days, 1 event each
+    for d in range(10):
+        rows.append((1, d * 86400, len(rows)))
+    # u2: 10 events on day 0 + 1 event on day 9 (bursty)
+    for i in range(10):
+        rows.append((2, 10, len(rows)))
+    rows.append((2, 9 * 86400, len(rows)))
+    # u3: single day only
+    rows.append((3, 0, len(rows)))
+    pdf = pd.DataFrame(rows, columns=["user_id", "tsec", "event_id"])
+    pdf["ts"] = pd.to_datetime(pdf["tsec"], unit="s")
+    df = spark.createDataFrame(pdf[["user_id", "ts", "event_id"]])
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {r["user_id"]: r for r in q_user_burstiness(spark, d).collect()}
+    assert got[1]["vmr"] == 0.0 and got[1]["active_days"] == 10
+    # u2: counts [10,0,...,0,1] over span 10: mean 1.1, ss = 101 - 1.1*11
+    exp_vmr = ((101 - 1.1 * 11) / 9.0) / 1.1
+    assert abs(got[2]["vmr"] - exp_vmr) < 1e-12
+    assert got[2]["vmr"] > 5.0 > got[1]["vmr"]
+    assert got[3]["vmr"] is None and got[3]["span_days"] == 1
