@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": _wrap(Q.q_cohort_retention),
         "cell_flow_vectors": _wrap(Q.q_cell_flow_vectors),
         "user_burstiness": _wrap(Q.q_user_burstiness),
+        "value_mad": _wrap(Q.q_value_mad),
         "funnel_steps": _wrap(Q.q_funnel_steps),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
@@ -332,6 +333,7 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": Q.SQL_COHORT_RETENTION,
         "cell_flow_vectors": Q.SQL_CELL_FLOW_VECTORS,
         "user_burstiness": Q.SQL_USER_BURSTINESS,
+        "value_mad": Q.SQL_VALUE_MAD,
         "funnel_steps": Q.SQL_FUNNEL_STEPS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,

@@ -9020,3 +9020,80 @@ SELECT user_id, n_events, span_days, active_days, sum_c2,
        END AS vmr
 FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# E43 — per-type median + MAD (`value_mad` composite): robust
+# location/scale by DOUBLE rank-select — median of value, then median
+# of |value − median| — never a float accumulation (the theil_sen
+# order-statistics idiom, applied twice); ties on equal doubles are
+# value-interchangeable so the window order is deterministic.
+# --------------------------------------------------------------------------
+
+
+def q_value_mad(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+
+    def rank_median(df, col, part):
+        w = Window.partitionBy(part)
+        ranked = df.select(
+            part,
+            col,
+            F.row_number().over(w.orderBy(col)).alias("__rn"),
+            F.count("*").over(w).alias("__n"),
+        )
+        return (
+            ranked.groupBy(part)
+            .agg(
+                F.max("__n").alias("__n"),
+                F.min(
+                    F.when(F.col("__rn") == F.floor((F.col("__n") + 1) / 2), F.col(col))
+                ).alias("__lo"),
+                F.min(
+                    F.when(F.col("__rn") == F.floor(F.col("__n") / 2) + 1, F.col(col))
+                ).alias("__hi"),
+            )
+            .select(
+                part,
+                F.col("__n").alias("n"),
+                ((F.col("__lo") + F.col("__hi")) / F.lit(2.0)).alias("med"),
+            )
+        )
+
+    med = rank_median(ev, "value", "event_type")
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("adev")
+    )
+    mad = rank_median(dev, "adev", "event_type").select(
+        "event_type", F.col("med").alias("mad")
+    )
+    return med.join(mad, "event_type").select(
+        "event_type", "n", F.col("med").alias("median"), "mad"
+    )
+
+
+_MAD_RANKSEL = """
+  SELECT {part}, CAST(max(n) AS BIGINT) AS n,
+         (min(CASE WHEN rn = (n + 1) // 2 THEN {col} END)
+          + min(CASE WHEN rn = n // 2 + 1 THEN {col} END))
+         / CAST(2.0 AS DOUBLE) AS med
+  FROM (
+    SELECT {part}, {col},
+           row_number() OVER (PARTITION BY {part} ORDER BY {col}) AS rn,
+           count(*) OVER (PARTITION BY {part}) AS n
+    FROM {src}
+  ) GROUP BY {part}
+"""
+
+SQL_VALUE_MAD = f"""
+WITH med AS ({_MAD_RANKSEL.format(part="event_type", col="value", src="events")}),
+dev AS (
+  SELECT e.event_type, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m ON e.event_type = m.event_type
+),
+mad AS ({_MAD_RANKSEL.format(part="event_type", col="adev", src="dev")})
+SELECT med.event_type, med.n, med.med AS median, mad.med AS mad
+FROM med JOIN mad ON med.event_type = mad.event_type
+"""

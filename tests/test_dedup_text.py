@@ -667,3 +667,26 @@ def test_user_burstiness_known_patterns(spark):
     assert abs(got[2]["vmr"] - exp_vmr) < 1e-12
     assert got[2]["vmr"] > 5.0 > got[1]["vmr"]
     assert got[3]["vmr"] is None and got[3]["span_days"] == 1
+
+
+def test_value_mad_exact_small_sets(spark):
+    """Median and MAD must equal the textbook order statistics on
+    hand-built odd and even groups."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from gotrackmaster_spark.driver_queries import q_value_mad
+
+    rows = (
+        [("a", v) for v in [1.0, 3.0, 100.0]]          # med 3, |d|=[2,0,97] -> MAD 2
+        + [("b", v) for v in [1.0, 2.0, 3.0, 10.0]]    # med 2.5, |d|=[1.5,.5,.5,7.5] -> MAD 1.0
+    )
+    pdf = pd.DataFrame(rows, columns=["event_type", "value"])
+    df = spark.createDataFrame(pdf)
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {r["event_type"]: r for r in q_value_mad(spark, d).collect()}
+    assert (got["a"]["n"], got["a"]["median"], got["a"]["mad"]) == (3, 3.0, 2.0)
+    assert (got["b"]["n"], got["b"]["median"], got["b"]["mad"]) == (4, 2.5, 1.0)
