@@ -195,6 +195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_flow_vectors": _wrap(Q.q_cell_flow_vectors),
         "user_burstiness": _wrap(Q.q_user_burstiness),
         "value_mad": _wrap(Q.q_value_mad),
+        "image_center_bias": _wrap(Q.q_image_center_bias),
         "funnel_steps": _wrap(Q.q_funnel_steps),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
@@ -334,6 +335,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_flow_vectors": Q.SQL_CELL_FLOW_VECTORS,
         "user_burstiness": Q.SQL_USER_BURSTINESS,
         "value_mad": Q.SQL_VALUE_MAD,
+        "image_center_bias": Q.SQL_IMAGE_CENTER_BIAS,
         "funnel_steps": Q.SQL_FUNNEL_STEPS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,

@@ -9097,3 +9097,104 @@ mad AS ({_MAD_RANKSEL.format(part="event_type", col="adev", src="dev")})
 SELECT med.event_type, med.n, med.med AS median, mad.med AS mad
 FROM med JOIN mad ON med.event_type = mad.event_type
 """
+
+
+# --------------------------------------------------------------------------
+# E7k — center-surround luma bias (`image_center_bias`,
+# computed inline over images.image_moments-style decode): is the
+# image's mass concentrated centrally (subject-centered photo) or at
+# the border?  Exact int64 luma sums over the center box (middle half
+# in both axes) vs the border; the contrast sum_c·n_b − sum_b·n_c is
+# one exact integer, the ratio a fixed-order double.
+# --------------------------------------------------------------------------
+
+
+def q_image_center_bias(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from gotrackmaster_spark.operators.images import decode_image, synthesize_images
+
+    imgs = synthesize_images(spark, sf_dir, w=_IMG_W, h=_IMG_H)
+
+    def stats(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {"image_id": [], "fmt": [], "sum_center": [], "n_center": [],
+                   "sum_border": [], "n_border": []}
+            for r in pdf.itertuples(index=False):
+                px = decode_image(r.bytes, r.w, r.h, r.fmt).astype(np.int64)
+                luma = (299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]) // 1000
+                x0, x1 = r.w // 4, 3 * r.w // 4
+                y0, y1 = r.h // 4, 3 * r.h // 4
+                c = luma[y0:y1, x0:x1]
+                sc, nc = int(c.sum()), int(c.size)
+                st, nt = int(luma.sum()), int(luma.size)
+                out["image_id"].append(r.image_id)
+                out["fmt"].append(r.fmt)
+                out["sum_center"].append(sc)
+                out["n_center"].append(nc)
+                out["sum_border"].append(st - sc)
+                out["n_border"].append(nt - nc)
+            yield pd.DataFrame(out)
+
+    st = imgs.mapInPandas(
+        stats,
+        "image_id string, fmt string, sum_center long, n_center long, "
+        "sum_border long, n_border long",
+    )
+    contrast = (
+        F.col("sum_center") * F.col("n_border")
+        - F.col("sum_border") * F.col("n_center")
+    )
+    guard = (F.col("n_center") > 0) & (F.col("n_border") > 0) & (F.col("sum_border") > 0)
+    ratio = (F.col("sum_center") / F.col("n_center")) / (
+        F.col("sum_border") / F.col("n_border")
+    )
+    return st.select(
+        "image_id",
+        "fmt",
+        "sum_center",
+        "n_center",
+        "sum_border",
+        "n_border",
+        contrast.alias("contrast"),
+        F.when(guard, ratio).alias("center_bias"),
+    )
+
+
+SQL_IMAGE_CENTER_BIAS = f"""
+WITH lum AS (
+  SELECT doc_id, j % {_IMG_W} AS x, j // {_IMG_W} AS y,
+         (299 * {_mom_pix_at('j * 3')}
+          + 587 * {_mom_pix_at('j * 3 + 1')}
+          + 114 * {_mom_pix_at('j * 3 + 2')}) // 1000 AS l
+  FROM documents, range({_IMG_W * _IMG_H}) t(j)
+),
+feat AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN x >= {_IMG_W // 4} AND x < {3 * _IMG_W // 4}
+                        AND y >= {_IMG_H // 4} AND y < {3 * _IMG_H // 4}
+                       THEN l ELSE 0 END) AS BIGINT) AS sum_center,
+         CAST(sum(CASE WHEN x >= {_IMG_W // 4} AND x < {3 * _IMG_W // 4}
+                        AND y >= {_IMG_H // 4} AND y < {3 * _IMG_H // 4}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_center,
+         CAST(sum(CASE WHEN x >= {_IMG_W // 4} AND x < {3 * _IMG_W // 4}
+                        AND y >= {_IMG_H // 4} AND y < {3 * _IMG_H // 4}
+                       THEN 0 ELSE l END) AS BIGINT) AS sum_border,
+         CAST(sum(CASE WHEN x >= {_IMG_W // 4} AND x < {3 * _IMG_W // 4}
+                        AND y >= {_IMG_H // 4} AND y < {3 * _IMG_H // 4}
+                       THEN 0 ELSE 1 END) AS BIGINT) AS n_border
+  FROM lum GROUP BY doc_id
+)
+SELECT format('img{{:08d}}', doc_id) AS image_id,
+       ['raw', 'png', 'qnt4'][CAST(doc_id % 3 AS INT) + 1] AS fmt,
+       sum_center, n_center, sum_border, n_border,
+       sum_center * n_border - sum_border * n_center AS contrast,
+       CASE WHEN n_center > 0 AND n_border > 0 AND sum_border > 0 THEN
+         (sum_center / CAST(n_center AS DOUBLE))
+         / (sum_border / CAST(n_border AS DOUBLE))
+       END AS center_bias
+FROM feat
+"""

