@@ -196,6 +196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_burstiness": _wrap(Q.q_user_burstiness),
         "value_mad": _wrap(Q.q_value_mad),
         "image_center_bias": _wrap(Q.q_image_center_bias),
+        "triangle_counts": _wrap(Q.q_triangle_counts),
         "funnel_steps": _wrap(Q.q_funnel_steps),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
@@ -336,6 +337,7 @@ def oracle_sql() -> dict[str, str]:
         "user_burstiness": Q.SQL_USER_BURSTINESS,
         "value_mad": Q.SQL_VALUE_MAD,
         "image_center_bias": Q.SQL_IMAGE_CENTER_BIAS,
+        "triangle_counts": Q.SQL_TRIANGLE_COUNTS,
         "funnel_steps": Q.SQL_FUNNEL_STEPS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,

@@ -9198,3 +9198,72 @@ SELECT format('img{{:08d}}', doc_id) AS image_id,
        END AS center_bias
 FROM feat
 """
+
+
+# --------------------------------------------------------------------------
+# E44 — per-user triangle counts + clustering coefficient
+# (`triangle_counts`, operators/graph.py::triangle_counts) over the
+# co-location graph (colocation_pairs at n_shared >= 3): the
+# degree-ordered oriented wedge join (Suri & Vassilvitskii) — each
+# triangle enumerated exactly once, so corner counts are exact ints and
+# the a<b<c 3-way self-join oracle reproduces them identically; the
+# coefficient is a fixed-order double expression.
+# --------------------------------------------------------------------------
+
+_TRI_MIN_SHARED = 3
+
+
+def q_triangle_counts(spark, sf_dir):
+    from gotrackmaster_spark.operators.graph import triangle_counts
+    from gotrackmaster_spark.operators.spatial import colocation_pairs
+
+    ev = geo_events(spark, sf_dir).select("user_id", "lat", "lon", "ts")
+    edges = colocation_pairs(
+        ev, level=12, coarse_shift=14, bucket_us=_COLOC_BUCKET_US
+    ).filter(F.col("n_shared") >= _TRI_MIN_SHARED)
+    return triangle_counts(edges, "user_a", "user_b").select(
+        F.col("v").alias("user_id"), "degree", "n_triangles", "clustering"
+    )
+
+
+SQL_TRIANGLE_COUNTS = f"""
+WITH {GEO_CTE},
+occ AS (
+  SELECT DISTINCT user_id AS u,
+         ({cell_sql('lat', 'lon', 12)} >> 14) AS cell,
+         epoch_us(ts) - ((epoch_us(ts) % {_COLOC_BUCKET_US} + {_COLOC_BUCKET_US}) % {_COLOC_BUCKET_US}) AS bucket
+  FROM geo
+),
+ed AS (
+  SELECT a.u AS lo, b.u AS hi
+  FROM occ a JOIN occ b ON a.cell = b.cell AND a.bucket = b.bucket
+  WHERE a.u < b.u
+  GROUP BY 1, 2
+  HAVING count(*) >= {_TRI_MIN_SHARED}
+),
+deg AS (
+  SELECT v, count(*) AS d
+  FROM (SELECT lo AS v FROM ed UNION ALL SELECT hi AS v FROM ed)
+  GROUP BY 1
+),
+tri AS (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM ed e1
+  JOIN ed e2 ON e2.lo = e1.hi
+  JOIN ed e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+),
+tcnt AS (
+  SELECT v, count(*) AS t
+  FROM (SELECT a AS v FROM tri UNION ALL SELECT b AS v FROM tri
+        UNION ALL SELECT c AS v FROM tri)
+  GROUP BY 1
+)
+SELECT deg.v AS user_id,
+       CAST(deg.d AS BIGINT) AS degree,
+       CAST(coalesce(tcnt.t, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN deg.d > 1 THEN
+         (CAST(2.0 AS DOUBLE) * coalesce(tcnt.t, 0))
+         / (CAST(deg.d AS DOUBLE) * CAST(deg.d - 1 AS DOUBLE))
+       END AS clustering
+FROM deg LEFT JOIN tcnt ON deg.v = tcnt.v
+"""
