@@ -197,6 +197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_mad": _wrap(Q.q_value_mad),
         "image_center_bias": _wrap(Q.q_image_center_bias),
         "triangle_counts": _wrap(Q.q_triangle_counts),
+        "winnow_pairs": _wrap(Q.q_winnow_pairs),
         "funnel_steps": _wrap(Q.q_funnel_steps),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
@@ -338,6 +339,7 @@ def oracle_sql() -> dict[str, str]:
         "value_mad": Q.SQL_VALUE_MAD,
         "image_center_bias": Q.SQL_IMAGE_CENTER_BIAS,
         "triangle_counts": Q.SQL_TRIANGLE_COUNTS,
+        "winnow_pairs": Q.SQL_WINNOW_PAIRS,
         "funnel_steps": Q.SQL_FUNNEL_STEPS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,

@@ -9267,3 +9267,21 @@ SELECT deg.v AS user_id,
        END AS clustering
 FROM deg LEFT JOIN tcnt ON deg.v = tcnt.v
 """
+
+
+# --------------------------------------------------------------------------
+# E45 — robust-winnowing fingerprint dedup (`winnow_pairs`,
+# operators/dedup.py::winnow_fingerprints/winnow_pairs): the MOSS
+# algorithm — positional-polynomial k-gram hashes (exact int64), window
+# of w hashes, rightmost-min selection via lexicographic struct-min on
+# (hash, -pos); cross-doc pairs sharing >= 4 fingerprints after the
+# stop-fingerprint cap.  Guarantee: any shared substring of length
+# >= k + w - 1 shares a selected fingerprint.
+# --------------------------------------------------------------------------
+
+
+def q_winnow_pairs(spark, sf_dir):
+    return D.winnow_pairs(_t(spark, sf_dir, "documents"))
+
+
+SQL_WINNOW_PAIRS = D.sql_winnow_pairs()

@@ -1000,3 +1000,164 @@ def ngram_novelty(
             F.col("n_shingles") > 0, F.col("n_unseen") / F.col("n_shingles")
         ).alias("novelty"),
     )
+
+
+# ------------------------------------------------------ winnowing (MOSS) ---
+
+WINNOW_K = 12          # character k-gram length
+WINNOW_W = 6           # winnowing window (guarantee: any match >= k+w-1
+                       # chars shares a selected fingerprint)
+WINNOW_A = 2654435761  # positional multiplier of the k-gram hash
+WINNOW_M = 100000007   # multiplier modulus
+WINNOW_P = 1000000007  # hash modulus
+WINNOW_MAX_DF = 10     # stop-fingerprint cap (docs per fingerprint)
+WINNOW_ORACLE_MAX_LEN = 2000  # position-enumeration bound of the SQL twin
+
+
+def _winnow_gram_hash_spark(text_col: str, pos_col: str, k: int) -> str:
+    """Positional polynomial hash of the k-gram at 1-based ``pos_col`` —
+    Σ_j ascii(text[pos+j]) · ((j+1)·A mod M), all mod P; every term is
+    < 255·M ≈ 2.6e10 and k terms stay far under int64, so stepwise-mod
+    (Spark aggregate) and sum-then-mod (DuckDB list_sum) agree exactly."""
+    return (
+        f"aggregate(transform(sequence(0, {k - 1}), j -> "
+        f"CAST(ascii(substring({text_col}, {pos_col} + j, 1)) AS BIGINT)"
+        f" * (((j + 1) * {WINNOW_A}) % {WINNOW_M})), "
+        f"CAST(0 AS BIGINT), (acc, v) -> (acc + v) % {WINNOW_P})"
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Robust-winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    the MOSS algorithm): hash every character k-gram, slide a window of
+    ``w`` consecutive hashes, and select the RIGHTMOST minimal hash of
+    each full window — guaranteeing any shared substring of length
+    >= k + w - 1 contributes at least one shared fingerprint, while
+    keeping ~2/(w+1) of the grams.
+
+    Determinism: the k-gram hash is an exact-integer polynomial (no
+    engine-dependent hash function), and the rightmost-min tie-break is
+    a lexicographic struct-min on (hash, -position) — both replay
+    bit-for-bit in any SQL engine.
+
+    Plan at scale: the gram explode is O(chars) rows with an O(k)
+    codegen inner fold (no Python); selection is ONE window over the
+    doc key (one shuffle on ``id_col``); output is the DISTINCT
+    (doc, position, hash) selected set, ~2·chars/(w+1) rows.
+    """
+    pos = F.expr(f"explode(sequence(1, length({text_col}) - {k} + 1))")
+    grams = docs.filter(F.length(text_col) >= k + w - 1).select(
+        F.col(id_col), F.col(text_col).alias("__t"), pos.alias("i")
+    ).select(
+        id_col,
+        "i",
+        F.expr(_winnow_gram_hash_spark("__t", "i", k)).alias("h"),
+    )
+    from pyspark.sql import Window
+
+    win = (
+        Window.partitionBy(id_col).orderBy("i").rowsBetween(-(w - 1), 0)
+    )
+    sel = grams.select(
+        id_col,
+        F.min(F.struct(F.col("h"), (-F.col("i")).alias("ni"))).over(win).alias("sel"),
+        F.count("*").over(win).alias("nw"),
+    ).filter(F.col("nw") == w)
+    return sel.select(
+        id_col,
+        (-F.col("sel.ni")).alias("pos"),
+        F.col("sel.h").alias("fph"),
+    ).distinct()
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    max_fp_df: int | None = WINNOW_MAX_DF,
+    min_shared: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document containment/plagiarism candidates: pairs sharing
+    >= ``min_shared`` winnowed fingerprints.  The fingerprint inverted
+    index is the join key; ``max_fp_df`` drops fingerprints present in
+    more than that many documents first (the jaccard_pairs stop-shingle
+    convention: a hot fingerprint matches everything and carries no
+    containment signal, while bounding the self-join fan-out per key at
+    C(max_fp_df, 2)).  Output: (doc_a, doc_b, n_shared)."""
+    fp = winnow_fingerprints(docs, k, w, text_col, id_col)
+    fpd = fp.select(F.col(id_col), "fph").distinct()
+    if max_fp_df is not None:
+        keep = (
+            fpd.groupBy("fph")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_fp_df)
+            .select("fph")
+        )
+        fpd = fpd.join(keep, "fph")
+    a = fpd.select(F.col(id_col).alias("doc_a"), "fph")
+    b = fpd.select(F.col(id_col).alias("doc_b"), "fph")
+    return (
+        a.join(b, "fph")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def sql_winnow_pairs(
+    k: int = WINNOW_K,
+    w: int = WINNOW_W,
+    max_fp_df: int | None = WINNOW_MAX_DF,
+    min_shared: int = 4,
+) -> str:
+    """DuckDB twin of :func:`winnow_pairs` over the ``documents`` view.
+    Positions enumerate from a fixed range (WINNOW_ORACLE_MAX_LEN) —
+    valid for corpora with text length under that bound."""
+    cap = ""
+    src = "fpd"
+    if max_fp_df is not None:
+        cap = f"""
+keep AS (
+  SELECT fph FROM fpd GROUP BY fph HAVING count(*) <= {max_fp_df}
+),
+capped AS (SELECT fpd.doc_id, fpd.fph FROM fpd JOIN keep USING (fph)),"""
+        src = "capped"
+    return f"""
+WITH grams AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         CAST(list_sum(list_transform(generate_series(0, {k - 1}, 1), j ->
+           CAST(unicode(substr(text, CAST(i + j AS INT), 1)) AS BIGINT)
+           * (((j + 1) * {WINNOW_A}) % {WINNOW_M}))) % {WINNOW_P} AS BIGINT) AS h
+  FROM documents, range(1, {WINNOW_ORACLE_MAX_LEN + 1}) t(i)
+  WHERE length(text) >= {k + w - 1} AND i <= length(text) - {k} + 1
+),
+win AS (
+  SELECT doc_id, i, h,
+         min({{'h': h, 'ni': -i}}) OVER (
+           PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS sel,
+         count(*) OVER (
+           PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS nw
+  FROM grams
+),
+fpd AS (
+  SELECT DISTINCT doc_id, (sel).h AS fph FROM win WHERE nw = {w}
+),{cap}
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM {src} a JOIN {src} b USING (fph)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= {min_shared}
+)
+SELECT doc_a, doc_b, n_shared FROM pairs
+"""
