@@ -9285,3 +9285,28 @@ def q_winnow_pairs(spark, sf_dir):
 
 
 SQL_WINNOW_PAIRS = D.sql_winnow_pairs()
+
+
+# --------------------------------------------------------------------------
+# E46 — integer-quantized Okapi BM25 (`bm25_scores`,
+# operators/search.py): corpus relevance ranking for a fixed query-term
+# set — rational idf ((N−df)·10⁶ DIV df, no ln), k1 = 6/5, b = 3/4
+# multiplied through by 20·T so every term score is ONE exact int64
+# quotient; Σ over terms is an exact int, making the (score, doc_id)
+# ranking bit-deterministic across engines.
+# --------------------------------------------------------------------------
+
+
+def q_bm25_scores(spark, sf_dir):
+    from gotrackmaster_spark.operators.search import bm25_scores
+
+    return bm25_scores(_t(spark, sf_dir, "documents"), list(_GEO_SEARCH_TERMS))
+
+
+def _sql_bm25_scores():
+    from gotrackmaster_spark.operators.search import sql_bm25_scores
+
+    return sql_bm25_scores(list(_GEO_SEARCH_TERMS))
+
+
+SQL_BM25_SCORES = _sql_bm25_scores()

@@ -1,0 +1,110 @@
+"""Full-text relevance ranking over the caption/document corpus — the
+retrieval leg of a training-data pipeline (query expansion, dedup
+against a benchmark, corpus search).
+
+`bm25_scores` is Okapi BM25 with EXACT-INTEGER arithmetic: float BM25
+(ln-idf, float division) ranks identically on paper but its near-tie
+order is engine- and accumulation-order-dependent, so the scores here
+are integer-quantized — the `tile_top_terms` convention:
+
+- idf_q(t)   = ((N − df)·QUANT) DIV df      (rational idf, no ln)
+- term score = (idf_q·tf·44·T) DIV (20·T·tf + 6·T + 18·len·N)
+
+which is idf_q · tf·(k1+1) / (tf + k1·(1−b) + k1·b·len·N/T) with
+k1 = 6/5, b = 3/4 multiplied through by 20·T — every operand an exact
+int64, every division a DIV.  Scores are Σ of per-term int64 quotients,
+so ranking (score DESC, doc_id) is bit-deterministic in any engine.
+
+int64 bound: idf_q·tf·44·T < 2⁶³ must hold — fine for corpora up to
+~10⁶ docs × 10³ tokens at QUANT=10⁶; at web scale either drop QUANT or
+use a float BM25 where bit-determinism is not required (ranking then
+needs an epsilon-tie policy).
+
+Plan at 100 TB: one tokenize explode (codegen split, O(tokens) rows);
+doc lengths and corpus totals are map-side-combinable aggregates; the
+query-term filter prunes the tf aggregate BEFORE its shuffle; df is a
+per-query-term aggregate (≤|query| rows, broadcast); corpus scalars
+(N, T) attach via an explicit crossJoin(broadcast(1-row)) — the openly
+declared BNLJ of the registry plan-audit allowlist.  No self-joins, no
+windows over the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BM25_QUANT = 10**6
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    quant: int = BM25_QUANT,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Integer-quantized Okapi BM25 score of every document matching at
+    least one query term.  Output: ``(doc_id, n_terms, score)`` —
+    ``n_terms`` the number of distinct query terms present, ``score``
+    the exact-int64 Σ of per-term quotients."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.lower(text_col), " ")).alias("term"),
+    ).filter(F.length("term") > 0)
+    doclen = words.groupBy(id_col).agg(F.count("*").alias("len"))
+    corpus = doclen.agg(
+        F.count("*").alias("n_docs"), F.sum("len").alias("tot_len")
+    )
+    qw = words.filter(F.col("term").isin(list(query_terms)))
+    tf = qw.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_ = qw.groupBy("term").agg(F.countDistinct(id_col).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(corpus))
+        .withColumn("idf_q", F.expr(f"((n_docs - df) * {quant}) DIV df"))
+        .withColumn(
+            "tscore",
+            F.expr(
+                "(idf_q * tf * 44 * tot_len) DIV "
+                "(20 * tot_len * tf + 6 * tot_len + 18 * len * n_docs)"
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_terms"), F.sum("tscore").alias("score")
+    )
+
+
+def sql_bm25_scores(query_terms: list[str], quant: int = BM25_QUANT) -> str:
+    """DuckDB twin of :func:`bm25_scores` over the ``documents`` view."""
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM documents
+),
+flt AS (SELECT * FROM words WHERE length(term) > 0),
+doclen AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len FROM flt GROUP BY 1),
+corpus AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(len) AS BIGINT) AS tot_len
+  FROM doclen
+),
+qw AS (SELECT * FROM flt WHERE term IN ({terms})),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM qw GROUP BY 1, 2),
+df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM qw GROUP BY 1),
+scored AS (
+  SELECT t.doc_id,
+         (((n_docs - df.df) * {quant}) // df.df) * tf * 44 * tot_len
+         // (20 * tot_len * tf + 6 * tot_len + 18 * d.len * n_docs) AS tscore
+  FROM tf t
+  JOIN df USING (term)
+  JOIN doclen d ON t.doc_id = d.doc_id
+  CROSS JOIN corpus
+)
+SELECT doc_id, count(*) AS n_terms, CAST(sum(tscore) AS BIGINT) AS score
+FROM scored GROUP BY doc_id
+"""

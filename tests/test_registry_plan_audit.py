@@ -50,6 +50,8 @@ BNLJ_ALLOWED = {
     "gravity_od",
     # term_pmi: 1-row corpus-size attach onto the pair table
     "term_pmi",
+    # bm25_scores: 1-row (n_docs, tot_len) corpus-scalar attach
+    "bm25_scores",
 }
 
 QUERIES = entrymod.queries()
