@@ -9310,3 +9310,59 @@ def _sql_bm25_scores():
 
 
 SQL_BM25_SCORES = _sql_bm25_scores()
+
+
+# --------------------------------------------------------------------------
+# E47 — polygon dissolve / union area on the cell lattice
+# (`union_area`, operators/spatial.py::dissolve_union_cells): per
+# market-segment union of the 1,500 customer rects — ST_Union+ST_Area
+# without a geometry lib: distinct covered 1° cells via the exact
+# half-open center test (ceil arithmetic identical in both engines);
+# sum_cells / union_cells exact ints, overlap_ratio one fixed-order
+# double quotient.
+# --------------------------------------------------------------------------
+
+
+def q_union_area(spark, sf_dir):
+    from gotrackmaster_spark.operators.spatial import dissolve_union_cells
+
+    cust = _t(spark, sf_dir, "customer")
+    n = F.col("c_custkey").cast("long")
+    lat0 = ((n * 911) % 150 - 75).cast("double") + 0.00005
+    lon0 = ((n * 1931) % 340 - 170).cast("double") + 0.00005
+    rects = cust.select(
+        F.col("c_mktsegment").alias("segment"),
+        lat0.alias("lat0"),
+        (lat0 + (3 + (n % 5)).cast("double")).alias("lat1"),
+        lon0.alias("lon0"),
+        (lon0 + (4 + (n % 7)).cast("double")).alias("lon1"),
+    )
+    return dissolve_union_cells(rects, "segment")
+
+
+SQL_UNION_AREA = f"""
+WITH rect AS ({_CUST_RECT_SQL.replace("CAST(c_custkey AS VARCHAR) AS poly_id",
+                                      "c_mktsegment AS segment")}),
+b AS (
+  SELECT segment,
+         CAST(ceil(lat0 / 1.0 - 0.5) AS BIGINT) AS y0,
+         CAST(ceil(lat1 / 1.0 - 0.5) AS BIGINT) - 1 AS y1,
+         CAST(ceil(lon0 / 1.0 - 0.5) AS BIGINT) AS x0,
+         CAST(ceil(lon1 / 1.0 - 0.5) AS BIGINT) - 1 AS x1
+  FROM rect
+  WHERE CAST(ceil(lat1 / 1.0 - 0.5) AS BIGINT) - 1 >= CAST(ceil(lat0 / 1.0 - 0.5) AS BIGINT)
+    AND CAST(ceil(lon1 / 1.0 - 0.5) AS BIGINT) - 1 >= CAST(ceil(lon0 / 1.0 - 0.5) AS BIGINT)
+),
+per AS (
+  SELECT segment, count(*) AS n_polys,
+         CAST(sum((y1 - y0 + 1) * (x1 - x0 + 1)) AS BIGINT) AS sum_cells
+  FROM b GROUP BY 1
+),
+rows_y AS (SELECT segment, unnest(generate_series(y0, y1)) AS iy, x0, x1 FROM b),
+cells0 AS (SELECT segment, iy, unnest(generate_series(x0, x1)) AS ix FROM rows_y),
+cellset AS (SELECT DISTINCT segment, iy, ix FROM cells0),
+uni AS (SELECT segment, CAST(count(*) AS BIGINT) AS union_cells FROM cellset GROUP BY 1)
+SELECT per.segment, per.n_polys, per.sum_cells, uni.union_cells,
+       CAST(per.sum_cells AS DOUBLE) / CAST(uni.union_cells AS DOUBLE) AS overlap_ratio
+FROM per JOIN uni USING (segment)
+"""

@@ -3758,3 +3758,70 @@ def track_diameter(
         .applyInPandas(kern, schema)
         .withColumn("diam_deg", F.round(F.col("diam_deg"), 7))
     )
+
+
+def dissolve_union_cells(
+    rects: DataFrame,
+    group_col: str = "grp",
+    pitch: float = 1.0,
+) -> DataFrame:
+    """Polygon DISSOLVE / union-area on the raster lattice — merge every
+    group's (overlapping) polygons into one region and measure it, the
+    GIS `ST_Union`+`ST_Area` analogue a cell engine answers without any
+    geometry library: a lattice cell belongs to the union iff its CENTER
+    is inside at least one member polygon, so the union's size is simply
+    the DISTINCT count of covered cells (the `areal_disaggregate`
+    center-in-rect semantics, aggregated instead of allocated).
+
+    Input: axis-aligned rects ``(group_col, lat0, lat1, lon0, lon1)``
+    (half-open [lo, hi) bounds).  Covered cell rows/cols come from the
+    exact half-open center test — cell (iy, ix) of the ``pitch`` lattice
+    has center ((iy+0.5)·pitch, (ix+0.5)·pitch), inside iff
+    iy ∈ [ceil(lat0/pitch − 0.5), ceil(lat1/pitch − 0.5) − 1] (ditto
+    ix) — both engines replay the identical ceil arithmetic, so the
+    enumeration is deterministic.
+
+    Plan at scale: per-rect fan-out is its area in cells (explode of two
+    sequences — bounded by geometry/pitch, chosen by the caller); ONE
+    distinct-aggregate on (group, iy, ix) then ONE count per group —
+    the standard rasterized dissolve, no polygon-polygon joins at all.
+
+    Output: ``(group_col, n_polys, sum_cells, union_cells,
+    overlap_ratio)`` — sum_cells counts multiplicity (Σ per-polygon
+    area), union_cells the dissolved size, overlap_ratio their
+    fixed-order double quotient (≥ 1.0; 1.0 = disjoint members).
+    """
+    iy0 = F.ceil(F.col("lat0") / F.lit(pitch) - F.lit(0.5))
+    iy1 = F.ceil(F.col("lat1") / F.lit(pitch) - F.lit(0.5)) - F.lit(1)
+    ix0 = F.ceil(F.col("lon0") / F.lit(pitch) - F.lit(0.5))
+    ix1 = F.ceil(F.col("lon1") / F.lit(pitch) - F.lit(0.5)) - F.lit(1)
+    bounded = rects.select(
+        F.col(group_col).alias("__g"),
+        iy0.alias("__y0"), iy1.alias("__y1"),
+        ix0.alias("__x0"), ix1.alias("__x1"),
+    ).filter((F.col("__y1") >= F.col("__y0")) & (F.col("__x1") >= F.col("__x0")))
+    per_poly = bounded.select(
+        "__g",
+        ((F.col("__y1") - F.col("__y0") + 1) * (F.col("__x1") - F.col("__x0") + 1)
+         ).alias("__area"),
+    ).groupBy("__g").agg(
+        F.count("*").alias("n_polys"), F.sum("__area").alias("sum_cells")
+    )
+    cells = (
+        bounded.select(
+            "__g",
+            F.explode(F.expr("sequence(__y0, __y1)")).alias("iy"),
+            "__x0", "__x1",
+        )
+        .select("__g", "iy", F.explode(F.expr("sequence(__x0, __x1)")).alias("ix"))
+        .groupBy("__g")
+        .agg(F.countDistinct("iy", "ix").alias("union_cells"))
+    )
+    return per_poly.join(cells, "__g").select(
+        F.col("__g").alias(group_col),
+        "n_polys",
+        "sum_cells",
+        "union_cells",
+        (F.col("sum_cells").cast("double") / F.col("union_cells").cast("double")
+         ).alias("overlap_ratio"),
+    )
