@@ -9366,3 +9366,40 @@ SELECT per.segment, per.n_polys, per.sum_cells, uni.union_cells,
        CAST(per.sum_cells AS DOUBLE) / CAST(uni.union_cells AS DOUBLE) AS overlap_ratio
 FROM per JOIN uni USING (segment)
 """
+
+
+# --------------------------------------------------------------------------
+# E48 — 2-D skyline / Pareto frontier (`skyline_events`,
+# operators/search.py::skyline_2d): per event type, the
+# earliest-and-highest frontier over (ts_us MIN, value MAX) — exact
+# sort-based dominance via one distinct aggregate + one window (running
+# max over strictly-preceding rows), no self-join; the DuckDB twin is
+# an independent NOT-EXISTS dominance anti-join (a stronger check than
+# replaying the window).
+# --------------------------------------------------------------------------
+
+
+def q_skyline_events(spark, sf_dir):
+    from gotrackmaster_spark.operators.search import skyline_2d
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "value",
+    )
+    return skyline_2d(ev, "event_type", "ts_us", "value")
+
+
+SQL_SKYLINE_EVENTS = """
+WITH pts AS (
+  SELECT event_type, epoch_us(ts) AS ts_us, value, count(*) AS n_dups
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT p.event_type, p.ts_us, p.value, p.n_dups
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.event_type = p.event_type
+    AND q.ts_us <= p.ts_us AND q.value >= p.value
+    AND (q.ts_us < p.ts_us OR q.value > p.value)
+)
+"""

@@ -108,3 +108,46 @@ scored AS (
 SELECT doc_id, count(*) AS n_terms, CAST(sum(tscore) AS BIGINT) AS score
 FROM scored GROUP BY doc_id
 """
+
+
+def skyline_2d(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group 2-D SKYLINE (Pareto frontier): the rows not dominated
+    under (``x_col`` MINIMIZED, ``y_col`` MAXIMIZED) — q dominates p iff
+    q.x <= p.x ∧ q.y >= p.y with at least one strict.  The multi-
+    criteria "best offers" operator (earliest-and-highest frontier).
+
+    Exact sort-based formulation, no self-join: after collapsing to
+    DISTINCT (x, y) pairs (with multiplicity), order each group by
+    (x ASC, y DESC); a pair is dominated iff the running MAX of y over
+    STRICTLY-PRECEDING rows >= its own y — every preceding row has
+    x < p.x, or x = p.x with (post-distinct) y strictly greater, so the
+    test is exactly the dominance predicate.  Duplicate points are one
+    frontier row with ``n_dups`` multiplicity (equal points never
+    dominate each other).
+
+    Plan at scale: ONE distinct-aggregate (map-side combinable — raw
+    rows never reach the window) + ONE window per group key.  A single
+    group's window is one sort task over its DISTINCT pairs; for a
+    group whose distinct-pair set exceeds a task, range-partition on x
+    and merge the per-range frontiers (same predicate) — the standard
+    two-phase skyline.
+
+    Output: ``(group_col, x_col, y_col, n_dups)`` — frontier rows only.
+    """
+    from pyspark.sql import Window
+
+    pts = df.groupBy(group_col, x_col, y_col).agg(F.count("*").alias("n_dups"))
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(x_col).asc(), F.col(y_col).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = pts.withColumn("__m", F.max(y_col).over(w))
+    return flagged.filter(
+        F.col("__m").isNull() | (F.col("__m") < F.col(y_col))
+    ).select(group_col, x_col, y_col, "n_dups")
