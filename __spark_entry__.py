@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scores": _wrap(Q.q_bm25_scores),
         "union_area": _wrap(Q.q_union_area),
         "skyline_events": _wrap(Q.q_skyline_events),
+        "cusum_changepoints": _wrap(Q.q_cusum_changepoints),
         "funnel_steps": _wrap(Q.q_funnel_steps),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
@@ -346,6 +347,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_scores": Q.SQL_BM25_SCORES,
         "union_area": Q.SQL_UNION_AREA,
         "skyline_events": Q.SQL_SKYLINE_EVENTS,
+        "cusum_changepoints": Q.SQL_CUSUM_CHANGEPOINTS,
         "funnel_steps": Q.SQL_FUNNEL_STEPS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,

@@ -9403,3 +9403,73 @@ WHERE NOT EXISTS (
     AND (q.ts_us < p.ts_us OR q.value > p.value)
 )
 """
+
+
+# --------------------------------------------------------------------------
+# E49 — two-sided CUSUM changepoints (`cusum_changepoints`,
+# operators/timeseries.py): per-type daily-count level-shift detection
+# with the recursion max(0, S+a) replaced by the EXACT prefix-sum −
+# running-min identity (two windows, all int64 — a_t = x_t·D − T so
+# Σa = 0 and no rational mean appears); empty days inside the span
+# count as zero via a bounded sequence explode.
+# --------------------------------------------------------------------------
+
+
+def q_cusum_changepoints(spark, sf_dir):
+    from gotrackmaster_spark.operators.timeseries import cusum_changepoints
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"unix_micros(CAST(ts AS timestamp)) DIV {_US_PER_DAY}").alias("day"),
+        F.lit(1).alias("x"),
+    )
+    return cusum_changepoints(ev, "event_type", "day", "x")
+
+
+SQL_CUSUM_CHANGEPOINTS = f"""
+WITH obs AS (
+  SELECT event_type, epoch_us(ts) // {_US_PER_DAY} AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT event_type, min(day) AS d0, max(day) AS d1,
+         CAST(sum(x) AS BIGINT) AS tot, CAST(count(*) AS BIGINT) AS n_days
+  FROM obs GROUP BY 1
+),
+days AS (
+  SELECT event_type, tot, n_days, d1 - d0 + 1 AS span_days,
+         unnest(generate_series(d0, d1)) AS day
+  FROM span
+),
+filled AS (
+  SELECT d.event_type, d.day, d.tot, d.n_days, d.span_days,
+         coalesce(o.x, 0) * d.span_days - d.tot AS a
+  FROM days d LEFT JOIN obs o ON o.event_type = d.event_type AND o.day = d.day
+),
+pref AS (
+  SELECT event_type, day, tot, n_days, span_days,
+         CAST(sum(a) OVER (PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+  FROM filled
+),
+s AS (
+  SELECT event_type, day, tot, n_days, span_days,
+         p - least(CAST(min(least(p, 0)) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT), 0) AS su,
+         greatest(CAST(max(greatest(p, 0)) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT), 0) - p AS sd
+  FROM pref
+),
+agg AS (
+  SELECT event_type, max(n_days) AS n_days, max(span_days) AS span_days,
+         max(tot) AS total,
+         max({{'s': su, 'nd': -day}}) AS u,
+         max({{'s': sd, 'nd': -day}}) AS d
+  FROM s GROUP BY 1
+)
+SELECT event_type, n_days, span_days, total,
+       (u).s AS max_up, -((u).nd) AS day_up,
+       (d).s AS max_down, -((d).nd) AS day_down
+FROM agg
+"""

@@ -310,3 +310,95 @@ def resample_time_grid(
         v0, v1 = F.col(f"__v0_{c}"), F.col(f"__v1_{c}")
         out_cols.append((v0 + frac * (v1 - v0)).alias(f"g_{c}"))
     return ticks.select(*out_cols)
+
+
+def cusum_changepoints(
+    series: DataFrame,
+    group_col: str = "grp",
+    day_col: str = "day",
+    x_col: str = "x",
+) -> DataFrame:
+    """Two-sided CUSUM level-shift detection over a per-group daily
+    count series — the classic SPC changepoint statistic, made EXACT:
+
+    The textbook recursion S_t = max(0, S_{t-1} + a_t) is not a window
+    function, but it equals the prefix-sum-minus-running-min identity
+    ``S_t = P_t − min(0, min_{j<=t} P_j)`` with ``P_t = Σ_{i<=t} a_i``
+    — two plain windows.  Deviations are scaled integers
+    ``a_t = x_t·D − T`` (D = span days, T = group total; Σ a_t = 0),
+    so every prefix sum, running min and CUSUM value is an exact int64
+    and both engines agree bit-for-bit.  The downward statistic runs
+    the same identity on ``−a_t``.
+
+    MISSING days inside each group's [first, last] span count as x = 0
+    (the quadrat trap, temporal edition — skipping empty days would
+    blind the detector to activity DROPS): the span is enumerated with
+    a bounded per-group ``sequence`` explode and outer-joined against
+    the observed days.
+
+    Plan at scale: one (group, day) aggregate, one per-group span agg +
+    explode (fan-out = span days), one co-partitioned left join, two
+    windows on the SAME (group × day-order) partitioning (one exchange),
+    one final argmax aggregate via lexicographic struct-max (earliest
+    day wins ties).  No self-joins.
+
+    Output: ``(group_col, n_days, span_days, total, max_up, day_up,
+    max_down, day_down)`` — max CUSUM value and its (earliest) day for
+    upward and downward shifts; scaled by D (divide by D for per-day
+    units).
+    """
+    g = F.col(group_col)
+    obs = series.groupBy(group_col, day_col).agg(F.sum(x_col).alias("__x"))
+    span = obs.groupBy(group_col).agg(
+        F.min(day_col).alias("__d0"),
+        F.max(day_col).alias("__d1"),
+        F.sum("__x").alias("__tot"),
+        F.count("*").alias("n_days"),
+    )
+    days = span.select(
+        group_col, "__tot", "__d0", "__d1", "n_days",
+        F.explode(F.expr("sequence(__d0, __d1)")).alias(day_col),
+    )
+    filled = days.join(obs, [group_col, day_col], "left").select(
+        group_col,
+        day_col,
+        "__tot",
+        "n_days",
+        (F.col("__d1") - F.col("__d0") + F.lit(1)).alias("__span"),
+        F.coalesce(F.col("__x"), F.lit(0)).alias("__xf"),
+    )
+    a = F.col("__xf") * F.col("__span") - F.col("__tot")
+    wcum = (
+        Window.partitionBy(group_col)
+        .orderBy(day_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pref = filled.select(
+        group_col, day_col, "n_days", "__span", "__tot",
+        F.sum(a).over(wcum).alias("__p"),
+    )
+    runmin = F.min(F.least(F.col("__p"), F.lit(0))).over(wcum)
+    runmax = F.max(F.greatest(F.col("__p"), F.lit(0))).over(wcum)
+    s = pref.select(
+        group_col, day_col, "n_days", "__span", "__tot",
+        (F.col("__p") - F.least(runmin, F.lit(0))).alias("__su"),
+        (F.greatest(runmax, F.lit(0)) - F.col("__p")).alias("__sd"),
+    )
+    up = F.max(F.struct(F.col("__su").alias("s"), (-F.col(day_col)).alias("nd")))
+    dn = F.max(F.struct(F.col("__sd").alias("s"), (-F.col(day_col)).alias("nd")))
+    return s.groupBy(group_col).agg(
+        F.max("n_days").alias("n_days"),
+        F.max("__span").alias("span_days"),
+        F.max("__tot").alias("total"),
+        up.alias("__u"),
+        dn.alias("__d"),
+    ).select(
+        group_col,
+        "n_days",
+        "span_days",
+        "total",
+        F.col("__u.s").alias("max_up"),
+        (-F.col("__u.nd")).alias("day_up"),
+        F.col("__d.s").alias("max_down"),
+        (-F.col("__d.nd")).alias("day_down"),
+    )
