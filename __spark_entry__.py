@@ -202,6 +202,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "union_area": _wrap(Q.q_union_area),
         "skyline_events": _wrap(Q.q_skyline_events),
         "cusum_changepoints": _wrap(Q.q_cusum_changepoints),
+        "seasonal_anomalies": _wrap(Q.q_seasonal_anomalies),
+        "image_colorfulness": _wrap(Q.q_image_colorfulness),
         "funnel_steps": _wrap(Q.q_funnel_steps),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
@@ -348,6 +350,8 @@ def oracle_sql() -> dict[str, str]:
         "union_area": Q.SQL_UNION_AREA,
         "skyline_events": Q.SQL_SKYLINE_EVENTS,
         "cusum_changepoints": Q.SQL_CUSUM_CHANGEPOINTS,
+        "seasonal_anomalies": Q.SQL_SEASONAL_ANOMALIES,
+        "image_colorfulness": Q.SQL_IMAGE_COLORFULNESS,
         "funnel_steps": Q.SQL_FUNNEL_STEPS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,

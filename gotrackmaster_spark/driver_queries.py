@@ -9473,3 +9473,124 @@ SELECT event_type, n_days, span_days, total,
        (d).s AS max_down, -((d).nd) AS day_down
 FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# E50 — seasonal day-of-week anomalies (`seasonal_anomalies`,
+# operators/timeseries.py): per-type top-5 deviant days vs their OWN
+# weekly phase — residual r = c·n_p − T_p exact int (no float mean),
+# cross-phase score |r|·10⁶ DIV n_p one integer quotient; empty days
+# inside the span count as zero.
+# --------------------------------------------------------------------------
+
+
+def q_seasonal_anomalies(spark, sf_dir):
+    from gotrackmaster_spark.operators.timeseries import seasonal_anomalies
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(f"unix_micros(CAST(ts AS timestamp)) DIV {_US_PER_DAY}").alias("day"),
+        F.lit(1).alias("x"),
+    )
+    return seasonal_anomalies(ev, "event_type", "day", "x")
+
+
+SQL_SEASONAL_ANOMALIES = f"""
+WITH obs AS (
+  SELECT event_type, epoch_us(ts) // {_US_PER_DAY} AS day,
+         CAST(count(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT event_type, min(day) AS d0, max(day) AS d1 FROM obs GROUP BY 1),
+days AS (
+  SELECT event_type, unnest(generate_series(d0, d1)) AS day FROM span
+),
+filled AS (
+  SELECT d.event_type, d.day,
+         ((d.day % 7) + 7) % 7 AS phase,
+         coalesce(o.x, 0) AS c
+  FROM days d LEFT JOIN obs o ON o.event_type = d.event_type AND o.day = d.day
+),
+base AS (
+  SELECT event_type, phase, CAST(count(*) AS BIGINT) AS n_phase,
+         CAST(sum(c) AS BIGINT) AS t_phase
+  FROM filled GROUP BY 1, 2
+),
+scored AS (
+  SELECT f.event_type, f.day, f.phase, f.c, b.n_phase, b.t_phase,
+         (abs(f.c * b.n_phase - b.t_phase) * 1000000) // b.n_phase AS score
+  FROM filled f JOIN base b ON f.event_type = b.event_type AND f.phase = b.phase
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+                 ORDER BY score DESC, day ASC) AS INT) AS rnk
+  FROM scored
+)
+SELECT event_type, day, phase, c, n_phase, t_phase, score, rnk
+FROM ranked WHERE rnk <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# E7l — Hasler–Süsstrunk colorfulness (`image_colorfulness`,
+# operators/images.py::colorfulness_stats): per-image opponent-channel
+# moments Σrg, Σrg², Σyb2, Σyb2² as exact int64 from one decode pass;
+# C = (sqrt(4·V_rg + V_yb2) + 0.3·sqrt(4·(Σrg)² + (Σyb2)²)) / (2n) —
+# two correctly-rounded IEEE sqrts on exact ints + one fixed-order
+# divide, bit-identical across engines.
+# --------------------------------------------------------------------------
+
+
+def q_image_colorfulness(spark, sf_dir):
+    from gotrackmaster_spark.operators.images import (
+        colorfulness_stats,
+        synthesize_images,
+    )
+
+    imgs = synthesize_images(spark, sf_dir, w=_IMG_W, h=_IMG_H)
+    st = colorfulness_stats(imgs)
+    v_rg = F.col("n_px") * F.col("sum_rg2") - F.col("sum_rg") * F.col("sum_rg")
+    v_yb = (
+        F.col("n_px") * F.col("sum_yb2sq") - F.col("sum_yb2") * F.col("sum_yb2")
+    )
+    a = F.lit(4) * v_rg + v_yb
+    b = (
+        F.lit(4) * (F.col("sum_rg") * F.col("sum_rg"))
+        + F.col("sum_yb2") * F.col("sum_yb2")
+    )
+    c = (F.sqrt(a.cast("double")) + F.lit(0.3) * F.sqrt(b.cast("double"))) / (
+        F.lit(2.0) * F.col("n_px").cast("double")
+    )
+    return st.select(
+        "image_id", "fmt", "n_px", "sum_rg", "sum_rg2", "sum_yb2", "sum_yb2sq",
+        c.alias("colorfulness"),
+    )
+
+
+SQL_IMAGE_COLORFULNESS = f"""
+WITH px AS (
+  SELECT doc_id,
+         ({_mom_pix_at('j * 3')}) - ({_mom_pix_at('j * 3 + 1')}) AS rg,
+         ({_mom_pix_at('j * 3')}) + ({_mom_pix_at('j * 3 + 1')})
+           - 2 * ({_mom_pix_at('j * 3 + 2')}) AS yb2
+  FROM documents, range({_IMG_W * _IMG_H}) t(j)
+),
+feat AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_px,
+         CAST(sum(rg) AS BIGINT) AS sum_rg,
+         CAST(sum(rg * rg) AS BIGINT) AS sum_rg2,
+         CAST(sum(yb2) AS BIGINT) AS sum_yb2,
+         CAST(sum(yb2 * yb2) AS BIGINT) AS sum_yb2sq
+  FROM px GROUP BY 1
+)
+SELECT format('img{{:08d}}', doc_id) AS image_id,
+       ['raw', 'png', 'qnt4'][CAST(doc_id % 3 AS INT) + 1] AS fmt,
+       n_px, sum_rg, sum_rg2, sum_yb2, sum_yb2sq,
+       (sqrt(CAST(4 * (n_px * sum_rg2 - sum_rg * sum_rg)
+                  + (n_px * sum_yb2sq - sum_yb2 * sum_yb2) AS DOUBLE))
+        + CAST(0.3 AS DOUBLE)
+          * sqrt(CAST(4 * (sum_rg * sum_rg) + sum_yb2 * sum_yb2 AS DOUBLE)))
+       / (CAST(2.0 AS DOUBLE) * CAST(n_px AS DOUBLE)) AS colorfulness
+FROM feat
+"""

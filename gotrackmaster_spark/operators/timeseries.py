@@ -402,3 +402,66 @@ def cusum_changepoints(
         F.col("__d.s").alias("max_down"),
         (-F.col("__d.nd")).alias("day_down"),
     )
+
+
+def seasonal_anomalies(
+    series: DataFrame,
+    group_col: str = "grp",
+    day_col: str = "day",
+    x_col: str = "x",
+    period: int = 7,
+    top_k: int = 5,
+    quant: int = 10**6,
+) -> DataFrame:
+    """Seasonal-baseline anomaly ranking over a per-group daily count
+    series: each day is compared against its OWN phase of the weekly
+    cycle (day-of-week baseline — a Monday is only anomalous relative
+    to Mondays), and the ``top_k`` most deviant days per group are
+    returned.  The dropout/spike detector that plain z-scores over the
+    whole series miss when the series has a strong weekly shape.
+
+    Exactness: the phase baseline mean T_p/n_p never materializes as a
+    float — the residual is the scaled integer ``r = c·n_p − T_p`` and
+    the cross-phase-comparable score is ``|r|·quant DIV n_p`` (one
+    integer quotient; phases observe different n_p inside the span, so
+    the DIV normalization is required for a fair ranking).  Ranking
+    (score DESC, day ASC) is bit-deterministic.
+
+    Missing days inside each group's [first, last] span count as c = 0
+    (the :func:`cusum_changepoints` convention) — a silent dead Monday
+    IS the anomaly.
+
+    Plan at scale: one (group, day) aggregate, span fill (bounded
+    explode), one (group, phase) aggregate joined back co-partitioned,
+    one per-group top-k window.  No self-joins.
+
+    Output: ``(group_col, day, phase, c, n_phase, t_phase, score, rnk)``.
+    """
+    obs = series.groupBy(group_col, day_col).agg(F.sum(x_col).alias("__x"))
+    span = obs.groupBy(group_col).agg(
+        F.min(day_col).alias("__d0"), F.max(day_col).alias("__d1")
+    )
+    days = span.select(
+        group_col, F.explode(F.expr("sequence(__d0, __d1)")).alias(day_col)
+    )
+    filled = days.join(obs, [group_col, day_col], "left").select(
+        group_col,
+        day_col,
+        F.pmod(F.col(day_col), F.lit(period)).alias("phase"),
+        F.coalesce(F.col("__x"), F.lit(0)).alias("c"),
+    )
+    base = filled.groupBy(group_col, "phase").agg(
+        F.count("*").alias("n_phase"), F.sum("c").alias("t_phase")
+    )
+    scored = filled.join(base, [group_col, "phase"]).withColumn(
+        "score",
+        F.expr(f"(abs(c * n_phase - t_phase) * {quant}) DIV n_phase"),
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("score").desc(), F.col(day_col).asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_k)
+        .select(group_col, day_col, "phase", "c", "n_phase", "t_phase", "score", "rnk")
+    )
