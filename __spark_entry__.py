@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_changepoints": _wrap(Q.q_cusum_changepoints),
         "seasonal_anomalies": _wrap(Q.q_seasonal_anomalies),
         "image_colorfulness": _wrap(Q.q_image_colorfulness),
+        "pagerank_cells": _wrap(Q.q_pagerank_cells),
         "funnel_steps": _wrap(Q.q_funnel_steps),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
@@ -352,6 +353,7 @@ def oracle_sql() -> dict[str, str]:
         "cusum_changepoints": Q.SQL_CUSUM_CHANGEPOINTS,
         "seasonal_anomalies": Q.SQL_SEASONAL_ANOMALIES,
         "image_colorfulness": Q.SQL_IMAGE_COLORFULNESS,
+        "pagerank_cells": Q.SQL_PAGERANK_CELLS,
         "funnel_steps": Q.SQL_FUNNEL_STEPS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,

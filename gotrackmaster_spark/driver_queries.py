@@ -9594,3 +9594,73 @@ SELECT format('img{{:08d}}', doc_id) AS image_id,
        / (CAST(2.0 AS DOUBLE) * CAST(n_px AS DOUBLE)) AS colorfulness
 FROM feat
 """
+
+
+# --------------------------------------------------------------------------
+# E51 — integer-quantized PageRank (`pagerank_cells`,
+# operators/graph.py::pagerank): hub cells of the movement graph —
+# directed cell-transition edges (consecutive events per user on the
+# integer lattice, weight = leg count), 5 fixed power-iteration rounds
+# with all-int64 arithmetic (rank·w DIV w_out; damping 85/100 as
+# integer quotients) so the oracle replays the run as unrolled CTEs
+# bit-for-bit.
+# --------------------------------------------------------------------------
+
+_PR_CELL = 100_000
+_PR_ROUNDS = 5
+
+
+def _pr_edges(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        ((F.col("event_id") * F.lit(2654435761)) % 1600000).alias("x"),
+        ((F.col("event_id") * 40503 + 7) % 3600000).alias("y"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    v = (F.col("x") / _PR_CELL).cast("long") * 100 + (F.col("y") / _PR_CELL).cast(
+        "long"
+    )
+    legs = pts.select(
+        v.alias("src"),
+        F.lead(v).over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    return legs
+
+
+def q_pagerank_cells(spark, sf_dir):
+    from gotrackmaster_spark.operators.graph import pagerank
+
+    return pagerank(_pr_edges(spark, sf_dir), n_rounds=_PR_ROUNDS).select(
+        F.col("v").alias("cell"), "rank_q"
+    )
+
+
+def _sql_pagerank_cells():
+    from gotrackmaster_spark.operators.graph import sql_pagerank
+
+    edges_cte = f"""
+  SELECT src, dst, 1 AS w FROM (
+    SELECT (x // {_PR_CELL}) * 100 + (y // {_PR_CELL}) AS src,
+           (lead(x) OVER w) // {_PR_CELL} * 100 + (lead(y) OVER w) // {_PR_CELL} AS dst
+    FROM (
+      SELECT user_id, ts, event_id,
+             (event_id * 2654435761) % 1600000 AS x,
+             (event_id * 40503 + 7) % 3600000 AS y
+      FROM events
+    )
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  ) WHERE dst IS NOT NULL
+"""
+    inner = sql_pagerank(edges_cte, n_rounds=_PR_ROUNDS)
+    return inner.replace(
+        f"SELECT v, rank_q FROM r{_PR_ROUNDS}",
+        f"SELECT v AS cell, rank_q FROM r{_PR_ROUNDS}",
+    )
+
+
+SQL_PAGERANK_CELLS = _sql_pagerank_cells()

@@ -249,3 +249,111 @@ def connected_components(
 
         logging.getLogger(__name__).warning(msg)
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    w_col: str | None = None,
+    n_rounds: int = 5,
+    quant: int = 10**6,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Integer-quantized weighted PageRank over a directed edge table,
+    run for a FIXED number of power-iteration rounds — the node-
+    importance primitive (hub cells of a flow graph, canonical docs of
+    a link graph).
+
+    Exactness contract: float PageRank is accumulation-order dependent
+    (a parallel Σ of doubles), so every quantity here is an exact
+    int64 — ranks start at ``quant`` per node, an edge carries
+    ``(rank·w) DIV w_out``, and each round ends with
+    ``rank' = (15·quant) DIV 100 + (85·Σ contrib) DIV 100`` (damping
+    0.85 as an integer quotient).  With a fixed round count the whole
+    computation replays bit-for-bit as unrolled SQL CTEs (the oracle),
+    and results are independent of partitioning.  DIV truncation bleeds
+    a vanishing mass fraction per round (< out-degree ulps of quant);
+    dangling-node mass is dropped (documented simplification — add a
+    sink redistribution round if conservation matters).
+
+    Plan at scale: the weighted out-degree joins the edge table ONCE
+    (static across rounds — persist/bucket it so every round's
+    rank-join reuses the layout); each round is one co-partitioned
+    equi-join on the node key + one hash aggregate, with per-round
+    lineage truncation via :class:`plan_snapshotter`
+    (``checkpoint_dir`` = the executor-loss-tolerant mode, the
+    ``connected_components`` contract).  Fixed rounds — no convergence
+    action needed.
+
+    Output: ``(v, rank_q)`` — one row per node, rank in ``quant`` units
+    (uniform teleport mass = quant per node).
+    """
+    if n_rounds < 0:
+        raise ValueError(f"n_rounds must be >= 0, got {n_rounds}")
+    w = F.col(w_col) if w_col is not None else F.lit(1)
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    out_tot = e.groupBy("src").agg(F.sum("w").alias("wout"))
+    base = (15 * quant) // 100
+    spark = edges.sparkSession
+    with plan_snapshotter(spark, checkpoint_dir) as snap:
+        e2 = snap(e.join(out_tot, "src"))
+        nodes = snap(
+            e2.select(F.col("src").alias("v"))
+            .unionByName(e2.select(F.col("dst").alias("v")))
+            .distinct()
+        )
+        rank = snap(nodes.withColumn("rank_q", F.lit(quant).cast("long")))
+        for _ in range(n_rounds):
+            contrib = e2.join(rank, e2["src"] == rank["v"]).select(
+                F.col("dst").alias("v"),
+                F.expr("(rank_q * w) DIV wout").alias("c"),
+            )
+            inq = contrib.groupBy("v").agg(F.sum("c").alias("s"))
+            rank = snap(
+                nodes.join(inq, "v", "left").select(
+                    "v",
+                    (
+                        F.lit(base)
+                        + F.expr("(85 * coalesce(s, CAST(0 AS BIGINT))) DIV 100")
+                    ).alias("rank_q"),
+                )
+            )
+    return rank
+
+
+def sql_pagerank(
+    edges_cte: str,
+    n_rounds: int = 5,
+    quant: int = 10**6,
+) -> str:
+    """Unrolled-CTE SQL twin of :func:`pagerank`.  ``edges_cte`` must
+    select ``(src, dst, w)`` (duplicates allowed — collapsed here)."""
+    base = (15 * quant) // 100
+    parts = [
+        f"eraw AS ({edges_cte})",
+        "e AS (SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM eraw GROUP BY 1, 2)",
+        "outt AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM e GROUP BY 1)",
+        "e2 AS (SELECT e.src, e.dst, e.w, outt.wout FROM e JOIN outt USING (src))",
+        "nodes AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e2 "
+        "UNION ALL SELECT dst AS v FROM e2))",
+        f"r0 AS (SELECT v, CAST({quant} AS BIGINT) AS rank_q FROM nodes)",
+    ]
+    for k in range(1, n_rounds + 1):
+        parts.append(
+            f"c{k} AS (SELECT e2.dst AS v, "
+            f"CAST(sum((r.rank_q * e2.w) // e2.wout) AS BIGINT) AS s "
+            f"FROM e2 JOIN r{k - 1} r ON e2.src = r.v GROUP BY 1)"
+        )
+        parts.append(
+            f"r{k} AS (SELECT n.v, CAST({base} + (85 * coalesce(c{k}.s, 0)) // 100 "
+            f"AS BIGINT) AS rank_q FROM nodes n LEFT JOIN c{k} ON n.v = c{k}.v)"
+        )
+    body = ",\n".join(parts)
+    return f"WITH {body}\nSELECT v, rank_q FROM r{n_rounds}"
