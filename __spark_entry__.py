@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_anomalies": _wrap(Q.q_seasonal_anomalies),
         "image_colorfulness": _wrap(Q.q_image_colorfulness),
         "pagerank_cells": _wrap(Q.q_pagerank_cells),
+        "bfs_hops": _wrap(Q.q_bfs_hops),
         "funnel_steps": _wrap(Q.q_funnel_steps),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
@@ -354,6 +355,7 @@ def oracle_sql() -> dict[str, str]:
         "seasonal_anomalies": Q.SQL_SEASONAL_ANOMALIES,
         "image_colorfulness": Q.SQL_IMAGE_COLORFULNESS,
         "pagerank_cells": Q.SQL_PAGERANK_CELLS,
+        "bfs_hops": Q.SQL_BFS_HOPS,
         "funnel_steps": Q.SQL_FUNNEL_STEPS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,

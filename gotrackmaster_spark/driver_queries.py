@@ -9664,3 +9664,82 @@ def _sql_pagerank_cells():
 
 
 SQL_PAGERANK_CELLS = _sql_pagerank_cells()
+
+
+# --------------------------------------------------------------------------
+# E52 — multi-source BFS distance field (`bfs_hops`,
+# operators/graph.py::bfs_hops): hop distance from the nearest hotspot
+# cell (count >= 6) over the occupied 64×64 lattice with 8-adjacency —
+# the service-area / cost-distance primitive.  Frontier BFS settles
+# each cell once (O(E) total work); oracle = bounded-depth recursive
+# CTE with min(d) per cell.
+# --------------------------------------------------------------------------
+
+_BFS_N = 64
+_BFS_SEED_MIN = 6
+_BFS_MAX_ROUNDS = 40
+
+
+def q_bfs_hops(spark, sf_dir):
+    from gotrackmaster_spark.operators.graph import bfs_hops
+
+    pts = geo_events(spark, sf_dir)
+    n = _BFS_N
+    occ = (
+        pts.select(
+            F.floor((F.col("lon") + 180.0) / 360.0 * n).cast("long").alias("i"),
+            F.floor((F.col("lat") + 90.0) / 180.0 * n).cast("long").alias("j"),
+        )
+        .groupBy("i", "j")
+        .agg(F.count("*").alias("c"))
+    )
+    v = (F.col("i") * 1000 + F.col("j")).alias("v")
+    cells = occ.select(v, "c")
+    seeds = cells.filter(F.col("c") >= _BFS_SEED_MIN).select("v")
+    offs = F.array(*[
+        F.struct(F.lit(di).alias("di"), F.lit(dj).alias("dj"))
+        for di in (-1, 0, 1) for dj in (-1, 0, 1) if (di, dj) != (0, 0)
+    ])
+    nbrs = occ.select("i", "j", F.explode(offs).alias("o")).select(
+        (F.col("i") * 1000 + F.col("j")).alias("src"),
+        ((F.col("i") + F.col("o.di")) * 1000 + (F.col("j") + F.col("o.dj"))).alias(
+            "dst"
+        ),
+    )
+    edges = nbrs.join(cells.select(F.col("v").alias("dst")), "dst")
+    hops = bfs_hops(edges, seeds, max_rounds=_BFS_MAX_ROUNDS)
+    return hops.select(
+        F.expr("v DIV 1000").alias("i"), F.pmod(F.col("v"), 1000).alias("j"), "hops"
+    )
+
+
+SQL_BFS_HOPS = f"""
+WITH RECURSIVE {GEO_CTE.strip().rstrip(')').rstrip()}
+),
+counts AS (
+  SELECT CAST(floor((lon + 180.0) / 360.0 * {_BFS_N}) AS BIGINT) AS i,
+         CAST(floor((lat + 90.0) / 180.0 * {_BFS_N}) AS BIGINT) AS j,
+         count(*) AS c
+  FROM geo GROUP BY 1, 2
+),
+cells AS (SELECT i * 1000 + j AS v FROM counts),
+seeds AS (SELECT i * 1000 + j AS v FROM counts WHERE c >= {_BFS_SEED_MIN}),
+offs AS (
+  SELECT di, dj FROM (VALUES (-1), (0), (1)) a(di), (VALUES (-1), (0), (1)) b(dj)
+  WHERE NOT (di = 0 AND dj = 0)
+),
+edges AS (
+  SELECT (i * 1000 + j) AS src, ((i + di) * 1000 + (j + dj)) AS dst
+  FROM counts, offs
+  WHERE ((i + di) * 1000 + (j + dj)) IN (SELECT v FROM cells)
+),
+walk(v, d) AS (
+  SELECT v, 0 FROM seeds
+  UNION
+  SELECT e.dst, w.d + 1
+  FROM walk w JOIN edges e ON e.src = w.v
+  WHERE w.d < {_BFS_MAX_ROUNDS}
+)
+SELECT v // 1000 AS i, v % 1000 AS j, CAST(min(d) AS BIGINT) AS hops
+FROM walk GROUP BY 1, 2
+"""

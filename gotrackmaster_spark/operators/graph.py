@@ -357,3 +357,92 @@ def sql_pagerank(
         )
     body = ",\n".join(parts)
     return f"WITH {body}\nSELECT v, rank_q FROM r{n_rounds}"
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "v",
+    max_rounds: int = 50,
+    checkpoint_dir: str | None = None,
+    on_nonconverged: str = "raise",
+) -> DataFrame:
+    """Multi-source BFS hop distance over a directed edge table — the
+    service-area / cost-distance primitive (hops from the nearest seed:
+    nearest-hotspot distance fields, k-hop neighborhoods, reachability).
+
+    Frontier algorithm, each node settled EXACTLY once: round r joins
+    the r−1 frontier against the edge table (one co-partitioned
+    equi-join on the node key), dedups, anti-joins the visited set, and
+    appends the survivors at distance r.  Work is Σ |frontier|·out-deg
+    = O(|E|) total across all rounds — not O(|E|·rounds) like
+    min-label relaxation.  Rounds = the graph's seed-eccentricity; the
+    loop stops at the first empty frontier, and ``on_nonconverged``
+    ("raise"/"warn") guards truncation at ``max_rounds`` (returning
+    silently would hand back a plausible but WRONG partial field).
+    Per-round lineage truncation via :class:`plan_snapshotter`
+    (``checkpoint_dir`` = executor-loss-tolerant mode).
+
+    Deterministic (hop counts are exact ints), so a bounded-depth
+    recursive-CTE twin replays it: ``min(d)`` per node over the seed
+    walk equals the BFS distance.
+
+    Output: ``(v, hops)`` — one row per REACHED node (seeds at 0);
+    unreachable nodes are absent.
+    """
+    if on_nonconverged not in ("raise", "warn"):
+        raise ValueError(
+            f"on_nonconverged must be 'raise' or 'warn', got {on_nonconverged!r}"
+        )
+    spark = edges.sparkSession
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    with plan_snapshotter(spark, checkpoint_dir) as snap:
+        e = snap(e)
+        visited = snap(
+            seeds.select(F.col(seed_col).alias("v"))
+            .distinct()
+            .withColumn("hops", F.lit(0).cast("long"))
+        )
+        frontier = visited
+        exhausted = False
+        for r in range(1, max_rounds + 1):
+            nxt = (
+                frontier.join(e, frontier["v"] == e["src"])
+                .select(F.col("dst").alias("v"))
+                .distinct()
+                .join(visited.select("v"), "v", "left_anti")
+                .withColumn("hops", F.lit(r).cast("long"))
+            )
+            nxt = snap(nxt)
+            if nxt.rdd.isEmpty():
+                exhausted = True
+                break
+            visited = snap(visited.unionByName(nxt))
+            frontier = nxt
+    if not exhausted:
+        # the last frontier may still have unexpanded neighbors
+        remaining = (
+            frontier.join(e, frontier["v"] == e["src"])
+            .select(F.col("dst").alias("v"))
+            .distinct()
+            .join(visited.select("v"), "v", "left_anti")
+            .count()
+        )
+        if remaining:
+            msg = (
+                f"bfs_hops did NOT exhaust the reachable set in "
+                f"max_rounds={max_rounds} rounds ({remaining} nodes still "
+                f"unreached) — distances are a TRUNCATED field."
+            )
+            if on_nonconverged == "raise":
+                raise ValueError(msg)
+            _log_warning(msg)
+    return visited
+
+
+def _log_warning(msg: str) -> None:
+    import logging
+
+    logging.getLogger(__name__).warning(msg)
