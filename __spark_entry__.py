@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_colorfulness": _wrap(Q.q_image_colorfulness),
         "pagerank_cells": _wrap(Q.q_pagerank_cells),
         "bfs_hops": _wrap(Q.q_bfs_hops),
+        "kmeans_clusters": _wrap(Q.q_kmeans_clusters),
         "funnel_steps": _wrap(Q.q_funnel_steps),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
@@ -356,6 +357,7 @@ def oracle_sql() -> dict[str, str]:
         "image_colorfulness": Q.SQL_IMAGE_COLORFULNESS,
         "pagerank_cells": Q.SQL_PAGERANK_CELLS,
         "bfs_hops": Q.SQL_BFS_HOPS,
+        "kmeans_clusters": Q.SQL_KMEANS_CLUSTERS,
         "funnel_steps": Q.SQL_FUNNEL_STEPS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,

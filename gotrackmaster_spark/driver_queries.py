@@ -9743,3 +9743,85 @@ walk(v, d) AS (
 SELECT v // 1000 AS i, v % 1000 AS j, CAST(min(d) AS BIGINT) AS hops
 FROM walk GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# E53 — deterministic fixed-round k-means (`kmeans_clusters`,
+# operators/clustering.py::kmeans_quantized): Lloyd over the integer
+# event lattice — seeds = k lowest event ids, exact-int64 d² argmin
+# with lowest-cid ties, INTEGER centroid means (floor division), empty
+# clusters keep their centroid; 3 rounds unrolled as oracle CTEs.
+# Centroids live on the driver between rounds (O(k) collect — the
+# ivf_centroids contract) and enter assignment as literal codegen.
+# --------------------------------------------------------------------------
+
+_KM_K = 8
+_KM_ROUNDS = 3
+
+
+def q_kmeans_clusters(spark, sf_dir):
+    from gotrackmaster_spark.operators.clustering import kmeans_quantized
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        F.col("event_id").alias("id"),
+        ((F.col("event_id") * F.lit(2654435761)) % 1600000).alias("x"),
+        ((F.col("event_id") * 40503 + 7) % 3600000).alias("y"),
+    )
+    return kmeans_quantized(pts, k=_KM_K, n_rounds=_KM_ROUNDS)
+
+
+def _sql_kmeans_clusters(k: int = _KM_K, n_rounds: int = _KM_ROUNDS) -> str:
+    d2 = (
+        "(p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy)"
+    )
+    parts = [
+        """pts AS (
+  SELECT event_id AS id,
+         (event_id * 2654435761) % 1600000 AS x,
+         (event_id * 40503 + 7) % 3600000 AS y
+  FROM events
+)""",
+        f"""c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS cid,
+         x AS cx, y AS cy
+  FROM (SELECT id, x, y FROM pts ORDER BY id LIMIT {k})
+)""",
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f"""a{r} AS (
+  SELECT p.id, p.x, p.y,
+         (min({{'d2': {d2}, 'cid': c.cid}})).cid AS cid
+  FROM pts p CROSS JOIN c{r - 1} c GROUP BY p.id, p.x, p.y
+)"""
+        )
+        parts.append(
+            f"""u{r} AS (
+  SELECT cid, CAST(sum(x) AS BIGINT) // CAST(count(*) AS BIGINT) AS cx,
+         CAST(sum(y) AS BIGINT) // CAST(count(*) AS BIGINT) AS cy
+  FROM a{r} GROUP BY 1
+)"""
+        )
+        parts.append(
+            f"""c{r} AS (
+  SELECT c{r - 1}.cid, coalesce(u{r}.cx, c{r - 1}.cx) AS cx,
+         coalesce(u{r}.cy, c{r - 1}.cy) AS cy
+  FROM c{r - 1} LEFT JOIN u{r} USING (cid)
+)"""
+        )
+    parts.append(
+        f"""af AS (
+  SELECT p.id, (min({{'d2': {d2}, 'cid': c.cid}})).cid AS cid
+  FROM pts p CROSS JOIN c{n_rounds} c GROUP BY p.id
+)"""
+    )
+    body = ",\n".join(parts)
+    return f"""WITH {body}
+SELECT af.cid, count(*) AS n_points, c.cx, c.cy
+FROM af JOIN c{n_rounds} c ON af.cid = c.cid
+GROUP BY af.cid, c.cx, c.cy
+"""
+
+
+SQL_KMEANS_CLUSTERS = _sql_kmeans_clusters()

@@ -222,3 +222,86 @@ def dbscan(
         )
     )
     return out
+
+
+def kmeans_quantized(
+    points: DataFrame,
+    k: int = 8,
+    n_rounds: int = 3,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Deterministic fixed-round Lloyd k-means over integer-quantized
+    2-D coordinates — the centroid-clustering companion to
+    :func:`dbscan` (and the training step behind IVF-style partitioned
+    ANN indexes).
+
+    Float k-means is not reproducible across engines (accumulation
+    order in the mean, ties in the argmin); this variant is EXACT:
+
+    - seeds = the ``k`` lowest-``id_col`` points (cid = 0..k-1 in that
+      order) — no RNG;
+    - assignment = argmin of exact int64 d² with ties to the lowest
+      centroid id (a lexicographic struct-min over the centroid array,
+      evaluated inside codegen — no join for the assignment);
+    - update = component-wise INTEGER mean ``Σx DIV n`` (truncated
+      division, exact); an empty cluster keeps its previous centroid.
+
+    With a fixed round count the whole run replays as unrolled SQL
+    CTEs — see ``q_kmeans_clusters``'s oracle.
+
+    Plan at scale: centroids are k rows — they live on the DRIVER
+    between rounds (an O(k) collect per round, the ``ivf_centroids``
+    contract) and enter the assignment as a broadcast-free LITERAL
+    array expression, so each round is ONE codegen map + ONE hash
+    aggregate over the points; no shuffle of the points at all.
+
+    Output: one row per non-empty final cluster —
+    ``(cid, n_points, cx, cy)`` with the FINAL assignment counts and
+    the centroids that produced them.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_rounds < 0:
+        raise ValueError(f"n_rounds must be >= 0, got {n_rounds}")
+    pts = points.select(
+        F.col(id_col).alias("id"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("long").alias("y"),
+    )
+    seed_rows = pts.orderBy("id").limit(k).collect()
+    cents = [(i, int(r.x), int(r.y)) for i, r in enumerate(seed_rows)]
+
+    def assign_col(cs):
+        arr = F.array(*[
+            F.struct(
+                (
+                    (F.col("x") - F.lit(cx)) * (F.col("x") - F.lit(cx))
+                    + (F.col("y") - F.lit(cy)) * (F.col("y") - F.lit(cy))
+                ).alias("d2"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, cx, cy in cs
+        ])
+        return F.array_min(arr)["cid"]
+
+    for _ in range(n_rounds):
+        assigned = pts.withColumn("cid", assign_col(cents))
+        upd = {
+            r.cid: (int(r.sx) // int(r.n), int(r.sy) // int(r.n))
+            for r in assigned.groupBy("cid")
+            .agg(F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+                 F.count("*").alias("n"))
+            .collect()
+        }
+        cents = [
+            (cid, *upd[cid]) if cid in upd else (cid, cx, cy)
+            for cid, cx, cy in cents
+        ]
+    final = pts.withColumn("cid", assign_col(cents))
+    counts = final.groupBy("cid").agg(F.count("*").alias("n_points"))
+    cent_df = points.sparkSession.createDataFrame(
+        cents, "cid int, cx long, cy long"
+    )
+    return counts.join(cent_df, "cid").select("cid", "n_points", "cx", "cy")
