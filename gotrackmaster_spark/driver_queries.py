@@ -9825,3 +9825,57 @@ GROUP BY af.cid, c.cx, c.cy
 
 
 SQL_KMEANS_CLUSTERS = _sql_kmeans_clusters()
+
+
+# --------------------------------------------------------------------------
+# E54 — pairwise corpus-drift distance (`stratum_tv_distance`
+# composite): total-variation distance between per-language term
+# distributions — TV = Σ|p−q|/2 made EXACT: over the SHARED vocabulary
+# Σ|c_a·N_b − c_b·N_a| (exact int), and each side's unshared mass
+# enters via the identity Σ_{a-only} c_a = N_a − S_a, so NO outer join
+# and no float sum; TV is one fixed-order double division.  Per-term
+# join fan-out is bounded by strata² — scalable over any corpus.
+# (KL/JS were rejected: ln is a float SUM whose accumulation order no
+# engine pins.)
+# --------------------------------------------------------------------------
+
+
+def q_stratum_tv_distance(spark, sf_dir):
+    from gotrackmaster_spark.operators.search import stratum_tv_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "lang", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).filter(F.length("term") > 0)
+    return stratum_tv_pairs(words, "lang", "term").select(
+        F.col("stratum_a").alias("lang_a"),
+        F.col("stratum_b").alias("lang_b"),
+        "n_shared", "tot_a", "tot_b", "tv_num", "tv",
+    )
+
+
+SQL_STRATUM_TV_DISTANCE = """
+WITH words AS (
+  SELECT lang, unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+flt AS (SELECT * FROM words WHERE length(term) > 0),
+tc AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS c FROM flt GROUP BY 1, 2),
+tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM flt GROUP BY 1),
+agg AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b, ta.n AS tot_a, tb.n AS tot_b,
+         count(*) AS n_shared,
+         CAST(sum(abs(a.c * tb.n - b.c * ta.n)) AS BIGINT) AS d_shared,
+         CAST(sum(a.c) AS BIGINT) AS sa,
+         CAST(sum(b.c) AS BIGINT) AS sb
+  FROM tc a
+  JOIN tc b ON a.term = b.term AND a.lang < b.lang
+  JOIN tot ta ON ta.lang = a.lang
+  JOIN tot tb ON tb.lang = b.lang
+  GROUP BY 1, 2, 3, 4
+)
+SELECT lang_a, lang_b, n_shared, tot_a, tot_b,
+       d_shared + (tot_a - sa) * tot_b + (tot_b - sb) * tot_a AS tv_num,
+       CAST(d_shared + (tot_a - sa) * tot_b + (tot_b - sb) * tot_a AS DOUBLE)
+       / (CAST(2.0 AS DOUBLE) * CAST(tot_a * tot_b AS DOUBLE)) AS tv
+FROM agg
+"""

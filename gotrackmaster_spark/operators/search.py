@@ -151,3 +151,76 @@ def skyline_2d(
     return flagged.filter(
         F.col("__m").isNull() | (F.col("__m") < F.col(y_col))
     ).select(group_col, x_col, y_col, "n_dups")
+
+
+def stratum_tv_pairs(
+    tokens: DataFrame,
+    stratum_col: str = "stratum",
+    term_col: str = "term",
+) -> DataFrame:
+    """Pairwise TOTAL-VARIATION distance between the term distributions
+    of corpus strata (sources, languages, time slices) — the
+    distribution-drift / contamination screen.  TV = ½ Σ_t |p_t − q_t|,
+    made exact-integer:
+
+      tv_num = Σ_shared |c_a·N_b − c_b·N_a|
+               + (N_a − S_a)·N_b + (N_b − S_b)·N_a
+
+    (the unshared-vocabulary mass enters through the totals identity
+    Σ_{a-only} c_a = N_a − S_a, so NO outer join and no float SUM ever
+    forms), and TV = tv_num / (2·N_a·N_b) is one fixed-order double
+    division.  KL/JS were rejected for the exact contract: ln terms
+    form a float sum whose accumulation order no engine pins.
+
+    Plan at scale: one (stratum, term) aggregate, one term-keyed
+    self-join whose per-term fan-out is bounded by strata² (strata
+    counts are small by definition), totals broadcast.
+
+    Output: ``(stratum_a, stratum_b, n_shared, tot_a, tot_b, tv_num,
+    tv)`` for every unordered stratum pair that shares ≥ 1 term.
+    """
+    tc = tokens.groupBy(stratum_col, term_col).agg(F.count("*").alias("c"))
+    tot = tokens.groupBy(stratum_col).agg(F.count("*").alias("n"))
+    a = tc.select(
+        F.col(stratum_col).alias("stratum_a"),
+        F.col(term_col).alias("term"),
+        F.col("c").alias("ca"),
+    )
+    b = tc.select(
+        F.col(stratum_col).alias("stratum_b"),
+        F.col(term_col).alias("term"),
+        F.col("c").alias("cb"),
+    )
+    ta = tot.select(F.col(stratum_col).alias("stratum_a"), F.col("n").alias("tot_a"))
+    tb = tot.select(F.col(stratum_col).alias("stratum_b"), F.col("n").alias("tot_b"))
+    shared = (
+        a.join(b, "term")
+        .filter(F.col("stratum_a") < F.col("stratum_b"))
+        .join(F.broadcast(ta), "stratum_a")
+        .join(F.broadcast(tb), "stratum_b")
+    )
+    agg = shared.groupBy("stratum_a", "stratum_b", "tot_a", "tot_b").agg(
+        F.count("*").alias("n_shared"),
+        F.sum(
+            F.abs(F.col("ca") * F.col("tot_b") - F.col("cb") * F.col("tot_a"))
+        ).alias("d_shared"),
+        F.sum("ca").alias("sa"),
+        F.sum("cb").alias("sb"),
+    )
+    tv_num = (
+        F.col("d_shared")
+        + (F.col("tot_a") - F.col("sa")) * F.col("tot_b")
+        + (F.col("tot_b") - F.col("sb")) * F.col("tot_a")
+    )
+    return agg.select(
+        "stratum_a",
+        "stratum_b",
+        "n_shared",
+        "tot_a",
+        "tot_b",
+        tv_num.alias("tv_num"),
+        (
+            tv_num.cast("double")
+            / (F.lit(2.0) * (F.col("tot_a") * F.col("tot_b")).cast("double"))
+        ).alias("tv"),
+    )
