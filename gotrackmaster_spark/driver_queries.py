@@ -9879,3 +9879,90 @@ SELECT lang_a, lang_b, n_shared, tot_a, tot_b,
        / (CAST(2.0 AS DOUBLE) * CAST(tot_a * tot_b AS DOUBLE)) AS tv
 FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# E55 — weighted travel-cost field (`sssp_costs`,
+# operators/graph.py::sssp_weighted): multi-source Bellman-Ford over
+# the occupied 32×32 lattice with integer 10/14 straight/diagonal
+# weights, seeds = cells with count >= 20 — the weighted companion to
+# bfs_hops.  Changed-frontier relaxation converges in shortest-path
+# hop-count rounds; distances exact int64.  Oracle = bounded recursive
+# CTE (walk cost cap 200 > measured max 160 — the bounded-enumeration
+# contract).
+# --------------------------------------------------------------------------
+
+_SSSP_N = 32
+_SSSP_SEED_MIN = 20
+_SSSP_CAP = 200
+
+
+def q_sssp_costs(spark, sf_dir):
+    from gotrackmaster_spark.operators.graph import sssp_weighted
+
+    pts = geo_events(spark, sf_dir)
+    n = _SSSP_N
+    occ = (
+        pts.select(
+            F.floor((F.col("lon") + 180.0) / 360.0 * n).cast("long").alias("i"),
+            F.floor((F.col("lat") + 90.0) / 180.0 * n).cast("long").alias("j"),
+        )
+        .groupBy("i", "j")
+        .agg(F.count("*").alias("c"))
+    )
+    cells = occ.select((F.col("i") * 1000 + F.col("j")).alias("v"))
+    seeds = occ.filter(F.col("c") >= _SSSP_SEED_MIN).select(
+        (F.col("i") * 1000 + F.col("j")).alias("v")
+    )
+    offs = F.array(*[
+        F.struct(
+            F.lit(di).alias("di"), F.lit(dj).alias("dj"),
+            F.lit(10 if di * dj == 0 else 14).alias("w"),
+        )
+        for di in (-1, 0, 1) for dj in (-1, 0, 1) if (di, dj) != (0, 0)
+    ])
+    nbrs = occ.select("i", "j", F.explode(offs).alias("o")).select(
+        (F.col("i") * 1000 + F.col("j")).alias("src"),
+        ((F.col("i") + F.col("o.di")) * 1000 + (F.col("j") + F.col("o.dj"))).alias(
+            "dst"
+        ),
+        F.col("o.w").alias("w"),
+    )
+    edges = nbrs.join(cells.select(F.col("v").alias("dst")), "dst")
+    d = sssp_weighted(edges, seeds, max_rounds=40)
+    return d.select(
+        F.expr("v DIV 1000").alias("i"), F.pmod(F.col("v"), 1000).alias("j"), "dist"
+    )
+
+
+SQL_SSSP_COSTS = f"""
+WITH RECURSIVE {GEO_CTE.strip().rstrip(')').rstrip()}
+),
+counts AS (
+  SELECT CAST(floor((lon + 180.0) / 360.0 * {_SSSP_N}) AS BIGINT) AS i,
+         CAST(floor((lat + 90.0) / 180.0 * {_SSSP_N}) AS BIGINT) AS j,
+         count(*) AS c
+  FROM geo GROUP BY 1, 2
+),
+cells AS (SELECT i * 1000 + j AS v FROM counts),
+seeds AS (SELECT i * 1000 + j AS v FROM counts WHERE c >= {_SSSP_SEED_MIN}),
+offs AS (
+  SELECT di, dj, CASE WHEN di * dj = 0 THEN 10 ELSE 14 END AS w
+  FROM (VALUES (-1), (0), (1)) a(di), (VALUES (-1), (0), (1)) b(dj)
+  WHERE NOT (di = 0 AND dj = 0)
+),
+edges AS (
+  SELECT (i * 1000 + j) AS src, ((i + di) * 1000 + (j + dj)) AS dst, w
+  FROM counts, offs
+  WHERE ((i + di) * 1000 + (j + dj)) IN (SELECT v FROM cells)
+),
+walk(v, d) AS (
+  SELECT v, 0 FROM seeds
+  UNION
+  SELECT e.dst, w.d + e.w
+  FROM walk w JOIN edges e ON e.src = w.v
+  WHERE w.d + e.w <= {_SSSP_CAP}
+)
+SELECT v // 1000 AS i, v % 1000 AS j, CAST(min(d) AS BIGINT) AS dist
+FROM walk GROUP BY 1, 2
+"""

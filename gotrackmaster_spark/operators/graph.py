@@ -446,3 +446,93 @@ def _log_warning(msg: str) -> None:
     import logging
 
     logging.getLogger(__name__).warning(msg)
+
+
+def sssp_weighted(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    w_col: str = "w",
+    seed_col: str = "v",
+    max_rounds: int = 50,
+    checkpoint_dir: str | None = None,
+    on_nonconverged: str = "raise",
+) -> DataFrame:
+    """Multi-source single-source-shortest-path over POSITIVE integer
+    edge weights — distributed Bellman-Ford relaxation, the weighted
+    companion to :func:`bfs_hops` (travel-cost fields, weighted
+    reachability).
+
+    Each round relaxes the CHANGED frontier only: nodes whose distance
+    improved last round send ``dist + w`` along their out-edges (one
+    co-partitioned equi-join), and a min-aggregate against the current
+    label table keeps improvements.  Convergence = a round with zero
+    improvements, reached within (max shortest-path HOP count) rounds —
+    the ``connected_components`` contract, incl. the raise/warn guard
+    at ``max_rounds`` (a truncated run returns upper bounds, not
+    distances).  Distances are exact int64 (no float accumulation), so
+    a bounded-depth recursive-CTE twin (min over enumerated walks)
+    replays them bit-for-bit.
+
+    Weights must be > 0 (validated per-partition inside the plan via a
+    codegen guard: a negative weight makes Bellman-Ford need |V|−1
+    full rounds and breaks the frontier optimization).
+
+    Output: ``(v, dist)`` per reached node; unreachable nodes absent.
+    """
+    if on_nonconverged not in ("raise", "warn"):
+        raise ValueError(
+            f"on_nonconverged must be 'raise' or 'warn', got {on_nonconverged!r}"
+        )
+    spark = edges.sparkSession
+    e = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.when(F.col(w_col) > 0, F.col(w_col).cast("long")).otherwise(
+            F.raise_error(F.lit("sssp_weighted: edge weight must be > 0"))
+        ).alias("w"),
+    )
+    with plan_snapshotter(spark, checkpoint_dir) as snap:
+        e = snap(e)
+        dist = snap(
+            seeds.select(F.col(seed_col).alias("v"))
+            .distinct()
+            .withColumn("dist", F.lit(0).cast("long"))
+        )
+        frontier = dist
+        converged = False
+        for _ in range(max_rounds):
+            cand = (
+                frontier.join(e, frontier["v"] == e["src"])
+                .select(F.col("dst").alias("v"), (F.col("dist") + F.col("w")).alias("d"))
+                .groupBy("v")
+                .agg(F.min("d").alias("d"))
+            )
+            merged = snap(
+                dist.join(cand, "v", "full_outer").select(
+                    "v",
+                    F.least(
+                        F.coalesce(F.col("dist"), F.col("d")),
+                        F.coalesce(F.col("d"), F.col("dist")),
+                    ).alias("dist"),
+                    (
+                        F.col("dist").isNull()
+                        | (F.col("d").isNotNull() & (F.col("d") < F.col("dist")))
+                    ).alias("__improved"),
+                )
+            )
+            frontier = merged.filter(F.col("__improved")).select("v", "dist")
+            dist = merged.select("v", "dist")
+            if frontier.rdd.isEmpty():
+                converged = True
+                break
+    if not converged:
+        msg = (
+            f"sssp_weighted did NOT converge in max_rounds={max_rounds} "
+            f"relaxation rounds — distances are UPPER BOUNDS for some nodes."
+        )
+        if on_nonconverged == "raise":
+            raise ValueError(msg)
+        _log_warning(msg)
+    return dist
