@@ -9966,3 +9966,53 @@ walk(v, d) AS (
 SELECT v // 1000 AS i, v % 1000 AS j, CAST(min(d) AS BIGINT) AS dist
 FROM walk GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# E56 — D8 downstream flow length (`d8_flow_length`,
+# operators/spatial.py::d8_flow_length): weighted distance each cell
+# drains to its sink (integer 10/14 step weights) — pointer doubling
+# WITH weight accumulation (parallel list ranking: parent' =
+# parent(parent), len' = len + len(parent); ⌈log₂ L⌉ rounds).  Oracle
+# = recursive-CTE walk summing the same weights.
+# --------------------------------------------------------------------------
+
+_D8_STEP_SQL = (
+    "CASE f.flow_dir WHEN 0 THEN 0 "
+    + " ".join(
+        f"WHEN {code} THEN {10 if nx * ny == 0 else 14}"
+        for code, nx, ny in _D8
+    )
+    + " END"
+)
+
+
+def q_d8_flow_length(spark, sf_dir):
+    from gotrackmaster_spark.operators.spatial import d8_flow_length
+
+    return d8_flow_length(q_d8_flow(spark, sf_dir).select("x", "y", "flow_dir"))
+
+
+SQL_D8_FLOW_LENGTH = f"""
+WITH RECURSIVE {_D8_CTES},
+ftab AS (
+  SELECT x, y, CASE WHEN m = 0 THEN 0 {_D8_PICK} END AS flow_dir FROM scm
+),
+walk AS (
+  SELECT x AS x0, y AS y0, x AS cx, y AS cy, 0 AS l FROM ftab
+  UNION ALL
+  SELECT w.x0, w.y0,
+         w.cx + {_D8_DX_SQL},
+         w.cy + {_D8_DY_SQL},
+         w.l + {_D8_STEP_SQL}
+  FROM walk w JOIN ftab f ON f.x = w.cx AND f.y = w.cy
+  WHERE f.flow_dir <> 0
+),
+final AS (
+  SELECT w.x0, w.y0, w.cx, w.cy, w.l
+  FROM walk w JOIN ftab f ON f.x = w.cx AND f.y = w.cy
+  WHERE f.flow_dir = 0
+)
+SELECT x0 AS x, y0 AS y, cx AS sink_x, cy AS sink_y, CAST(l AS BIGINT) AS flow_len
+FROM final
+"""

@@ -1754,3 +1754,84 @@ def test_stkde_brute_force_and_validation(spark):
         stkde_raster(iso, 1000, 2, 3, 1)
     with _pt.raises(ValueError):
         stkde_raster(iso, 1000, 0, 2, 1)
+
+
+def _flow_lengths(spark, cells, **kw):
+    from gotrackmaster_spark.operators.spatial import (
+        d8_flow_direction,
+        d8_flow_length,
+    )
+
+    df = spark.createDataFrame(cells, "x long, y long, ele long")
+    flow = d8_flow_direction(df).select("x", "y", "flow_dir")
+    return {
+        (r.x, r.y): (r.sink_x, r.sink_y, r.flow_len)
+        for r in d8_flow_length(flow, **kw).collect()
+    }
+
+
+def _flow_lengths_brute(cells):
+    from gotrackmaster_spark.operators.spatial import _D8_DIRS
+
+    ele = {(x, y): e for x, y, e in cells}
+    step = {code: (nx, ny) for code, nx, ny in _D8_DIRS}
+    flow = {}
+    for (x, y), c in ele.items():
+        best_s, best_d = 0, 0
+        for code, nx, ny in _D8_DIRS:
+            n = ele.get((x + nx, y + ny))
+            if n is not None and c - n > 0:
+                s = (2 if nx * ny == 0 else 1) * (c - n) ** 2
+                if s > best_s:
+                    best_s, best_d = s, code
+        flow[(x, y)] = best_d
+    out = {}
+    for cell in flow:
+        cur, ln = cell, 0
+        while flow[cur] != 0:
+            nx, ny = step[flow[cur]]
+            ln += 10 if nx * ny == 0 else 14
+            cur = (cur[0] + nx, cur[1] + ny)
+        out[cell] = (cur[0], cur[1], ln)
+    return out
+
+
+def test_d8_flow_length_brute_force(spark):
+    import random
+
+    rnd = random.Random(97)
+    cells = [
+        (x, y, rnd.randrange(0, 500))
+        for x in range(10)
+        for y in range(10)
+        if (x * y) % 13 != 5
+    ]
+    assert _flow_lengths(spark, cells) == _flow_lengths_brute(cells)
+
+
+def test_d8_flow_length_chain_and_modes(spark, tmp_path):
+    # straight staircase: cell i sits 10·(39−i) from the sink; several
+    # doubling rounds needed at length 40
+    chain = [(i, 0, 1000 - i) for i in range(40)]
+    got = _flow_lengths(spark, chain)
+    assert got == {(i, 0): (39, 0, 10 * (39 - i)) for i in range(40)}
+    got_ck = _flow_lengths(spark, chain, checkpoint_dir=str(tmp_path / "ck"))
+    assert got_ck == got
+    # diagonal staircase weighs 14 per step
+    diag = [(i, i, 1000 - i) for i in range(10)]
+    gd = _flow_lengths(spark, diag)
+    assert gd[(0, 0)] == (9, 9, 14 * 9)
+    # truncation guard
+    import pytest as _pt
+
+    from gotrackmaster_spark.operators.spatial import (
+        d8_flow_direction,
+        d8_flow_length,
+    )
+
+    df = spark.createDataFrame(chain, "x long, y long, ele long")
+    flow = d8_flow_direction(df).select("x", "y", "flow_dir")
+    with _pt.raises(ValueError, match="did NOT converge"):
+        d8_flow_length(flow, max_iter=2)
+    with _pt.raises(ValueError, match="on_nonconverged"):
+        d8_flow_length(flow, on_nonconverged="explode")
