@@ -210,6 +210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratum_tv_distance": _wrap(Q.q_stratum_tv_distance),
         "sssp_costs": _wrap(Q.q_sssp_costs),
         "d8_flow_length": _wrap(Q.q_d8_flow_length),
+        "zrange_scan": _wrap(Q.q_zrange_scan),
         "funnel_steps": _wrap(Q.q_funnel_steps),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
@@ -364,6 +365,7 @@ def oracle_sql() -> dict[str, str]:
         "stratum_tv_distance": Q.SQL_STRATUM_TV_DISTANCE,
         "sssp_costs": Q.SQL_SSSP_COSTS,
         "d8_flow_length": Q.SQL_D8_FLOW_LENGTH,
+        "zrange_scan": Q.SQL_ZRANGE_SCAN,
         "funnel_steps": Q.SQL_FUNNEL_STEPS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,

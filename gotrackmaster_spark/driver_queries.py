@@ -10016,3 +10016,41 @@ final AS (
 SELECT x0 AS x, y0 AS y, cx AS sink_x, cy AS sink_y, CAST(l AS BIGINT) AS flow_len
 FROM final
 """
+
+
+# --------------------------------------------------------------------------
+# E57 — Z-range window scan (`zrange_scan`,
+# functions/cells.py::zranges_for_rect): the bbox→cell-range planner —
+# the lat [−22.5°, 45°) × lon [−45°, 90°) window decomposed into the
+# minimal EXACT Z-curve range cover (5 BETWEEN predicates at level 6),
+# per-cell counts answered from range predicates alone.  The oracle
+# filters on raw lat/lon bounds instead — equality PROVES the cover is
+# exact; on a cell-range file layout (skew.repartition_by_cell_range)
+# these BETWEENs are the row-group pruning predicate at 10¹² rows.
+# --------------------------------------------------------------------------
+
+_ZR_LEVEL = 6
+_ZR_RECT = (24, 47, 24, 47)  # == lat [-22.5, 45) x lon [-45, 90) at level 6
+
+
+def q_zrange_scan(spark, sf_dir):
+    from gotrackmaster_spark.functions.cells import zranges_for_rect
+
+    pts = geo_events(spark, sf_dir)
+    cell = cell_col(F.col("lat"), F.col("lon"), _ZR_LEVEL)
+    ranges = zranges_for_rect(*_ZR_RECT, _ZR_LEVEL)
+    tagged = pts.select(cell.alias("cell6"))
+    pred = None
+    for lo, hi in ranges:
+        p = F.col("cell6").between(F.lit(lo), F.lit(hi))
+        pred = p if pred is None else (pred | p)
+    return tagged.filter(pred).groupBy("cell6").agg(F.count("*").alias("n"))
+
+
+SQL_ZRANGE_SCAN = f"""
+WITH {GEO_CTE}
+SELECT {cell_sql('lat', 'lon', _ZR_LEVEL)} AS cell6, count(*) AS n
+FROM geo
+WHERE lat >= -22.5 AND lat < 45.0 AND lon >= -45.0 AND lon < 90.0
+GROUP BY 1
+"""

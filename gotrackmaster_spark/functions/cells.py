@@ -273,3 +273,62 @@ def uncompact_cells(cells_df, target_level: int, cell_col_name: str = "cell"):
         )
         .distinct()
     )
+
+
+def _interleave_int(i: int, j: int) -> int:
+    out = 0
+    for b in range(32):
+        out |= ((i >> b) & 1) << (2 * b)
+        out |= ((j >> b) & 1) << (2 * b + 1)
+    return out
+
+
+def zranges_for_rect(
+    i0: int, i1: int, j0: int, j1: int, level: int
+) -> list[tuple[int, int]]:
+    """EXACT minimal Z-curve range cover of the inclusive ij rect
+    [i0, i1] × [j0, j1] at ``level`` — the bbox→ranges planner step
+    that turns a spatial window into ``cell BETWEEN lo AND hi``
+    predicates (row-group/partition pruning on a cell-range layout;
+    see ``skew.repartition_by_cell_range``).
+
+    Standard quadtree decomposition: a quad fully inside the rect
+    emits its (contiguous) Z range; a partially-overlapping quad
+    recurses into its 4 children; disjoint quads are dropped.  Adjacent
+    ranges are merged, so the result is the canonical minimal cover —
+    every cell in exactly one range, no cell outside the rect covered.
+
+    Returns sorted inclusive ``(lo, hi)`` int64 cell-id pairs carrying
+    the level marker bit (comparable directly against ``cell_col``
+    values at the same level).
+    """
+    n = 1 << level
+    if not (0 <= i0 <= i1 < n and 0 <= j0 <= j1 < n):
+        raise ValueError(f"rect out of bounds for level {level}")
+    marker = 1 << (2 * level)
+    out: list[tuple[int, int]] = []
+
+    def rec(qi: int, qj: int, qlevel: int) -> None:
+        size = 1 << (level - qlevel)
+        ci0, cj0 = qi * size, qj * size
+        ci1, cj1 = ci0 + size - 1, cj0 + size - 1
+        if ci0 > i1 or ci1 < i0 or cj0 > j1 or cj1 < j0:
+            return
+        if ci0 >= i0 and ci1 <= i1 and cj0 >= j0 and cj1 <= j1:
+            shift = 2 * (level - qlevel)
+            prefix = _interleave_int(qi, qj) << shift
+            out.append((marker | prefix, marker | (prefix + (1 << shift) - 1)))
+            return
+        for di in (0, 1):
+            for dj in (0, 1):
+                rec(qi * 2 + di, qj * 2 + dj, qlevel + 1)
+
+    rec(0, 0, 0)
+    out.sort()
+    merged: list[tuple[int, int]] = []
+    for lo, hi in out:
+        if merged and merged[-1][1] + 1 == lo:
+            merged[-1] = (merged[-1][0], hi)
+        else:
+            merged.append((lo, hi))
+    return [tuple(r) for r in merged]
