@@ -10054,3 +10054,85 @@ FROM geo
 WHERE lat >= -22.5 AND lat < 45.0 AND lon >= -45.0 AND lon < 90.0
 GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# E58 — quantized DEM viewshed (`dem_viewshed` composite): line-of-
+# sight along the 8 principal rays from an observer tower at (0, 0) —
+# cell k is visible iff its QUANTIZED elevation slope
+# ((e − e0)·10⁶) DIV k strictly exceeds the running max over nearer
+# cells (the constant √2 of diagonal rays cancels within a ray, and
+# integer quantization replaces the unpinnable float ratio — the
+# documented quantized-viewshed contract).  Pure codegen ray explode
+# (no DEM join: elevations from the synthetic formula) + ONE window
+# per ray; at scale the rays explode from the observer table and join
+# the DEM raster cell-keyed.
+# --------------------------------------------------------------------------
+
+_VS_E0 = 31870 + 100  # formula elevation at (0,0) + 100 m tower
+_VS_STEPS = 60
+_VS_QUANT = 10**6
+
+
+def q_dem_viewshed(spark, sf_dir):
+    from pyspark.sql import Window
+
+    rays = spark.range(8).select(
+        F.col("id").cast("int").alias("ray"),
+        F.expr(f"explode(sequence(1, {_VS_STEPS}))").alias("k"),
+    )
+    dx = F.expr("CASE ray WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 0 WHEN 3 THEN -1 "
+                "WHEN 4 THEN -1 WHEN 5 THEN -1 WHEN 6 THEN 0 ELSE 1 END")
+    dy = F.expr("CASE ray WHEN 0 THEN 0 WHEN 1 THEN -1 WHEN 2 THEN -1 WHEN 3 THEN -1 "
+                "WHEN 4 THEN 0 WHEN 5 THEN 1 WHEN 6 THEN 1 ELSE 1 END")
+    pts = rays.select(
+        "ray", "k", (dx * F.col("k")).alias("x"), (dy * F.col("k")).alias("y")
+    )
+    ele = ((F.col("y") + 90) * 361 + (F.col("x") + 180)) * F.lit(2654435761) % 40000
+    # (e - e0) is negative below the tower: both Spark DIV and DuckDB //
+    # truncate toward zero (verified: -7 // 2 = -3 in DuckDB), so the
+    # quantized slope is the same one-quotient expression in both engines
+    slope_q = F.expr(f"((ele - {_VS_E0}) * {_VS_QUANT}) DIV k")
+    w = (
+        Window.partitionBy("ray")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = pts.withColumn("ele", ele).withColumn("slope_q", slope_q)
+    prev = F.max("slope_q").over(w)
+    return scored.select(
+        "ray",
+        "k",
+        "x",
+        "y",
+        "ele",
+        "slope_q",
+        (prev.isNull() | (F.col("slope_q") > prev)).alias("visible"),
+    )
+
+
+SQL_DEM_VIEWSHED = f"""
+WITH rays AS (
+  SELECT ray, unnest(generate_series(1, {_VS_STEPS})) AS k
+  FROM (SELECT CAST(r AS INT) AS ray FROM range(8) t(r))
+),
+pts AS (
+  SELECT ray, k,
+         (CASE ray WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 2 THEN 0 WHEN 3 THEN -1
+                   WHEN 4 THEN -1 WHEN 5 THEN -1 WHEN 6 THEN 0 ELSE 1 END) * k AS x,
+         (CASE ray WHEN 0 THEN 0 WHEN 1 THEN -1 WHEN 2 THEN -1 WHEN 3 THEN -1
+                   WHEN 4 THEN 0 WHEN 5 THEN 1 WHEN 6 THEN 1 ELSE 1 END) * k AS y
+  FROM rays
+),
+scored AS (
+  SELECT ray, k, x, y,
+         ((y + 90) * 361 + (x + 180)) * 2654435761 % 40000 AS ele,
+         ((((y + 90) * 361 + (x + 180)) * 2654435761 % 40000 - {_VS_E0})
+          * {_VS_QUANT}) // k AS slope_q
+  FROM pts
+)
+SELECT ray, k, x, y, ele, slope_q,
+       coalesce(slope_q > max(slope_q) OVER (PARTITION BY ray ORDER BY k
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), TRUE) AS visible
+FROM scored
+"""
