@@ -143,6 +143,11 @@ def bench_queries():
         "hotspot_cells": Q.q_hotspot_cells,
         "kde_raster": Q.q_kde_raster,
         "d8_basins": Q.q_d8_basins,
+        # round-3 late additions: the Arrow-vectorized winnowing pass
+        # (text-dedup class) and the frontier BFS distance field
+        # (multi-round iterative class alongside d8_basins)
+        "winnow_pairs": Q.q_winnow_pairs,
+        "bfs_hops": Q.q_bfs_hops,
     }
 
 
