@@ -212,6 +212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d8_flow_length": _wrap(Q.q_d8_flow_length),
         "zrange_scan": _wrap(Q.q_zrange_scan),
         "dem_viewshed": _wrap(Q.q_dem_viewshed),
+        "canonical_docs": _wrap(Q.q_canonical_docs),
         "funnel_steps": _wrap(Q.q_funnel_steps),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
@@ -368,6 +369,7 @@ def oracle_sql() -> dict[str, str]:
         "d8_flow_length": Q.SQL_D8_FLOW_LENGTH,
         "zrange_scan": Q.SQL_ZRANGE_SCAN,
         "dem_viewshed": Q.SQL_DEM_VIEWSHED,
+        "canonical_docs": Q.SQL_CANONICAL_DOCS,
         "funnel_steps": Q.SQL_FUNNEL_STEPS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,

@@ -10136,3 +10136,60 @@ SELECT ray, k, x, y, ele, slope_q,
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), TRUE) AS visible
 FROM scored
 """
+
+
+# --------------------------------------------------------------------------
+# E59 — canonical document selection (`canonical_docs` composite): the
+# final stage of the dedup pipeline — near-dup pairs → connected
+# components → per-cluster KEEP decision by (quality score, lowest id)
+# via one lexicographic struct-max; the engine-exact integer quality
+# score (functions/text.py) makes the argmax deterministic.  Completes
+# detection → clustering → canonicalization as driver-checked stages.
+# --------------------------------------------------------------------------
+
+
+def q_canonical_docs(spark, sf_dir):
+    from gotrackmaster_spark.operators.graph import connected_components
+
+    pairs = q_simhash_near_dups(spark, sf_dir)
+    comp = connected_components(pairs, "a_id", "b_id")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", quality_score_col("text").alias("q")
+    )
+    labeled = comp.join(docs, comp["v"] == docs["doc_id"])
+    best = labeled.groupBy("l").agg(
+        F.count("*").alias("n_docs"),
+        F.max(
+            F.struct(F.col("q"), (-F.col("v")).alias("nid"))
+        ).alias("b"),
+    )
+    return best.select(
+        F.col("l").alias("root"),
+        "n_docs",
+        F.col("b.q").alias("kept_quality"),
+        (-F.col("b.nid")).alias("kept_id"),
+    )
+
+
+SQL_CANONICAL_DOCS = f"""
+WITH RECURSIVE ed AS (
+  SELECT a_id AS a, b_id AS b FROM ({SQL_SIMHASH_NEAR_DUPS}) s
+  UNION
+  SELECT b_id, a_id FROM ({SQL_SIMHASH_NEAR_DUPS}) s
+),
+nodes AS (SELECT DISTINCT a AS v FROM ed),
+reach AS (
+  SELECT v, v AS u FROM nodes
+  UNION
+  SELECT r.v, e.b AS u FROM reach r JOIN ed e ON e.a = r.u
+),
+comp AS (SELECT v, min(u) AS root FROM reach GROUP BY v),
+q AS (SELECT doc_id, {quality_score_sql('text')} AS q FROM documents),
+best AS (
+  SELECT comp.root, count(*) AS n_docs,
+         max({{'q': q.q, 'nid': -comp.v}}) AS b
+  FROM comp JOIN q ON q.doc_id = comp.v
+  GROUP BY comp.root
+)
+SELECT root, n_docs, (b).q AS kept_quality, -((b).nid) AS kept_id FROM best
+"""
