@@ -213,6 +213,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zrange_scan": _wrap(Q.q_zrange_scan),
         "dem_viewshed": _wrap(Q.q_dem_viewshed),
         "canonical_docs": _wrap(Q.q_canonical_docs),
+        "ols_trends": _wrap(Q.q_ols_trends),
+        "caption_pixel_corr": _wrap(Q.q_caption_pixel_corr),
+        "regional_revenue": _wrap(Q.q_regional_revenue),
         "funnel_steps": _wrap(Q.q_funnel_steps),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
@@ -370,6 +373,9 @@ def oracle_sql() -> dict[str, str]:
         "zrange_scan": Q.SQL_ZRANGE_SCAN,
         "dem_viewshed": Q.SQL_DEM_VIEWSHED,
         "canonical_docs": Q.SQL_CANONICAL_DOCS,
+        "ols_trends": Q.SQL_OLS_TRENDS,
+        "caption_pixel_corr": Q.SQL_CAPTION_PIXEL_CORR,
+        "regional_revenue": Q.SQL_REGIONAL_REVENUE,
         "funnel_steps": Q.SQL_FUNNEL_STEPS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,

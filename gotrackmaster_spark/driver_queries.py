@@ -10193,3 +10193,218 @@ best AS (
 )
 SELECT root, n_docs, (b).q AS kept_quality, -((b).nid) AS kept_id FROM best
 """
+
+
+# --------------------------------------------------------------------------
+# E60 — per-cell OLS trend (`ols_trends` composite): the parametric
+# companion to Mann-Kendall/Theil-Sen — least-squares slope of the
+# daily count series per trend cell from SIX exact int64 sums
+# (n, Σx, Σy, Σx², Σy², Σxy over observed days); slope = Sxy/Sxx and
+# r² = Sxy²/(Sxx·Syy) as fixed-order doubles on the exact integer
+# moments (Sxy² would overflow int64 — squared in doubles by design).
+# ONE hash aggregate, no joins, no windows.
+# --------------------------------------------------------------------------
+
+
+def q_ols_trends(spark, sf_dir):
+    geo = geo_events(spark, sf_dir)
+    occ = geo.groupBy(
+        F.floor(F.col("lon") / _TREND_G).cast("long").alias("gx"),
+        F.floor(F.col("lat") / _TREND_G).cast("long").alias("gy"),
+        F.expr(f"unix_micros(CAST(ts AS timestamp)) DIV {_US_PER_DAY}").alias("t"),
+    ).agg(F.count("*").alias("cnt"))
+    agg = occ.groupBy("gx", "gy").agg(
+        F.count("*").alias("n"),
+        F.sum("t").alias("sx"),
+        F.sum("cnt").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).alias("sxx0"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("syy0"),
+        F.sum(F.col("t") * F.col("cnt")).alias("sxy0"),
+    )
+    sxx = F.col("n") * F.col("sxx0") - F.col("sx") * F.col("sx")
+    syy = F.col("n") * F.col("syy0") - F.col("sy") * F.col("sy")
+    sxy = F.col("n") * F.col("sxy0") - F.col("sx") * F.col("sy")
+    slope = F.when(sxx > 0, sxy.cast("double") / sxx.cast("double"))
+    r2 = F.when(
+        (sxx > 0) & (syy > 0),
+        (sxy.cast("double") * sxy.cast("double"))
+        / (sxx.cast("double") * syy.cast("double")),
+    )
+    return agg.select(
+        "gx", "gy", "n",
+        sxy.alias("sxy"), sxx.alias("sxx"), syy.alias("syy"),
+        slope.alias("slope"), r2.alias("r2"),
+    )
+
+
+SQL_OLS_TRENDS = f"""
+WITH {GEO_CTE},
+occ AS (
+  SELECT CAST(floor(lon / {_TREND_G}) AS BIGINT) AS gx,
+         CAST(floor(lat / {_TREND_G}) AS BIGINT) AS gy,
+         epoch_us(ts) // {_US_PER_DAY} AS t,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM geo GROUP BY 1, 2, 3
+),
+agg AS (
+  SELECT gx, gy, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(t) AS BIGINT) AS sx,
+         CAST(sum(cnt) AS BIGINT) AS sy,
+         CAST(sum(t * t) AS BIGINT) AS sxx0,
+         CAST(sum(cnt * cnt) AS BIGINT) AS syy0,
+         CAST(sum(t * cnt) AS BIGINT) AS sxy0
+  FROM occ GROUP BY 1, 2
+)
+SELECT gx, gy, n,
+       n * sxy0 - sx * sy AS sxy,
+       n * sxx0 - sx * sx AS sxx,
+       n * syy0 - sy * sy AS syy,
+       CASE WHEN n * sxx0 - sx * sx > 0 THEN
+         CAST(n * sxy0 - sx * sy AS DOUBLE) / CAST(n * sxx0 - sx * sx AS DOUBLE)
+       END AS slope,
+       CASE WHEN n * sxx0 - sx * sx > 0 AND n * syy0 - sy * sy > 0 THEN
+         (CAST(n * sxy0 - sx * sy AS DOUBLE) * CAST(n * sxy0 - sx * sy AS DOUBLE))
+         / (CAST(n * sxx0 - sx * sx AS DOUBLE) * CAST(n * syy0 - sy * sy AS DOUBLE))
+       END AS r2
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# E61 — caption↔pixel correlation per tile (`caption_pixel_corr`
+# composite, E7×text crossover): does caption length co-vary with
+# decoded pixel mass within a 10° tile?  Pearson r from SIX exact
+# int64 moments over the REAL decode chain (x = caption_len, y =
+# pixel_sum); S-terms exact ints, r = Sxy/√(Sxx·Syy) with the product
+# squared in doubles (int64 would overflow) in a fixed order.
+# --------------------------------------------------------------------------
+
+_CPC_TILE_DEG = 10.0
+
+
+def q_caption_pixel_corr(spark, sf_dir):
+    from gotrackmaster_spark.operators.images import decode_stats, synthesize_images
+
+    imgs = synthesize_images(spark, sf_dir, w=_IMG_W, h=_IMG_H)
+    st = decode_stats(imgs).select("image_id", "pixel_sum", "caption_len")
+    key = _img_key_col()
+    lat, lon = _img_geotag_cols(key)
+    tagged = st.select(
+        tile_name_col(lat, lon, _CPC_TILE_DEG).alias("tile"),
+        F.col("caption_len").cast("long").alias("x"),
+        F.col("pixel_sum").alias("y"),
+    )
+    agg = tagged.groupBy("tile").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx0"),
+        F.sum(F.col("y") * F.col("y")).alias("syy0"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy0"),
+    )
+    sxx = F.col("n") * F.col("sxx0") - F.col("sx") * F.col("sx")
+    syy = F.col("n") * F.col("syy0") - F.col("sy") * F.col("sy")
+    sxy = F.col("n") * F.col("sxy0") - F.col("sx") * F.col("sy")
+    r = F.when(
+        (sxx > 0) & (syy > 0),
+        sxy.cast("double") / F.sqrt(sxx.cast("double") * syy.cast("double")),
+    )
+    return agg.select(
+        "tile", "n", sxy.alias("sxy"), sxx.alias("sxx"), syy.alias("syy"),
+        r.alias("corr"),
+    )
+
+
+SQL_CAPTION_PIXEL_CORR = f"""
+WITH st AS (
+  SELECT doc_id,
+         CAST(CASE WHEN doc_id % 3 = 2
+              THEN list_sum(list_transform(generate_series(0, {_N_PIX - 1}),
+                            i -> {_PIX} - ({_PIX}) % 4))
+              ELSE list_sum(list_transform(generate_series(0, {_N_PIX - 1}),
+                            i -> {_PIX}))
+         END AS BIGINT) AS y,
+         CAST(length(text) AS BIGINT) AS x
+  FROM documents
+),
+tagged AS (
+  SELECT {tile_name_sql("((doc_id * 2654435761) % 1600000) / 10000.0 - 80.0",
+                        "((doc_id * 40503 + 7) % 3600000) / 10000.0 - 180.0",
+                        _CPC_TILE_DEG)} AS tile,
+         x, y
+  FROM st
+),
+agg AS (
+  SELECT tile, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx0,
+         CAST(sum(y * y) AS BIGINT) AS syy0,
+         CAST(sum(x * y) AS BIGINT) AS sxy0
+  FROM tagged GROUP BY 1
+)
+SELECT tile, n,
+       n * sxy0 - sx * sy AS sxy,
+       n * sxx0 - sx * sx AS sxx,
+       n * syy0 - sy * sy AS syy,
+       CASE WHEN n * sxx0 - sx * sx > 0 AND n * syy0 - sy * sy > 0 THEN
+         CAST(n * sxy0 - sx * sy AS DOUBLE)
+         / sqrt(CAST(n * sxx0 - sx * sx AS DOUBLE)
+                * CAST(n * syy0 - sy * sy AS DOUBLE))
+       END AS corr
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# E62 — regional revenue (`regional_revenue` composite): the TPC-H
+# Q5-shaped FIVE-way relational join — region ⋈ nation ⋈ customer ⋈
+# orders ⋈ lineitem (local-supplier condition via s_nationkey =
+# c_nationkey) — proving the relational join/agg surface end-to-end.
+# Revenue is summed in EXACT INTEGER CENTS: both engines compute the
+# identical double product extprice·(1−disc), round it half-away-from-
+# zero at 2 dp (Spark F.round == DuckDB round for positives) and cast
+# to int64 BEFORE the sum, so accumulation order cannot perturb the
+# result.  Plan: dims broadcast (region/nation/customer/supplier),
+# one shuffle on orderkey, map-side partial aggs.
+# --------------------------------------------------------------------------
+
+
+def q_regional_revenue(spark, sf_dir):
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(100.0),
+        0,
+    ).cast("long")
+    j = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    )
+    return j.groupBy("r_name", "n_name").agg(
+        F.count("*").alias("n_items"),
+        F.sum(cents).alias("revenue_cents"),
+    )
+
+
+SQL_REGIONAL_REVENUE = """
+SELECT r.r_name, n.n_name,
+       count(*) AS n_items,
+       CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0, 0)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE s.s_nationkey = c.c_nationkey
+GROUP BY 1, 2
+"""
