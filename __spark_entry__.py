@@ -216,6 +216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ols_trends": _wrap(Q.q_ols_trends),
         "caption_pixel_corr": _wrap(Q.q_caption_pixel_corr),
         "regional_revenue": _wrap(Q.q_regional_revenue),
+        "quadtree_hist": _wrap(Q.q_quadtree_hist),
         "funnel_steps": _wrap(Q.q_funnel_steps),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
@@ -376,6 +377,7 @@ def oracle_sql() -> dict[str, str]:
         "ols_trends": Q.SQL_OLS_TRENDS,
         "caption_pixel_corr": Q.SQL_CAPTION_PIXEL_CORR,
         "regional_revenue": Q.SQL_REGIONAL_REVENUE,
+        "quadtree_hist": Q.SQL_QUADTREE_HIST,
         "funnel_steps": Q.SQL_FUNNEL_STEPS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,

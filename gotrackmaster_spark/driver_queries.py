@@ -10408,3 +10408,64 @@ JOIN region r ON n.n_regionkey = r.r_regionkey
 WHERE s.s_nationkey = c.c_nationkey
 GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# E63 — adaptive quadtree histogram (`quadtree_hist`,
+# operators/spatial.py::quadtree_leaves): variable-resolution binning —
+# every point lands in the COARSEST Z-cell (levels 4..8) whose
+# population is <= 50; dense regions refine, sparse stay coarse.
+# Non-iterative: ONE points-scale aggregate to level 8, then prefix
+# GROUP-BYs + prefix joins of the tiny cell table and a deterministic
+# CASE — exact integer counts, no loop.
+# --------------------------------------------------------------------------
+
+_QT_MIN, _QT_MAX, _QT_CAP = 4, 8, 50
+
+
+def q_quadtree_hist(spark, sf_dir):
+    from gotrackmaster_spark.operators.spatial import quadtree_leaves
+
+    return quadtree_leaves(
+        geo_events(spark, sf_dir),
+        min_level=_QT_MIN,
+        max_level=_QT_MAX,
+        cap=_QT_CAP,
+    )
+
+
+def _sql_quadtree_hist() -> str:
+    anc_ctes = []
+    joins = []
+    for lv in range(_QT_MIN, _QT_MAX):
+        shift = 2 * (_QT_MAX - lv)
+        anc_ctes.append(
+            f"anc{lv} AS (SELECT c >> {shift} AS a{lv}, "
+            f"CAST(sum(n) AS BIGINT) AS n{lv} FROM base GROUP BY 1)"
+        )
+        joins.append(f"JOIN anc{lv} ON base.c >> {shift} = anc{lv}.a{lv}")
+    case_level = "CASE " + " ".join(
+        f"WHEN n{lv} <= {_QT_CAP} THEN {lv}"
+        for lv in range(_QT_MIN, _QT_MAX)
+    ) + f" ELSE {_QT_MAX} END"
+    case_cell = "CASE " + " ".join(
+        f"WHEN n{lv} <= {_QT_CAP} THEN a{lv}"
+        for lv in range(_QT_MIN, _QT_MAX)
+    ) + " ELSE c END"
+    return f"""
+WITH {GEO_CTE},
+base AS (
+  SELECT {cell_sql('lat', 'lon', _QT_MAX)} AS c, CAST(count(*) AS BIGINT) AS n
+  FROM geo GROUP BY 1
+),
+{", ".join(anc_ctes)},
+tagged AS (
+  SELECT {case_cell} AS leaf_cell, CAST({case_level} AS INT) AS level, n
+  FROM base {" ".join(joins)}
+)
+SELECT leaf_cell, level, CAST(sum(n) AS BIGINT) AS n_points
+FROM tagged GROUP BY 1, 2
+"""
+
+
+SQL_QUADTREE_HIST = _sql_quadtree_hist()

@@ -3927,3 +3927,69 @@ def d8_flow_length(
         F.col("py").alias("sink_y"),
         F.col("len").alias("flow_len"),
     )
+
+
+def quadtree_leaves(
+    points: DataFrame,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    min_level: int = 4,
+    max_level: int = 8,
+    cap: int = 50,
+) -> DataFrame:
+    """Adaptive QUADTREE spatial histogram — the adaptive-tiling /
+    index-build operator: every point lands in the COARSEST cell of the
+    Z-quadtree whose population is <= ``cap`` (walking levels
+    ``min_level``..``max_level``; cells still over the cap at
+    ``max_level`` stay there), so dense regions refine and sparse
+    regions stay coarse — the canonical variable-resolution binning.
+
+    Non-iterative at any scale: points pre-aggregate ONCE to
+    ``max_level`` cells (the only points-sized operation); per-level
+    populations are prefix GROUP-BYs of that (≤ 4^max_level)-row table,
+    joined back by prefix (tiny, AQE broadcasts); the leaf level is a
+    deterministic CASE over the level populations — no loop, no
+    convergence, exact integer counts.
+
+    Determinism: a cell's leaf level depends only on exact ancestor
+    counts, so the leaf set and every count replay bit-for-bit in SQL.
+
+    Output: ``(leaf_cell, level, n_points)`` — the leaf cells of the
+    adaptive tree (cells with zero points are absent).
+    """
+    if not (0 <= min_level <= max_level):
+        raise ValueError("need 0 <= min_level <= max_level")
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    base = (
+        points.select(
+            cell_col(F.col(lat_col), F.col(lon_col), max_level).alias("c")
+        )
+        .groupBy("c")
+        .agg(F.count("*").alias("n"))
+    )
+    cur = base
+    for lv in range(min_level, max_level):
+        shift = 2 * (max_level - lv)
+        anc = (
+            base.groupBy(F.shiftright(F.col("c"), shift).alias(f"a{lv}"))
+            .agg(F.sum("n").alias(f"n{lv}"))
+        )
+        cur = cur.withColumn(f"a{lv}", F.shiftright(F.col("c"), shift)).join(
+            anc, f"a{lv}"
+        )
+    leaf_level = F.lit(max_level)
+    leaf_cell = F.col("c")
+    for lv in range(max_level - 1, min_level - 1, -1):
+        cond = F.col(f"n{lv}") <= cap
+        leaf_level = F.when(cond, F.lit(lv)).otherwise(leaf_level)
+        leaf_cell = F.when(cond, F.col(f"a{lv}")).otherwise(leaf_cell)
+    return (
+        cur.select(
+            leaf_cell.alias("leaf_cell"),
+            leaf_level.cast("int").alias("level"),
+            F.col("n"),
+        )
+        .groupBy("leaf_cell", "level")
+        .agg(F.sum("n").alias("n_points"))
+    )
