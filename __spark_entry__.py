@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_pixel_corr": _wrap(Q.q_caption_pixel_corr),
         "regional_revenue": _wrap(Q.q_regional_revenue),
         "quadtree_hist": _wrap(Q.q_quadtree_hist),
+        "winnow_verified": _wrap(Q.q_winnow_verified),
         "funnel_steps": _wrap(Q.q_funnel_steps),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
@@ -378,6 +379,7 @@ def oracle_sql() -> dict[str, str]:
         "caption_pixel_corr": Q.SQL_CAPTION_PIXEL_CORR,
         "regional_revenue": Q.SQL_REGIONAL_REVENUE,
         "quadtree_hist": Q.SQL_QUADTREE_HIST,
+        "winnow_verified": Q.SQL_WINNOW_VERIFIED,
         "funnel_steps": Q.SQL_FUNNEL_STEPS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,

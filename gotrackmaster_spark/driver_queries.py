@@ -10469,3 +10469,48 @@ FROM tagged GROUP BY 1, 2
 
 
 SQL_QUADTREE_HIST = _sql_quadtree_hist()
+
+
+# --------------------------------------------------------------------------
+# E64 — edit-distance verification of winnow candidates
+# (`winnow_verified` composite): the MOSS verify stage — every
+# fingerprint-candidate pair re-scored with FULL Levenshtein distance
+# (unit costs: a well-defined integer both engines' builtins agree on)
+# plus the quantized similarity ((maxlen − lev)·10⁶) DIV maxlen.  The
+# candidate cut keeps the O(len²) dynamic program off the corpus —
+# it runs on candidate PAIRS only, the two-stage
+# cheap-filter → expensive-verify shape of every dedup pipeline here.
+# --------------------------------------------------------------------------
+
+
+def q_winnow_verified(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = D.winnow_pairs(_t(spark, sf_dir, "documents"))
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    j = pairs.join(a, "doc_a").join(b, "doc_b")
+    lev = F.levenshtein(F.col("ta"), F.col("tb"))
+    mx = F.greatest(F.length("ta"), F.length("tb")).cast("long")
+    return j.select(
+        "doc_a",
+        "doc_b",
+        "n_shared",
+        lev.cast("long").alias("lev"),
+        F.expr(
+            "((greatest(length(ta), length(tb)) - levenshtein(ta, tb)) * 1000000)"
+            " DIV greatest(length(ta), length(tb))"
+        ).alias("sim_q"),
+    )
+
+
+SQL_WINNOW_VERIFIED = f"""
+WITH pairs AS ({D.sql_winnow_pairs()})
+SELECT p.doc_a, p.doc_b, p.n_shared,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+       ((greatest(length(a.text), length(b.text))
+         - levenshtein(a.text, b.text)) * 1000000)
+       // greatest(length(a.text), length(b.text)) AS sim_q
+FROM pairs p
+JOIN documents a ON a.doc_id = p.doc_a
+JOIN documents b ON b.doc_id = p.doc_b
+"""
