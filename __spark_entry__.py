@@ -218,6 +218,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "regional_revenue": _wrap(Q.q_regional_revenue),
         "quadtree_hist": _wrap(Q.q_quadtree_hist),
         "winnow_verified": _wrap(Q.q_winnow_verified),
+        "hausdorff_pairs": _wrap(Q.q_hausdorff_pairs),
+        "lag_autocorr": _wrap(Q.q_lag_autocorr),
         "funnel_steps": _wrap(Q.q_funnel_steps),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
@@ -380,6 +382,8 @@ def oracle_sql() -> dict[str, str]:
         "regional_revenue": Q.SQL_REGIONAL_REVENUE,
         "quadtree_hist": Q.SQL_QUADTREE_HIST,
         "winnow_verified": Q.SQL_WINNOW_VERIFIED,
+        "hausdorff_pairs": Q.SQL_HAUSDORFF_PAIRS,
+        "lag_autocorr": Q.SQL_LAG_AUTOCORR,
         "funnel_steps": Q.SQL_FUNNEL_STEPS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,

@@ -10514,3 +10514,152 @@ FROM pairs p
 JOIN documents a ON a.doc_id = p.doc_a
 JOIN documents b ON b.doc_id = p.doc_b
 """
+
+
+# --------------------------------------------------------------------------
+# E65 — trajectory Hausdorff distance (`hausdorff_pairs`,
+# `spatial.hausdorff_cell_pairs`): the set-DISTANCE companion to
+# `trajectory_jaccard` — how far apart do two co-located users' visited
+# regions actually get?  Inverted-index candidates (>= 2 shared 10-deg
+# cells over a deterministic 1-in-4 point sample), then the exact
+# max-min over candidate pairs' cell sets; squared integer grid
+# distances end to end, so the whole output hashes exactly.
+# --------------------------------------------------------------------------
+
+_HD_G = 10.0           # grid degrees
+_HD_MIN_SHARED = 2     # candidate cut: >= 2 shared cells
+
+
+def _hd_traj(spark, sf_dir):
+    return (
+        geo_events(spark, sf_dir)
+        .filter(F.col("event_id") % 4 == 0)
+        .select(
+            F.col("user_id").alias("tid"),
+            F.floor(F.col("lon") / _HD_G).cast("long").alias("gx"),
+            F.floor(F.col("lat") / _HD_G).cast("long").alias("gy"),
+        )
+        .distinct()
+    )
+
+
+def q_hausdorff_pairs(spark, sf_dir):
+    from gotrackmaster_spark.operators.spatial import hausdorff_cell_pairs
+
+    out = hausdorff_cell_pairs(_hd_traj(spark, sf_dir), min_shared=_HD_MIN_SHARED)
+    return out.select("tid_a", "tid_b", "n_shared", "h2_ab", "h2_ba", "h2")
+
+
+SQL_HAUSDORFF_PAIRS = f"""
+WITH {GEO_CTE},
+vis AS (
+  SELECT DISTINCT user_id AS tid,
+         CAST(floor(lon / {_HD_G}) AS BIGINT) AS gx,
+         CAST(floor(lat / {_HD_G}) AS BIGINT) AS gy
+  FROM geo WHERE event_id % 4 = 0
+),
+cand AS (
+  SELECT a.tid AS tid_a, b.tid AS tid_b, count(*) AS n_shared
+  FROM vis a JOIN vis b ON a.gx = b.gx AND a.gy = b.gy AND a.tid < b.tid
+  GROUP BY 1, 2 HAVING count(*) >= {_HD_MIN_SHARED}
+),
+ex AS (
+  SELECT c.tid_a, c.tid_b, a.gx AS agx, a.gy AS agy, b.gx AS bgx, b.gy AS bgy,
+         (a.gx - b.gx) * (a.gx - b.gx) + (a.gy - b.gy) * (a.gy - b.gy) AS d2
+  FROM cand c JOIN vis a ON a.tid = c.tid_a JOIN vis b ON b.tid = c.tid_b
+),
+ma AS (
+  SELECT tid_a, tid_b, max(m) AS h2_ab FROM (
+    SELECT tid_a, tid_b, agx, agy, min(d2) AS m FROM ex GROUP BY 1, 2, 3, 4
+  ) GROUP BY 1, 2
+),
+mb AS (
+  SELECT tid_a, tid_b, max(m) AS h2_ba FROM (
+    SELECT tid_a, tid_b, bgx, bgy, min(d2) AS m FROM ex GROUP BY 1, 2, 3, 4
+  ) GROUP BY 1, 2
+)
+SELECT c.tid_a, c.tid_b, c.n_shared, ma.h2_ab, mb.h2_ba,
+       greatest(ma.h2_ab, mb.h2_ba) AS h2
+FROM cand c
+JOIN ma ON ma.tid_a = c.tid_a AND ma.tid_b = c.tid_b
+JOIN mb ON mb.tid_a = c.tid_a AND mb.tid_b = c.tid_b
+"""
+
+
+# --------------------------------------------------------------------------
+# E66 — lag-1 autocorrelation of daily activity (`lag_autocorr`
+# composite): does yesterday's volume predict today's, per user?
+# Pearson r between consecutive-day event counts (both days observed),
+# from SIX exact integer moments in one hash aggregate — the ols_trends
+# moment-algebra shape applied to a self-join on (user, day+1).  The
+# day+1 equi-join is key-local (one shuffle on user shared by both
+# sides); no window over the full series is needed.
+# --------------------------------------------------------------------------
+
+
+def q_lag_autocorr(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr(f"unix_micros(CAST(ts AS timestamp)) DIV {_US_PER_DAY}")
+    per_day = (
+        ev.select("user_id", day.alias("day"))
+        .groupBy("user_id", "day")
+        .agg(F.count("*").alias("c"))
+    )
+    x = per_day.select("user_id", (F.col("day") + 1).alias("day"), F.col("c").alias("x"))
+    y = per_day.select("user_id", "day", F.col("c").alias("y"))
+    pairs = x.join(y, ["user_id", "day"])
+    agg = pairs.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n_pairs")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    dxx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    dyy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    r = F.when(
+        (dxx > 0) & (dyy > 0),
+        num.cast("double") / F.sqrt(dxx.cast("double") * dyy.cast("double")),
+    )
+    return agg.select(
+        "user_id",
+        "n_pairs",
+        num.alias("num"),
+        dxx.alias("dxx"),
+        dyy.alias("dyy"),
+        F.round(r, 6).alias("r_r"),
+    )
+
+
+SQL_LAG_AUTOCORR = f"""
+WITH per_day AS (
+  SELECT user_id, epoch_us(ts) // {_US_PER_DAY} AS day, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT x.user_id, x.c AS x, y.c AS y
+  FROM per_day x JOIN per_day y
+    ON y.user_id = x.user_id AND y.day = x.day + 1
+),
+agg AS (
+  SELECT user_id, count(*) AS n_pairs,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM pairs GROUP BY 1
+)
+SELECT user_id, n_pairs,
+       n_pairs * sxy - sx * sy AS num,
+       n_pairs * sxx - sx * sx AS dxx,
+       n_pairs * syy - sy * sy AS dyy,
+       round(CASE WHEN n_pairs * sxx - sx * sx > 0
+                   AND n_pairs * syy - sy * sy > 0
+              THEN CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                   / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                          * CAST(n_pairs * syy - sy * sy AS DOUBLE))
+         END, 6) AS r_r
+FROM agg
+"""
