@@ -220,6 +220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_verified": _wrap(Q.q_winnow_verified),
         "hausdorff_pairs": _wrap(Q.q_hausdorff_pairs),
         "lag_autocorr": _wrap(Q.q_lag_autocorr),
+        "raster_regions": _wrap(Q.q_raster_regions),
         "funnel_steps": _wrap(Q.q_funnel_steps),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
@@ -384,6 +385,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_verified": Q.SQL_WINNOW_VERIFIED,
         "hausdorff_pairs": Q.SQL_HAUSDORFF_PAIRS,
         "lag_autocorr": Q.SQL_LAG_AUTOCORR,
+        "raster_regions": Q.SQL_RASTER_REGIONS,
         "funnel_steps": Q.SQL_FUNNEL_STEPS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,

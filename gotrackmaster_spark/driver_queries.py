@@ -10663,3 +10663,102 @@ SELECT user_id, n_pairs,
          END, 6) AS r_r
 FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# E67 — raster region labeling (`raster_regions` composite): classic
+# connected-component labeling of the occupancy raster — 8-connected
+# blobs of occupied 1-degree cells, each labeled by its min-id root
+# (the flood-fill / percolation-cluster primitive, the raster twin of
+# the near-dup `dup_components`).  Adjacency comes from the x8 offset
+# explode EQUI-join (never an |dx|<=1 inequality join); labels from the
+# shared iterative min-label operator; singleton cells rejoin as their
+# own roots via one anti-join.  The oracle replays the clustering as a
+# recursive-CTE closure over the identical edge set.
+# --------------------------------------------------------------------------
+
+_bound_rr_cache = make_bounded_cache()
+
+
+def q_raster_regions(spark, sf_dir):
+    from gotrackmaster_spark.operators.graph import connected_components
+
+    geo = geo_events(spark, sf_dir)
+    cells = geo.groupBy(
+        F.floor(F.col("lon")).cast("long").alias("gx"),
+        F.floor(F.col("lat")).cast("long").alias("gy"),
+    ).agg(F.count("*").alias("cnt"))
+    # integer node id (grid is bounded: |gx|<=180, |gy|<=90)
+    nodes = _bound_rr_cache(
+        cells.select(
+            ((F.col("gx") + 200) * 1000 + F.col("gy") + 200).alias("v"),
+            "gx", "gy", "cnt",
+        )
+    )
+    tgt = nodes.withColumn(
+        "__o",
+        F.explode(F.array(*[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            if (dx, dy) != (0, 0)
+        ])),
+    ).select(
+        F.col("v").alias("a"),
+        (F.col("gx") + F.col("__o.dx")).alias("tx"),
+        (F.col("gy") + F.col("__o.dy")).alias("ty"),
+    )
+    edges = tgt.join(
+        nodes.select(F.col("v").alias("b"), F.col("gx").alias("tx"), F.col("gy").alias("ty")),
+        ["tx", "ty"],
+    ).select("a", "b")
+    comp = connected_components(edges, "a", "b")
+    singles = nodes.join(comp, nodes["v"] == comp["v"], "left_anti").select(
+        nodes["v"], nodes["v"].alias("l")
+    )
+    lab = comp.select("v", "l").union(singles)
+    return (
+        lab.join(nodes, "v")
+        .groupBy(F.col("l").alias("root"))
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.sum("cnt").alias("n_points"),
+            F.min("gx").alias("gx0"),
+            F.max("gx").alias("gx1"),
+            F.min("gy").alias("gy0"),
+            F.max("gy").alias("gy1"),
+        )
+    )
+
+
+SQL_RASTER_REGIONS = f"""
+WITH RECURSIVE {GEO_CTE},
+cells AS (
+  SELECT CAST(floor(lon) AS BIGINT) AS gx, CAST(floor(lat) AS BIGINT) AS gy,
+         count(*) AS cnt
+  FROM geo GROUP BY 1, 2
+),
+n AS (SELECT (gx + 200) * 1000 + gy + 200 AS v, gx, gy, cnt FROM cells),
+off AS (
+  SELECT dx - 1 AS dx, dy - 1 AS dy
+  FROM range(3) t1(dx), range(3) t2(dy)
+  WHERE NOT (dx = 1 AND dy = 1)
+),
+ed AS (
+  SELECT a.v AS a, b.v AS b
+  FROM n a, off o
+  JOIN n b ON b.gx = a.gx + o.dx AND b.gy = a.gy + o.dy
+),
+reach AS (
+  SELECT v, v AS u FROM n
+  UNION
+  SELECT r.v, e.b AS u FROM reach r JOIN ed e ON e.a = r.u
+),
+comp AS (SELECT v, min(u) AS root FROM reach GROUP BY v)
+SELECT c.root,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(n.cnt) AS BIGINT) AS n_points,
+       min(n.gx) AS gx0, max(n.gx) AS gx1,
+       min(n.gy) AS gy0, max(n.gy) AS gy1
+FROM comp c JOIN n ON n.v = c.v
+GROUP BY 1
+"""
