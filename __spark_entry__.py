@@ -221,6 +221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hausdorff_pairs": _wrap(Q.q_hausdorff_pairs),
         "lag_autocorr": _wrap(Q.q_lag_autocorr),
         "raster_regions": _wrap(Q.q_raster_regions),
+        "otsu_threshold": _wrap(Q.q_otsu_threshold),
         "funnel_steps": _wrap(Q.q_funnel_steps),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
@@ -386,6 +387,7 @@ def oracle_sql() -> dict[str, str]:
         "hausdorff_pairs": Q.SQL_HAUSDORFF_PAIRS,
         "lag_autocorr": Q.SQL_LAG_AUTOCORR,
         "raster_regions": Q.SQL_RASTER_REGIONS,
+        "otsu_threshold": Q.SQL_OTSU_THRESHOLD,
         "funnel_steps": Q.SQL_FUNNEL_STEPS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,

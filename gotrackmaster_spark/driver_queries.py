@@ -10762,3 +10762,98 @@ SELECT c.root,
 FROM comp c JOIN n ON n.v = c.v
 GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# E68 — Otsu threshold (`otsu_threshold`, `images.luma_histogram`):
+# the classic global binarization threshold (Otsu 1979) per image over
+# the REAL decode chain — the luma level maximizing between-class
+# variance.  One decode pass emits the ≤256-bin histogram; the
+# threshold scan is pure JVM: a cumulative window over bins, then
+# argmax of σ²_B ∝ (sum0·N − S·w0)² / (w0·(N−w0)) with DETERMINISTIC
+# ranking — the ratio derives from exact int64 moments in fixed order,
+# ties break on the lowest level, and only occupied bins need scanning
+# (σ²_B is constant between occupied levels, so the lowest-t argmax is
+# always an occupied bin).  The DuckDB twin replays histogram + scan
+# from the closed-form pixel generator.
+# --------------------------------------------------------------------------
+
+_bound_otsu_cache = make_bounded_cache()
+
+
+def q_otsu_threshold(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from gotrackmaster_spark.operators.images import luma_histogram, synthesize_images
+
+    imgs = synthesize_images(spark, sf_dir, w=_IMG_W, h=_IMG_H)
+    # feeds the cumulative scan AND the per-image totals: decode once
+    hist = _bound_otsu_cache(luma_histogram(imgs))
+    w = Window.partitionBy("image_id").orderBy("l")
+    cum = hist.select(
+        "image_id", "fmt", "l",
+        F.sum("n").over(w).alias("w0"),
+        F.sum(F.col("n") * F.col("l")).over(w).alias("sum0"),
+    )
+    tot = hist.groupBy("image_id").agg(
+        F.sum("n").alias("nn"),
+        F.sum(F.col("n") * F.col("l")).alias("s"),
+    )
+    j = cum.join(tot, "image_id").filter(F.col("w0") < F.col("nn"))
+    f = (F.col("sum0") * F.col("nn") - F.col("s") * F.col("w0")).cast("double")
+    sigma = f * f / (F.col("w0") * (F.col("nn") - F.col("w0"))).cast("double")
+    ranked = j.select("image_id", "fmt", "l", "w0", "nn", sigma.alias("sigma"))
+    w2 = Window.partitionBy("image_id").orderBy(F.desc("sigma"), F.asc("l"))
+    best = ranked.withColumn("rn", F.row_number().over(w2)).filter(F.col("rn") == 1)
+    return best.select(
+        "image_id", "fmt",
+        F.col("l").alias("otsu_t"),
+        (F.col("nn") - F.col("w0")).alias("n_fg"),
+        F.round("sigma", 4).alias("sigma_r"),
+    )
+
+
+def _otsu_luma_at() -> str:
+    return (
+        f"(299 * {_mom_pix_at('j * 3')}"
+        f" + 587 * {_mom_pix_at('j * 3 + 1')}"
+        f" + 114 * {_mom_pix_at('j * 3 + 2')}) // 1000"
+    )
+
+
+SQL_OTSU_THRESHOLD = f"""
+WITH lum AS (
+  SELECT doc_id, {_otsu_luma_at()} AS l
+  FROM documents, range({_IMG_W * _IMG_H}) t(j)
+),
+hist AS (SELECT doc_id, l, count(*) AS n FROM lum GROUP BY 1, 2),
+cum AS (
+  SELECT doc_id, l,
+         CAST(sum(n) OVER (PARTITION BY doc_id ORDER BY l) AS BIGINT) AS w0,
+         CAST(sum(n * l) OVER (PARTITION BY doc_id ORDER BY l) AS BIGINT) AS sum0
+  FROM hist
+),
+tot AS (
+  SELECT doc_id, CAST(sum(n) AS BIGINT) AS nn, CAST(sum(n * l) AS BIGINT) AS s
+  FROM hist GROUP BY 1
+),
+sc AS (
+  SELECT c.doc_id, c.l, c.w0, t.nn,
+         CAST(c.sum0 * t.nn - t.s * c.w0 AS DOUBLE) AS f,
+         CAST(c.w0 * (t.nn - c.w0) AS DOUBLE) AS den
+  FROM cum c JOIN tot t USING (doc_id)
+  WHERE c.w0 < t.nn
+),
+ranked AS (
+  SELECT doc_id, l, w0, nn, (f * f) / den AS sigma,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY (f * f) / den DESC, l) AS rn
+  FROM sc
+)
+SELECT format('img{{:08d}}', doc_id) AS image_id,
+       ['raw', 'png', 'qnt4'][CAST(doc_id % 3 AS INT) + 1] AS fmt,
+       l AS otsu_t,
+       nn - w0 AS n_fg,
+       round(sigma, 4) AS sigma_r
+FROM ranked WHERE rn = 1
+"""

@@ -1118,3 +1118,66 @@ def colorfulness_stats(images: DataFrame) -> DataFrame:
 
     schema = "image_id string, fmt string, " + ", ".join(f"{c} long" for c in cols)
     return images.mapInPandas(stats, schema)
+
+
+def luma_histogram(images: DataFrame) -> DataFrame:
+    """Per-image 256-bin histogram of the integer luma plane from ONE
+    decode pass — ``(image_id, fmt, l, n)`` with only OCCUPIED bins
+    emitted (≤ 256 rows / ~25 B each per image, independent of pixel
+    count): the bounded intermediate every histogram-shaped image
+    statistic (Otsu thresholding, equalization, contrast stretch)
+    shares.  Luma is the same exact integer ``(299R+587G+114B) DIV
+    1000`` as :func:`phash64_batch` / :func:`image_moments`, so a
+    DuckDB oracle replays the bins bit-for-bit from the closed-form
+    pixel generator.
+
+    Plan at scale: one ``mapInPandas`` over Arrow batches — raw/qnt4
+    stacks decode vectorized per (fmt, w, h) group with ONE offset
+    ``bincount`` per stack; png falls back to per-row decode like
+    :func:`image_moments`.  Downstream threshold scans stay entirely
+    JVM-side on the ≤256-row-per-image output.
+    """
+
+    def _bins(luma: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """luma: (B, wh) int64 → (row_idx, l, n) of occupied bins."""
+        b = luma.shape[0]
+        off = luma + 256 * np.arange(b, dtype=np.int64)[:, None]
+        counts = np.bincount(off.ravel(), minlength=256 * b)
+        occ = np.nonzero(counts)[0]
+        return occ // 256, occ % 256, counts[occ]
+
+    def hist(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            fmts = pdf["fmt"].to_numpy()
+            keys = list(zip(fmts, pdf["w"].to_numpy(), pdf["h"].to_numpy()))
+            rows_id, rows_fmt, rows_l, rows_n = [], [], [], []
+            for grp in set(keys):
+                idx = np.array([i for i, k in enumerate(keys) if k == grp])
+                sub = pdf.iloc[idx]
+                fmt, w, h = grp
+                if fmt in ("raw", "qnt4"):
+                    px = np.stack(
+                        [np.frombuffer(b, dtype=np.uint8) for b in sub["bytes"]]
+                    ).astype(np.int64).reshape(len(idx), -1, 3)
+                else:
+                    px = np.stack(
+                        [decode_image(r.bytes, r.w, r.h, r.fmt).reshape(-1, 3)
+                         for r in sub.itertuples(index=False)]
+                    ).astype(np.int64)
+                luma = (299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]) // 1000
+                ri, ls, ns = _bins(luma)
+                ids = sub["image_id"].to_numpy()
+                rows_id.append(ids[ri])
+                rows_fmt.append(np.full(len(ri), fmt))
+                rows_l.append(ls)
+                rows_n.append(ns)
+            yield pd.DataFrame({
+                "image_id": np.concatenate(rows_id),
+                "fmt": np.concatenate(rows_fmt),
+                "l": np.concatenate(rows_l).astype(np.int64),
+                "n": np.concatenate(rows_n).astype(np.int64),
+            })
+
+    return images.mapInPandas(hist, "image_id string, fmt string, l long, n long")
