@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lag_autocorr": _wrap(Q.q_lag_autocorr),
         "raster_regions": _wrap(Q.q_raster_regions),
         "otsu_threshold": _wrap(Q.q_otsu_threshold),
+        "phrase_search": _wrap(Q.q_phrase_search),
         "funnel_steps": _wrap(Q.q_funnel_steps),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
@@ -388,6 +389,7 @@ def oracle_sql() -> dict[str, str]:
         "lag_autocorr": Q.SQL_LAG_AUTOCORR,
         "raster_regions": Q.SQL_RASTER_REGIONS,
         "otsu_threshold": Q.SQL_OTSU_THRESHOLD,
+        "phrase_search": Q.SQL_PHRASE_SEARCH,
         "funnel_steps": Q.SQL_FUNNEL_STEPS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,

@@ -10857,3 +10857,41 @@ SELECT format('img{{:08d}}', doc_id) AS image_id,
        round(sigma, 4) AS sigma_r
 FROM ranked WHERE rn = 1
 """
+
+
+# --------------------------------------------------------------------------
+# E69 — positional phrase search (`phrase_search`,
+# `search.phrase_search`): exact multi-phrase matching via ONE
+# postings join against a broadcast (phrase, term, offset) dictionary
+# and a distinct-offset reduction — no per-phrase join chains.  Mixed
+# phrase lengths in one pass; repeated-term phrases can't double-count
+# a posting (DISTINCT offsets).  The DuckDB twin is generated from the
+# same dictionary literal.
+# --------------------------------------------------------------------------
+
+_PHRASES = [
+    "slow hash batch",
+    "part filter scan",
+    "window fast query",
+    "fast table",
+    "table table",
+]
+
+
+def q_phrase_search(spark, sf_dir):
+    from gotrackmaster_spark.operators.search import phrase_search
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return phrase_search(docs, _PHRASES)
+
+
+SQL_PHRASE_SEARCH = None  # assigned below (generated twin)
+
+
+def _sql_phrase_search() -> str:
+    from gotrackmaster_spark.operators.search import sql_phrase_search
+
+    return sql_phrase_search(_PHRASES)
+
+
+SQL_PHRASE_SEARCH = _sql_phrase_search()

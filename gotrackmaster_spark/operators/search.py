@@ -224,3 +224,81 @@ def stratum_tv_pairs(
             / (F.lit(2.0) * (F.col("tot_a") * F.col("tot_b")).cast("double"))
         ).alias("tv"),
     )
+
+
+def phrase_search(docs: DataFrame, phrases: list[str]) -> DataFrame:
+    """Positional phrase matching over a corpus — the inverted-index-
+    with-positions primitive (exact n-gram search, dictionary tagging,
+    benchmark-contamination probes at phrase granularity).
+
+    One pass, ANY mix of phrase lengths: tokenize once into postings
+    ``(doc_id, term, pos)``, broadcast-join the tiny (phrase, term,
+    offset) dictionary, and reduce — a phrase of length L matches at
+    ``start`` iff all L offsets land there, i.e. the group
+    ``(doc, phrase, start = pos − offset)`` collects L DISTINCT offsets
+    (DISTINCT so a repeated term inside one phrase can't double-count
+    a single posting).  This is set-intersection phrase match: no
+    per-phrase join chain, no window over the corpus, and the corpus
+    side is touched by exactly one equi-join against a dictionary-
+    filtered (hence tiny) build side.
+
+    Output: ``(phrase, doc_id, n_matches, first_pos)`` — one row per
+    (phrase, matching doc).
+
+    At 10⁹ docs: postings explode is codegen; the term join prunes the
+    corpus to dictionary terms before any shuffle; groups are bounded
+    by matches, not tokens.
+    """
+    spark = docs.sparkSession
+    arr = F.split(F.lower(F.col("text")), " ")
+    post = docs.select("doc_id", F.posexplode(arr).alias("pos", "term"))
+    rows = []
+    for ph in phrases:
+        terms = ph.split()
+        for off, t in enumerate(terms):
+            rows.append((ph, t, off, len(terms)))
+    dic = spark.createDataFrame(rows, "phrase string, term string, off int, ph_len int")
+    cand = post.join(F.broadcast(dic), "term").select(
+        "doc_id", "phrase", "ph_len",
+        (F.col("pos") - F.col("off")).cast("long").alias("start"),
+        "off",
+    )
+    matches = (
+        cand.groupBy("doc_id", "phrase", "ph_len", "start")
+        .agg(F.countDistinct("off").alias("k"))
+        .filter(F.col("k") == F.col("ph_len"))
+    )
+    return matches.groupBy("phrase", "doc_id").agg(
+        F.count("*").alias("n_matches"),
+        F.min("start").alias("first_pos"),
+    )
+
+
+def sql_phrase_search(phrases: list[str]) -> str:
+    """DuckDB twin of :func:`phrase_search` over the same dictionary."""
+    dic_rows = ", ".join(
+        f"({ph!r}, {t!r}, {off}, {len(ph.split())})"
+        for ph in phrases
+        for off, t in enumerate(ph.split())
+    )
+    return f"""
+WITH post AS (
+  SELECT doc_id, unnest(arr) AS term,
+         unnest(generate_series(0, len(arr) - 1)) AS pos
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS arr FROM documents) d
+),
+dic(phrase, term, off, ph_len) AS (VALUES {dic_rows}),
+cand AS (
+  SELECT p.doc_id, d.phrase, d.ph_len,
+         CAST(p.pos - d.off AS BIGINT) AS start, d.off
+  FROM post p JOIN dic d ON d.term = p.term
+),
+m AS (
+  SELECT doc_id, phrase, ph_len, start, count(DISTINCT off) AS k
+  FROM cand GROUP BY 1, 2, 3, 4
+)
+SELECT phrase, doc_id,
+       CAST(count(*) AS BIGINT) AS n_matches,
+       min(start) AS first_pos
+FROM m WHERE k = ph_len GROUP BY 1, 2
+"""
