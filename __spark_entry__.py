@@ -223,6 +223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_regions": _wrap(Q.q_raster_regions),
         "otsu_threshold": _wrap(Q.q_otsu_threshold),
         "phrase_search": _wrap(Q.q_phrase_search),
+        "link_prediction": _wrap(Q.q_link_prediction),
         "funnel_steps": _wrap(Q.q_funnel_steps),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
@@ -390,6 +391,7 @@ def oracle_sql() -> dict[str, str]:
         "raster_regions": Q.SQL_RASTER_REGIONS,
         "otsu_threshold": Q.SQL_OTSU_THRESHOLD,
         "phrase_search": Q.SQL_PHRASE_SEARCH,
+        "link_prediction": Q.SQL_LINK_PREDICTION,
         "funnel_steps": Q.SQL_FUNNEL_STEPS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,

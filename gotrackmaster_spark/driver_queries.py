@@ -10895,3 +10895,50 @@ def _sql_phrase_search() -> str:
 
 
 SQL_PHRASE_SEARCH = _sql_phrase_search()
+
+
+# --------------------------------------------------------------------------
+# E70 — link prediction (`link_prediction`,
+# `graph.common_neighbor_scores`): which near-dup edges did the simhash
+# candidate generator MISS?  Non-edge pairs of the near-dup graph
+# scored by common-neighbor count + quantized neighborhood Jaccard
+# (integer DIV — no float ranking).  One wedge self-join on the middle
+# node, one anti-join against existing edges, two degree joins.  The
+# oracle replays the identical algebra over the same simhash edge set.
+# --------------------------------------------------------------------------
+
+_LP_MIN_COMMON = 2
+
+
+def q_link_prediction(spark, sf_dir):
+    from gotrackmaster_spark.operators.graph import common_neighbor_scores
+
+    pairs = q_simhash_near_dups(spark, sf_dir)
+    return common_neighbor_scores(
+        pairs, "a_id", "b_id", min_common=_LP_MIN_COMMON
+    )
+
+
+SQL_LINK_PREDICTION = f"""
+WITH ed AS (
+  SELECT a_id AS s, b_id AS t FROM ({SQL_SIMHASH_NEAR_DUPS}) x
+  UNION
+  SELECT b_id, a_id FROM ({SQL_SIMHASH_NEAR_DUPS}) x
+),
+und AS (SELECT s, t FROM ed WHERE s <> t),
+deg AS (SELECT s AS v, count(*) AS d FROM und GROUP BY 1),
+wedges AS (
+  SELECT w1.t AS a, w2.t AS b, count(*) AS cn
+  FROM und w1 JOIN und w2 ON w1.s = w2.s AND w1.t < w2.t
+  GROUP BY 1, 2 HAVING count(*) >= {_LP_MIN_COMMON}
+),
+cand AS (
+  SELECT w.a, w.b, w.cn FROM wedges w
+  WHERE NOT EXISTS (SELECT 1 FROM und e WHERE e.s = w.a AND e.t = w.b)
+)
+SELECT c.a, c.b, c.cn, da.d AS d_a, db.d AS d_b,
+       (c.cn * 1000000) // (da.d + db.d - c.cn) AS jacc_q
+FROM cand c
+JOIN deg da ON da.v = c.a
+JOIN deg db ON db.v = c.b
+"""

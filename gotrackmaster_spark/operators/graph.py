@@ -536,3 +536,62 @@ def sssp_weighted(
             raise ValueError(msg)
         _log_warning(msg)
     return dist
+
+
+def common_neighbor_scores(
+    edges: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    min_common: int = 1,
+) -> DataFrame:
+    """Link prediction by neighborhood overlap: for every NON-edge pair
+    with ≥ ``min_common`` common neighbors, the common-neighbor count
+    plus the quantized neighborhood Jaccard — "which near-dup edges did
+    the candidate generator miss?" (Liben-Nowell & Kleinberg 2003's
+    strongest simple predictors, integer-exact).
+
+      cn(a,b)     = |Γ(a) ∩ Γ(b)|                 (exact int)
+      jacc_q(a,b) = (cn · 10⁶) DIV (d_a + d_b − cn)
+
+    Integer quotients on purpose (the `term_pmi` convention): a float
+    Jaccard ranks near-ties engine-dependently; DIV cannot.
+
+    Plan at scale: one wedge self-join of the undirected edge table on
+    the shared-neighbor key — fan-out Σ deg(n)², the standard wedge
+    cost; for hub-skewed graphs cap or salt hot nodes first (the
+    degree-orientation trick of :func:`triangle_counts` does not apply:
+    BOTH wedge arms are needed here since cn is symmetric but unordered
+    pairs must still enumerate from every middle node).  Then one
+    anti-join removes existing edges and two plain degree joins attach
+    d_a/d_b — node-keyed shuffles only, never all-pairs.
+
+    Output: ``(a, b, cn, d_a, d_b, jacc_q)`` with a < b.
+    """
+    und = (
+        edges.select(F.col(a_col).alias("s"), F.col(b_col).alias("t"))
+        .union(edges.select(F.col(b_col).alias("s"), F.col(a_col).alias("t")))
+        .filter(F.col("s") != F.col("t"))
+        .distinct()
+    )
+    deg = und.groupBy(F.col("s").alias("v")).agg(F.count("*").alias("d"))
+    w1 = und.select(F.col("s").alias("n"), F.col("t").alias("a"))
+    w2 = und.select(F.col("s").alias("n"), F.col("t").alias("b"))
+    wedges = (
+        w1.join(w2, "n")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("cn"))
+        .filter(F.col("cn") >= F.lit(min_common))
+    )
+    existing = und.filter(F.col("s") < F.col("t")).select(
+        F.col("s").alias("a"), F.col("t").alias("b")
+    )
+    cand = wedges.join(existing, ["a", "b"], "left_anti")
+    return (
+        cand.join(deg.select(F.col("v").alias("a"), F.col("d").alias("d_a")), "a")
+        .join(deg.select(F.col("v").alias("b"), F.col("d").alias("d_b")), "b")
+        .select(
+            "a", "b", "cn", "d_a", "d_b",
+            F.expr("(cn * 1000000) DIV (d_a + d_b - cn)").alias("jacc_q"),
+        )
+    )
