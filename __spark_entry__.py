@@ -224,6 +224,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "otsu_threshold": _wrap(Q.q_otsu_threshold),
         "phrase_search": _wrap(Q.q_phrase_search),
         "link_prediction": _wrap(Q.q_link_prediction),
+        "cell_diversity": _wrap(Q.q_cell_diversity),
+        "assoc_rules": _wrap(Q.q_assoc_rules),
         "funnel_steps": _wrap(Q.q_funnel_steps),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
@@ -392,6 +394,8 @@ def oracle_sql() -> dict[str, str]:
         "otsu_threshold": Q.SQL_OTSU_THRESHOLD,
         "phrase_search": Q.SQL_PHRASE_SEARCH,
         "link_prediction": Q.SQL_LINK_PREDICTION,
+        "cell_diversity": Q.SQL_CELL_DIVERSITY,
+        "assoc_rules": Q.SQL_ASSOC_RULES,
         "funnel_steps": Q.SQL_FUNNEL_STEPS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,

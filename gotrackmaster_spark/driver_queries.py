@@ -10942,3 +10942,132 @@ FROM cand c
 JOIN deg da ON da.v = c.a
 JOIN deg db ON db.v = c.b
 """
+
+
+# --------------------------------------------------------------------------
+# E71 — Simpson diversity per cell (`cell_diversity` composite): how
+# mixed is each 5° cell's event-type composition?  Simpson's index as
+# an EXACT RATIONAL — λ = Σ n_t(n_t−1) / (N(N−1)) (the probability two
+# draws without replacement share a type) — numerator/denominator
+# published as int64 alongside the rounded 1−λ diversity.  Two nested
+# hash aggregates, both map-side combinable; no joins.
+# --------------------------------------------------------------------------
+
+
+def q_cell_diversity(spark, sf_dir):
+    geo = geo_events(spark, sf_dir)
+    per_type = geo.groupBy(
+        F.floor(F.col("lon") / _HOT_G).cast("long").alias("gx"),
+        F.floor(F.col("lat") / _HOT_G).cast("long").alias("gy"),
+        "event_type",
+    ).agg(F.count("*").alias("n"))
+    agg = per_type.groupBy("gx", "gy").agg(
+        F.count("*").alias("n_types"),
+        F.sum("n").alias("n_events"),
+        F.sum(F.col("n") * (F.col("n") - 1)).alias("num"),
+    )
+    nn = F.col("n_events")
+    div = F.when(
+        nn > 1,
+        F.lit(1.0) - F.col("num").cast("double") / (nn * (nn - 1)).cast("double"),
+    )
+    return agg.select(
+        "gx", "gy", "n_types", "n_events", "num",
+        F.round(div, 6).alias("diversity_r"),
+    )
+
+
+SQL_CELL_DIVERSITY = f"""
+WITH {GEO_CTE},
+per_type AS (
+  SELECT CAST(floor(lon / {_HOT_G}) AS BIGINT) AS gx,
+         CAST(floor(lat / {_HOT_G}) AS BIGINT) AS gy,
+         event_type, count(*) AS n
+  FROM geo GROUP BY 1, 2, 3
+),
+agg AS (
+  SELECT gx, gy, count(*) AS n_types,
+         CAST(sum(n) AS BIGINT) AS n_events,
+         CAST(sum(n * (n - 1)) AS BIGINT) AS num
+  FROM per_type GROUP BY 1, 2
+)
+SELECT gx, gy, n_types, n_events, num,
+       round(CASE WHEN n_events > 1
+              THEN CAST(1.0 AS DOUBLE)
+                   - CAST(num AS DOUBLE)
+                     / CAST(n_events * (n_events - 1) AS DOUBLE)
+         END, 6) AS diversity_r
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# E72 — association rules (`assoc_rules` composite): market-basket
+# mining over (user, day) baskets of event types — directed rules
+# a → b with support, confidence and lift, all integer-quantized
+# (conf_q = s_ab·10⁶ DIV s_a; lift_q = s_ab·n_baskets·10⁶ DIV
+# (s_a·s_b)) so ranking is engine-proof.  Within-basket self-join
+# bounded by basket width (≤ |event types|); the per-item supports and
+# the 1-row basket count attach via broadcast joins.
+# --------------------------------------------------------------------------
+
+_AR_QUANT = 10**6
+_AR_MIN_SUP = 5
+
+
+def q_assoc_rules(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr(f"unix_micros(CAST(ts AS timestamp)) DIV {_US_PER_DAY}")
+    baskets = (
+        ev.select("user_id", day.alias("day"), "event_type").distinct()
+    )
+    nb = baskets.select("user_id", "day").distinct().agg(
+        F.count("*").alias("n_baskets")
+    )
+    sup = baskets.groupBy("event_type").agg(F.count("*").alias("s"))
+    a = baskets.select("user_id", "day", F.col("event_type").alias("ant"))
+    b = baskets.select("user_id", "day", F.col("event_type").alias("cons"))
+    pairs = (
+        a.join(b, ["user_id", "day"])
+        .filter(F.col("ant") != F.col("cons"))
+        .groupBy("ant", "cons")
+        .agg(F.count("*").alias("s_ab"))
+        .filter(F.col("s_ab") >= _AR_MIN_SUP)
+    )
+    j = (
+        pairs.join(F.broadcast(sup.select(F.col("event_type").alias("ant"), F.col("s").alias("s_a"))), "ant")
+        .join(F.broadcast(sup.select(F.col("event_type").alias("cons"), F.col("s").alias("s_b"))), "cons")
+        .crossJoin(F.broadcast(nb))
+    )
+    return j.select(
+        "ant", "cons", "s_ab", "s_a", "s_b", "n_baskets",
+        F.expr(f"(s_ab * {_AR_QUANT}) DIV s_a").alias("conf_q"),
+        F.expr(f"(s_ab * n_baskets * {_AR_QUANT}) DIV (s_a * s_b)").alias("lift_q"),
+    )
+
+
+SQL_ASSOC_RULES = f"""
+WITH baskets AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {_US_PER_DAY} AS day, event_type
+  FROM events
+),
+nb AS (
+  SELECT count(*) AS n_baskets
+  FROM (SELECT DISTINCT user_id, day FROM baskets)
+),
+sup AS (SELECT event_type, CAST(count(*) AS BIGINT) AS s FROM baskets GROUP BY 1),
+pairs AS (
+  SELECT a.event_type AS ant, b.event_type AS cons, count(*) AS s_ab
+  FROM baskets a
+  JOIN baskets b ON a.user_id = b.user_id AND a.day = b.day
+                AND a.event_type <> b.event_type
+  GROUP BY 1, 2 HAVING count(*) >= {_AR_MIN_SUP}
+)
+SELECT p.ant, p.cons, p.s_ab, sa.s AS s_a, sb.s AS s_b, nb.n_baskets,
+       (p.s_ab * {_AR_QUANT}) // sa.s AS conf_q,
+       (p.s_ab * nb.n_baskets * {_AR_QUANT}) // (sa.s * sb.s) AS lift_q
+FROM pairs p
+JOIN sup sa ON sa.event_type = p.ant
+JOIN sup sb ON sb.event_type = p.cons
+CROSS JOIN nb
+"""

@@ -52,6 +52,8 @@ BNLJ_ALLOWED = {
     "term_pmi",
     # bm25_scores: 1-row (n_docs, tot_len) corpus-scalar attach
     "bm25_scores",
+    # assoc_rules: 1-row basket-count attach onto the rule table
+    "assoc_rules",
 }
 
 QUERIES = entrymod.queries()
