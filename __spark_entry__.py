@@ -226,6 +226,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": _wrap(Q.q_link_prediction),
         "cell_diversity": _wrap(Q.q_cell_diversity),
         "assoc_rules": _wrap(Q.q_assoc_rules),
+        "kcore_nodes": _wrap(Q.q_kcore_nodes),
+        "image_euler": _wrap(Q.q_image_euler),
         "funnel_steps": _wrap(Q.q_funnel_steps),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
@@ -396,6 +398,8 @@ def oracle_sql() -> dict[str, str]:
         "link_prediction": Q.SQL_LINK_PREDICTION,
         "cell_diversity": Q.SQL_CELL_DIVERSITY,
         "assoc_rules": Q.SQL_ASSOC_RULES,
+        "kcore_nodes": Q.SQL_KCORE_NODES,
+        "image_euler": Q.SQL_IMAGE_EULER,
         "funnel_steps": Q.SQL_FUNNEL_STEPS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,

@@ -11071,3 +11071,91 @@ JOIN sup sa ON sa.event_type = p.ant
 JOIN sup sb ON sb.event_type = p.cons
 CROSS JOIN nb
 """
+
+
+# --------------------------------------------------------------------------
+# E73 — k-core extraction (`kcore_nodes`, `graph.kcore_peel`): the
+# dense core of the near-dup graph via FIXED-round peeling (remove
+# degree < k, re-derive, repeat) — confluent, so any round count ≥ the
+# peel depth is the true k-core, and fixed rounds unroll bit-for-bit
+# into the CTE oracle (the pagerank convention).
+# --------------------------------------------------------------------------
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 6
+
+
+def q_kcore_nodes(spark, sf_dir):
+    from gotrackmaster_spark.operators.graph import kcore_peel
+
+    pairs = q_simhash_near_dups(spark, sf_dir)
+    return kcore_peel(pairs, "a_id", "b_id", k=_KCORE_K, n_rounds=_KCORE_ROUNDS)
+
+
+def _sql_kcore_nodes() -> str:
+    from gotrackmaster_spark.operators.graph import sql_kcore_peel
+
+    return sql_kcore_peel(
+        f"SELECT a_id AS s, b_id AS t FROM ({SQL_SIMHASH_NEAR_DUPS}) x",
+        k=_KCORE_K,
+        n_rounds=_KCORE_ROUNDS,
+    )
+
+
+SQL_KCORE_NODES = _sql_kcore_nodes()
+
+
+# --------------------------------------------------------------------------
+# E74 — image Euler characteristic (`image_euler`,
+# `images.euler_stats`): per-image topology of the binarized luma
+# plane — E₄ = V − E + Q = #components − #holes (Gray 1971), all four
+# terms exact integers from one decode pass (shift products, no
+# labeling).  The DuckDB twin replays fg/adjacency/quad counts from
+# the closed-form pixel generator at shifted flat indices.
+# --------------------------------------------------------------------------
+
+_EULER_T = 128
+
+
+def q_image_euler(spark, sf_dir):
+    from gotrackmaster_spark.operators.images import euler_stats, synthesize_images
+
+    imgs = synthesize_images(spark, sf_dir, w=_IMG_W, h=_IMG_H)
+    return euler_stats(imgs, thresh=_EULER_T)
+
+
+def _fg_at(jexpr: str) -> str:
+    lum = (
+        f"((299 * {_mom_pix_at(f'({jexpr}) * 3')}"
+        f" + 587 * {_mom_pix_at(f'({jexpr}) * 3 + 1')}"
+        f" + 114 * {_mom_pix_at(f'({jexpr}) * 3 + 2')}) // 1000)"
+    )
+    return f"(CASE WHEN {lum} >= {_EULER_T} THEN 1 ELSE 0 END)"
+
+
+SQL_IMAGE_EULER = f"""
+WITH px AS (
+  SELECT doc_id, j % {_IMG_W} AS x, j // {_IMG_W} AS y,
+         {_fg_at('j')} AS fg,
+         {_fg_at('j + 1')} AS fgr,
+         {_fg_at(f'j + {_IMG_W}')} AS fgd,
+         {_fg_at(f'j + {_IMG_W} + 1')} AS fgq
+  FROM documents, range({_IMG_W * _IMG_H}) t(j)
+),
+agg AS (
+  SELECT doc_id,
+         CAST(sum(fg) AS BIGINT) AS n_fg,
+         CAST(sum(CASE WHEN x < {_IMG_W - 1} THEN fg * fgr ELSE 0 END)
+              + sum(CASE WHEN y < {_IMG_H - 1} THEN fg * fgd ELSE 0 END)
+              AS BIGINT) AS n_adj,
+         CAST(sum(CASE WHEN x < {_IMG_W - 1} AND y < {_IMG_H - 1}
+                       THEN fg * fgr * fgd * fgq ELSE 0 END)
+              AS BIGINT) AS n_quad
+  FROM px GROUP BY doc_id
+)
+SELECT format('img{{:08d}}', doc_id) AS image_id,
+       ['raw', 'png', 'qnt4'][CAST(doc_id % 3 AS INT) + 1] AS fmt,
+       n_fg, n_adj, n_quad,
+       n_fg - n_adj + n_quad AS euler
+FROM agg
+"""

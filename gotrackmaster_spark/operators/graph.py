@@ -595,3 +595,93 @@ def common_neighbor_scores(
             F.expr("(cn * 1000000) DIV (d_a + d_b - cn)").alias("jacc_q"),
         )
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    k: int = 2,
+    n_rounds: int = 8,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Fixed-round k-core peeling over an undirected edge table — the
+    density-core extractor (spam rings, tight near-dup cliques, the
+    "core" of a co-visit graph).  Each round removes every node whose
+    CURRENT degree is < k, then re-derives degrees on the surviving
+    subgraph; after enough rounds the fixpoint is exactly the classic
+    k-core.
+
+    Exactness contract (the `pagerank` convention): the round count is
+    FIXED, so the whole computation replays bit-for-bit as unrolled SQL
+    CTEs (:func:`sql_kcore_peel`) regardless of convergence — and
+    peeling is confluent (removing a node never revives another), so
+    any round count ≥ the peel depth yields the true k-core.  Callers
+    wanting a convergence guarantee compare round R and R−1 sizes (one
+    extra count each) or just over-provision rounds: each non-final
+    round removes ≥ 1 node, so ``n_rounds`` ≥ |peeled nodes| always
+    converges.
+
+    Plan at scale: per round ONE hash aggregate (degrees) + two
+    semi-joins of the edge table against the ≤nodes-sized keep list —
+    node-keyed shuffles only; per-round lineage truncation via
+    :class:`plan_snapshotter` (``checkpoint_dir`` = executor-loss-
+    tolerant mode).
+
+    Output: ``(v, degree)`` — surviving nodes with their degree inside
+    the peeled subgraph.
+    """
+    if n_rounds < 0:
+        raise ValueError(f"n_rounds must be >= 0, got {n_rounds}")
+    und = (
+        edges.select(F.col(a_col).alias("s"), F.col(b_col).alias("t"))
+        .union(edges.select(F.col(b_col).alias("s"), F.col(a_col).alias("t")))
+        .filter(F.col("s") != F.col("t"))
+        .distinct()
+    )
+    spark = edges.sparkSession
+    with plan_snapshotter(spark, checkpoint_dir) as snap:
+        e = snap(und)
+        for _ in range(n_rounds):
+            keep = (
+                e.groupBy("s").agg(F.count("*").alias("d"))
+                .filter(F.col("d") >= F.lit(k))
+                .select(F.col("s").alias("v"))
+            )
+            e = snap(
+                e.join(keep.withColumnRenamed("v", "s"), "s", "left_semi")
+                .join(keep.withColumnRenamed("v", "t"), "t", "left_semi")
+                .select("s", "t")
+            )
+    return e.groupBy(F.col("s").alias("v")).agg(F.count("*").alias("degree"))
+
+
+def sql_kcore_peel(edges_cte: str, k: int = 2, n_rounds: int = 8) -> str:
+    """Unrolled-CTE SQL twin of :func:`kcore_peel`.  ``edges_cte`` must
+    select ``(s, t)`` (directed raw pairs; undirected + dedup here).
+
+    Every round CTE is ``AS MATERIALIZED``: each ``e{r}`` is referenced
+    three times by round r+1 (the degree aggregate + both semi-join
+    arms), so DuckDB's default CTE inlining would re-expand the
+    upstream edge producer 3^rounds times — materialization is the SQL
+    twin of the engine's per-round ``plan_snapshotter`` truncation."""
+    parts = [
+        f"eraw AS MATERIALIZED ({edges_cte})",
+        "e0 AS MATERIALIZED (SELECT DISTINCT s, t FROM "
+        "(SELECT s, t FROM eraw UNION SELECT t, s FROM eraw) u WHERE s <> t)",
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f"k{r} AS MATERIALIZED (SELECT s AS v FROM e{r - 1} GROUP BY 1 "
+            f"HAVING count(*) >= {k})"
+        )
+        parts.append(
+            f"e{r} AS MATERIALIZED (SELECT e.s, e.t FROM e{r - 1} e "
+            f"JOIN k{r} ka ON ka.v = e.s JOIN k{r} kb ON kb.v = e.t)"
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT s AS v, CAST(count(*) AS BIGINT) AS degree "
+        f"FROM e{n_rounds} GROUP BY 1"
+    )

@@ -1181,3 +1181,48 @@ def luma_histogram(images: DataFrame) -> DataFrame:
             })
 
     return images.mapInPandas(hist, "image_id string, fmt string, l long, n long")
+
+
+def euler_stats(images: DataFrame, thresh: int = 128) -> DataFrame:
+    """Per-image Euler characteristic of the binarized luma plane —
+    the classic topological quality feature (Gray 1971; used for blob/
+    hole counting in OCR and defect screens):
+
+      E₄ = V − E + Q  =  #4-connected components − #8-connected holes
+
+    where over the foreground mask (luma ≥ ``thresh``): V = foreground
+    pixels, E = horizontally + vertically adjacent foreground pairs,
+    Q = 2×2 all-foreground quads.  Every term is an exact integer from
+    ONE decode pass (numpy shift products — no labeling, no recursion),
+    so a DuckDB oracle replays all four from the closed-form pixel
+    generator at shifted flat indices.
+
+    Output: ``(image_id, fmt, n_fg, n_adj, n_quad, euler)``.
+    """
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, fmts = pdf["image_id"].to_numpy(), pdf["fmt"].to_numpy()
+            n_fg = np.zeros(len(pdf), dtype=np.int64)
+            n_adj = np.zeros(len(pdf), dtype=np.int64)
+            n_quad = np.zeros(len(pdf), dtype=np.int64)
+            for i, r in enumerate(pdf.itertuples(index=False)):
+                px = decode_image(r.bytes, r.w, r.h, r.fmt).astype(np.int64)
+                luma = (299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]) // 1000
+                fg = (luma >= thresh).astype(np.int64)
+                n_fg[i] = fg.sum()
+                n_adj[i] = (fg[:, :-1] * fg[:, 1:]).sum() + (fg[:-1, :] * fg[1:, :]).sum()
+                n_quad[i] = (
+                    fg[:-1, :-1] * fg[:-1, 1:] * fg[1:, :-1] * fg[1:, 1:]
+                ).sum()
+            yield pd.DataFrame({
+                "image_id": ids, "fmt": fmts,
+                "n_fg": n_fg, "n_adj": n_adj, "n_quad": n_quad,
+                "euler": n_fg - n_adj + n_quad,
+            })
+
+    schema = ("image_id string, fmt string, n_fg long, n_adj long, "
+              "n_quad long, euler long")
+    return images.mapInPandas(stats, schema)
