@@ -228,6 +228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assoc_rules": _wrap(Q.q_assoc_rules),
         "kcore_nodes": _wrap(Q.q_kcore_nodes),
         "image_euler": _wrap(Q.q_image_euler),
+        "contour_cases": _wrap(Q.q_contour_cases),
         "funnel_steps": _wrap(Q.q_funnel_steps),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
@@ -400,6 +401,7 @@ def oracle_sql() -> dict[str, str]:
         "assoc_rules": Q.SQL_ASSOC_RULES,
         "kcore_nodes": Q.SQL_KCORE_NODES,
         "image_euler": Q.SQL_IMAGE_EULER,
+        "contour_cases": Q.SQL_CONTOUR_CASES,
         "funnel_steps": Q.SQL_FUNNEL_STEPS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,

@@ -11159,3 +11159,86 @@ SELECT format('img{{:08d}}', doc_id) AS image_id,
        n_fg - n_adj + n_quad AS euler
 FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# E75 — marching-squares contour classification (`contour_cases`
+# composite): the raster→vector contouring primitive — each event's
+# 1° DEM cell classified by the standard 16-case marching-squares
+# index at a fixed iso level over the EXACT-INTEGER corner samples
+# (the ×10 DEM closed form kept integer; no float enters the
+# predicate).  Saddles (cases 5/10) carry two contour segments, empty/
+# full cells none.  Pure codegen: corner values are row-local closed
+# forms, so the whole query is one scan + one ≤16-group aggregate —
+# no DEM join at all.
+# --------------------------------------------------------------------------
+
+_MS_ISO = 20000  # iso level in decimeter units (corner range 0..39999)
+
+
+def _ms_corner(la, lo):
+    """Integer DEM corner sample (decimeters) at integer (la, lo)."""
+    return ((la + 90) * 361 + (lo + 180)) * F.lit(2654435761) % 40000
+
+
+def q_contour_cases(spark, sf_dir):
+    geo = geo_events(spark, sf_dir)
+    la = F.floor(F.col("lat")).cast("long")
+    lo = F.floor(F.col("lon")).cast("long")
+    b = lambda v: (v >= _MS_ISO).cast("long")  # noqa: E731
+    case = (
+        8 * b(_ms_corner(la, lo))
+        + 4 * b(_ms_corner(la, lo + 1))
+        + 2 * b(_ms_corner(la + 1, lo + 1))
+        + 1 * b(_ms_corner(la + 1, lo))
+    )
+    tagged = geo.select(
+        "user_id", la.alias("la"), lo.alias("lo"), case.alias("ms_case")
+    )
+    segs = (
+        F.when(F.col("ms_case").isin(0, 15), F.lit(0))
+        .when(F.col("ms_case").isin(5, 10), F.lit(2))
+        .otherwise(F.lit(1))
+        .cast("int")
+    )
+    return (
+        tagged.groupBy("ms_case")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct("la", "lo").alias("n_cells"),
+        )
+        .select("ms_case", segs.alias("n_segs"), "n_events", "n_users", "n_cells")
+    )
+
+
+def _ms_corner_sql(la: str, lo: str) -> str:
+    return f"((({la}) + 90) * 361 + (({lo}) + 180)) * 2654435761 % 40000"
+
+
+def _ms_b(la: str, lo: str) -> str:
+    return f"(CASE WHEN {_ms_corner_sql(la, lo)} >= {_MS_ISO} THEN 1 ELSE 0 END)"
+
+
+SQL_CONTOUR_CASES = f"""
+WITH {GEO_CTE},
+tagged AS (
+  SELECT user_id,
+         CAST(floor(lat) AS BIGINT) AS la,
+         CAST(floor(lon) AS BIGINT) AS lo,
+         CAST(8 * {_ms_b('CAST(floor(lat) AS BIGINT)', 'CAST(floor(lon) AS BIGINT)')}
+         + 4 * {_ms_b('CAST(floor(lat) AS BIGINT)', 'CAST(floor(lon) AS BIGINT) + 1')}
+         + 2 * {_ms_b('CAST(floor(lat) AS BIGINT) + 1', 'CAST(floor(lon) AS BIGINT) + 1')}
+         + 1 * {_ms_b('CAST(floor(lat) AS BIGINT) + 1', 'CAST(floor(lon) AS BIGINT)')}
+         AS BIGINT) AS ms_case
+  FROM geo
+)
+SELECT ms_case,
+       CAST(CASE WHEN ms_case IN (0, 15) THEN 0
+                 WHEN ms_case IN (5, 10) THEN 2
+                 ELSE 1 END AS INT) AS n_segs,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       count(DISTINCT (la, lo)) AS n_cells
+FROM tagged GROUP BY ms_case
+"""
