@@ -229,6 +229,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_nodes": _wrap(Q.q_kcore_nodes),
         "image_euler": _wrap(Q.q_image_euler),
         "contour_cases": _wrap(Q.q_contour_cases),
+        "kendall_tau": _wrap(Q.q_kendall_tau),
+        "gini_coefficient": _wrap(Q.q_gini_coefficient),
+        "vocab_growth": _wrap(Q.q_vocab_growth),
+        "box_counting": _wrap(Q.q_box_counting),
         "funnel_steps": _wrap(Q.q_funnel_steps),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
@@ -402,6 +406,10 @@ def oracle_sql() -> dict[str, str]:
         "kcore_nodes": Q.SQL_KCORE_NODES,
         "image_euler": Q.SQL_IMAGE_EULER,
         "contour_cases": Q.SQL_CONTOUR_CASES,
+        "kendall_tau": Q.SQL_KENDALL_TAU,
+        "gini_coefficient": Q.SQL_GINI_COEFFICIENT,
+        "vocab_growth": Q.SQL_VOCAB_GROWTH,
+        "box_counting": Q.SQL_BOX_COUNTING,
         "funnel_steps": Q.SQL_FUNNEL_STEPS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,

@@ -11242,3 +11242,243 @@ SELECT ms_case,
        count(DISTINCT (la, lo)) AS n_cells
 FROM tagged GROUP BY ms_case
 """
+
+
+# --------------------------------------------------------------------------
+# E76 — Kendall rank correlation (`kendall_tau` composite): tau-b with
+# tie correction between per-user activity volume and spread (total
+# events vs active days) — concordant/discordant/tie counts are EXACT
+# integers from one users² self-join (bounded: users, not events) and
+# two tiny tie aggregates; only the final τ is a fixed-order double.
+# --------------------------------------------------------------------------
+
+_bound_kt_cache = make_bounded_cache()
+
+
+def q_kendall_tau(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr(f"unix_micros(CAST(ts AS timestamp)) DIV {_US_PER_DAY}")
+    users = _bound_kt_cache(
+        ev.select("user_id", day.alias("day"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("x"), F.countDistinct("day").alias("y"))
+    )
+    a = users.select(F.col("user_id").alias("ua"), F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = users.select(F.col("user_id").alias("ub"), F.col("x").alias("xb"), F.col("y").alias("yb"))
+    pr = a.join(b, F.col("ua") < F.col("ub"))
+    conc = ((F.col("xa") < F.col("xb")) & (F.col("ya") < F.col("yb"))) | (
+        (F.col("xa") > F.col("xb")) & (F.col("ya") > F.col("yb"))
+    )
+    disc = ((F.col("xa") < F.col("xb")) & (F.col("ya") > F.col("yb"))) | (
+        (F.col("xa") > F.col("xb")) & (F.col("ya") < F.col("yb"))
+    )
+    cd = pr.agg(
+        F.count("*").alias("n0"),
+        F.sum(conc.cast("long")).alias("c"),
+        F.sum(disc.cast("long")).alias("d"),
+    )
+    tx = (
+        users.groupBy("x").agg(F.count("*").alias("t"))
+        .agg(F.sum(F.expr("t * (t - 1) DIV 2")).alias("n1"))
+    )
+    ty = (
+        users.groupBy("y").agg(F.count("*").alias("t"))
+        .agg(F.sum(F.expr("t * (t - 1) DIV 2")).alias("n2"))
+    )
+    j = cd.crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty))
+    den = (F.col("n0") - F.col("n1")).cast("double") * (F.col("n0") - F.col("n2")).cast("double")
+    tau = F.when(den > 0, (F.col("c") - F.col("d")).cast("double") / F.sqrt(den))
+    return j.select("n0", "c", "d", "n1", "n2", F.round(tau, 6).alias("tau_r"))
+
+
+SQL_KENDALL_TAU = f"""
+WITH users AS (
+  SELECT user_id, count(*) AS x,
+         count(DISTINCT epoch_us(ts) // {_US_PER_DAY}) AS y
+  FROM events GROUP BY 1
+),
+cd AS (
+  SELECT count(*) AS n0,
+         CAST(sum(CASE WHEN (a.x < b.x AND a.y < b.y)
+                         OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(sum(CASE WHEN (a.x < b.x AND a.y > b.y)
+                         OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM users a JOIN users b ON a.user_id < b.user_id
+),
+tx AS (SELECT CAST(sum(t * (t - 1) // 2) AS BIGINT) AS n1
+       FROM (SELECT count(*) AS t FROM users GROUP BY x)),
+ty AS (SELECT CAST(sum(t * (t - 1) // 2) AS BIGINT) AS n2
+       FROM (SELECT count(*) AS t FROM users GROUP BY y))
+SELECT n0, c, d, n1, n2,
+       round(CASE WHEN CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE) > 0
+              THEN CAST(c - d AS DOUBLE)
+                   / sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE))
+         END, 6) AS tau_r
+FROM cd, tx, ty
+"""
+
+
+# --------------------------------------------------------------------------
+# E77 — Gini concentration (`gini_coefficient` composite): per event
+# type, how unequally is volume spread across users?  The rank-sum
+# identity G = (2·Σ rᵢxᵢ − (n+1)·Σx) / (n·Σx) over counts ranked by
+# (count, user_id) — numerator and denominator published as exact
+# int64 (tie-invariant: equal values swap ranks without changing the
+# sum), one window + one aggregate per type.
+# --------------------------------------------------------------------------
+
+
+def q_gini_coefficient(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("event_type").orderBy("c", "user_id")
+    ranked = per_user.withColumn("r", F.row_number().over(w))
+    agg = ranked.groupBy("event_type").agg(
+        F.count("*").alias("n_users"),
+        F.sum("c").alias("total"),
+        F.sum(F.col("r") * F.col("c")).alias("rank_sum"),
+    )
+    num = 2 * F.col("rank_sum") - (F.col("n_users") + 1) * F.col("total")
+    den = F.col("n_users") * F.col("total")
+    gini = F.when(den > 0, num.cast("double") / den.cast("double"))
+    return agg.select(
+        "event_type", "n_users", "total",
+        num.alias("num"), den.alias("den"),
+        F.round(gini, 6).alias("gini_r"),
+    )
+
+
+SQL_GINI_COEFFICIENT = """
+WITH per_user AS (
+  SELECT event_type, user_id, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT event_type, c,
+         row_number() OVER (PARTITION BY event_type ORDER BY c, user_id) AS r
+  FROM per_user
+),
+agg AS (
+  SELECT event_type, count(*) AS n_users,
+         CAST(sum(c) AS BIGINT) AS total,
+         CAST(sum(r * c) AS BIGINT) AS rank_sum
+  FROM ranked GROUP BY 1
+)
+SELECT event_type, n_users, total,
+       2 * rank_sum - (n_users + 1) * total AS num,
+       n_users * total AS den,
+       round(CASE WHEN n_users * total > 0
+              THEN CAST(2 * rank_sum - (n_users + 1) * total AS DOUBLE)
+                   / CAST(n_users * total AS DOUBLE)
+         END, 6) AS gini_r
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# E78 — vocabulary growth / Heaps' law (`vocab_growth` composite):
+# distinct vocabulary vs corpus size at doc-count checkpoints — the
+# corpus-health curve (sub-linear growth is Heaps' law; a linear curve
+# flags boilerplate/noise).  First-occurrence doc per term (one
+# aggregate), bucketed + cumulative-window — NO inequality join against
+# the checkpoint list.  Exact integers throughout.
+# --------------------------------------------------------------------------
+
+_VG_STEP = 50
+
+
+def q_vocab_growth(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).filter(F.length("term") > 0)
+    firsts = words.groupBy("term").agg(F.min("doc_id").alias("fd"))
+    vb = firsts.groupBy((F.expr(f"fd DIV {_VG_STEP}") + 1).alias("b")).agg(
+        F.count("*").alias("new_terms")
+    )
+    tb = words.groupBy((F.expr(f"doc_id DIV {_VG_STEP}") + 1).alias("b")).agg(
+        F.count("*").alias("toks")
+    )
+    j = vb.join(tb, "b", "full")
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    out = j.select(
+        (F.col("b") * _VG_STEP).alias("n_docs"),
+        F.sum(F.coalesce(F.col("new_terms"), F.lit(0))).over(w).alias("vocab"),
+        F.sum(F.coalesce(F.col("toks"), F.lit(0))).over(w).alias("tokens"),
+    )
+    return out.select(
+        "n_docs", "vocab", "tokens",
+        F.expr("(vocab * 1000000) DIV tokens").alias("ttr_q"),
+    )
+
+
+SQL_VOCAB_GROWTH = f"""
+WITH words AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+  WHERE length(t.term) > 0
+),
+firsts AS (SELECT term, min(doc_id) AS fd FROM words GROUP BY 1),
+vb AS (SELECT fd // {_VG_STEP} + 1 AS b, count(*) AS new_terms FROM firsts GROUP BY 1),
+tb AS (SELECT doc_id // {_VG_STEP} + 1 AS b, count(*) AS toks FROM words GROUP BY 1),
+cum AS (
+  SELECT coalesce(vb.b, tb.b) AS b,
+         CAST(sum(coalesce(new_terms, 0))
+              OVER (ORDER BY coalesce(vb.b, tb.b)) AS BIGINT) AS vocab,
+         CAST(sum(coalesce(toks, 0))
+              OVER (ORDER BY coalesce(vb.b, tb.b)) AS BIGINT) AS tokens
+  FROM vb FULL JOIN tb ON vb.b = tb.b
+)
+SELECT b * {_VG_STEP} AS n_docs, vocab, tokens,
+       (vocab * 1000000) // tokens AS ttr_q
+FROM cum
+"""
+
+
+# --------------------------------------------------------------------------
+# E79 — fractal box counting (`box_counting` composite): occupied-cell
+# counts of the event point set at a ladder of grid scales — the
+# box-counting dimension measurement (N(s) ~ s^-D).  One explode of
+# the scale ladder (constant ×5) + one distinct-cell aggregate per
+# scale; the successive ratio N(s)/N(2s) is integer-quantized.
+# --------------------------------------------------------------------------
+
+_BOX_SCALES = [1, 2, 4, 8, 16]
+
+
+def q_box_counting(spark, sf_dir):
+    geo = geo_events(spark, sf_dir)
+    sc = F.explode(F.array(*[F.lit(s) for s in _BOX_SCALES])).alias("scale")
+    cells = geo.select("lat", "lon", sc).select(
+        "scale",
+        F.floor(F.col("lon") / F.col("scale")).cast("long").alias("gx"),
+        F.floor(F.col("lat") / F.col("scale")).cast("long").alias("gy"),
+    )
+    occ = cells.groupBy("scale").agg(F.countDistinct("gx", "gy").alias("n_boxes"))
+    nxt = occ.select((F.col("scale") / 2).cast("int").alias("scale"),
+                     F.col("n_boxes").alias("n_coarser"))
+    return (
+        occ.join(nxt, "scale", "left")
+        .select(
+            "scale", "n_boxes",
+            F.expr("(n_boxes * 1000000) DIV n_coarser").alias("ratio_q"),
+        )
+    )
+
+
+SQL_BOX_COUNTING = f"""
+WITH {GEO_CTE},
+sc AS (SELECT unnest(ARRAY{_BOX_SCALES}) AS scale),
+occ AS (
+  SELECT scale, count(DISTINCT (CAST(floor(lon / scale) AS BIGINT),
+                                CAST(floor(lat / scale) AS BIGINT))) AS n_boxes
+  FROM geo, sc GROUP BY 1
+)
+SELECT o.scale, o.n_boxes,
+       (o.n_boxes * 1000000) // n2.n_boxes AS ratio_q
+FROM occ o LEFT JOIN occ n2 ON n2.scale = o.scale * 2
+"""

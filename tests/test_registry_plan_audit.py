@@ -54,6 +54,8 @@ BNLJ_ALLOWED = {
     "bm25_scores",
     # assoc_rules: 1-row basket-count attach onto the rule table
     "assoc_rules",
+    # kendall_tau: three 1-row scalar aggregates joined (C/D, tie terms)
+    "kendall_tau",
 }
 
 QUERIES = entrymod.queries()
