@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gini_coefficient": _wrap(Q.q_gini_coefficient),
         "vocab_growth": _wrap(Q.q_vocab_growth),
         "box_counting": _wrap(Q.q_box_counting),
+        "haar_energy": _wrap(Q.q_haar_energy),
         "funnel_steps": _wrap(Q.q_funnel_steps),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
@@ -410,6 +411,7 @@ def oracle_sql() -> dict[str, str]:
         "gini_coefficient": Q.SQL_GINI_COEFFICIENT,
         "vocab_growth": Q.SQL_VOCAB_GROWTH,
         "box_counting": Q.SQL_BOX_COUNTING,
+        "haar_energy": Q.SQL_HAAR_ENERGY,
         "funnel_steps": Q.SQL_FUNNEL_STEPS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,

@@ -11482,3 +11482,63 @@ SELECT o.scale, o.n_boxes,
        (o.n_boxes * 1000000) // n2.n_boxes AS ratio_q
 FROM occ o LEFT JOIN occ n2 ON n2.scale = o.scale * 2
 """
+
+
+# --------------------------------------------------------------------------
+# E80 — Haar wavelet energy (`haar_energy` composite,
+# `images.luma_plane`): per-image horizontal Haar detail energy at
+# levels 1-3 — the multi-resolution texture/blur signature (a blurred
+# image's fine-level energy collapses).  The decode pass emits the
+# luma plane as a RELATION; the transform is pure JVM: unnormalized
+# Haar details are SIGNED INTEGER block sums (first half − second
+# half of each 2^L run), so detail energies are exact int64 and the
+# whole pyramid is one ×3 scale explode + two hash aggregates — no
+# bespoke kernel per level.  The DuckDB twin replays the identical
+# block algebra from the closed-form pixel generator.
+# --------------------------------------------------------------------------
+
+_HAAR_LEVELS = [1, 2, 3]
+_bound_haar_cache = make_bounded_cache()
+
+
+def q_haar_energy(spark, sf_dir):
+    from gotrackmaster_spark.operators.images import luma_plane, synthesize_images
+
+    imgs = synthesize_images(spark, sf_dir, w=_IMG_W, h=_IMG_H)
+    lum = _bound_haar_cache(luma_plane(imgs))
+    lv = F.explode(F.array(*[F.lit(v) for v in _HAAR_LEVELS])).alias("level")
+    expanded = lum.select("image_id", "fmt", "x", "y", "l", lv)
+    blk = F.expr("x DIV (1 << level)")
+    sign = F.when(
+        F.expr("x % (1 << level) < (1 << (level - 1))"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    detail = (
+        expanded.groupBy("image_id", "fmt", "level", "y", blk.alias("b"))
+        .agg(F.sum(sign * F.col("l")).alias("d"))
+    )
+    return detail.groupBy("image_id", "fmt", "level").agg(
+        F.sum(F.col("d") * F.col("d")).alias("energy"),
+        F.max(F.abs(F.col("d"))).alias("max_detail"),
+    )
+
+
+SQL_HAAR_ENERGY = f"""
+WITH lum AS (
+  SELECT doc_id, j % {_IMG_W} AS x, j // {_IMG_W} AS y,
+         {_otsu_luma_at()} AS l
+  FROM documents, range({_IMG_W * _IMG_H}) t(j)
+),
+lv AS (SELECT unnest(ARRAY{_HAAR_LEVELS}) AS level),
+detail AS (
+  SELECT doc_id, level, y, x // (1 << level) AS b,
+         CAST(sum(CASE WHEN x % (1 << level) < (1 << (level - 1))
+                       THEN l ELSE -l END) AS BIGINT) AS d
+  FROM lum, lv GROUP BY 1, 2, 3, 4
+)
+SELECT format('img{{:08d}}', doc_id) AS image_id,
+       ['raw', 'png', 'qnt4'][CAST(doc_id % 3 AS INT) + 1] AS fmt,
+       level,
+       CAST(sum(d * d) AS BIGINT) AS energy,
+       CAST(max(abs(d)) AS BIGINT) AS max_detail
+FROM detail GROUP BY 1, 2, 3
+"""

@@ -1226,3 +1226,37 @@ def euler_stats(images: DataFrame, thresh: int = 128) -> DataFrame:
     schema = ("image_id string, fmt string, n_fg long, n_adj long, "
               "n_quad long, euler long")
     return images.mapInPandas(stats, schema)
+
+
+def luma_plane(images: DataFrame) -> DataFrame:
+    """Decode → the per-pixel luma plane as a RELATION: ``(image_id,
+    fmt, x, y, l)`` — the raster↔relational bridge.  Downstream raster
+    math (wavelet transforms, filters, per-row statistics) then runs
+    entirely JVM-side as joins/aggregates instead of growing one more
+    bespoke kernel per statistic.  Same exact integer luma as
+    :func:`phash64_batch`; one ``mapInPandas`` decode pass, output
+    ~20 B/pixel (bounded: pixels, not bytes×channels).
+    """
+
+    def plane(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            outs = []
+            for r in pdf.itertuples(index=False):
+                px = decode_image(r.bytes, r.w, r.h, r.fmt).astype(np.int64)
+                luma = (299 * px[..., 0] + 587 * px[..., 1] + 114 * px[..., 2]) // 1000
+                h, w = luma.shape
+                idx = np.arange(h * w, dtype=np.int64)
+                outs.append(pd.DataFrame({
+                    "image_id": np.full(h * w, r.image_id),
+                    "fmt": np.full(h * w, r.fmt),
+                    "x": (idx % w).astype(np.int32),
+                    "y": (idx // w).astype(np.int32),
+                    "l": luma.ravel(),
+                }))
+            yield pd.concat(outs, ignore_index=True)
+
+    return images.mapInPandas(
+        plane, "image_id string, fmt string, x int, y int, l long"
+    )

@@ -103,3 +103,49 @@ def test_euler_term_arithmetic(spark):
     block = np.zeros((4, 4)); block[1:3, 1:3] = 1
     got = _eulers(spark, [block])
     assert got["m00"] == (4, 4, 1, 1)
+
+
+# ----------------------------------------------------- Haar energy ---
+
+def test_haar_energy_constant_and_step(spark):
+    """Constant image → zero detail at every level; a width-4 block
+    wave concentrates energy at level 2 (detail = ±sum of 2-blocks)."""
+    from pyspark.sql import functions as F
+
+    from gotrackmaster_spark.operators.images import luma_plane
+
+    w, h = 16, 2
+    const = np.full((h, w), 100, dtype=np.uint8)
+    # blocks of 4: [4×200, 4×0] repeating — level-1 details cancel
+    step = np.zeros((h, w), dtype=np.uint8)
+    for x in range(w):
+        if (x // 4) % 2 == 0:
+            step[:, x] = 200
+    rows = []
+    for i, m in enumerate([const, step]):
+        px = np.repeat(m[:, :, None], 3, axis=2).astype(np.uint8)
+        rows.append((f"h{i:02d}", px.tobytes(), w, h, "raw"))
+    imgs = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    lum = luma_plane(imgs)
+    lv = F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("level")
+    expanded = lum.select("image_id", "x", "y", "l", lv)
+    sign = F.when(
+        F.expr("x % (1 << level) < (1 << (level - 1))"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    detail = expanded.groupBy(
+        "image_id", "level", "y", F.expr("x DIV (1 << level)").alias("b")
+    ).agg(F.sum(sign * F.col("l")).alias("d"))
+    en = {
+        (r.image_id, r.level): r.e
+        for r in detail.groupBy("image_id", "level")
+        .agg(F.sum(F.col("d") * F.col("d")).alias("e"))
+        .collect()
+    }
+    assert en[("h00", 1)] == en[("h00", 2)] == en[("h00", 3)] == 0
+    assert en[("h01", 1)] == 0          # 2-pairs are constant
+    assert en[("h01", 2)] == 0          # 4-blocks are constant
+    assert en[("h01", 3)] > 0           # 8-blocks: 4×200 vs 4×0
+    # exact value: per row 2 blocks, each detail = ±4·200 → 2·(800²)·h
+    assert en[("h01", 3)] == 2 * (800 ** 2) * h
