@@ -234,6 +234,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth": _wrap(Q.q_vocab_growth),
         "box_counting": _wrap(Q.q_box_counting),
         "haar_energy": _wrap(Q.q_haar_energy),
+        "ks_statistic": _wrap(Q.q_ks_statistic),
+        "mann_whitney": _wrap(Q.q_mann_whitney),
         "funnel_steps": _wrap(Q.q_funnel_steps),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
@@ -412,6 +414,8 @@ def oracle_sql() -> dict[str, str]:
         "vocab_growth": Q.SQL_VOCAB_GROWTH,
         "box_counting": Q.SQL_BOX_COUNTING,
         "haar_energy": Q.SQL_HAAR_ENERGY,
+        "ks_statistic": Q.SQL_KS_STATISTIC,
+        "mann_whitney": Q.SQL_MANN_WHITNEY,
         "funnel_steps": Q.SQL_FUNNEL_STEPS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,

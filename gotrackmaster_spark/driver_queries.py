@@ -11542,3 +11542,141 @@ SELECT format('img{{:08d}}', doc_id) AS image_id,
        CAST(max(abs(d)) AS BIGINT) AS max_detail
 FROM detail GROUP BY 1, 2, 3
 """
+
+
+# --------------------------------------------------------------------------
+# E81 — two-sample Kolmogorov-Smirnov statistic (`ks_statistic`
+# composite): does doc length distribute the same across the two
+# source strata?  D = max |F₁ − F₂| computed as an EXACT RATIONAL —
+# max |c₁·n₂ − c₂·n₁| over the merged value ladder, denominator n₁·n₂
+# — no floats until the final display division.  One per-value
+# aggregate + one cumulative window over the ≤|distinct lengths| rows.
+# --------------------------------------------------------------------------
+
+
+def _ks_groups(docs):
+    grp = F.expr("CAST(substring(source, 4) AS INT) % 2")
+    return docs.select(grp.alias("g"), F.col("n_chars").alias("v"))
+
+
+def q_ks_statistic(spark, sf_dir):
+    from pyspark.sql import Window
+
+    vals = _ks_groups(_t(spark, sf_dir, "documents"))
+    per_v = vals.groupBy("v").agg(
+        F.sum((F.col("g") == 0).cast("long")).alias("a"),
+        F.sum((F.col("g") == 1).cast("long")).alias("b"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        "v",
+        F.sum("a").over(w).alias("c1"),
+        F.sum("b").over(w).alias("c2"),
+    )
+    # d_num needs n1/n2 on every ladder row — attach the 1-row totals
+    tot = vals.agg(
+        F.sum((F.col("g") == 0).cast("long")).alias("n1"),
+        F.sum((F.col("g") == 1).cast("long")).alias("n2"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    d = j.agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.max(F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))).alias("d_num"),
+    )
+    return d.select(
+        "n1", "n2", "d_num",
+        F.round(F.col("d_num").cast("double") / (F.col("n1") * F.col("n2")).cast("double"), 6).alias("d_r"),
+    )
+
+
+SQL_KS_STATISTIC = """
+WITH vals AS (
+  SELECT CAST(substring(source, 4) AS INT) % 2 AS g, n_chars AS v
+  FROM documents
+),
+per_v AS (
+  SELECT v,
+         CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+  FROM vals GROUP BY 1
+),
+cum AS (
+  SELECT v,
+         CAST(sum(a) OVER (ORDER BY v) AS BIGINT) AS c1,
+         CAST(sum(b) OVER (ORDER BY v) AS BIGINT) AS c2
+  FROM per_v
+),
+tot AS (
+  SELECT CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM vals
+)
+SELECT max(t.n1) AS n1, max(t.n2) AS n2,
+       max(abs(c.c1 * t.n2 - c.c2 * t.n1)) AS d_num,
+       round(CAST(max(abs(c.c1 * t.n2 - c.c2 * t.n1)) AS DOUBLE)
+             / CAST(max(t.n1) * max(t.n2) AS DOUBLE), 6) AS d_r
+FROM cum c CROSS JOIN tot t
+"""
+
+
+# --------------------------------------------------------------------------
+# E82 — Mann-Whitney U (`mann_whitney` composite): the rank-sum
+# companion to KS over the same strata — 2·U (doubled to keep the
+# half-credit tie term integer) via the merged value ladder:
+# 2U = Σ_v a(v)·(2·cumB_less(v) + b(v)).  No pair join: the cumulative
+# window replaces the |A|·|B| comparison.  The common-language effect
+# size u_r = U/(n₁n₂) is the only float.
+# --------------------------------------------------------------------------
+
+
+def q_mann_whitney(spark, sf_dir):
+    from pyspark.sql import Window
+
+    vals = _ks_groups(_t(spark, sf_dir, "documents"))
+    per_v = vals.groupBy("v").agg(
+        F.sum((F.col("g") == 0).cast("long")).alias("a"),
+        F.sum((F.col("g") == 1).cast("long")).alias("b"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per_v.select(
+        "a", "b",
+        F.coalesce(F.sum("b").over(w), F.lit(0)).alias("b_less"),
+    )
+    agg = cum.agg(
+        F.sum("a").alias("n1"),
+        F.sum("b").alias("n2"),
+        F.sum(F.col("a") * (2 * F.col("b_less") + F.col("b"))).alias("u2x"),
+    )
+    return agg.select(
+        "n1", "n2", "u2x",
+        F.round(
+            F.col("u2x").cast("double") / (2 * F.col("n1") * F.col("n2")).cast("double"), 6
+        ).alias("u_r"),
+    )
+
+
+SQL_MANN_WHITNEY = """
+WITH vals AS (
+  SELECT CAST(substring(source, 4) AS INT) % 2 AS g, n_chars AS v
+  FROM documents
+),
+per_v AS (
+  SELECT v,
+         CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+  FROM vals GROUP BY 1
+),
+cum AS (
+  SELECT a, b,
+         CAST(coalesce(sum(b) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS b_less
+  FROM per_v
+)
+SELECT CAST(sum(a) AS BIGINT) AS n1,
+       CAST(sum(b) AS BIGINT) AS n2,
+       CAST(sum(a * (2 * b_less + b)) AS BIGINT) AS u2x,
+       round(CAST(sum(a * (2 * b_less + b)) AS DOUBLE)
+             / CAST(2 * sum(a) * sum(b) AS DOUBLE), 6) AS u_r
+FROM cum
+"""

@@ -56,6 +56,8 @@ BNLJ_ALLOWED = {
     "assoc_rules",
     # kendall_tau: three 1-row scalar aggregates joined (C/D, tie terms)
     "kendall_tau",
+    # ks_statistic: 1-row (n1, n2) totals attach onto the value ladder
+    "ks_statistic",
 }
 
 QUERIES = entrymod.queries()
