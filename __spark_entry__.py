@@ -236,6 +236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "haar_energy": _wrap(Q.q_haar_energy),
         "ks_statistic": _wrap(Q.q_ks_statistic),
         "mann_whitney": _wrap(Q.q_mann_whitney),
+        "shipping_priority": _wrap(Q.q_shipping_priority),
         "funnel_steps": _wrap(Q.q_funnel_steps),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
@@ -416,6 +417,7 @@ def oracle_sql() -> dict[str, str]:
         "haar_energy": Q.SQL_HAAR_ENERGY,
         "ks_statistic": Q.SQL_KS_STATISTIC,
         "mann_whitney": Q.SQL_MANN_WHITNEY,
+        "shipping_priority": Q.SQL_SHIPPING_PRIORITY,
         "funnel_steps": Q.SQL_FUNNEL_STEPS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,

@@ -11680,3 +11680,80 @@ SELECT CAST(sum(a) AS BIGINT) AS n1,
              / CAST(2 * sum(a) * sum(b) AS DOUBLE), 6) AS u_r
 FROM cum
 """
+
+
+# --------------------------------------------------------------------------
+# E83 — shipping priority (`shipping_priority` composite): the TPC-H
+# Q3-shaped top-k — BUILDING-segment orders not yet fully shipped at
+# the cutoff, ranked by outstanding revenue in EXACT INTEGER CENTS
+# (the regional_revenue rounding contract), deterministic top-10 via
+# (revenue DESC, orderkey) row_number.  Broadcast customer dim, one
+# orderkey shuffle, top-k replaces ORDER BY..LIMIT so the driver's
+# order-insensitive compare still pins the selected set.
+# --------------------------------------------------------------------------
+
+_Q3_SEGMENT = "BUILDING"
+_Q3_CUTOFF = "1995-03-15"
+_Q3_TOPK = 10
+
+
+def q_shipping_priority(spark, sf_dir):
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * F.lit(100.0),
+        0,
+    ).cast("long")
+    j = (
+        li.filter(F.col("l_shipdate") > F.lit(_Q3_CUTOFF).cast("timestamp"))
+        .join(
+            orders.filter(F.col("o_orderdate") < F.lit(_Q3_CUTOFF).cast("timestamp")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(cust.filter(F.col("c_mktsegment") == _Q3_SEGMENT)),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    agg = j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum(cents).alias("revenue_cents"),
+        F.count("*").alias("n_items"),
+    )
+    w = Window.orderBy(F.desc("revenue_cents"), F.asc("l_orderkey"))
+    return (
+        agg.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _Q3_TOPK)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority", "n_items", "revenue_cents",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+SQL_SHIPPING_PRIORITY = f"""
+WITH agg AS (
+  SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+         CAST(sum(CAST(round(l.l_extendedprice * (1.0 - l.l_discount) * 100.0, 0)
+                       AS BIGINT)) AS BIGINT) AS revenue_cents,
+         count(*) AS n_items
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = '{_Q3_SEGMENT}'
+    AND o.o_orderdate < TIMESTAMP '{_Q3_CUTOFF}'
+    AND l.l_shipdate > TIMESTAMP '{_Q3_CUTOFF}'
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY revenue_cents DESC, l_orderkey) AS rk
+  FROM agg
+)
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderpriority, n_items, revenue_cents, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= {_Q3_TOPK}
+"""
