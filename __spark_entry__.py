@@ -237,6 +237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_statistic": _wrap(Q.q_ks_statistic),
         "mann_whitney": _wrap(Q.q_mann_whitney),
         "shipping_priority": _wrap(Q.q_shipping_priority),
+        "pps_sample": _wrap(Q.q_pps_sample),
         "funnel_steps": _wrap(Q.q_funnel_steps),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
@@ -418,6 +419,7 @@ def oracle_sql() -> dict[str, str]:
         "ks_statistic": Q.SQL_KS_STATISTIC,
         "mann_whitney": Q.SQL_MANN_WHITNEY,
         "shipping_priority": Q.SQL_SHIPPING_PRIORITY,
+        "pps_sample": Q.SQL_PPS_SAMPLE,
         "funnel_steps": Q.SQL_FUNNEL_STEPS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,

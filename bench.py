@@ -148,6 +148,12 @@ def bench_queries():
         # (multi-round iterative class alongside d8_basins)
         "winnow_pairs": Q.q_winnow_pairs,
         "bfs_hops": Q.q_bfs_hops,
+        # round-3 closing additions: trajectory set-distance (two-stage
+        # candidate→verify over cell sets), decode→relational Haar
+        # transform, and positional phrase search (postings join)
+        "hausdorff_pairs": Q.q_hausdorff_pairs,
+        "haar_energy": Q.q_haar_energy,
+        "phrase_search": Q.q_phrase_search,
     }
 
 

@@ -11757,3 +11757,53 @@ SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
        o_orderpriority, n_items, revenue_cents, CAST(rk AS INT) AS rk
 FROM ranked WHERE rk <= {_Q3_TOPK}
 """
+
+
+# --------------------------------------------------------------------------
+# E84 — systematic PPS sampling (`pps_sample` composite): deterministic
+# probability-proportional-to-size selection of users weighted by event
+# volume — the weighted companion to `stratified_sample`'s hash
+# sampling.  A user is picked once per integer multiple of W/K inside
+# its cumulative-weight interval:  n_picks = (cum·K) DIV W −
+# ((cum−w)·K) DIV W  — EXACT integers, no randomness, heavy users can
+# legitimately be picked more than once (classic systematic PPS with
+# origin 0).  The window cumsum runs over the per-user AGGREGATE
+# (users, not events); at 10⁹ users replace the global window with a
+# two-level cumsum (per-bucket partial sums + broadcast bucket
+# offsets).
+# --------------------------------------------------------------------------
+
+_PPS_K = 20
+
+
+def q_pps_sample(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(F.count("*").alias("w"))
+    tot = users.agg(F.sum("w").alias("tw"))
+    w = Window.orderBy("user_id").rowsBetween(Window.unboundedPreceding, 0)
+    cum = users.select("user_id", "w", F.sum("w").over(w).alias("cum"))
+    j = cum.crossJoin(F.broadcast(tot))
+    picks = F.expr(f"(cum * {_PPS_K}) DIV tw - ((cum - w) * {_PPS_K}) DIV tw")
+    return (
+        j.select("user_id", "w", "cum", picks.alias("n_picks"))
+        .filter(F.col("n_picks") >= 1)
+    )
+
+
+SQL_PPS_SAMPLE = f"""
+WITH users AS (
+  SELECT user_id, count(*) AS w FROM events GROUP BY 1
+),
+tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM users),
+cum AS (
+  SELECT user_id, w,
+         CAST(sum(w) OVER (ORDER BY user_id) AS BIGINT) AS cum
+  FROM users
+)
+SELECT c.user_id, c.w, c.cum,
+       (c.cum * {_PPS_K}) // t.tw - ((c.cum - c.w) * {_PPS_K}) // t.tw AS n_picks
+FROM cum c CROSS JOIN tot t
+WHERE (c.cum * {_PPS_K}) // t.tw - ((c.cum - c.w) * {_PPS_K}) // t.tw >= 1
+"""

@@ -58,6 +58,8 @@ BNLJ_ALLOWED = {
     "kendall_tau",
     # ks_statistic: 1-row (n1, n2) totals attach onto the value ladder
     "ks_statistic",
+    # pps_sample: 1-row total-weight attach onto the per-user cumsum
+    "pps_sample",
 }
 
 QUERIES = entrymod.queries()
