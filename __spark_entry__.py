@@ -238,6 +238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mann_whitney": _wrap(Q.q_mann_whitney),
         "shipping_priority": _wrap(Q.q_shipping_priority),
         "pps_sample": _wrap(Q.q_pps_sample),
+        "ppjoin_pairs": _wrap(Q.q_ppjoin_pairs),
         "funnel_steps": _wrap(Q.q_funnel_steps),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
@@ -420,6 +421,7 @@ def oracle_sql() -> dict[str, str]:
         "mann_whitney": Q.SQL_MANN_WHITNEY,
         "shipping_priority": Q.SQL_SHIPPING_PRIORITY,
         "pps_sample": Q.SQL_PPS_SAMPLE,
+        "ppjoin_pairs": Q.SQL_PPJOIN_PAIRS,
         "funnel_steps": Q.SQL_FUNNEL_STEPS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,

@@ -11807,3 +11807,20 @@ SELECT c.user_id, c.w, c.cum,
 FROM cum c CROSS JOIN tot t
 WHERE (c.cum * {_PPS_K}) // t.tw - ((c.cum - c.w) * {_PPS_K}) // t.tw >= 1
 """
+
+
+# --------------------------------------------------------------------------
+# E85 — prefix-filtered similarity join (`ppjoin_pairs`,
+# `dedup.ppjoin_pairs`): the EXACT (non-probabilistic) scale path for
+# Jaccard dedup — PPJoin's prefix filter generates candidates from the
+# rarest ⌈(1−t)|s|⌉+1 shingles per doc only, then a ROW-LOCAL
+# array_intersect verify; output identical to `jaccard_pairs` at the
+# same threshold (equality pinned in tests/test_dedup_text.py).
+# --------------------------------------------------------------------------
+
+
+def q_ppjoin_pairs(spark, sf_dir):
+    return D.ppjoin_pairs(_t(spark, sf_dir, "documents"))
+
+
+SQL_PPJOIN_PAIRS = D.sql_ppjoin_pairs()

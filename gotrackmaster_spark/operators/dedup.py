@@ -1174,3 +1174,141 @@ pairs AS (
 )
 SELECT doc_a, doc_b, n_shared FROM pairs
 """
+
+
+_bound_ppjoin_cache = make_bounded_cache()
+
+
+def ppjoin_pairs(
+    docs: DataFrame, threshold_num: int = 1, threshold_den: int = 2,
+    text_col: str = "text", id_col: str = "doc_id",
+    max_shingle_df: int | None = JACCARD_MAX_SHINGLE_DF,
+) -> DataFrame:
+    """EXACT set-similarity join via the prefix filter (PPJoin family,
+    Xiao et al. 2008 — the candidate-reduction lemma only, without the
+    positional refinement): identical output to :func:`jaccard_pairs`
+    at the same threshold (pinned by test), but candidates come from a
+    PREFIX inverted index instead of the full one.
+
+    Lemma: order every doc's shingles by one GLOBAL total order
+    (document frequency ASC, hash — rarest first, the best pruning
+    order); if J(A,B) ≥ n/d then A and B must share a shingle among
+    each one's first ``|s| − ⌈n·|s|/d⌉ + 1`` shingles.  At threshold
+    1/2 the prefix is ~half the set, and it is the RARE half — the
+    posting lists that actually join are the short ones, so candidate
+    volume drops superlinearly vs the full index (hot shingles never
+    generate candidates even below the stop-shingle cap).
+
+    Verify stage is ROW-LOCAL: per-doc sorted shingle arrays join the
+    candidate pairs and ``size(array_intersect())`` gives the exact
+    overlap — no second corpus-wide shuffle on the shingle key, the
+    arrays are bounded by doc length.  Same hot-shingle cap as
+    `jaccard_pairs` so the Jaccard space is identical.
+
+    Output: ``(a_id, b_id, inter, sa, sb)`` — exactly jaccard_pairs'.
+    """
+    from pyspark.sql import Window
+
+    sh = doc_shingles(docs, text_col, id_col)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle_h")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle_h")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle_h", "left_anti")
+    sh = _bound_ppjoin_cache(sh)
+    dfreq = sh.groupBy("shingle_h").agg(F.count("*").alias("df"))
+    w = Window.partitionBy(id_col).orderBy("df", "shingle_h")
+    ranked = (
+        sh.join(dfreq, "shingle_h")
+        .withColumn("pos", F.row_number().over(w))
+        .withColumn("sz", F.count("*").over(Window.partitionBy(id_col)))
+    )
+    # prefix_len = sz − ⌈(n·sz)/d⌉ + 1, all integer
+    pref = ranked.filter(
+        F.col("pos")
+        <= F.col("sz")
+        - F.expr(f"({threshold_num} * sz + {threshold_den} - 1) DIV {threshold_den}")
+        + 1
+    )
+    a = pref.select(F.col(id_col).alias("a_id"), "shingle_h")
+    b = pref.select(F.col(id_col).alias("b_id"), "shingle_h")
+    cand = (
+        a.join(b, "shingle_h")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    sets = sh.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("shingle_h")).alias("arr"),
+        F.count("*").alias("sz"),
+    )
+    j = (
+        cand.join(
+            sets.select(F.col(id_col).alias("a_id"), F.col("arr").alias("la"),
+                        F.col("sz").alias("sa")),
+            "a_id",
+        )
+        .join(
+            sets.select(F.col(id_col).alias("b_id"), F.col("arr").alias("lb"),
+                        F.col("sz").alias("sb")),
+            "b_id",
+        )
+        .withColumn("inter", F.size(F.array_intersect(F.col("la"), F.col("lb"))).cast("long"))
+    )
+    return j.filter(
+        F.lit(threshold_den) * F.col("inter")
+        >= F.lit(threshold_num) * (F.col("sa") + F.col("sb") - F.col("inter"))
+    ).select("a_id", "b_id", "inter", "sa", "sb")
+
+
+def sql_ppjoin_pairs(
+    threshold_num: int = 1, threshold_den: int = 2,
+    max_shingle_df: int | None = JACCARD_MAX_SHINGLE_DF,
+) -> str:
+    cap_cte = ""
+    src = "shingles"
+    if max_shingle_df is not None:
+        cap_cte = f"""
+capped AS (
+  SELECT s.doc_id, s.shingle_h FROM shingles s
+  JOIN (SELECT shingle_h FROM shingles GROUP BY 1
+        HAVING count(*) <= {max_shingle_df}) k USING (shingle_h)
+),"""
+        src = "capped"
+    return f"""
+WITH {_SHINGLES_CTE},{cap_cte}
+dfreq AS (SELECT shingle_h, count(*) AS df FROM {src} GROUP BY 1),
+ranked AS (
+  SELECT s.doc_id, s.shingle_h,
+         row_number() OVER (PARTITION BY s.doc_id
+                            ORDER BY d.df, s.shingle_h) AS pos,
+         count(*) OVER (PARTITION BY s.doc_id) AS sz
+  FROM {src} s JOIN dfreq d USING (shingle_h)
+),
+pref AS (
+  SELECT doc_id, shingle_h FROM ranked
+  WHERE pos <= sz - (({threshold_num} * sz + {threshold_den} - 1)
+                     // {threshold_den}) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM pref a JOIN pref b ON a.shingle_h = b.shingle_h AND a.doc_id < b.doc_id
+),
+sets AS (
+  SELECT doc_id, list_sort(list(shingle_h)) AS arr,
+         CAST(count(*) AS BIGINT) AS sz
+  FROM {src} GROUP BY 1
+)
+SELECT c.a_id, c.b_id,
+       CAST(len(list_intersect(sa.arr, sb.arr)) AS BIGINT) AS inter,
+       sa.sz AS sa, sb.sz AS sb
+FROM cand c
+JOIN sets sa ON sa.doc_id = c.a_id
+JOIN sets sb ON sb.doc_id = c.b_id
+WHERE {threshold_den} * CAST(len(list_intersect(sa.arr, sb.arr)) AS BIGINT)
+      >= {threshold_num} * (sa.sz + sb.sz
+                            - CAST(len(list_intersect(sa.arr, sb.arr)) AS BIGINT))
+"""

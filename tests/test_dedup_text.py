@@ -690,3 +690,47 @@ def test_value_mad_exact_small_sets(spark):
     got = {r["event_type"]: r for r in q_value_mad(spark, d).collect()}
     assert (got["a"]["n"], got["a"]["median"], got["a"]["mad"]) == (3, 3.0, 2.0)
     assert (got["b"]["n"], got["b"]["median"], got["b"]["mad"]) == (4, 2.5, 1.0)
+
+
+def test_ppjoin_equals_jaccard_pairs(spark):
+    """The prefix filter is a pure candidate OPTIMIZATION: output sets
+    must be identical to the full-inverted-index join, and the prefix
+    index must actually be smaller than the full one."""
+    from gotrackmaster_spark.operators.dedup import jaccard_pairs, ppjoin_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    full = {
+        (r.a_id, r.b_id): (r.inter, r.sa, r.sb)
+        for r in jaccard_pairs(docs).collect()
+    }
+    pp = {
+        (r.a_id, r.b_id): (r.inter, r.sa, r.sb)
+        for r in ppjoin_pairs(docs).collect()
+    }
+    assert pp == full
+    assert full  # non-degenerate
+
+
+def test_ppjoin_prefix_is_proper_subset(spark):
+    """Prefix posting volume < full posting volume (the whole point)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gotrackmaster_spark.operators.dedup import doc_shingles
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    sh = doc_shingles(docs)
+    dfreq = sh.groupBy("shingle_h").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle_h")
+    ranked = (
+        sh.join(dfreq, "shingle_h")
+        .withColumn("pos", F.row_number().over(w))
+        .withColumn("sz", F.count("*").over(Window.partitionBy("doc_id")))
+    )
+    n_full = ranked.count()
+    n_pref = ranked.filter(
+        F.col("pos") <= F.col("sz") - F.expr("(sz + 1) DIV 2") + 1
+    ).count()
+    assert 0 < n_pref < n_full
+    # threshold 1/2 keeps roughly half the postings (+1 slack per doc)
+    assert n_pref <= n_full // 2 + docs.count()
