@@ -239,6 +239,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": _wrap(Q.q_shipping_priority),
         "pps_sample": _wrap(Q.q_pps_sample),
         "ppjoin_pairs": _wrap(Q.q_ppjoin_pairs),
+        "hist_equalization": _wrap(Q.q_hist_equalization),
+        "projection_profile": _wrap(Q.q_projection_profile),
         "funnel_steps": _wrap(Q.q_funnel_steps),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
@@ -422,6 +424,8 @@ def oracle_sql() -> dict[str, str]:
         "shipping_priority": Q.SQL_SHIPPING_PRIORITY,
         "pps_sample": Q.SQL_PPS_SAMPLE,
         "ppjoin_pairs": Q.SQL_PPJOIN_PAIRS,
+        "hist_equalization": Q.SQL_HIST_EQUALIZATION,
+        "projection_profile": Q.SQL_PROJECTION_PROFILE,
         "funnel_steps": Q.SQL_FUNNEL_STEPS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,

@@ -11824,3 +11824,143 @@ def q_ppjoin_pairs(spark, sf_dir):
 
 
 SQL_PPJOIN_PAIRS = D.sql_ppjoin_pairs()
+
+
+# --------------------------------------------------------------------------
+# E86 — histogram equalization (`hist_equalization` composite): the
+# classic contrast-stretch LUT per image over `images.luma_histogram`
+# — lut(l) = ((cdf(l) − cdf_min)·255) DIV (N − cdf_min), all integer
+# (the exact OpenCV formulation).  Everything after the decode pass is
+# JVM windows/aggregates on ≤256-row-per-image bins; outputs are the
+# LUT's level counts and remapped-mass checksum (full-LUT fidelity
+# without 256 output rows per image).
+# --------------------------------------------------------------------------
+
+_bound_he_cache = make_bounded_cache()
+
+
+def q_hist_equalization(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from gotrackmaster_spark.operators.images import luma_histogram, synthesize_images
+
+    imgs = synthesize_images(spark, sf_dir, w=_IMG_W, h=_IMG_H)
+    hist = _bound_he_cache(luma_histogram(imgs))
+    wc = Window.partitionBy("image_id").orderBy("l")
+    wa = Window.partitionBy("image_id")
+    cum = hist.select(
+        "image_id", "fmt", "l", "n",
+        F.sum("n").over(wc).alias("cdf"),
+    ).select(
+        "image_id", "fmt", "l", "n", "cdf",
+        F.min("cdf").over(wa).alias("cdf_min"),
+        F.max("cdf").over(wa).alias("nn"),
+    )
+    lut = F.when(
+        F.col("nn") > F.col("cdf_min"),
+        F.expr("((cdf - cdf_min) * 255) DIV (nn - cdf_min)"),
+    ).otherwise(F.lit(0))
+    tagged = cum.select("image_id", "fmt", "n", lut.alias("lut"))
+    return tagged.groupBy("image_id", "fmt").agg(
+        F.count("*").alias("n_levels_in"),
+        F.countDistinct("lut").alias("n_levels_out"),
+        F.max("lut").alias("max_out"),
+        F.sum(F.col("n") * F.col("lut")).alias("mass_out"),
+    )
+
+
+SQL_HIST_EQUALIZATION = f"""
+WITH lum AS (
+  SELECT doc_id, {_otsu_luma_at()} AS l
+  FROM documents, range({_IMG_W * _IMG_H}) t(j)
+),
+hist AS (SELECT doc_id, l, CAST(count(*) AS BIGINT) AS n FROM lum GROUP BY 1, 2),
+cum AS (
+  SELECT doc_id, l, n,
+         CAST(sum(n) OVER (PARTITION BY doc_id ORDER BY l) AS BIGINT) AS cdf
+  FROM hist
+),
+ext AS (
+  SELECT doc_id, l, n, cdf,
+         min(cdf) OVER (PARTITION BY doc_id) AS cdf_min,
+         max(cdf) OVER (PARTITION BY doc_id) AS nn
+  FROM cum
+),
+tagged AS (
+  SELECT doc_id, n,
+         CASE WHEN nn > cdf_min
+              THEN ((cdf - cdf_min) * 255) // (nn - cdf_min)
+              ELSE 0 END AS lut
+  FROM ext
+)
+SELECT format('img{{:08d}}', doc_id) AS image_id,
+       ['raw', 'png', 'qnt4'][CAST(doc_id % 3 AS INT) + 1] AS fmt,
+       count(*) AS n_levels_in,
+       count(DISTINCT lut) AS n_levels_out,
+       CAST(max(lut) AS BIGINT) AS max_out,
+       CAST(sum(n * lut) AS BIGINT) AS mass_out
+FROM tagged GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# E87 — projection profiles (`projection_profile` composite): per-image
+# row/column sum variance over `images.luma_plane` — the banding /
+# stripe detector (a striped image has high row variance, a uniform
+# one near zero).  Variance numerators h·Σs² − (Σs)² are exact int64;
+# two tiny nested aggregates per axis on the relational luma plane.
+# --------------------------------------------------------------------------
+
+_bound_pp_cache = make_bounded_cache()
+
+
+def q_projection_profile(spark, sf_dir):
+    from gotrackmaster_spark.operators.images import luma_plane, synthesize_images
+
+    imgs = synthesize_images(spark, sf_dir, w=_IMG_W, h=_IMG_H)
+    lum = _bound_pp_cache(luma_plane(imgs))
+
+    def _axis(col, m):
+        sums = lum.groupBy("image_id", "fmt", col).agg(F.sum("l").alias("s"))
+        return sums.groupBy("image_id", "fmt").agg(
+            (F.lit(m) * F.sum(F.col("s") * F.col("s"))
+             - F.sum("s") * F.sum("s")).alias(f"{col}_var_num"),
+        )
+
+    rows = _axis("y", _IMG_H)
+    cols = _axis("x", _IMG_W)
+    j = rows.join(cols, ["image_id", "fmt"])
+    return j.select(
+        "image_id", "fmt", "y_var_num", "x_var_num",
+        F.round(F.col("y_var_num").cast("double") / F.lit(float(_IMG_H * _IMG_H)), 4).alias("row_var_r"),
+        F.round(F.col("x_var_num").cast("double") / F.lit(float(_IMG_W * _IMG_W)), 4).alias("col_var_r"),
+    )
+
+
+SQL_PROJECTION_PROFILE = f"""
+WITH lum AS (
+  SELECT doc_id, j % {_IMG_W} AS x, j // {_IMG_W} AS y,
+         {_otsu_luma_at()} AS l
+  FROM documents, range({_IMG_W * _IMG_H}) t(j)
+),
+rs AS (SELECT doc_id, y, CAST(sum(l) AS BIGINT) AS s FROM lum GROUP BY 1, 2),
+cs AS (SELECT doc_id, x, CAST(sum(l) AS BIGINT) AS s FROM lum GROUP BY 1, 2),
+ra AS (
+  SELECT doc_id,
+         {_IMG_H} * CAST(sum(s * s) AS BIGINT)
+         - CAST(sum(s) AS BIGINT) * CAST(sum(s) AS BIGINT) AS y_var_num
+  FROM rs GROUP BY 1
+),
+ca AS (
+  SELECT doc_id,
+         {_IMG_W} * CAST(sum(s * s) AS BIGINT)
+         - CAST(sum(s) AS BIGINT) * CAST(sum(s) AS BIGINT) AS x_var_num
+  FROM cs GROUP BY 1
+)
+SELECT format('img{{:08d}}', r.doc_id) AS image_id,
+       ['raw', 'png', 'qnt4'][CAST(r.doc_id % 3 AS INT) + 1] AS fmt,
+       r.y_var_num, c.x_var_num,
+       round(CAST(r.y_var_num AS DOUBLE) / CAST({_IMG_H * _IMG_H} AS DOUBLE), 4) AS row_var_r,
+       round(CAST(c.x_var_num AS DOUBLE) / CAST({_IMG_W * _IMG_W} AS DOUBLE), 4) AS col_var_r
+FROM ra r JOIN ca c ON c.doc_id = r.doc_id
+"""
