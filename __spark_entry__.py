@@ -241,6 +241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppjoin_pairs": _wrap(Q.q_ppjoin_pairs),
         "hist_equalization": _wrap(Q.q_hist_equalization),
         "projection_profile": _wrap(Q.q_projection_profile),
+        "curve_locality": _wrap(Q.q_curve_locality),
         "funnel_steps": _wrap(Q.q_funnel_steps),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
@@ -426,6 +427,7 @@ def oracle_sql() -> dict[str, str]:
         "ppjoin_pairs": Q.SQL_PPJOIN_PAIRS,
         "hist_equalization": Q.SQL_HIST_EQUALIZATION,
         "projection_profile": Q.SQL_PROJECTION_PROFILE,
+        "curve_locality": Q.SQL_CURVE_LOCALITY,
         "funnel_steps": Q.SQL_FUNNEL_STEPS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,

@@ -11964,3 +11964,121 @@ SELECT format('img{{:08d}}', r.doc_id) AS image_id,
        round(CAST(c.x_var_num AS DOUBLE) / CAST({_IMG_W * _IMG_W} AS DOUBLE), 4) AS col_var_r
 FROM ra r JOIN ca c ON c.doc_id = r.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# E88 — space-filling-curve locality (`curve_locality` composite): the
+# index-design measurement behind the engine's cell IDs — over every
+# 8-adjacent occupied cell pair of the 64×64 lattice, how far apart do
+# Z-order vs Hilbert place the neighbors?  The honest trade (measured,
+# not folklore — test-pinned on full lattices): Hilbert wins the
+# DISTRIBUTION (≈2× the unit gaps, fewer long jumps → fewer range
+# fragments per query box), Z wins total/max gap and encode cost.
+# Both curve positions are exact int64 (bit-spread / the xy2d fold,
+# `s2.with_hilbert_d` — pinned against the numpy kernel), adjacency is
+# the ×8 offset equi-join, output is ONE row of exact counts.
+# --------------------------------------------------------------------------
+
+_CL_LEVEL = 6
+_bound_cl_cache = make_bounded_cache()
+
+
+def q_curve_locality(spark, sf_dir):
+    from gotrackmaster_spark.functions.cells import _spread_col, quantize_cols
+    from gotrackmaster_spark.functions.s2 import with_hilbert_d
+
+    geo = geo_events(spark, sf_dir)
+    qi, qj = quantize_cols(F.col("lat"), F.col("lon"), _CL_LEVEL)
+    occ = _bound_cl_cache(
+        with_hilbert_d(
+            geo.select(qi.alias("i"), qj.alias("j")).distinct(),
+            "i", "j", _CL_LEVEL, out="h",
+        ).select(
+            "i", "j",
+            _spread_col(F.col("i")).bitwiseOR(
+                F.shiftleft(_spread_col(F.col("j")), 1)
+            ).alias("z"),
+            "h",
+        )
+    )
+    tgt = occ.withColumn(
+        "__o",
+        F.explode(F.array(*[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            if (dx, dy) != (0, 0)
+        ])),
+    ).select(
+        F.col("i").alias("ia"), F.col("j").alias("ja"),
+        F.col("z").alias("za"), F.col("h").alias("ha"),
+        (F.col("i") + F.col("__o.dx")).alias("ti"),
+        (F.col("j") + F.col("__o.dy")).alias("tj"),
+    )
+    edges = tgt.join(
+        occ.select(F.col("i").alias("ti"), F.col("j").alias("tj"),
+                   F.col("z").alias("zb"), F.col("h").alias("hb")),
+        ["ti", "tj"],
+    ).filter(
+        (F.col("ia") < F.col("ti"))
+        | ((F.col("ia") == F.col("ti")) & (F.col("ja") < F.col("tj")))
+    )
+    zg, hg = F.abs(F.col("za") - F.col("zb")), F.abs(F.col("ha") - F.col("hb"))
+    jump = 1 << _CL_LEVEL
+    return edges.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(zg).alias("z_gap_sum"),
+        F.max(zg).alias("z_gap_max"),
+        F.sum((zg == 1).cast("long")).alias("z_unit"),
+        F.sum((zg > jump).cast("long")).alias("z_jumps"),
+        F.sum(hg).alias("h_gap_sum"),
+        F.max(hg).alias("h_gap_max"),
+        F.sum((hg == 1).cast("long")).alias("h_unit"),
+        F.sum((hg > jump).cast("long")).alias("h_jumps"),
+    )
+
+
+def _sql_curve_locality() -> str:
+    from gotrackmaster_spark.functions.cells import _spread_sql
+    from gotrackmaster_spark.functions.s2 import hilbert_sql_ctes
+
+    n = 1 << _CL_LEVEL
+    qi = f"least(greatest(CAST(floor((lon + 180.0) / 360.0 * {float(n)!r}) AS BIGINT), 0), {n - 1})"
+    qj = f"least(greatest(CAST(floor((lat + 90.0) / 180.0 * {float(n)!r}) AS BIGINT), 0), {n - 1})"
+    hctes = hilbert_sql_ctes(_CL_LEVEL, "pts", "oi, oj")
+    return f"""
+WITH {GEO_CTE},
+pts AS (
+  SELECT DISTINCT {qi} AS i, {qj} AS j, {qi} AS oi, {qj} AS oj FROM geo
+),
+{hctes},
+cells AS (
+  SELECT oi AS i, oj AS j,
+         ({_spread_sql('oi')} | ({_spread_sql('oj')} << 1)) AS z,
+         d AS h
+  FROM hdone
+),
+off AS (
+  SELECT dx - 1 AS dx, dy - 1 AS dy
+  FROM range(3) t1(dx), range(3) t2(dy)
+  WHERE NOT (dx = 1 AND dy = 1)
+),
+edges AS (
+  SELECT a.z AS za, a.h AS ha, b.z AS zb, b.h AS hb
+  FROM cells a, off o
+  JOIN cells b ON b.i = a.i + o.dx AND b.j = a.j + o.dy
+  WHERE a.i < b.i OR (a.i = b.i AND a.j < b.j)
+)
+SELECT count(*) AS n_pairs,
+       CAST(sum(abs(za - zb)) AS BIGINT) AS z_gap_sum,
+       CAST(max(abs(za - zb)) AS BIGINT) AS z_gap_max,
+       CAST(sum(CASE WHEN abs(za - zb) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS z_unit,
+       CAST(sum(CASE WHEN abs(za - zb) > {1 << _CL_LEVEL} THEN 1 ELSE 0 END) AS BIGINT) AS z_jumps,
+       CAST(sum(abs(ha - hb)) AS BIGINT) AS h_gap_sum,
+       CAST(max(abs(ha - hb)) AS BIGINT) AS h_gap_max,
+       CAST(sum(CASE WHEN abs(ha - hb) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h_unit,
+       CAST(sum(CASE WHEN abs(ha - hb) > {1 << _CL_LEVEL} THEN 1 ELSE 0 END) AS BIGINT) AS h_jumps
+FROM edges
+"""
+
+
+SQL_CURVE_LOCALITY = _sql_curve_locality()

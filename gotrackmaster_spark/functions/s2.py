@@ -333,3 +333,68 @@ s2done AS (
   FROM {prev}
 )""")
     return ",".join(ctes)
+
+
+def with_hilbert_d(
+    df: DataFrame, i_col: str, j_col: str, level: int, out: str = "h"
+) -> DataFrame:
+    """Hilbert curve position of integer grid columns ``(i, j)`` on the
+    2^level grid — the DataFrame twin of :func:`hilbert_d_np` (same
+    xy2d fold).  Each round materializes its i/j/d as NAMED columns:
+    nesting them as one expression instead quadruples the tree per
+    round (4^level leaves) and stalls codegen for minutes at level 6 —
+    the expression-level cousin of the iterative-lineage pitfall.
+    Pure bit/CASE math, whole-stage-codegen friendly."""
+    n = 1 << level
+    df = df.withColumn(out, F.lit(0).cast("long"))
+    ci, cj = f"__h_{i_col}", f"__h_{j_col}"
+    df = df.withColumn(ci, F.col(i_col)).withColumn(cj, F.col(j_col))
+    s = 1 << (level - 1)
+    while s > 0:
+        sh = s.bit_length() - 1
+        i, j = F.col(ci), F.col(cj)
+        rx = F.shiftright(i, sh).bitwiseAND(F.lit(1))
+        ry = F.shiftright(j, sh).bitwiseAND(F.lit(1))
+        flip = (ry == 0) & (rx == 1)
+        fi = F.when(flip, F.lit(n - 1) - i).otherwise(i)
+        fj = F.when(flip, F.lit(n - 1) - j).otherwise(j)
+        df = (
+            df.withColumn(out, F.col(out) + F.lit(s * s) * (F.lit(3) * rx).bitwiseXOR(ry))
+            .withColumn(f"{ci}_n", F.when(ry == 0, fj).otherwise(fi))
+            .withColumn(cj, F.when(ry == 0, fi).otherwise(fj))
+            .withColumn(ci, F.col(f"{ci}_n"))
+            .drop(f"{ci}_n")
+        )
+        s >>= 1
+    return df.drop(ci, cj)
+
+
+def hilbert_sql_ctes(level: int, src: str, keep: str) -> str:
+    """DuckDB CTE chain computing :func:`hilbert_d_col` for an existing
+    CTE ``src`` providing integer columns ``i``/``j`` plus the
+    passthrough ``keep`` list; final CTE ``hdone`` has ``{keep}, d``."""
+    import math as _math
+
+    n = 1 << level
+    ctes = [f"h0 AS (SELECT {keep}, i, j, CAST(0 AS BIGINT) AS d FROM {src})"]
+    prev = "h0"
+    s = 1 << (level - 1)
+    step = 1
+    while s > 0:
+        rx = f"((i >> {int(_math.log2(s))}) & 1)"
+        ry = f"((j >> {int(_math.log2(s))}) & 1)"
+        flip = f"({ry} = 0 AND {rx} = 1)"
+        fi = f"(CASE WHEN {flip} THEN {n - 1} - i ELSE i END)"
+        fj = f"(CASE WHEN {flip} THEN {n - 1} - j ELSE j END)"
+        name = f"h{step}"
+        ctes.append(
+            f"{name} AS (SELECT {keep}, "
+            f"(CASE WHEN {ry} = 0 THEN {fj} ELSE {fi} END) AS i, "
+            f"(CASE WHEN {ry} = 0 THEN {fi} ELSE {fj} END) AS j, "
+            f"d + {s * s} * xor(3 * {rx}, {ry}) AS d FROM {prev})"
+        )
+        prev = name
+        s >>= 1
+        step += 1
+    ctes.append(f"hdone AS (SELECT {keep}, i, j, d FROM {prev})")
+    return ",\n".join(ctes)
