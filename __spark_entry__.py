@@ -242,6 +242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hist_equalization": _wrap(Q.q_hist_equalization),
         "projection_profile": _wrap(Q.q_projection_profile),
         "curve_locality": _wrap(Q.q_curve_locality),
+        "bloom_semijoin": _wrap(Q.q_bloom_semijoin),
         "funnel_steps": _wrap(Q.q_funnel_steps),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
@@ -428,6 +429,7 @@ def oracle_sql() -> dict[str, str]:
         "hist_equalization": Q.SQL_HIST_EQUALIZATION,
         "projection_profile": Q.SQL_PROJECTION_PROFILE,
         "curve_locality": Q.SQL_CURVE_LOCALITY,
+        "bloom_semijoin": Q.SQL_BLOOM_SEMIJOIN,
         "funnel_steps": Q.SQL_FUNNEL_STEPS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,

@@ -12082,3 +12082,113 @@ FROM edges
 
 
 SQL_CURVE_LOCALITY = _sql_curve_locality()
+
+
+# --------------------------------------------------------------------------
+# E89 — bloom-filter semi-join reduction (`bloom_semijoin` composite):
+# the classic shuffle-avoidance mechanic, made measurable — a 128-bit
+# deterministic bloom (k=3 affine hashes) built from the dim-side user
+# set prefilters the fact side, and the query PUBLISHES the filter's
+# exact confusion counts: true members passed, false positives, and
+# n_missed (pinned 0 — blooms never produce false negatives).  Bits
+# and probes are exact integer hashes, so both engines replay the
+# identical filter; fp_rate is integer-quantized.
+# --------------------------------------------------------------------------
+
+_BL_M = 128
+_BL_P = 1_000_000_007
+_BL_HASHES = [(2654435761, 1), (2246822519, 7), (3266489917, 13)]
+_BL_MOD = 7  # dim side: user_id % 7 == 0
+
+
+def q_bloom_semijoin(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    dim = users.filter(F.col("user_id") % _BL_MOD == 0)
+
+    def _positions(df):
+        pos = F.explode(
+            F.array(*[
+                ((F.col("user_id") * F.lit(a) + F.lit(b)) % _BL_P % _BL_M)
+                for a, b in _BL_HASHES
+            ])
+        )
+        return df.select("user_id", pos.alias("bit"))
+
+    bits = _positions(dim).select("bit").distinct()
+    # a user passes iff ALL of its DISTINCT positions are set — comparing
+    # against the constant k would false-negative users whose hash
+    # positions self-collide (k distinct positions < k)
+    pr = _positions(users).distinct()
+    probe = (
+        pr.join(F.broadcast(bits), "bit", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("k_hit"))
+    )
+    k_probe = pr.groupBy("user_id").agg(F.count("*").alias("k_probe"))
+    verdict = (
+        users.join(k_probe, "user_id")
+        .join(probe, "user_id", "left")
+        .select(
+            "user_id",
+            (F.coalesce(F.col("k_hit"), F.lit(0)) == F.col("k_probe")).alias("passed"),
+            (F.col("user_id") % _BL_MOD == 0).alias("member"),
+        )
+    )
+    ev_tag = ev.select("user_id").join(F.broadcast(verdict), "user_id")
+    return ev_tag.agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("passed").cast("long")).alias("n_candidates"),
+        F.sum((F.col("passed") & F.col("member")).cast("long")).alias("n_true"),
+        F.sum((F.col("passed") & ~F.col("member")).cast("long")).alias("n_fp"),
+        F.sum((~F.col("passed") & F.col("member")).cast("long")).alias("n_missed"),
+    ).select(
+        "n_events", "n_candidates", "n_true", "n_fp", "n_missed",
+        F.expr("(n_fp * 1000000) DIV (n_events - n_true)").alias("fp_rate_q"),
+    )
+
+
+def _bl_pos_sql(col: str) -> list[str]:
+    return [
+        f"((({col}) * {a} + {b}) % {_BL_P} % {_BL_M})" for a, b in _BL_HASHES
+    ]
+
+
+SQL_BLOOM_SEMIJOIN = f"""
+WITH users AS (SELECT DISTINCT user_id FROM events),
+dim AS (SELECT user_id FROM users WHERE user_id % {_BL_MOD} = 0),
+bits AS (
+  SELECT DISTINCT unnest(ARRAY[{', '.join(_bl_pos_sql('user_id'))}]) AS bit
+  FROM dim
+),
+probes AS (
+  SELECT DISTINCT user_id,
+         unnest(ARRAY[{', '.join(_bl_pos_sql('user_id'))}]) AS bit
+  FROM users
+),
+kp AS (SELECT user_id, count(*) AS k_probe FROM probes GROUP BY 1),
+hits AS (
+  SELECT p.user_id, count(*) AS k_hit
+  FROM probes p JOIN bits b ON b.bit = p.bit
+  GROUP BY 1
+),
+verdict AS (
+  SELECT u.user_id,
+         coalesce(h.k_hit, 0) = kp.k_probe AS passed,
+         u.user_id % {_BL_MOD} = 0 AS member
+  FROM users u
+  JOIN kp ON kp.user_id = u.user_id
+  LEFT JOIN hits h ON h.user_id = u.user_id
+),
+agg AS (
+  SELECT count(*) AS n_events,
+         CAST(sum(CASE WHEN passed THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+         CAST(sum(CASE WHEN passed AND member THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+         CAST(sum(CASE WHEN passed AND NOT member THEN 1 ELSE 0 END) AS BIGINT) AS n_fp,
+         CAST(sum(CASE WHEN NOT passed AND member THEN 1 ELSE 0 END) AS BIGINT) AS n_missed
+  FROM events e JOIN verdict v ON v.user_id = e.user_id
+)
+SELECT n_events, n_candidates, n_true, n_fp, n_missed,
+       (n_fp * 1000000) // (n_events - n_true) AS fp_rate_q
+FROM agg
+"""
