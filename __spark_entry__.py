@@ -243,6 +243,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "projection_profile": _wrap(Q.q_projection_profile),
         "curve_locality": _wrap(Q.q_curve_locality),
         "bloom_semijoin": _wrap(Q.q_bloom_semijoin),
+        "rolling_median": _wrap(Q.q_rolling_median),
+        "wilson_bounds": _wrap(Q.q_wilson_bounds),
         "funnel_steps": _wrap(Q.q_funnel_steps),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
@@ -430,6 +432,8 @@ def oracle_sql() -> dict[str, str]:
         "projection_profile": Q.SQL_PROJECTION_PROFILE,
         "curve_locality": Q.SQL_CURVE_LOCALITY,
         "bloom_semijoin": Q.SQL_BLOOM_SEMIJOIN,
+        "rolling_median": Q.SQL_ROLLING_MEDIAN,
+        "wilson_bounds": Q.SQL_WILSON_BOUNDS,
         "funnel_steps": Q.SQL_FUNNEL_STEPS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,

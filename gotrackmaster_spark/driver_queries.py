@@ -12192,3 +12192,140 @@ SELECT n_events, n_candidates, n_true, n_fp, n_missed,
        (n_fp * 1000000) // (n_events - n_true) AS fp_rate_q
 FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# E90 — trailing rolling median (`rolling_median` composite): per
+# (event_type, day), the exact median of the trailing 7 OBSERVED days'
+# counts — robust time-series smoothing (a spike moves the mean, not
+# the median).  No quantile approx: the trailing window materializes
+# via a constant ×7 offset explode + equi-join (bounded fan-out, the
+# interval-join convention), then the engine's standard double
+# rank-select median with (count, source-day) deterministic tie order.
+# --------------------------------------------------------------------------
+
+_RM_W = 7
+
+
+def q_rolling_median(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr(f"unix_micros(CAST(ts AS timestamp)) DIV {_US_PER_DAY}")
+    per_day = (
+        ev.select("event_type", day.alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("c"))
+    )
+    off = F.explode(F.array(*[F.lit(k) for k in range(_RM_W)])).alias("k")
+    contrib = per_day.select(
+        "event_type", F.col("day").alias("src_day"), "c", off
+    ).select(
+        "event_type", "src_day", "c", (F.col("src_day") + F.col("k")).alias("day")
+    )
+    windowed = contrib.join(per_day.select("event_type", "day"), ["event_type", "day"])
+    w = Window.partitionBy("event_type", "day")
+    ranked = windowed.select(
+        "event_type", "day", "c",
+        F.row_number().over(w.orderBy("c", "src_day")).alias("rn"),
+        F.count("*").over(w).alias("n"),
+    )
+    return ranked.groupBy("event_type", "day").agg(
+        F.max("n").alias("n_days"),
+        (
+            (
+                F.min(F.when(F.col("rn") == F.floor((F.col("n") + 1) / 2), F.col("c")))
+                + F.min(F.when(F.col("rn") == F.floor(F.col("n") / 2) + 1, F.col("c")))
+            )
+            / F.lit(2.0)
+        ).alias("med"),
+    )
+
+
+SQL_ROLLING_MEDIAN = f"""
+WITH per_day AS (
+  SELECT event_type, epoch_us(ts) // {_US_PER_DAY} AS day, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+contrib AS (
+  SELECT p.event_type, p.day AS src_day, p.c, p.day + o.k AS day
+  FROM per_day p, (SELECT unnest(generate_series(0, {_RM_W - 1})) AS k) o
+),
+win AS (
+  SELECT c.event_type, c.day, c.c, c.src_day
+  FROM contrib c JOIN per_day t ON t.event_type = c.event_type AND t.day = c.day
+),
+ranked AS (
+  SELECT event_type, day, c,
+         row_number() OVER (PARTITION BY event_type, day
+                            ORDER BY c, src_day) AS rn,
+         count(*) OVER (PARTITION BY event_type, day) AS n
+  FROM win
+)
+SELECT event_type, day,
+       CAST(max(n) AS BIGINT) AS n_days,
+       (min(CASE WHEN rn = (n + 1) // 2 THEN c END)
+        + min(CASE WHEN rn = n // 2 + 1 THEN c END)) / CAST(2.0 AS DOUBLE) AS med
+FROM ranked GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# E91 — Wilson score interval (`wilson_bounds` composite): exact-count
+# proportion confidence bounds per event type (share of events with
+# value > 50) — the binomial CI that stays sane at extreme p̂ (the A/B
+# guardrail).  n and s are exact ints; the z = 1.96 algebra is a fixed
+# parenthesization both engines replay bit-for-bit (one sqrt, no
+# transcendentals beyond it).
+# --------------------------------------------------------------------------
+
+_WI_THRESH = 50.0
+_WI_Z = 1.96
+
+
+def q_wilson_bounds(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("value") > _WI_THRESH).cast("long")).alias("s"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("s").cast("double") / n
+    z2 = F.lit(_WI_Z * _WI_Z)
+    center = p + z2 / (F.lit(2.0) * n)
+    half = F.lit(_WI_Z) * F.sqrt(p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n))
+    denom = F.lit(1.0) + z2 / n
+    return agg.select(
+        "event_type", "n", "s",
+        F.round((center - half) / denom, 6).alias("lo_r"),
+        F.round((center + half) / denom, 6).alias("hi_r"),
+    )
+
+
+_WI_Z2 = _WI_Z * _WI_Z
+
+SQL_WILSON_BOUNDS = f"""
+WITH agg AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(CASE WHEN value > {_WI_THRESH} THEN 1 ELSE 0 END) AS BIGINT) AS s
+  FROM events GROUP BY 1
+)
+SELECT event_type, n, s,
+       round(((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+               + {_WI_Z2!r} / (CAST(2.0 AS DOUBLE) * CAST(n AS DOUBLE)))
+              - {_WI_Z!r} * sqrt((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(1.0 AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                    / CAST(n AS DOUBLE)
+                    + {_WI_Z2!r} / (CAST(4.0 AS DOUBLE) * CAST(n AS DOUBLE)
+                                    * CAST(n AS DOUBLE))))
+             / (CAST(1.0 AS DOUBLE) + {_WI_Z2!r} / CAST(n AS DOUBLE)), 6) AS lo_r,
+       round(((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+               + {_WI_Z2!r} / (CAST(2.0 AS DOUBLE) * CAST(n AS DOUBLE)))
+              + {_WI_Z!r} * sqrt((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(1.0 AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                    / CAST(n AS DOUBLE)
+                    + {_WI_Z2!r} / (CAST(4.0 AS DOUBLE) * CAST(n AS DOUBLE)
+                                    * CAST(n AS DOUBLE))))
+             / (CAST(1.0 AS DOUBLE) + {_WI_Z2!r} / CAST(n AS DOUBLE)), 6) AS hi_r
+FROM agg
+"""
