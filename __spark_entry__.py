@@ -245,6 +245,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_semijoin": _wrap(Q.q_bloom_semijoin),
         "rolling_median": _wrap(Q.q_rolling_median),
         "wilson_bounds": _wrap(Q.q_wilson_bounds),
+        "acf_profile": _wrap(Q.q_acf_profile),
+        "minhash_calibration": _wrap(Q.q_minhash_calibration),
+        "skew_profile": _wrap(Q.q_skew_profile),
         "funnel_steps": _wrap(Q.q_funnel_steps),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
@@ -434,6 +437,9 @@ def oracle_sql() -> dict[str, str]:
         "bloom_semijoin": Q.SQL_BLOOM_SEMIJOIN,
         "rolling_median": Q.SQL_ROLLING_MEDIAN,
         "wilson_bounds": Q.SQL_WILSON_BOUNDS,
+        "acf_profile": Q.SQL_ACF_PROFILE,
+        "minhash_calibration": Q.SQL_MINHASH_CALIBRATION,
+        "skew_profile": Q.SQL_SKEW_PROFILE,
         "funnel_steps": Q.SQL_FUNNEL_STEPS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,

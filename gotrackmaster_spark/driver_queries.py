@@ -12329,3 +12329,262 @@ SELECT event_type, n, s,
              / (CAST(1.0 AS DOUBLE) + {_WI_Z2!r} / CAST(n AS DOUBLE)), 6) AS hi_r
 FROM agg
 """
+
+
+# --------------------------------------------------------------------------
+# E92 — autocorrelation profile (`acf_profile` composite): the full
+# correlogram — per event type, Pearson r between daily counts at lags
+# 1..7 over observed day pairs (the weekly-rhythm detector; a lag-7
+# peak = weekday seasonality).  One constant ×7 lag explode + one
+# equi-join + exact integer moments per (type, lag); generalizes
+# `lag_autocorr`'s single lag.
+# --------------------------------------------------------------------------
+
+_ACF_LAGS = 7
+
+
+def q_acf_profile(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    day = F.expr(f"unix_micros(CAST(ts AS timestamp)) DIV {_US_PER_DAY}")
+    per_day = (
+        ev.select("event_type", day.alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("c"))
+    )
+    lag = F.explode(F.array(*[F.lit(k) for k in range(1, _ACF_LAGS + 1)])).alias("lag")
+    x = per_day.select("event_type", "day", F.col("c").alias("x"), lag).select(
+        "event_type", "lag", (F.col("day") + F.col("lag")).alias("day"), "x"
+    )
+    pairs = x.join(
+        per_day.select("event_type", "day", F.col("c").alias("y")),
+        ["event_type", "day"],
+    )
+    agg = pairs.groupBy("event_type", "lag").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n_pairs")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    dxx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    dyy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    r = F.when(
+        (dxx > 0) & (dyy > 0),
+        num.cast("double") / F.sqrt(dxx.cast("double") * dyy.cast("double")),
+    )
+    return agg.select(
+        "event_type", "lag", "n_pairs",
+        num.alias("num"), dxx.alias("dxx"), dyy.alias("dyy"),
+        F.round(r, 6).alias("r_r"),
+    )
+
+
+SQL_ACF_PROFILE = f"""
+WITH per_day AS (
+  SELECT event_type, epoch_us(ts) // {_US_PER_DAY} AS day, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+x AS (
+  SELECT event_type, o.lag, day + o.lag AS day, c AS x
+  FROM per_day, (SELECT unnest(generate_series(1, {_ACF_LAGS})) AS lag) o
+),
+pairs AS (
+  SELECT x.event_type, x.lag, x.x, y.c AS y
+  FROM x JOIN per_day y ON y.event_type = x.event_type AND y.day = x.day
+),
+agg AS (
+  SELECT event_type, lag, count(*) AS n_pairs,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM pairs GROUP BY 1, 2
+)
+SELECT event_type, lag, n_pairs,
+       n_pairs * sxy - sx * sy AS num,
+       n_pairs * sxx - sx * sx AS dxx,
+       n_pairs * syy - sy * sy AS dyy,
+       round(CASE WHEN n_pairs * sxx - sx * sx > 0
+                   AND n_pairs * syy - sy * sy > 0
+              THEN CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+                   / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+                          * CAST(n_pairs * syy - sy * sy AS DOUBLE))
+         END, 6) AS r_r
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# E93 — MinHash estimator calibration (`minhash_calibration`
+# composite): how good is the sketch, measured — for every LSH band
+# candidate pair, the signature-agreement ESTIMATE of Jaccard
+# (matches·10⁶ DIV 16) side by side with the EXACT shingle-set Jaccard
+# (row-local array_intersect on per-doc sorted shingle arrays, the
+# ppjoin verify shape) and the signed quantized error.  The
+# estimator-quality check every 10⁹-doc dedup tunes bands/rows with.
+# --------------------------------------------------------------------------
+
+_bound_mc_cache = make_bounded_cache()
+
+
+def q_minhash_calibration(spark, sf_dir):
+    from gotrackmaster_spark.functions.text import N_MINHASH
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = _bound_mc_cache(D.minhash_signatures(docs))
+    cand = D.lsh_candidate_pairs(sigs)
+    mh = [f"mh_{j}" for j in range(N_MINHASH)]
+    sa = sigs.select(F.col("doc_id").alias("a_id"), *[F.col(c).alias(f"a_{c}") for c in mh])
+    sb = sigs.select(F.col("doc_id").alias("b_id"), *[F.col(c).alias(f"b_{c}") for c in mh])
+    matches = sum(
+        (F.col(f"a_{c}") == F.col(f"b_{c}")).cast("long") for c in mh
+    )
+    est = cand.join(sa, "a_id").join(sb, "b_id").select(
+        "a_id", "b_id", matches.alias("matches")
+    )
+    sh = D.doc_shingles(docs)
+    sets = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("shingle_h")).alias("arr"),
+        F.count("*").alias("sz"),
+    )
+    j = (
+        est.join(sets.select(F.col("doc_id").alias("a_id"), F.col("arr").alias("la"),
+                             F.col("sz").alias("sa")), "a_id")
+        .join(sets.select(F.col("doc_id").alias("b_id"), F.col("arr").alias("lb"),
+                          F.col("sz").alias("sb")), "b_id")
+        .withColumn("inter", F.size(F.array_intersect(F.col("la"), F.col("lb"))).cast("long"))
+    )
+    est_q = F.expr(f"(matches * 1000000) DIV {N_MINHASH}")
+    jac_q = F.expr("(inter * 1000000) DIV (sa + sb - inter)")
+    return j.select(
+        "a_id", "b_id", "matches", "inter", "sa", "sb",
+        est_q.alias("est_q"), jac_q.alias("jac_q"),
+        (est_q - jac_q).alias("err_q"),
+    )
+
+
+def _sql_minhash_calibration() -> str:
+    from gotrackmaster_spark.functions.text import N_MINHASH
+
+    match_sum = " + ".join(
+        f"(CASE WHEN a.mh_{j} = b.mh_{j} THEN 1 ELSE 0 END)"
+        for j in range(N_MINHASH)
+    )
+    return f"""
+WITH cand AS ({D.sql_minhash_band_pairs()}),
+{D._SHINGLES_CTE.strip().rstrip()},
+{D._sql_minhash_cte()},
+sets AS (
+  SELECT doc_id, list_sort(list(shingle_h)) AS arr,
+         CAST(count(*) AS BIGINT) AS sz
+  FROM shingles GROUP BY 1
+),
+est AS (
+  SELECT c.a_id, c.b_id, CAST({match_sum} AS BIGINT) AS matches
+  FROM cand c
+  JOIN minhash a ON a.doc_id = c.a_id
+  JOIN minhash b ON b.doc_id = c.b_id
+)
+SELECT e.a_id, e.b_id, e.matches,
+       CAST(len(list_intersect(sa.arr, sb.arr)) AS BIGINT) AS inter,
+       sa.sz AS sa, sb.sz AS sb,
+       (e.matches * 1000000) // {N_MINHASH} AS est_q,
+       (CAST(len(list_intersect(sa.arr, sb.arr)) AS BIGINT) * 1000000)
+       // (sa.sz + sb.sz - CAST(len(list_intersect(sa.arr, sb.arr)) AS BIGINT)) AS jac_q,
+       (e.matches * 1000000) // {N_MINHASH}
+       - (CAST(len(list_intersect(sa.arr, sb.arr)) AS BIGINT) * 1000000)
+         // (sa.sz + sb.sz - CAST(len(list_intersect(sa.arr, sb.arr)) AS BIGINT)) AS err_q
+FROM est e
+JOIN sets sa ON sa.doc_id = e.a_id
+JOIN sets sb ON sb.doc_id = e.b_id
+"""
+
+
+SQL_MINHASH_CALIBRATION = _sql_minhash_calibration()
+
+
+# --------------------------------------------------------------------------
+# E94 — join-key skew profile (`skew_profile` composite): the
+# diagnostic you run BEFORE choosing salt factors — for each hot join
+# key family (user, level-7 cell, doc shingle), the key count, the
+# top-key share (quantized) and the Gini concentration of the key
+# distribution (rank-sum identity, exact int64).  Three bounded
+# aggregates + one union; the answer tells you which joins need
+# `skew.salt_hot_cells` at 100 TB.
+# --------------------------------------------------------------------------
+
+
+def _skew_one(keys, family):
+    from pyspark.sql import Window
+
+    cnt = keys.groupBy("k").agg(F.count("*").alias("c"))
+    w = Window.orderBy("c", "k")
+    ranked = cnt.withColumn("r", F.row_number().over(w))
+    agg = ranked.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("top1"),
+        F.sum(F.col("r") * F.col("c")).alias("rank_sum"),
+    )
+    num = 2 * F.col("rank_sum") - (F.col("n_keys") + 1) * F.col("n_rows")
+    den = F.col("n_keys") * F.col("n_rows")
+    return agg.select(
+        F.lit(family).alias("family"),
+        "n_rows", "n_keys", "top1",
+        F.expr("(top1 * 1000000) DIV n_rows").alias("top1_q"),
+        F.round(num.cast("double") / den.cast("double"), 6).alias("gini_r"),
+    )
+
+
+def q_skew_profile(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    geo = geo_events(spark, sf_dir)
+    users = ev.select(F.col("user_id").cast("string").alias("k"))
+    cells = geo.select(
+        cell_col(F.col("lat"), F.col("lon"), 7).cast("string").alias("k")
+    )
+    shingles = D.doc_shingles(_t(spark, sf_dir, "documents")).select(
+        F.col("shingle_h").cast("string").alias("k")
+    )
+    return (
+        _skew_one(users, "user_id")
+        .unionByName(_skew_one(cells, "cell_l7"))
+        .unionByName(_skew_one(shingles, "shingle"))
+    )
+
+
+def _sql_skew_one(src_sql: str, family: str) -> str:
+    return f"""
+SELECT '{family}' AS family,
+       CAST(sum(c) AS BIGINT) AS n_rows,
+       count(*) AS n_keys,
+       CAST(max(c) AS BIGINT) AS top1,
+       (CAST(max(c) AS BIGINT) * 1000000) // CAST(sum(c) AS BIGINT) AS top1_q,
+       round(CAST(2 * sum(r * c) - (count(*) + 1) * sum(c) AS DOUBLE)
+             / CAST(count(*) * sum(c) AS DOUBLE), 6) AS gini_r
+FROM (
+  SELECT c, row_number() OVER (ORDER BY c, k) AS r
+  FROM (SELECT k, count(*) AS c FROM ({src_sql}) GROUP BY k)
+)
+"""
+
+
+def _sql_skew_profile() -> str:
+    users = "SELECT CAST(user_id AS VARCHAR) AS k FROM events"
+    cells = (
+        f"SELECT CAST({cell_sql('lat', 'lon', 7)} AS VARCHAR) AS k "
+        f"FROM (SELECT {_LAT} AS lat, {_LON} AS lon FROM events)"
+    )
+    sh = (
+        "SELECT CAST(shingle_h AS VARCHAR) AS k FROM "
+        f"(WITH {D._SHINGLES_CTE.strip()} SELECT * FROM shingles)"
+    )
+    return " UNION ALL ".join(
+        _sql_skew_one(s, f)
+        for s, f in [(users, "user_id"), (cells, "cell_l7"), (sh, "shingle")]
+    )
+
+
+SQL_SKEW_PROFILE = _sql_skew_profile()
