@@ -248,6 +248,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "acf_profile": _wrap(Q.q_acf_profile),
         "minhash_calibration": _wrap(Q.q_minhash_calibration),
         "skew_profile": _wrap(Q.q_skew_profile),
+        "pricing_summary": _wrap(Q.q_pricing_summary),
+        "small_qty_revenue": _wrap(Q.q_small_qty_revenue),
         "funnel_steps": _wrap(Q.q_funnel_steps),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
@@ -440,6 +442,8 @@ def oracle_sql() -> dict[str, str]:
         "acf_profile": Q.SQL_ACF_PROFILE,
         "minhash_calibration": Q.SQL_MINHASH_CALIBRATION,
         "skew_profile": Q.SQL_SKEW_PROFILE,
+        "pricing_summary": Q.SQL_PRICING_SUMMARY,
+        "small_qty_revenue": Q.SQL_SMALL_QTY_REVENUE,
         "funnel_steps": Q.SQL_FUNNEL_STEPS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,

@@ -12588,3 +12588,116 @@ def _sql_skew_profile() -> str:
 
 
 SQL_SKEW_PROFILE = _sql_skew_profile()
+
+
+# --------------------------------------------------------------------------
+# E95 — pricing summary (`pricing_summary` composite): the TPC-H Q1
+# shape — per (returnflag, linestatus): quantities, gross/discounted/
+# charged revenue ALL in exact integer cents (each double product
+# rounded to cents per row BEFORE the sum — accumulation-order-proof),
+# plus integer-quantized averages (DIV).  One scan, one ≤6-group
+# hash aggregate; the canonical whole-stage-codegen benchmark query.
+# --------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    cutoff = F.lit("1998-09-02").cast("timestamp")
+    base = li.filter(F.col("l_shipdate") <= cutoff)
+    price_c = F.round(F.col("l_extendedprice") * 100.0, 0).cast("long")
+    disc_c = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100.0, 0
+    ).cast("long")
+    charge_c = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        * (F.lit(1.0) + F.col("l_tax")) * 100.0, 0
+    ).cast("long")
+    qty_c = F.round(F.col("l_quantity") * 100.0, 0).cast("long")
+    agg = base.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(qty_c).alias("sum_qty_c"),
+        F.sum(price_c).alias("sum_price_c"),
+        F.sum(disc_c).alias("sum_disc_price_c"),
+        F.sum(charge_c).alias("sum_charge_c"),
+    )
+    return agg.select(
+        "l_returnflag", "l_linestatus", "n_rows",
+        "sum_qty_c", "sum_price_c", "sum_disc_price_c", "sum_charge_c",
+        F.expr("sum_qty_c DIV n_rows").alias("avg_qty_cq"),
+        F.expr("sum_price_c DIV n_rows").alias("avg_price_cq"),
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows,
+       CAST(sum(CAST(round(l_quantity * 100.0, 0) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+       CAST(sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)) AS BIGINT) AS sum_price_c,
+       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100.0, 0)
+                AS BIGINT)) AS BIGINT) AS sum_disc_price_c,
+       CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+                           * 100.0, 0) AS BIGINT)) AS BIGINT) AS sum_charge_c,
+       CAST(sum(CAST(round(l_quantity * 100.0, 0) AS BIGINT)) AS BIGINT)
+       // count(*) AS avg_qty_cq,
+       CAST(sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT)) AS BIGINT)
+       // count(*) AS avg_price_cq
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# E96 — small-quantity revenue (`small_qty_revenue` composite): the
+# TPC-H Q17 shape — revenue locked in orders whose line quantity is
+# below 20 % of the part's average, with the correlated aggregate
+# decorrelated into a per-part pre-aggregate + broadcast join and the
+# threshold compared by EXACT INTEGER cross-multiplication
+# (10·qty·n_part < 2·sum_qty over integer centi-quantities — no float
+# average enters the predicate).
+# --------------------------------------------------------------------------
+
+
+def q_small_qty_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    qty_c = F.round(F.col("l_quantity") * 100.0, 0).cast("long")
+    per_part = li.groupBy("l_partkey").agg(
+        F.count("*").alias("n_part"),
+        F.sum(qty_c).alias("sum_qty_c"),
+    )
+    j = li.select(
+        "l_partkey",
+        qty_c.alias("qty_c"),
+        F.round(F.col("l_extendedprice") * 100.0, 0).cast("long").alias("price_c"),
+    ).join(F.broadcast(per_part), "l_partkey")
+    # qty < 0.2 * (sum/n)  ⟺  10*qty*n < 2*sum   (exact integers)
+    small = j.filter(
+        F.lit(10) * F.col("qty_c") * F.col("n_part") < F.lit(2) * F.col("sum_qty_c")
+    )
+    return small.agg(
+        F.count("*").alias("n_lines"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.sum("price_c").alias("revenue_c"),
+        F.expr("sum(price_c) DIV 7").alias("yearly_c"),
+    )
+
+
+SQL_SMALL_QTY_REVENUE = """
+WITH li AS (
+  SELECT l_partkey,
+         CAST(round(l_quantity * 100.0, 0) AS BIGINT) AS qty_c,
+         CAST(round(l_extendedprice * 100.0, 0) AS BIGINT) AS price_c
+  FROM lineitem
+),
+per_part AS (
+  SELECT l_partkey, count(*) AS n_part,
+         CAST(sum(qty_c) AS BIGINT) AS sum_qty_c
+  FROM li GROUP BY 1
+)
+SELECT count(*) AS n_lines,
+       count(DISTINCT l.l_partkey) AS n_parts,
+       CAST(sum(l.price_c) AS BIGINT) AS revenue_c,
+       CAST(sum(l.price_c) AS BIGINT) // 7 AS yearly_c
+FROM li l JOIN per_part p ON p.l_partkey = l.l_partkey
+WHERE 10 * l.qty_c * p.n_part < 2 * p.sum_qty_c
+"""
