@@ -250,6 +250,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_profile": _wrap(Q.q_skew_profile),
         "pricing_summary": _wrap(Q.q_pricing_summary),
         "small_qty_revenue": _wrap(Q.q_small_qty_revenue),
+        "degree_assortativity": _wrap(Q.q_degree_assortativity),
+        "trimmed_mean": _wrap(Q.q_trimmed_mean),
+        "zipf_check": _wrap(Q.q_zipf_check),
         "funnel_steps": _wrap(Q.q_funnel_steps),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
@@ -444,6 +447,9 @@ def oracle_sql() -> dict[str, str]:
         "skew_profile": Q.SQL_SKEW_PROFILE,
         "pricing_summary": Q.SQL_PRICING_SUMMARY,
         "small_qty_revenue": Q.SQL_SMALL_QTY_REVENUE,
+        "degree_assortativity": Q.SQL_DEGREE_ASSORTATIVITY,
+        "trimmed_mean": Q.SQL_TRIMMED_MEAN,
+        "zipf_check": Q.SQL_ZIPF_CHECK,
         "funnel_steps": Q.SQL_FUNNEL_STEPS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,

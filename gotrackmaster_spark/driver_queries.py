@@ -12701,3 +12701,191 @@ SELECT count(*) AS n_lines,
 FROM li l JOIN per_part p ON p.l_partkey = l.l_partkey
 WHERE 10 * l.qty_c * p.n_part < 2 * p.sum_qty_c
 """
+
+
+# --------------------------------------------------------------------------
+# E97 — degree assortativity (`degree_assortativity` composite): do
+# hub documents near-duplicate other hubs?  Pearson correlation of
+# endpoint degrees over the near-dup graph's edges (both directions —
+# the standard undirected convention), from exact integer moments (the
+# ols_trends algebra); one degree aggregate + two node-keyed joins.
+# Positive r = assortative mixing (hubs cluster), the spam-ring smell.
+# --------------------------------------------------------------------------
+
+
+def q_degree_assortativity(spark, sf_dir):
+    pairs = q_simhash_near_dups(spark, sf_dir)
+    und = pairs.select(F.col("a_id").alias("s"), F.col("b_id").alias("t")).union(
+        pairs.select(F.col("b_id").alias("s"), F.col("a_id").alias("t"))
+    )
+    deg = und.groupBy(F.col("s").alias("v")).agg(F.count("*").alias("d"))
+    j = (
+        und.join(deg.select(F.col("v").alias("s"), F.col("d").alias("dx")), "s")
+        .join(deg.select(F.col("v").alias("t"), F.col("d").alias("dy")), "t")
+    )
+    agg = j.agg(
+        F.count("*").alias("n_ends"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+    )
+    n = F.col("n_ends")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    dxx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    dyy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    r = F.when(
+        (dxx > 0) & (dyy > 0),
+        num.cast("double") / F.sqrt(dxx.cast("double") * dyy.cast("double")),
+    )
+    return agg.select(
+        "n_ends", num.alias("num"), dxx.alias("dxx"), dyy.alias("dyy"),
+        F.round(r, 6).alias("r_r"),
+    )
+
+
+SQL_DEGREE_ASSORTATIVITY = f"""
+WITH und AS (
+  SELECT a_id AS s, b_id AS t FROM ({SQL_SIMHASH_NEAR_DUPS}) x
+  UNION ALL
+  SELECT b_id, a_id FROM ({SQL_SIMHASH_NEAR_DUPS}) x
+),
+deg AS (SELECT s AS v, count(*) AS d FROM und GROUP BY 1),
+j AS (
+  SELECT da.d AS dx, db.d AS dy
+  FROM und u JOIN deg da ON da.v = u.s JOIN deg db ON db.v = u.t
+),
+agg AS (
+  SELECT count(*) AS n_ends,
+         CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+         CAST(sum(dx * dx) AS BIGINT) AS sxx, CAST(sum(dy * dy) AS BIGINT) AS syy,
+         CAST(sum(dx * dy) AS BIGINT) AS sxy
+  FROM j
+)
+SELECT n_ends,
+       n_ends * sxy - sx * sy AS num,
+       n_ends * sxx - sx * sx AS dxx,
+       n_ends * syy - sy * sy AS dyy,
+       round(CASE WHEN n_ends * sxx - sx * sx > 0
+                   AND n_ends * syy - sy * sy > 0
+              THEN CAST(n_ends * sxy - sx * sy AS DOUBLE)
+                   / sqrt(CAST(n_ends * sxx - sx * sx AS DOUBLE)
+                          * CAST(n_ends * syy - sy * sy AS DOUBLE))
+         END, 6) AS r_r
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# E98 — trimmed mean (`trimmed_mean` composite): per event type, the
+# mean of the middle 80 % of values — the outlier-immune location
+# estimate.  Values are quantized to EXACT centi-units first (a raw
+# double Σ is accumulation-order-dependent and would never hash
+# stably); trim bounds are integer rank cuts (drop lowest/highest
+# n DIV 10), so the conditional sum is an exact int64.
+# --------------------------------------------------------------------------
+
+
+def q_trimmed_mean(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    vals = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100.0, 0).cast("long").alias("vc"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type")
+    ranked = vals.select(
+        "event_type", "vc",
+        F.row_number().over(w.orderBy("vc", "event_id")).alias("rn"),
+        F.count("*").over(w).alias("n"),
+    )
+    kept = ranked.filter(
+        (F.col("rn") > F.expr("n DIV 10")) & (F.col("rn") <= F.col("n") - F.expr("n DIV 10"))
+    )
+    agg = kept.groupBy("event_type").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("vc").alias("sum_c"),
+    )
+    return agg.select(
+        "event_type", "n_kept", "sum_c",
+        F.round(F.col("sum_c").cast("double") / F.col("n_kept").cast("double") / 100.0, 6).alias("tmean_r"),
+    )
+
+
+SQL_TRIMMED_MEAN = """
+WITH vals AS (
+  SELECT event_type, CAST(round(value * 100.0, 0) AS BIGINT) AS vc, event_id
+  FROM events
+),
+ranked AS (
+  SELECT event_type, vc,
+         row_number() OVER (PARTITION BY event_type ORDER BY vc, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM vals
+),
+kept AS (
+  SELECT event_type, vc FROM ranked
+  WHERE rn > n // 10 AND rn <= n - n // 10
+)
+SELECT event_type, count(*) AS n_kept,
+       CAST(sum(vc) AS BIGINT) AS sum_c,
+       round(CAST(sum(vc) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             / CAST(100.0 AS DOUBLE), 6) AS tmean_r
+FROM kept GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# E99 — Zipf check + hapax rate (`zipf_check` composite): corpus-law
+# diagnostics — the top-20 terms by document frequency with the exact
+# rank·df product (Zipf's law predicts it near-constant; a flat
+# product curve flags template text), plus the corpus hapax count
+# (df = 1 terms) attached to every row (1-row broadcast).
+# --------------------------------------------------------------------------
+
+_ZIPF_TOPK = 20
+
+
+def q_zipf_check(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).filter(F.length("term") > 0)
+    tf = words.groupBy("term").agg(F.count("*").alias("f"))
+    hapax = tf.agg(
+        F.sum((F.col("f") == 1).cast("long")).alias("n_hapax"),
+        F.count("*").alias("n_terms"),
+    )
+    w = Window.orderBy(F.desc("f"), F.asc("term"))
+    top = tf.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= _ZIPF_TOPK)
+    return top.crossJoin(F.broadcast(hapax)).select(
+        "r", "term", "f",
+        (F.col("r") * F.col("f")).alias("rf"),
+        "n_hapax", "n_terms",
+    )
+
+
+SQL_ZIPF_CHECK = f"""
+WITH words AS (
+  SELECT doc_id, t.term
+  FROM documents, unnest(string_split(lower(text), ' ')) AS t(term)
+  WHERE length(t.term) > 0
+),
+tf AS (SELECT term, CAST(count(*) AS BIGINT) AS f FROM words GROUP BY 1),
+hapax AS (
+  SELECT CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+         count(*) AS n_terms
+  FROM tf
+),
+top AS (
+  SELECT term, f, row_number() OVER (ORDER BY f DESC, term) AS r FROM tf
+)
+SELECT t.r, t.term, t.f, t.r * t.f AS rf, h.n_hapax, h.n_terms
+FROM top t CROSS JOIN hapax h
+WHERE t.r <= {_ZIPF_TOPK}
+"""

@@ -60,6 +60,8 @@ BNLJ_ALLOWED = {
     "ks_statistic",
     # pps_sample: 1-row total-weight attach onto the per-user cumsum
     "pps_sample",
+    # zipf_check: 1-row hapax/vocab scalar attach onto the top-20 rows
+    "zipf_check",
 }
 
 QUERIES = entrymod.queries()
