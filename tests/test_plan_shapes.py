@@ -195,3 +195,36 @@ def test_cell_morphology_no_points_scale_joins(spark):
     # executes once across the three branches
     assert "SortMergeJoin" not in plan
     assert "InMemoryTableScan" in plan
+
+
+def test_phrase_search_dictionary_broadcast(spark):
+    plan = _plan(Q.q_phrase_search(spark, SF_DIR))
+    # the (phrase, term, offset) dictionary joins the postings as a
+    # broadcast build side — the corpus never shuffles for the join
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan.split("Exchange hashpartitioning")[0]
+
+
+def test_ppjoin_no_cartesian_and_rowlocal_verify(spark):
+    plan = _plan(Q.q_ppjoin_pairs(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the verify stage is row-local array_intersect — no second
+    # corpus-wide aggregate keyed on the shingle hash after candidates
+    assert "array_intersect" in plan
+
+
+def test_bloom_semijoin_bits_broadcast(spark):
+    plan = _plan(Q.q_bloom_semijoin(spark, SF_DIR))
+    # the 128-bit set joins as a broadcast build side (left-semi)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_haar_energy_single_python_stage(spark):
+    plan = _plan(Q.q_haar_energy(spark, SF_DIR))
+    # ONE decode pass (mapInPandas) feeds the whole pyramid; the ×3
+    # level explode and both aggregates are JVM-side
+    assert plan.count("MapInPandas") <= 2  # synth + luma_plane decode
+    assert "Generate explode" in plan
