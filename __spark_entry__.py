@@ -253,6 +253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_assortativity": _wrap(Q.q_degree_assortativity),
         "trimmed_mean": _wrap(Q.q_trimmed_mean),
         "zipf_check": _wrap(Q.q_zipf_check),
+        "wl_colors": _wrap(Q.q_wl_colors),
         "funnel_steps": _wrap(Q.q_funnel_steps),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
@@ -450,6 +451,7 @@ def oracle_sql() -> dict[str, str]:
         "degree_assortativity": Q.SQL_DEGREE_ASSORTATIVITY,
         "trimmed_mean": Q.SQL_TRIMMED_MEAN,
         "zipf_check": Q.SQL_ZIPF_CHECK,
+        "wl_colors": Q.SQL_WL_COLORS,
         "funnel_steps": Q.SQL_FUNNEL_STEPS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,

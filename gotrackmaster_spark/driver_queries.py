@@ -12889,3 +12889,76 @@ SELECT t.r, t.term, t.f, t.r * t.f AS rf, h.n_hapax, h.n_terms
 FROM top t CROSS JOIN hapax h
 WHERE t.r <= {_ZIPF_TOPK}
 """
+
+
+# --------------------------------------------------------------------------
+# E100 — Weisfeiler-Leman color refinement (`wl_colors`,
+# `graph.wl_refinement`): 1-WL neighborhood hashing over the occupied
+# 1-degree lattice's 8-adjacency graph — the canonical-form fingerprint
+# behind graph-isomorphism tests and GNN expressiveness bounds.  On a
+# lattice the stable colors CLASSIFY LOCAL SHAPE: congruent blob
+# neighborhoods land in the same class (16 classes over ~8k occupied
+# cells at sf0.01), exactly what 1-WL is for.  Two fixed rounds (degree
+# labels → h0(own label || sorted neighbor labels)), unrolled into
+# MATERIALIZED CTEs.  Graph = the raster_regions adjacency topology.
+# --------------------------------------------------------------------------
+
+_WL_ROUNDS = 2
+
+
+def _wl_lattice_edges(spark, sf_dir):
+    geo = geo_events(spark, sf_dir)
+    cells = geo.select(
+        F.floor(F.col("lon")).cast("long").alias("gx"),
+        F.floor(F.col("lat")).cast("long").alias("gy"),
+    ).distinct()
+    nodes = cells.select(
+        "gx", "gy", ((F.col("gx") + 200) * 1000 + F.col("gy") + 200).alias("v")
+    )
+    tgt = nodes.withColumn(
+        "__o",
+        F.explode(F.array(*[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            if (dx, dy) != (0, 0)
+        ])),
+    ).select(
+        F.col("v").alias("src"),
+        (F.col("gx") + F.col("__o.dx")).alias("tx"),
+        (F.col("gy") + F.col("__o.dy")).alias("ty"),
+    )
+    return tgt.join(
+        nodes.select(F.col("v").alias("dst"), F.col("gx").alias("tx"),
+                     F.col("gy").alias("ty")),
+        ["tx", "ty"],
+    ).select("src", "dst")
+
+
+def q_wl_colors(spark, sf_dir):
+    from gotrackmaster_spark.operators.graph import wl_refinement
+
+    return wl_refinement(
+        _wl_lattice_edges(spark, sf_dir), "src", "dst", n_rounds=_WL_ROUNDS
+    )
+
+
+def _sql_wl_colors() -> str:
+    from gotrackmaster_spark.operators.graph import sql_wl_refinement
+
+    cells = f"""SELECT DISTINCT CAST(floor({_LON}) AS BIGINT) AS gx,
+       CAST(floor({_LAT}) AS BIGINT) AS gy,
+       (CAST(floor({_LON}) AS BIGINT) + 200) * 1000
+       + CAST(floor({_LAT}) AS BIGINT) + 200 AS v
+FROM events"""
+    edges_cte = f"""
+  SELECT a.v AS s, b.v AS t
+  FROM ({cells}) a,
+       (SELECT dx - 1 AS dx, dy - 1 AS dy
+        FROM range(3) t1(dx), range(3) t2(dy)
+        WHERE NOT (dx = 1 AND dy = 1)) o
+  JOIN ({cells}) b ON b.gx = a.gx + o.dx AND b.gy = a.gy + o.dy
+"""
+    return sql_wl_refinement(edges_cte, n_rounds=_WL_ROUNDS)
+
+
+SQL_WL_COLORS = _sql_wl_colors()

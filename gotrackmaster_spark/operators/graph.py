@@ -685,3 +685,95 @@ def sql_kcore_peel(edges_cte: str, k: int = 2, n_rounds: int = 8) -> str:
         f"SELECT s AS v, CAST(count(*) AS BIGINT) AS degree "
         f"FROM e{n_rounds} GROUP BY 1"
     )
+
+
+def wl_refinement(
+    edges: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    n_rounds: int = 2,
+) -> DataFrame:
+    """1-dimensional Weisfeiler-Leman color refinement — the iterated
+    neighborhood-hashing behind graph fingerprints and GNN
+    expressiveness bounds.  Starting from degree labels, each round
+    rehashes every node as
+
+      l_{r+1}(v) = h( l_r(v) || '|' || sorted multiset of l_r(neighbors) )
+
+    with the engine's shared position-weighted string hash
+    (``functions.text.h0``), so both engines replay the colors
+    bit-for-bit.  After enough rounds the color classes are the
+    coarsest stable partition (two nodes share a color only if their
+    rooted neighborhoods are 1-WL-indistinguishable).
+
+    Plan at scale: per round ONE node-keyed join (labels onto edge
+    targets), one collect_list aggregate bounded by degree, one hash —
+    all shuffles on the node key.  Fixed ``n_rounds`` (the pagerank
+    convention) so the unrolled SQL twin matches exactly; label strings
+    are ~20·degree chars, so cap rounds/degree for hub graphs.
+
+    Output: ``(label, n_nodes, min_v)`` — one row per color class.
+    """
+    from gotrackmaster_spark.functions.text import h0_spark_expr
+
+    und = (
+        edges.select(F.col(a_col).alias("s"), F.col(b_col).alias("t"))
+        .union(edges.select(F.col(b_col).alias("s"), F.col(a_col).alias("t")))
+        .filter(F.col("s") != F.col("t"))
+        .distinct()
+    )
+    labels = und.groupBy(F.col("s").alias("v")).agg(
+        F.count("*").cast("long").alias("label")
+    )
+    for _ in range(n_rounds):
+        nbr = und.join(labels.withColumnRenamed("v", "t"), "t").select(
+            F.col("s").alias("v"), F.col("label").alias("nl")
+        )
+        sigs = nbr.groupBy("v").agg(
+            F.expr(
+                "concat_ws(',', transform(sort_array(collect_list(nl)), "
+                "x -> CAST(x AS STRING)))"
+            ).alias("nls")
+        )
+        joined = sigs.join(labels, "v").withColumn(
+            "sig", F.expr("CAST(label AS STRING) || '|' || nls")
+        )
+        labels = joined.select(
+            "v", F.expr(h0_spark_expr("sig")).alias("label")
+        )
+    return labels.groupBy("label").agg(
+        F.count("*").alias("n_nodes"),
+        F.min("v").alias("min_v"),
+    )
+
+
+def sql_wl_refinement(edges_cte: str, n_rounds: int = 2) -> str:
+    """Unrolled MATERIALIZED-CTE twin of :func:`wl_refinement`;
+    ``edges_cte`` selects directed raw pairs ``(s, t)``."""
+    from gotrackmaster_spark.functions.text import h0_sql
+
+    parts = [
+        f"eraw AS MATERIALIZED ({edges_cte})",
+        "und AS MATERIALIZED (SELECT DISTINCT s, t FROM "
+        "(SELECT s, t FROM eraw UNION SELECT t, s FROM eraw) u WHERE s <> t)",
+        "l0 AS MATERIALIZED (SELECT s AS v, CAST(count(*) AS BIGINT) AS label "
+        "FROM und GROUP BY 1)",
+    ]
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT u.s AS v, "
+            f"array_to_string(list_transform(list_sort(list(l.label)), "
+            f"x -> CAST(x AS VARCHAR)), ',') AS nls "
+            f"FROM und u JOIN l{r - 1} l ON l.v = u.t GROUP BY u.s)"
+        )
+        sig = f"(CAST(l.label AS VARCHAR) || '|' || s{r}.nls)"
+        parts.append(
+            f"l{r} AS MATERIALIZED (SELECT s{r}.v, {h0_sql(sig)} AS label "
+            f"FROM s{r} JOIN l{r - 1} l ON l.v = s{r}.v)"
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH {body}\n"
+        f"SELECT label, CAST(count(*) AS BIGINT) AS n_nodes, min(v) AS min_v "
+        f"FROM l{n_rounds} GROUP BY 1"
+    )
