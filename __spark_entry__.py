@@ -254,6 +254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trimmed_mean": _wrap(Q.q_trimmed_mean),
         "zipf_check": _wrap(Q.q_zipf_check),
         "wl_colors": _wrap(Q.q_wl_colors),
+        "ppr_scores": _wrap(Q.q_ppr_scores),
         "funnel_steps": _wrap(Q.q_funnel_steps),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
@@ -452,6 +453,7 @@ def oracle_sql() -> dict[str, str]:
         "trimmed_mean": Q.SQL_TRIMMED_MEAN,
         "zipf_check": Q.SQL_ZIPF_CHECK,
         "wl_colors": Q.SQL_WL_COLORS,
+        "ppr_scores": Q.SQL_PPR_SCORES,
         "funnel_steps": Q.SQL_FUNNEL_STEPS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,

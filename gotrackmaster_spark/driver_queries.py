@@ -12962,3 +12962,65 @@ FROM events"""
 
 
 SQL_WL_COLORS = _sql_wl_colors()
+
+
+# --------------------------------------------------------------------------
+# E101 — personalized PageRank (`ppr_scores`,
+# `graph.personalized_pagerank`): random-walk-with-restart relevance
+# from the HOT cells of the transition graph (visit count >= 40) —
+# "which cells gravitate toward the hotspots?", the recommendation /
+# similar-node primitive.  Teleport mass restricted to seeds, integer
+# DIV arithmetic, fixed rounds; MATERIALIZED unrolled-CTE oracle.
+# --------------------------------------------------------------------------
+
+_PPR_ROUNDS = 5
+_PPR_SEED_MIN = 40
+
+
+def _ppr_seeds(spark, sf_dir):
+    e = _pr_edges(spark, sf_dir)
+    return (
+        e.groupBy(F.col("src").alias("v"))
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= _PPR_SEED_MIN)
+        .select("v")
+    )
+
+
+def q_ppr_scores(spark, sf_dir):
+    from gotrackmaster_spark.operators.graph import personalized_pagerank
+
+    edges = _pr_edges(spark, sf_dir)
+    return personalized_pagerank(
+        edges, _ppr_seeds(spark, sf_dir), n_rounds=_PPR_ROUNDS
+    ).select(F.col("v").alias("cell"), "rank_q")
+
+
+def _sql_ppr_scores() -> str:
+    from gotrackmaster_spark.operators.graph import sql_personalized_pagerank
+
+    edges_cte = f"""
+  SELECT src, dst, 1 AS w FROM (
+    SELECT (x // {_PR_CELL}) * 100 + (y // {_PR_CELL}) AS src,
+           (lead(x) OVER w) // {_PR_CELL} * 100 + (lead(y) OVER w) // {_PR_CELL} AS dst
+    FROM (
+      SELECT user_id, ts, event_id,
+             (event_id * 2654435761) % 1600000 AS x,
+             (event_id * 40503 + 7) % 3600000 AS y
+      FROM events
+    )
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  ) WHERE dst IS NOT NULL
+"""
+    seeds_cte = f"""
+  SELECT src AS v FROM ({edges_cte.strip()}) e
+  GROUP BY 1 HAVING count(*) >= {_PPR_SEED_MIN}
+"""
+    inner = sql_personalized_pagerank(edges_cte, seeds_cte, n_rounds=_PPR_ROUNDS)
+    return inner.replace(
+        f"SELECT v, rank_q FROM r{_PPR_ROUNDS}",
+        f"SELECT v AS cell, rank_q FROM r{_PPR_ROUNDS}",
+    )
+
+
+SQL_PPR_SCORES = _sql_ppr_scores()

@@ -777,3 +777,116 @@ def sql_wl_refinement(edges_cte: str, n_rounds: int = 2) -> str:
         f"SELECT label, CAST(count(*) AS BIGINT) AS n_nodes, min(v) AS min_v "
         f"FROM l{n_rounds} GROUP BY 1"
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    w_col: str | None = None,
+    n_rounds: int = 5,
+    quant: int = 10**6,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Personalized PageRank — :func:`pagerank` with the teleport mass
+    restricted to a SEED set (``seeds``: one ``v`` column): the random-
+    walk-with-restart relevance score behind recommendation and
+    similar-node queries ("which cells are reachable-from / gravitate
+    toward the hotspots?").
+
+    Same exactness contract as :func:`pagerank`: ranks start at
+    ``quant`` on seeds (0 elsewhere), each round is
+    ``rank' = seed·(15·quant) DIV 100 + (85·Σ contrib) DIV 100`` with
+    integer DIV throughout — fixed rounds unroll into the
+    MATERIALIZED-CTE oracle bit-for-bit.  Non-seed dangling mass is
+    dropped (as in pagerank).  Same per-round plan: one co-partitioned
+    join + one hash aggregate + snapshotter truncation.
+
+    Output: ``(v, rank_q)`` — one row per node, 0 for nodes the walk
+    never reaches.
+    """
+    if n_rounds < 0:
+        raise ValueError(f"n_rounds must be >= 0, got {n_rounds}")
+    w = F.col(w_col) if w_col is not None else F.lit(1)
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), w.alias("w")
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+    )
+    out_tot = e.groupBy("src").agg(F.sum("w").alias("wout"))
+    base = (15 * quant) // 100
+    spark = edges.sparkSession
+    with plan_snapshotter(spark, checkpoint_dir) as snap:
+        e2 = snap(e.join(out_tot, "src"))
+        nodes = snap(
+            e2.select(F.col("src").alias("v"))
+            .unionByName(e2.select(F.col("dst").alias("v")))
+            .distinct()
+            .join(seeds.select(F.col("v"), F.lit(1).alias("__seed")), "v", "left")
+            .select("v", F.coalesce(F.col("__seed"), F.lit(0)).alias("seed"))
+        )
+        rank = snap(
+            nodes.withColumn(
+                "rank_q", (F.col("seed") * F.lit(quant)).cast("long")
+            ).select("v", "rank_q")
+        )
+        for _ in range(n_rounds):
+            contrib = e2.join(rank, e2["src"] == rank["v"]).select(
+                F.col("dst").alias("v"),
+                F.expr("(rank_q * w) DIV wout").alias("c"),
+            )
+            inq = contrib.groupBy("v").agg(F.sum("c").alias("s"))
+            rank = snap(
+                nodes.join(inq, "v", "left").select(
+                    "v",
+                    (
+                        F.col("seed").cast("long") * F.lit(base)
+                        + F.expr("(85 * coalesce(s, CAST(0 AS BIGINT))) DIV 100")
+                    ).alias("rank_q"),
+                )
+            )
+    return rank
+
+
+def sql_personalized_pagerank(
+    edges_cte: str,
+    seeds_cte: str,
+    n_rounds: int = 5,
+    quant: int = 10**6,
+) -> str:
+    """MATERIALIZED unrolled-CTE twin of :func:`personalized_pagerank`.
+    ``edges_cte`` selects ``(src, dst, w)``; ``seeds_cte`` selects
+    ``(v)``."""
+    base = (15 * quant) // 100
+    parts = [
+        f"eraw AS MATERIALIZED ({edges_cte})",
+        "e AS MATERIALIZED (SELECT src, dst, CAST(sum(w) AS BIGINT) AS w "
+        "FROM eraw GROUP BY 1, 2)",
+        "outt AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS wout "
+        "FROM e GROUP BY 1)",
+        "e2 AS MATERIALIZED (SELECT e.src, e.dst, e.w, outt.wout "
+        "FROM e JOIN outt USING (src))",
+        f"sd AS MATERIALIZED ({seeds_cte})",
+        "nodes AS MATERIALIZED (SELECT n.v, "
+        "CASE WHEN sd.v IS NULL THEN 0 ELSE 1 END AS seed "
+        "FROM (SELECT DISTINCT v FROM (SELECT src AS v FROM e2 "
+        "UNION ALL SELECT dst FROM e2)) n LEFT JOIN sd ON sd.v = n.v)",
+        f"r0 AS MATERIALIZED (SELECT v, CAST(seed * {quant} AS BIGINT) AS rank_q "
+        f"FROM nodes)",
+    ]
+    for k in range(1, n_rounds + 1):
+        parts.append(
+            f"c{k} AS MATERIALIZED (SELECT e2.dst AS v, "
+            f"CAST(sum((r.rank_q * e2.w) // e2.wout) AS BIGINT) AS s "
+            f"FROM e2 JOIN r{k - 1} r ON e2.src = r.v GROUP BY 1)"
+        )
+        parts.append(
+            f"r{k} AS MATERIALIZED (SELECT n.v, "
+            f"CAST(n.seed * {base} + (85 * coalesce(c{k}.s, 0)) // 100 "
+            f"AS BIGINT) AS rank_q FROM nodes n LEFT JOIN c{k} ON n.v = c{k}.v)"
+        )
+    body = ",\n".join(parts)
+    return f"WITH {body}\nSELECT v, rank_q FROM r{n_rounds}"
