@@ -12967,14 +12967,14 @@ SQL_WL_COLORS = _sql_wl_colors()
 # --------------------------------------------------------------------------
 # E101 — personalized PageRank (`ppr_scores`,
 # `graph.personalized_pagerank`): random-walk-with-restart relevance
-# from the HOT cells of the transition graph (visit count >= 40) —
+# from the HOT cells of the transition graph (out-count >= 20) —
 # "which cells gravitate toward the hotspots?", the recommendation /
 # similar-node primitive.  Teleport mass restricted to seeds, integer
 # DIV arithmetic, fixed rounds; MATERIALIZED unrolled-CTE oracle.
 # --------------------------------------------------------------------------
 
 _PPR_ROUNDS = 5
-_PPR_SEED_MIN = 40
+_PPR_SEED_MIN = 20
 
 
 def _ppr_seeds(spark, sf_dir):
