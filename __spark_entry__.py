@@ -255,6 +255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_check": _wrap(Q.q_zipf_check),
         "wl_colors": _wrap(Q.q_wl_colors),
         "ppr_scores": _wrap(Q.q_ppr_scores),
+        "cube_counts": _wrap(Q.q_cube_counts),
         "funnel_steps": _wrap(Q.q_funnel_steps),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
@@ -454,6 +455,7 @@ def oracle_sql() -> dict[str, str]:
         "zipf_check": Q.SQL_ZIPF_CHECK,
         "wl_colors": Q.SQL_WL_COLORS,
         "ppr_scores": Q.SQL_PPR_SCORES,
+        "cube_counts": Q.SQL_CUBE_COUNTS,
         "funnel_steps": Q.SQL_FUNNEL_STEPS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,

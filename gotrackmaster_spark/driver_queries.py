@@ -13024,3 +13024,40 @@ def _sql_ppr_scores() -> str:
 
 
 SQL_PPR_SCORES = _sql_ppr_scores()
+
+
+# --------------------------------------------------------------------------
+# E102 — CUBE aggregation (`cube_counts` composite): the full grouping
+# lattice over (event_type, weekday) — every combination plus both
+# marginals plus the grand total in ONE pass (Spark `cube()` ⇄ DuckDB
+# GROUPING SETS), each row tagged with grouping_id so consumers can
+# split the lattice.  Completes the multi-granularity SQL surface next
+# to `st_rollup`'s hierarchy.
+# --------------------------------------------------------------------------
+
+
+def q_cube_counts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    wd = F.expr(f"(unix_micros(CAST(ts AS timestamp)) DIV {_US_PER_DAY} + 4) % 7")
+    base = ev.select("event_type", wd.alias("weekday"), "value")
+    return (
+        base.cube("event_type", "weekday")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100.0, 0).cast("long")).alias("value_c"),
+            F.grouping_id("event_type", "weekday").cast("long").alias("gid"),
+        )
+        .select("event_type", "weekday", "n", "value_c", "gid")
+    )
+
+
+SQL_CUBE_COUNTS = f"""
+SELECT event_type,
+       (epoch_us(ts) // {_US_PER_DAY} + 4) % 7 AS weekday,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS value_c,
+       CAST(GROUPING(event_type) * 2 + GROUPING((epoch_us(ts) // {_US_PER_DAY} + 4) % 7)
+            AS BIGINT) AS gid
+FROM events
+GROUP BY CUBE (event_type, (epoch_us(ts) // {_US_PER_DAY} + 4) % 7)
+"""
