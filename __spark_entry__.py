@@ -256,6 +256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wl_colors": _wrap(Q.q_wl_colors),
         "ppr_scores": _wrap(Q.q_ppr_scores),
         "cube_counts": _wrap(Q.q_cube_counts),
+        "graph_summary": _wrap(Q.q_graph_summary),
         "funnel_steps": _wrap(Q.q_funnel_steps),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
@@ -456,6 +457,7 @@ def oracle_sql() -> dict[str, str]:
         "wl_colors": Q.SQL_WL_COLORS,
         "ppr_scores": Q.SQL_PPR_SCORES,
         "cube_counts": Q.SQL_CUBE_COUNTS,
+        "graph_summary": Q.SQL_GRAPH_SUMMARY,
         "funnel_steps": Q.SQL_FUNNEL_STEPS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,

@@ -13061,3 +13061,91 @@ SELECT event_type,
 FROM events
 GROUP BY CUBE (event_type, (epoch_us(ts) // {_US_PER_DAY} + 4) % 7)
 """
+
+
+# --------------------------------------------------------------------------
+# E103 — transition graph summary (`graph_summary` composite): the
+# one-row structural profile of the directed cell-transition graph —
+# nodes, distinct edges, self-loops, reciprocated edge count (both
+# directions present) with quantized reciprocity, and the Gini
+# concentration of edge weights (rank-sum identity).  Reciprocity via
+# one self-join on the reversed key; all integers except the rounded
+# Gini.
+# --------------------------------------------------------------------------
+
+
+def q_graph_summary(spark, sf_dir):
+    from pyspark.sql import Window
+
+    raw = _pr_edges(spark, sf_dir)
+    e = raw.groupBy("src", "dst").agg(F.count("*").alias("w"))
+    nodes = e.select(F.col("src").alias("v")).union(
+        e.select(F.col("dst").alias("v"))
+    ).distinct()
+    nonself = e.filter(F.col("src") != F.col("dst"))
+    recip = nonself.join(
+        nonself.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        ["src", "dst"],
+        "left_semi",
+    )
+    w = Window.orderBy("w", "src", "dst")
+    ranked = e.withColumn("r", F.row_number().over(w))
+    agg = ranked.agg(
+        F.count("*").alias("n_edges"),
+        F.sum("w").alias("n_transitions"),
+        F.sum((F.col("src") == F.col("dst")).cast("long")).alias("n_self"),
+        F.sum(F.col("r") * F.col("w")).alias("rank_sum"),
+    )
+    counts = (
+        agg.crossJoin(F.broadcast(nodes.agg(F.count("*").alias("n_nodes"))))
+        .crossJoin(F.broadcast(recip.agg(F.count("*").alias("n_recip"))))
+    )
+    gnum = 2 * F.col("rank_sum") - (F.col("n_edges") + 1) * F.col("n_transitions")
+    gden = F.col("n_edges") * F.col("n_transitions")
+    return counts.select(
+        "n_nodes", "n_edges", "n_transitions", "n_self", "n_recip",
+        F.expr("(n_recip * 1000000) DIV (n_edges - n_self)").alias("reciprocity_q"),
+        F.round(gnum.cast("double") / gden.cast("double"), 6).alias("w_gini_r"),
+    )
+
+
+SQL_GRAPH_SUMMARY = f"""
+WITH raw AS (
+  SELECT src, dst FROM (
+    SELECT (x // {_PR_CELL}) * 100 + (y // {_PR_CELL}) AS src,
+           (lead(x) OVER w) // {_PR_CELL} * 100 + (lead(y) OVER w) // {_PR_CELL} AS dst
+    FROM (
+      SELECT user_id, ts, event_id,
+             (event_id * 2654435761) % 1600000 AS x,
+             (event_id * 40503 + 7) % 3600000 AS y
+      FROM events
+    )
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  ) WHERE dst IS NOT NULL
+),
+e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM raw GROUP BY 1, 2),
+nodes AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+nonself AS (SELECT src, dst FROM e WHERE src <> dst),
+recip AS (
+  SELECT a.src, a.dst FROM nonself a
+  WHERE EXISTS (SELECT 1 FROM nonself b WHERE b.src = a.dst AND b.dst = a.src)
+),
+ranked AS (
+  SELECT w, src, dst, row_number() OVER (ORDER BY w, src, dst) AS r FROM e
+),
+agg AS (
+  SELECT count(*) AS n_edges,
+         CAST(sum(w) AS BIGINT) AS n_transitions,
+         CAST(sum(CASE WHEN src = dst THEN 1 ELSE 0 END) AS BIGINT) AS n_self,
+         CAST(sum(r * w) AS BIGINT) AS rank_sum
+  FROM ranked
+)
+SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+       a.n_edges, a.n_transitions, a.n_self,
+       (SELECT CAST(count(*) AS BIGINT) FROM recip) AS n_recip,
+       ((SELECT CAST(count(*) AS BIGINT) FROM recip) * 1000000)
+       // (a.n_edges - a.n_self) AS reciprocity_q,
+       round(CAST(2 * a.rank_sum - (a.n_edges + 1) * a.n_transitions AS DOUBLE)
+             / CAST(a.n_edges * a.n_transitions AS DOUBLE), 6) AS w_gini_r
+FROM agg a
+"""

@@ -62,6 +62,8 @@ BNLJ_ALLOWED = {
     "pps_sample",
     # zipf_check: 1-row hapax/vocab scalar attach onto the top-20 rows
     "zipf_check",
+    # graph_summary: two 1-row scalar attaches (node count, reciprocity)
+    "graph_summary",
 }
 
 QUERIES = entrymod.queries()
