@@ -257,6 +257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr_scores": _wrap(Q.q_ppr_scores),
         "cube_counts": _wrap(Q.q_cube_counts),
         "graph_summary": _wrap(Q.q_graph_summary),
+        "rrf_fusion": _wrap(Q.q_rrf_fusion),
         "funnel_steps": _wrap(Q.q_funnel_steps),
         # -- block 2 (just past the window): code touched
         # since the last green row.  jaccard_pairs / minhash_band_pairs /
@@ -458,6 +459,7 @@ def oracle_sql() -> dict[str, str]:
         "ppr_scores": Q.SQL_PPR_SCORES,
         "cube_counts": Q.SQL_CUBE_COUNTS,
         "graph_summary": Q.SQL_GRAPH_SUMMARY,
+        "rrf_fusion": Q._sql_rrf_fusion(),
         "funnel_steps": Q.SQL_FUNNEL_STEPS,
         "od_matrix": Q.SQL_OD_MATRIX,
         "poly_overlaps": Q.SQL_POLY_OVERLAPS,

@@ -13149,3 +13149,81 @@ SELECT (SELECT count(*) FROM nodes) AS n_nodes,
              / CAST(a.n_edges * a.n_transitions AS DOUBLE), 6) AS w_gini_r
 FROM agg a
 """
+
+
+# --------------------------------------------------------------------------
+# E104 — reciprocal-rank fusion (`rrf_fusion` composite): the standard
+# rank-combiner of modern retrieval stacks (BM25 ⊕ a second signal)
+# with INTEGER-QUANTIZED contributions — rrf_q = Σ 10⁶ DIV (60 + rank)
+# over both rankings (fractional RRF ranks near-ties engine-
+# dependently; integer quotients cannot).  Ranking 1 = the engine's
+# BM25 over the search terms; ranking 2 = caption length (the
+# "longer docs are richer" prior), both ranked deterministically with
+# doc_id tie-breaks; docs absent from a ranking contribute 0 (the
+# standard RRF convention).  Deterministic top-20 via row_number.
+# --------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_TOPK = 20
+
+
+def q_rrf_fusion(spark, sf_dir):
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    bm = q_bm25_scores(spark, sf_dir)
+    r1 = bm.withColumn(
+        "rank1",
+        F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))),
+    ).select("doc_id", "rank1")
+    r2 = docs.withColumn(
+        "rank2",
+        F.row_number().over(Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))),
+    ).select("doc_id", "rank2")
+    fused = (
+        docs.select("doc_id")
+        .join(r1, "doc_id", "left")
+        .join(r2, "doc_id", "left")
+        .select(
+            "doc_id", "rank1", "rank2",
+            (
+                F.coalesce(F.expr(f"1000000 DIV ({_RRF_K} + rank1)"), F.lit(0))
+                + F.coalesce(F.expr(f"1000000 DIV ({_RRF_K} + rank2)"), F.lit(0))
+            ).alias("rrf_q"),
+        )
+    )
+    w = Window.orderBy(F.desc("rrf_q"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _RRF_TOPK)
+        .select("rk", "doc_id", "rank1", "rank2", "rrf_q")
+    )
+
+
+SQL_RRF_FUSION = f"""
+WITH bm AS ({{bm25}}),
+r1 AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank1
+  FROM bm
+),
+r2 AS (
+  SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rank2
+  FROM documents
+),
+fused AS (
+  SELECT d.doc_id, r1.rank1, r2.rank2,
+         coalesce(1000000 // ({_RRF_K} + r1.rank1), 0)
+         + coalesce(1000000 // ({_RRF_K} + r2.rank2), 0) AS rrf_q
+  FROM documents d
+  LEFT JOIN r1 ON r1.doc_id = d.doc_id
+  LEFT JOIN r2 ON r2.doc_id = d.doc_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY rrf_q DESC, doc_id) AS rk FROM fused
+)
+SELECT rk, doc_id, rank1, rank2, rrf_q FROM ranked WHERE rk <= {_RRF_TOPK}
+"""
+
+
+def _sql_rrf_fusion() -> str:
+    return SQL_RRF_FUSION.replace("{bm25}", _sql_bm25_scores())

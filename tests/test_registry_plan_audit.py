@@ -64,6 +64,8 @@ BNLJ_ALLOWED = {
     "zipf_check",
     # graph_summary: two 1-row scalar attaches (node count, reciprocity)
     "graph_summary",
+    # rrf_fusion: inherits bm25's 1-row corpus-scalar attach
+    "rrf_fusion",
 }
 
 QUERIES = entrymod.queries()
