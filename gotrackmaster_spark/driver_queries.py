@@ -7673,7 +7673,9 @@ FROM final GROUP BY 1, 2
 # E7h — shared-block detection (`images.shared_blocks`): sub-image
 # duplicate tiles across images (the watermark/logo dedup primitive).
 # 8×8×3 blocks, EXACT integer signature pair (Σp, Σp·(j+1)), one
-# shuffle on the signature key.  The generator plants true positives:
+# shuffle on the signature key; constant (letterbox-bar) blocks are
+# pre-filtered mapper-side via sig1·2 == sig0·(n+1) — mirrored in the
+# WHERE below.  The generator plants true positives:
 # doc k and k+256 produce identical pixels (31·256 ≡ 0 mod 256), and
 # the pair survives exactly when neither side is qnt4-quantized — the
 # oracle replays blocks from per-channel generator indices.
@@ -7711,7 +7713,9 @@ sig AS (
 )
 SELECT sig0, sig1, CAST(count(*) AS BIGINT) AS n_blocks,
        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_imgs
-FROM sig GROUP BY 1, 2
+FROM sig
+WHERE sig1 * 2 <> sig0 * ({_SB_NLOC} + 1)
+GROUP BY 1, 2
 HAVING count(DISTINCT doc_id) >= 2
 """
 
@@ -11412,7 +11416,11 @@ def q_vocab_growth(spark, sf_dir):
     )
     return out.select(
         "n_docs", "vocab", "tokens",
-        F.expr("(vocab * 1000000) DIV tokens").alias("ttr_q"),
+        # guarded: a bucket prefix with zero tokens (all-empty docs) yields
+        # NULL type-token ratio instead of DIVIDE_BY_ZERO under ANSI.
+        F.expr("CASE WHEN tokens > 0 THEN (vocab * 1000000) DIV tokens END").alias(
+            "ttr_q"
+        ),
     )
 
 
@@ -11434,7 +11442,7 @@ cum AS (
   FROM vb FULL JOIN tb ON vb.b = tb.b
 )
 SELECT b * {_VG_STEP} AS n_docs, vocab, tokens,
-       (vocab * 1000000) // tokens AS ttr_q
+       CASE WHEN tokens > 0 THEN (vocab * 1000000) // tokens END AS ttr_q
 FROM cum
 """
 
@@ -12144,7 +12152,12 @@ def q_bloom_semijoin(spark, sf_dir):
         F.sum((~F.col("passed") & F.col("member")).cast("long")).alias("n_missed"),
     ).select(
         "n_events", "n_candidates", "n_true", "n_fp", "n_missed",
-        F.expr("(n_fp * 1000000) DIV (n_events - n_true)").alias("fp_rate_q"),
+        # guarded: an all-member event table leaves zero non-member events
+        # (n_events == n_true) — NULL, not DIVIDE_BY_ZERO, in both engines.
+        F.expr(
+            "CASE WHEN n_events - n_true > 0"
+            " THEN (n_fp * 1000000) DIV (n_events - n_true) END"
+        ).alias("fp_rate_q"),
     )
 
 
@@ -12189,7 +12202,8 @@ agg AS (
   FROM events e JOIN verdict v ON v.user_id = e.user_id
 )
 SELECT n_events, n_candidates, n_true, n_fp, n_missed,
-       (n_fp * 1000000) // (n_events - n_true) AS fp_rate_q
+       CASE WHEN n_events - n_true > 0 THEN
+         (n_fp * 1000000) // (n_events - n_true) END AS fp_rate_q
 FROM agg
 """
 
@@ -13104,7 +13118,13 @@ def q_graph_summary(spark, sf_dir):
     gden = F.col("n_edges") * F.col("n_transitions")
     return counts.select(
         "n_nodes", "n_edges", "n_transitions", "n_self", "n_recip",
-        F.expr("(n_recip * 1000000) DIV (n_edges - n_self)").alias("reciprocity_q"),
+        # pre-division guard (repo convention, cf. cell_diversity): a graph
+        # that is all self-loops (or empty) has no non-self edges — both
+        # engines return NULL instead of raising DIVIDE_BY_ZERO under ANSI.
+        F.expr(
+            "CASE WHEN n_edges - n_self > 0"
+            " THEN (n_recip * 1000000) DIV (n_edges - n_self) END"
+        ).alias("reciprocity_q"),
         F.round(gnum.cast("double") / gden.cast("double"), 6).alias("w_gini_r"),
     )
 
@@ -13143,8 +13163,9 @@ agg AS (
 SELECT (SELECT count(*) FROM nodes) AS n_nodes,
        a.n_edges, a.n_transitions, a.n_self,
        (SELECT CAST(count(*) AS BIGINT) FROM recip) AS n_recip,
-       ((SELECT CAST(count(*) AS BIGINT) FROM recip) * 1000000)
-       // (a.n_edges - a.n_self) AS reciprocity_q,
+       CASE WHEN a.n_edges - a.n_self > 0 THEN
+         ((SELECT CAST(count(*) AS BIGINT) FROM recip) * 1000000)
+         // (a.n_edges - a.n_self) END AS reciprocity_q,
        round(CAST(2 * a.rank_sum - (a.n_edges + 1) * a.n_transitions AS DOUBLE)
              / CAST(a.n_edges * a.n_transitions AS DOUBLE), 6) AS w_gini_r
 FROM agg a

@@ -554,9 +554,8 @@ def image_moments(images: DataFrame) -> DataFrame:
             fmts = pdf["fmt"].to_numpy()
             # vectorized path requires uniform (w, h) within a stack —
             # group on (fmt, w, h) so mixed-size tables stay correct
-            keys = list(zip(fmts, pdf["w"].to_numpy(), pdf["h"].to_numpy()))
-            for grp in set(keys):
-                idx = np.array([i for i, k in enumerate(keys) if k == grp])
+            # (groupby.indices keeps the grouping linear in batch size)
+            for grp, idx in pdf.groupby(["fmt", "w", "h"], sort=False).indices.items():
                 sub = pdf.iloc[idx]
                 fmt, w, h = grp
                 if fmt in ("raw", "qnt4"):
@@ -585,7 +584,11 @@ def image_moments(images: DataFrame) -> DataFrame:
 
 
 def shared_blocks(
-    images: DataFrame, bw: int = 8, bh: int = 8, min_images: int = 2
+    images: DataFrame,
+    bw: int = 8,
+    bh: int = 8,
+    min_images: int = 2,
+    drop_constant: bool = True,
 ) -> DataFrame:
     """Sub-image duplicate-tile detection — which pixel blocks recur
     across DIFFERENT images?  The block-granular dedup primitive that
@@ -604,12 +607,20 @@ def shared_blocks(
     Plan at scale: one ``mapInPandas`` decode pass emits the tiny
     (image_id, bx, by, sig) table (~40 B per block), then ONE shuffle
     on the signature key.  Real-corpus caveat: degenerate blocks
-    (all-black bars) are hot signature keys — at 10⁹ images salt or
-    pre-filter constant blocks (``n1 = n0·(n+1)/2`` detects them) the
-    same way ``skew.salt_hot_cells`` handles hot cells.
+    (all-black letterbox bars) are hot signature keys — with
+    ``drop_constant=True`` (the default) they are pre-filtered INSIDE
+    the decode pass, before the shuffle, via the exact integer identity
+    ``sig1·2 == sig0·(n+1)`` (an all-``v`` block has ``sig0 = v·n`` and
+    ``sig1 = v·n(n+1)/2``); the identity IS the filter semantics, so
+    the DuckDB twin applies the same predicate and stays bit-identical.
+    A constant bar shared by 10⁹ images would otherwise put 10⁹ rows
+    on one reducer key — the same hot-key failure ``skew.salt_hot_cells``
+    handles for cells, solved here by removal because a constant block
+    carries no dedup signal.
 
-    Output: ``(sig0, sig1, n_blocks, n_imgs)`` — one row per signature
-    shared by ≥ ``min_images`` images.
+    Output: ``(sig0, sig1, n_blocks, n_imgs)`` — one row per
+    (non-constant, when ``drop_constant``) signature shared by
+    ≥ ``min_images`` images.
     """
     if bw <= 0 or bh <= 0:
         raise ValueError("bw and bh must be positive")
@@ -649,10 +660,16 @@ def shared_blocks(
                     px.reshape(1, -1).astype(np.int64), int(r.w), int(r.h)
                 )
                 nbx = r.w // bw
-                for bi in range(s0.shape[1]):
+                if drop_constant:
+                    # constant block ⟺ sig1·2 == sig0·(n+1); drop BEFORE
+                    # the shuffle so hot bar keys never leave the mapper
+                    bis = np.nonzero(2 * s1[0] != s0[0] * (n_loc + 1))[0]
+                else:
+                    bis = np.arange(s0.shape[1])
+                for bi in bis:
                     out_rows["image_id"].append(r.image_id)
-                    out_rows["bx"].append(bi % nbx)
-                    out_rows["by"].append(bi // nbx)
+                    out_rows["bx"].append(int(bi) % nbx)
+                    out_rows["by"].append(int(bi) // nbx)
                     out_rows["sig0"].append(int(s0[0, bi]))
                     out_rows["sig1"].append(int(s1[0, bi]))
             yield pd.DataFrame(out_rows)
@@ -1094,9 +1111,7 @@ def colorfulness_stats(images: DataFrame) -> DataFrame:
             n_rows = len(pdf)
             acc = {c: np.zeros(n_rows, dtype=np.int64) for c in cols}
             fmts = pdf["fmt"].to_numpy()
-            keys = list(zip(fmts, pdf["w"].to_numpy(), pdf["h"].to_numpy()))
-            for grp in set(keys):
-                idx = np.array([i for i, k in enumerate(keys) if k == grp])
+            for grp, idx in pdf.groupby(["fmt", "w", "h"], sort=False).indices.items():
                 sub = pdf.iloc[idx]
                 fmt, w, h = grp
                 if fmt in ("raw", "qnt4"):
@@ -1150,11 +1165,8 @@ def luma_histogram(images: DataFrame) -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            fmts = pdf["fmt"].to_numpy()
-            keys = list(zip(fmts, pdf["w"].to_numpy(), pdf["h"].to_numpy()))
             rows_id, rows_fmt, rows_l, rows_n = [], [], [], []
-            for grp in set(keys):
-                idx = np.array([i for i, k in enumerate(keys) if k == grp])
+            for grp, idx in pdf.groupby(["fmt", "w", "h"], sort=False).indices.items():
                 sub = pdf.iloc[idx]
                 fmt, w, h = grp
                 if fmt in ("raw", "qnt4"):

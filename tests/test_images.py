@@ -468,9 +468,11 @@ def test_shared_blocks_plants_and_brute_force(spark):
             len(v))
         for k, v in sigs.items() if len(v) >= 2
     }
+    # drop_constant=False: this test pins the RAW signature math; the
+    # constant-block pre-filter has its own planted-letterbox test below
     got = {
         (r["sig0"], r["sig1"]): (r["n_blocks"], r["n_imgs"])
-        for r in shared_blocks(imgs).collect()
+        for r in shared_blocks(imgs, drop_constant=False).collect()
     }
     assert got == exp
     # the planted pair: keys 0 (raw) & 256 (png) decode identically, and
@@ -486,6 +488,44 @@ def test_shared_blocks_plants_and_brute_force(spark):
 def _blk_sig(px, bx, by):
     blk = px.astype(int)[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8, :].reshape(-1)
     return int(blk.sum()), int((blk * np.arange(1, len(blk) + 1)).sum())
+
+
+def test_shared_blocks_constant_prefilter(spark):
+    """Planted letterbox bars: every image shares a constant 8-row bar
+    (one black, one mid-gray) — the hot signature keys.  With the
+    default ``drop_constant=True`` they must vanish BEFORE the shuffle;
+    the genuinely shared non-constant watermark block must survive."""
+    from gotrackmaster_spark.operators.images import shared_blocks
+
+    wm = (np.arange(8 * 8 * 3, dtype=np.uint8) * 7 % 251).reshape(8, 8, 3)
+    rows = []
+    for i in range(3):
+        px = np.zeros((24, 16, 3), dtype=np.uint8)
+        px[0:8, :, :] = 0        # black letterbox bar (2 constant blocks)
+        px[8:16, :, :] = 17      # non-zero constant bar (2 more)
+        px[16:24, 0:8, :] = wm   # shared non-constant watermark
+        # unique non-constant filler so the last block never collides
+        px[16:24, 8:16, :] = ((np.arange(8 * 8 * 3) * (i + 3)) % 256).reshape(
+            8, 8, 3
+        ).astype(np.uint8)
+        rows.append((f"img{i}", px.tobytes(), 16, 24, "raw"))
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, fmt string"
+    )
+    n = 8 * 8 * 3
+    got = {(r["sig0"], r["sig1"]): (r["n_blocks"], r["n_imgs"])
+           for r in shared_blocks(df).collect()}
+    # only the watermark signature survives
+    blk = wm.reshape(-1).astype(int)
+    wm_sig = (int(blk.sum()), int((blk * np.arange(1, n + 1)).sum()))
+    assert got == {wm_sig: (3, 3)}
+    assert all(2 * s1 != s0 * (n + 1) for s0, s1 in got)
+    # with the filter off, both constant bars reappear as hot keys
+    raw = {(r["sig0"], r["sig1"]): (r["n_blocks"], r["n_imgs"])
+           for r in shared_blocks(df, drop_constant=False).collect()}
+    assert raw[(0, 0)] == (6, 3)
+    assert raw[(17 * n, 17 * n * (n + 1) // 2)] == (6, 3)
+    assert raw[wm_sig] == (3, 3)
 
 
 def test_shared_blocks_validation(spark):
