@@ -769,12 +769,20 @@ FROM dwells GROUP BY cell
 
 
 _TRAJ_J_NUM, _TRAJ_J_DEN = 3, 100  # Jaccard >= 0.03 (~p99 of the synthetic layer)
+# hot-cell cap, the jaccard_pairs stop-shingle convention: a cell visited by
+# k users yields C(k,2) candidate pairs on ONE shuffle key, so a downtown
+# hub at 10⁹ users is a quadratic hot key; cells above the cap are dropped
+# BEFORE the self-join and set sizes are computed AFTER the cap, so the
+# result is exact Jaccard over the capped cell space.  sf0.01 max df = 6 —
+# driver output unchanged by the cap.
+_TRAJ_MAX_CELL_DF = 64
 
 
 def q_trajectory_jaccard(spark, sf_dir):
     """Trajectory similarity join: user pairs whose visited-cell SETS
     (distinct level-6 cells) are Jaccard-similar.  Same set-similarity
-    topology as `jaccard_pairs`: cell inverted-index self-join →
+    topology as `jaccard_pairs`: cell inverted-index self-join, with
+    hot cells (df > _TRAJ_MAX_CELL_DF) dropped up front →
     shared-cell counts → PLAIN size joins (no O(users) broadcast, per
     the r2 scale fix) → integer cross-multiplied threshold (no float
     compare).  Real trajectories are cell-sparse, so the per-cell
@@ -785,6 +793,13 @@ def q_trajectory_jaccard(spark, sf_dir):
         .select("user_id", cell_col(F.col("lat"), F.col("lon"), 6).alias("cell"))
         .distinct()
     )
+    hot = (
+        pts.groupBy("cell")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > _TRAJ_MAX_CELL_DF)
+        .select("cell")
+    )
+    pts = pts.join(F.broadcast(hot), "cell", "left_anti")
     sizes = pts.groupBy("user_id").agg(F.count("*").alias("sz"))
     a, b = pts.alias("a"), pts.alias("b")
     inter = (
@@ -811,8 +826,15 @@ def q_trajectory_jaccard(spark, sf_dir):
 
 SQL_TRAJECTORY_JACCARD = f"""
 WITH {GEO_CTE},
-vis AS (
+vis0 AS (
   SELECT DISTINCT user_id, {cell_sql('lat', 'lon', 6)} AS cell FROM geo
+),
+hot AS (
+  SELECT cell FROM vis0 GROUP BY cell HAVING count(*) > {_TRAJ_MAX_CELL_DF}
+),
+vis AS (
+  SELECT v.* FROM vis0 v
+  WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.cell = v.cell)
 ),
 sizes AS (SELECT user_id, count(*) AS sz FROM vis GROUP BY user_id),
 inter AS (
@@ -10525,13 +10547,19 @@ JOIN documents b ON b.doc_id = p.doc_b
 # `spatial.hausdorff_cell_pairs`): the set-DISTANCE companion to
 # `trajectory_jaccard` — how far apart do two co-located users' visited
 # regions actually get?  Inverted-index candidates (>= 2 shared 10-deg
-# cells over a deterministic 1-in-4 point sample), then the exact
+# cells over a deterministic 1-in-4 point sample; hot cells above
+# _HD_MAX_CELL_DF dropped from the index), then the exact
 # max-min over candidate pairs' cell sets; squared integer grid
 # distances end to end, so the whole output hashes exactly.
 # --------------------------------------------------------------------------
 
 _HD_G = 10.0           # grid degrees
 _HD_MIN_SHARED = 2     # candidate cut: >= 2 shared cells
+# hot-cell cap (the spatial.HAUSDORFF_MAX_CELL_DF default): cells visited by
+# more trajectories are dropped from the CANDIDATE index (stop-shingle
+# convention) — per-cell candidate output bounded at C(cap, 2).  At sf0.01
+# the max per-cell df is 8, so driver output is unchanged by the cap.
+_HD_MAX_CELL_DF = 64
 
 
 def _hd_traj(spark, sf_dir):
@@ -10562,9 +10590,17 @@ vis AS (
          CAST(floor(lat / {_HD_G}) AS BIGINT) AS gy
   FROM geo WHERE event_id % 4 = 0
 ),
+hot AS (
+  SELECT gx, gy FROM vis GROUP BY 1, 2
+  HAVING count(*) > {_HD_MAX_CELL_DF}
+),
+idx AS (
+  SELECT v.* FROM vis v
+  WHERE NOT EXISTS (SELECT 1 FROM hot h WHERE h.gx = v.gx AND h.gy = v.gy)
+),
 cand AS (
   SELECT a.tid AS tid_a, b.tid AS tid_b, count(*) AS n_shared
-  FROM vis a JOIN vis b ON a.gx = b.gx AND a.gy = b.gy AND a.tid < b.tid
+  FROM idx a JOIN idx b ON a.gx = b.gx AND a.gy = b.gy AND a.tid < b.tid
   GROUP BY 1, 2 HAVING count(*) >= {_HD_MIN_SHARED}
 ),
 ex AS (

@@ -3997,8 +3997,14 @@ def quadtree_leaves(
 
 _bound_hausdorff_cache = make_bounded_cache()   # expanded candidate d2 table
 
+HAUSDORFF_MAX_CELL_DF = 64
 
-def hausdorff_cell_pairs(traj: DataFrame, min_shared: int = 1) -> DataFrame:
+
+def hausdorff_cell_pairs(
+    traj: DataFrame,
+    min_shared: int = 1,
+    max_cell_df: int | None = HAUSDORFF_MAX_CELL_DF,
+) -> DataFrame:
     """Symmetric Hausdorff distance between the visited-cell sets of
     trajectory pairs — the set-distance companion to the Jaccard
     trajectory join (reference analogue: the track-similarity verdicts
@@ -4016,7 +4022,16 @@ def hausdorff_cell_pairs(traj: DataFrame, min_shared: int = 1) -> DataFrame:
 
     1. candidate pairs from the per-cell inverted index (pairs sharing
        ≥ ``min_shared`` cells) — bounds the quadratic stage by spatial
-       co-location; disjoint trajectories never meet;
+       co-location; disjoint trajectories never meet.  HOT cells
+       (visited by more than ``max_cell_df`` trajectories — downtown
+       hubs) are dropped from the INDEX before the self-join, the
+       ``jaccard_pairs`` stop-shingle convention: a cell with k
+       trajectories contributes C(k,2) candidate pairs, so one hub at
+       10⁹ scale is a quadratic blowup on a single shuffle key, while
+       carrying no co-location signal (everyone is there).  The cap
+       bounds per-cell candidate output at C(max_cell_df, 2);
+       ``n_shared`` therefore counts shared NON-HOT cells, and pairs
+       co-located only in hubs are (deliberately) not candidates;
     2. the exact max-min runs over CANDIDATE pairs only: one join of
        the pair list against each side's cell set, the d² matrix
        grouped twice (per a-cell mins → max = h(A→B); per b-cell mins
@@ -4030,7 +4045,17 @@ def hausdorff_cell_pairs(traj: DataFrame, min_shared: int = 1) -> DataFrame:
     Output: ``(tid_a, tid_b, n_shared, h2_ab, h2_ba, h2)``.
     """
     vis = traj.select("tid", "gx", "gy")
-    a, b = vis.alias("a"), vis.alias("b")
+    idx = vis
+    if max_cell_df is not None:
+        hot = (
+            vis.groupBy("gx", "gy")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_cell_df)
+            .select("gx", "gy")
+        )
+        # ≤ |vis| / max_cell_df hot cells exist by construction → tiny
+        idx = vis.join(F.broadcast(hot), ["gx", "gy"], "left_anti")
+    a, b = idx.alias("a"), idx.alias("b")
     cand = (
         a.join(
             b,

@@ -91,3 +91,35 @@ def test_no_cartesian_product(spark):
     plan = hausdorff_cell_pairs(_traj(spark, rows))._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hot_cell_cap_bounds_candidates(spark):
+    """Planted hub: one cell visited by ALL 40 trajectories (df = 40 >
+    cap = 8) must be dropped from the candidate index — pairs co-located
+    ONLY there never become candidates, so candidate rows stay
+    ≤ Σ_kept_cells C(cap, 2); the exact max-min still runs over FULL
+    cell sets (hub included) for the pairs that do qualify."""
+    from gotrackmaster_spark.operators.spatial import hausdorff_cell_pairs
+
+    cap = 8
+    rows = [(t, 0, 0) for t in range(40)]            # the hub (df=40)
+    rows += [(t, 5, 5) for t in range(4)]            # normal cell (df=4)
+    rows += [(t, 6, 6) for t in range(4)]            # normal cell (df=4)
+    df = _traj(spark, rows)
+
+    # min_shared=1 exposes the candidate set directly as output pairs
+    capped = {
+        (r.tid_a, r.tid_b): (r.n_shared, r.h2)
+        for r in hausdorff_cell_pairs(df, 1, max_cell_df=cap).collect()
+    }
+    kept_cell_dfs = [4, 4]                           # hub dropped
+    bound = sum(d * (d - 1) // 2 for d in kept_cell_dfs)
+    assert set(capped) == {(a, b) for a in range(4) for b in range(a + 1, 4)}
+    assert len(capped) <= bound
+    # n_shared counts NON-HOT shared cells only; h2 uses full sets —
+    # tids 0..3 have identical full sets {(0,0),(5,5),(6,6)} → h2 = 0
+    assert all(v == (2, 0) for v in capped.values())
+
+    # cap off: every pair shares the hub → full quadratic candidate set
+    uncapped = hausdorff_cell_pairs(df, 1, max_cell_df=None).collect()
+    assert len(uncapped) == 40 * 39 // 2
