@@ -11811,23 +11811,45 @@ FROM ranked WHERE rk <= {_Q3_TOPK}
 # its cumulative-weight interval:  n_picks = (cum·K) DIV W −
 # ((cum−w)·K) DIV W  — EXACT integers, no randomness, heavy users can
 # legitimately be picked more than once (classic systematic PPS with
-# origin 0).  The window cumsum runs over the per-user AGGREGATE
-# (users, not events); at 10⁹ users replace the global window with a
-# two-level cumsum (per-bucket partial sums + broadcast bucket
-# offsets).
+# origin 0).  The cumulative weight is a TWO-LEVEL cumsum (the scale
+# remedy the r3 docstring promised, now implemented): level 1 is a
+# shard-partitioned window (shard = user_id DIV 2¹³ — a RANGE bucket,
+# so shard order extends user_id order), level 2 an exclusive prefix
+# over the per-shard totals, broadcast back onto the shards.  No
+# window in the plan runs unpartitioned over the user table; the only
+# single-partition window is over the shard-total table (n_users/2¹³
+# rows — 122k shards at 10⁹ users), pinned in test_plan_shapes.py.
+# cum is exact either way, so the output is bit-identical to the
+# global-window formulation (the DuckDB twin keeps the one-level SQL).
 # --------------------------------------------------------------------------
 
 _PPS_K = 20
+_PPS_SHARD_W = 1 << 13  # users per cumsum shard (user_id is non-negative)
 
 
 def q_pps_sample(spark, sf_dir):
     from pyspark.sql import Window
 
     ev = _t(spark, sf_dir, "events")
-    users = ev.groupBy("user_id").agg(F.count("*").alias("w"))
+    users = ev.groupBy("user_id").agg(F.count("*").alias("w")).withColumn(
+        "shard", F.expr(f"user_id DIV {_PPS_SHARD_W}")
+    )
     tot = users.agg(F.sum("w").alias("tw"))
-    w = Window.orderBy("user_id").rowsBetween(Window.unboundedPreceding, 0)
-    cum = users.select("user_id", "w", F.sum("w").over(w).alias("cum"))
+    w1 = Window.partitionBy("shard").orderBy("user_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    part = users.select(
+        "user_id", "w", "shard", F.sum("w").over(w1).alias("cum_in")
+    )
+    w2 = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        users.groupBy("shard")
+        .agg(F.sum("w").alias("sw"))
+        .select("shard", F.coalesce(F.sum("sw").over(w2), F.lit(0)).alias("off"))
+    )
+    cum = part.join(F.broadcast(offs), "shard").select(
+        "user_id", "w", (F.col("cum_in") + F.col("off")).alias("cum")
+    )
     j = cum.crossJoin(F.broadcast(tot))
     picks = F.expr(f"(cum * {_PPS_K}) DIV tw - ((cum - w) * {_PPS_K}) DIV tw")
     return (
@@ -12563,6 +12585,17 @@ SQL_MINHASH_CALIBRATION = _sql_minhash_calibration()
 # distribution (rank-sum identity, exact int64).  Three bounded
 # aggregates + one union; the answer tells you which joins need
 # `skew.salt_hot_cells` at 100 TB.
+#
+# Scale note (the r3 advisor's single-task-window fix): rank_sum is
+# TIE-INVARIANT — keys sharing a count c occupy a contiguous rank run
+# regardless of intra-tie order — so it folds onto the per-count
+# HISTOGRAM:  rank_sum = Σ_c c·(g_c·lo_c + g_c(g_c+1)/2)  with g_c =
+# #keys of count c and lo_c = #keys with smaller counts.  No window
+# ever touches the O(keys) table; the only ordered window runs over
+# the (c, g_c) histogram — O(distinct counts) rows, ≤ O(√n_rows) for
+# any distribution since Σ distinct counts ≤ n_rows.  Bit-identical
+# to the ranked formulation (exact integer identity; the DuckDB twin
+# keeps the explicit row_number form and the parity test pins it).
 # --------------------------------------------------------------------------
 
 
@@ -12570,13 +12603,16 @@ def _skew_one(keys, family):
     from pyspark.sql import Window
 
     cnt = keys.groupBy("k").agg(F.count("*").alias("c"))
-    w = Window.orderBy("c", "k")
-    ranked = cnt.withColumn("r", F.row_number().over(w))
-    agg = ranked.agg(
-        F.count("*").alias("n_keys"),
-        F.sum("c").alias("n_rows"),
+    hist = cnt.groupBy("c").agg(F.count("*").alias("g"))
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+    hist2 = hist.select(
+        "c", "g", F.coalesce(F.sum("g").over(w), F.lit(0)).alias("lo")
+    )
+    agg = hist2.agg(
+        F.sum("g").alias("n_keys"),
+        F.sum(F.col("c") * F.col("g")).alias("n_rows"),
         F.max("c").alias("top1"),
-        F.sum(F.col("r") * F.col("c")).alias("rank_sum"),
+        F.sum(F.expr("c * (g * lo + (g * (g + 1)) DIV 2)")).alias("rank_sum"),
     )
     num = 2 * F.col("rank_sum") - (F.col("n_keys") + 1) * F.col("n_rows")
     den = F.col("n_keys") * F.col("n_rows")

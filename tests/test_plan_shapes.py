@@ -228,3 +228,28 @@ def test_haar_energy_single_python_stage(spark):
     # level explode and both aggregates are JVM-side
     assert plan.count("MapInPandas") <= 2  # synth + luma_plane decode
     assert "Generate explode" in plan
+
+
+def test_pps_sample_two_level_cumsum_no_global_user_window(spark):
+    """The cumulative-weight window over the USER table must be
+    shard-partitioned (two-level cumsum); the only unpartitioned window
+    allowed is the one over the per-shard totals."""
+    plan = _plan(Q.q_pps_sample(spark, SF_DIR))
+    user_wins = [
+        ln for ln in plan.splitlines()
+        if "Window [" in ln and "user_id" in ln
+    ]
+    assert user_wins, plan
+    for ln in user_wins:
+        assert "windowspecdefinition(shard" in ln, ln
+
+
+def test_skew_profile_windows_only_over_count_histogram(spark):
+    """rank_sum folds onto the per-count histogram (tie-invariance) —
+    no ranking window may touch the O(keys) count table."""
+    plan = _plan(Q.q_skew_profile(spark, SF_DIR))
+    assert "row_number" not in plan, plan
+    wins = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert wins, plan
+    for ln in wins:
+        assert "windowspecdefinition(c#" in ln, ln
