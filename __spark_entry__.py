@@ -88,12 +88,152 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
        tests/test_oracle_parity.py.
     """
     return {
-        # -- block 1: no driver row yet (r02 overflow + round-3 additions)
+        # ================= DRIVER WINDOW (positions 1-50) =================
+        # Round-4 rotation (VERDICT r3 "Next round" #1): the 50 highest-
+        # risk never-driver-checked queries, ordered by family risk.
+        # -- iterative / graph family (pointer doubling, peeling, fixed-
+        #    round power iteration, frontier BFS/Bellman-Ford, 1-WL):
+        "d8_basins": _wrap(Q.q_d8_basins),
+        "kcore_nodes": _wrap(Q.q_kcore_nodes),
+        "pagerank_cells": _wrap(Q.q_pagerank_cells),
+        "ppr_scores": _wrap(Q.q_ppr_scores),
+        "wl_colors": _wrap(Q.q_wl_colors),
+        "bfs_hops": _wrap(Q.q_bfs_hops),
+        "sssp_costs": _wrap(Q.q_sssp_costs),
+        "d8_flow": _wrap(Q.q_d8_flow),
+        "d8_flow_length": _wrap(Q.q_d8_flow_length),
+        "triangle_counts": _wrap(Q.q_triangle_counts),
+        "link_prediction": _wrap(Q.q_link_prediction),
+        "degree_assortativity": _wrap(Q.q_degree_assortativity),
+        "graph_summary": _wrap(Q.q_graph_summary),
+        # -- spatial-statistics family (Gi*, Moran/LISA, Mann-Kendall,
+        #    Ripley/cross-K, point-process baselines, Theil-Sen):
+        "hotspot_cells": _wrap(Q.q_hotspot_cells),
+        "moran_i": _wrap(Q.q_moran_i),
+        "lisa_cells": _wrap(Q.q_lisa_cells),
+        "trend_cells": _wrap(Q.q_trend_cells),
+        "ripley_k": _wrap(Q.q_ripley_k),
+        "image_hotspots": _wrap(Q.q_image_hotspots),
+        "knox_stat": _wrap(Q.q_knox_stat),
+        "semivariogram": _wrap(Q.q_semivariogram),
+        "sd_ellipses": _wrap(Q.q_sd_ellipses),
+        "emerging_hotspots": _wrap(Q.q_emerging_hotspots),
+        "geary_c": _wrap(Q.q_geary_c),
+        "general_g": _wrap(Q.q_general_g),
+        "join_counts": _wrap(Q.q_join_counts),
+        "bivariate_moran": _wrap(Q.q_bivariate_moran),
+        "clark_evans": _wrap(Q.q_clark_evans),
+        "nn_gfunction": _wrap(Q.q_nn_gfunction),
+        "quadrat_test": _wrap(Q.q_quadrat_test),
+        "cross_k": _wrap(Q.q_cross_k),
+        "theil_sen": _wrap(Q.q_theil_sen),
+        # -- image texture / structure suite (one-decode-pass kernels
+        #    with closed-form pixel-generator oracles):
+        "image_ssim": _wrap(Q.q_image_ssim),
+        "image_glcm": _wrap(Q.q_image_glcm),
+        "image_moments": _wrap(Q.q_image_moments),
+        "image_pixel_features": _wrap(Q.q_image_pixel_features),
+        "image_orientation": _wrap(Q.q_image_orientation),
+        "image_center_bias": _wrap(Q.q_image_center_bias),
+        "image_colorfulness": _wrap(Q.q_image_colorfulness),
+        "image_euler": _wrap(Q.q_image_euler),
+        "otsu_threshold": _wrap(Q.q_otsu_threshold),
+        "haar_energy": _wrap(Q.q_haar_energy),
+        # -- changed-this-round (hot-cell caps, two-level cumsum,
+        #    histogram rank_sum, division guards, constant-block filter)
+        #    and the most intricate remaining oracles:
+        "hausdorff_pairs": _wrap(Q.q_hausdorff_pairs),
+        "pps_sample": _wrap(Q.q_pps_sample),
+        "shared_blocks": _wrap(Q.q_shared_blocks),
+        "skew_profile": _wrap(Q.q_skew_profile),
+        "bloom_semijoin": _wrap(Q.q_bloom_semijoin),
+        "vocab_growth": _wrap(Q.q_vocab_growth),
+        "winnow_pairs": _wrap(Q.q_winnow_pairs),
+        "kde_raster": _wrap(Q.q_kde_raster),
+        # ============== end of driver window ==============
+        # -- round-5 window pool: the remaining never-driver-checked
+        #    queries (every one green in tests/test_oracle_parity.py each
+        #    session; they compete for next round's 50 slots)
+        "accessibility_2sfca": _wrap(Q.q_accessibility_2sfca),
+        "movement_rose": _wrap(Q.q_movement_rose),
+        "gravity_od": _wrap(Q.q_gravity_od),
+        "pip_donut": _wrap(Q.q_pip_donut),
+        "phash_topk": _wrap(Q.q_phash_topk),
+        "tile_top_terms": _wrap(Q.q_tile_top_terms),
+        "sinuosity": _wrap(Q.q_sinuosity),
+        "stkde": _wrap(Q.q_stkde),
+        "ohlc_bars": _wrap(Q.q_ohlc_bars),
+        "type_runs": _wrap(Q.q_type_runs),
+        "areal_disagg": _wrap(Q.q_areal_disagg),
+        "benford_digits": _wrap(Q.q_benford_digits),
+        "delta_dedup": _wrap(Q.q_delta_dedup),
+        "ngram_novelty": _wrap(Q.q_ngram_novelty),
+        "snapshot_changelog": _wrap(Q.q_snapshot_changelog),
+        "rolling_active_users": _wrap(Q.q_rolling_active_users),
+        "markov_transitions": _wrap(Q.q_markov_transitions),
+        "chi2_contingency": _wrap(Q.q_chi2_contingency),
+        "term_pmi": _wrap(Q.q_term_pmi),
+        "cohort_retention": _wrap(Q.q_cohort_retention),
+        "cell_flow_vectors": _wrap(Q.q_cell_flow_vectors),
+        "user_burstiness": _wrap(Q.q_user_burstiness),
+        "value_mad": _wrap(Q.q_value_mad),
+        "bm25_scores": _wrap(Q.q_bm25_scores),
+        "union_area": _wrap(Q.q_union_area),
+        "skyline_events": _wrap(Q.q_skyline_events),
+        "cusum_changepoints": _wrap(Q.q_cusum_changepoints),
+        "seasonal_anomalies": _wrap(Q.q_seasonal_anomalies),
+        "kmeans_clusters": _wrap(Q.q_kmeans_clusters),
+        "stratum_tv_distance": _wrap(Q.q_stratum_tv_distance),
+        "zrange_scan": _wrap(Q.q_zrange_scan),
+        "dem_viewshed": _wrap(Q.q_dem_viewshed),
+        "canonical_docs": _wrap(Q.q_canonical_docs),
+        "ols_trends": _wrap(Q.q_ols_trends),
+        "caption_pixel_corr": _wrap(Q.q_caption_pixel_corr),
+        "regional_revenue": _wrap(Q.q_regional_revenue),
+        "quadtree_hist": _wrap(Q.q_quadtree_hist),
+        "winnow_verified": _wrap(Q.q_winnow_verified),
+        "lag_autocorr": _wrap(Q.q_lag_autocorr),
+        "raster_regions": _wrap(Q.q_raster_regions),
+        "phrase_search": _wrap(Q.q_phrase_search),
+        "cell_diversity": _wrap(Q.q_cell_diversity),
+        "assoc_rules": _wrap(Q.q_assoc_rules),
+        "contour_cases": _wrap(Q.q_contour_cases),
+        "kendall_tau": _wrap(Q.q_kendall_tau),
+        "gini_coefficient": _wrap(Q.q_gini_coefficient),
+        "box_counting": _wrap(Q.q_box_counting),
+        "ks_statistic": _wrap(Q.q_ks_statistic),
+        "mann_whitney": _wrap(Q.q_mann_whitney),
+        "shipping_priority": _wrap(Q.q_shipping_priority),
+        "ppjoin_pairs": _wrap(Q.q_ppjoin_pairs),
+        "hist_equalization": _wrap(Q.q_hist_equalization),
+        "projection_profile": _wrap(Q.q_projection_profile),
+        "curve_locality": _wrap(Q.q_curve_locality),
+        "rolling_median": _wrap(Q.q_rolling_median),
+        "wilson_bounds": _wrap(Q.q_wilson_bounds),
+        "acf_profile": _wrap(Q.q_acf_profile),
+        "minhash_calibration": _wrap(Q.q_minhash_calibration),
+        "pricing_summary": _wrap(Q.q_pricing_summary),
+        "small_qty_revenue": _wrap(Q.q_small_qty_revenue),
+        "trimmed_mean": _wrap(Q.q_trimmed_mean),
+        "zipf_check": _wrap(Q.q_zipf_check),
+        "cube_counts": _wrap(Q.q_cube_counts),
+        "rrf_fusion": _wrap(Q.q_rrf_fusion),
+        "funnel_steps": _wrap(Q.q_funnel_steps),
+        "embedding_topk_exact": _wrap(Q.q_embedding_topk),
+        # -- changed since last green driver row, result-invariance pinned
+        #    locally: trajectory_jaccard (r03-green; r4 hot-cell cap is
+        #    mirrored in its oracle and parity-pinned)
+        "trajectory_jaccard": _wrap(Q.q_trajectory_jaccard),
+        # -- the rest of the oracle-backed suite: driver-green in their
+        #    most recent checked round (r01-r03), implementations
+        #    untouched since, re-pinned locally by test_oracle_parity.py
+        #    every session.  Tail pair = deliberately rows-only kernel
+        #    composites (sequential data-dependent kernels, fixture-
+        #    tested in tests/test_quality.py).
         "pip_antijoin": _wrap(Q.q_pip_antijoin),
         "od_matrix": _wrap(Q.q_od_matrix),
         "poly_overlaps": _wrap(Q.q_poly_overlaps),
         "dwell_cells": _wrap(Q.q_dwell_cells),
-        "trajectory_jaccard": _wrap(Q.q_trajectory_jaccard),
         "image_dup_components": _wrap(Q.q_image_dup_components),
         "terrain_stats": _wrap(Q.q_terrain_stats),
         "quadkey_counts": _wrap(Q.q_quadkey_counts),
@@ -135,155 +275,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_morphology": _wrap(Q.q_cell_morphology),
         "track_diameter": _wrap(Q.q_track_diameter),
         "mobility_stats": _wrap(Q.q_mobility_stats),
-        # (still block 1: the round's newest operators — never driver-checked)
         "poly_geometry": _wrap(Q.q_poly_geometry),
         "cell_retention": _wrap(Q.q_cell_retention),
         "st_rollup": _wrap(Q.q_st_rollup),
         "resample_grid": _wrap(Q.q_resample_grid),
-        # -- head of the >50 overflow: the newest oracle-backed queries
-        # (registered after the window filled with the 50 never-checked
-        # entries above; locally pinned by tests/test_oracle_parity.py —
-        # next round's first window candidates)
-        "hotspot_cells": _wrap(Q.q_hotspot_cells),
-        "moran_i": _wrap(Q.q_moran_i),
-        "lisa_cells": _wrap(Q.q_lisa_cells),
-        "trend_cells": _wrap(Q.q_trend_cells),
-        "ripley_k": _wrap(Q.q_ripley_k),
-        "image_hotspots": _wrap(Q.q_image_hotspots),
-        "knox_stat": _wrap(Q.q_knox_stat),
-        "semivariogram": _wrap(Q.q_semivariogram),
-        "sd_ellipses": _wrap(Q.q_sd_ellipses),
-        "emerging_hotspots": _wrap(Q.q_emerging_hotspots),
-        "geary_c": _wrap(Q.q_geary_c),
-        "general_g": _wrap(Q.q_general_g),
-        "join_counts": _wrap(Q.q_join_counts),
-        "bivariate_moran": _wrap(Q.q_bivariate_moran),
-        "image_pixel_features": _wrap(Q.q_image_pixel_features),
-        "kde_raster": _wrap(Q.q_kde_raster),
-        "image_ssim": _wrap(Q.q_image_ssim),
-        "accessibility_2sfca": _wrap(Q.q_accessibility_2sfca),
-        "clark_evans": _wrap(Q.q_clark_evans),
-        "nn_gfunction": _wrap(Q.q_nn_gfunction),
-        "quadrat_test": _wrap(Q.q_quadrat_test),
-        "image_glcm": _wrap(Q.q_image_glcm),
-        "cross_k": _wrap(Q.q_cross_k),
-        "theil_sen": _wrap(Q.q_theil_sen),
-        "image_moments": _wrap(Q.q_image_moments),
-        "movement_rose": _wrap(Q.q_movement_rose),
-        "gravity_od": _wrap(Q.q_gravity_od),
-        "d8_flow": _wrap(Q.q_d8_flow),
-        "d8_basins": _wrap(Q.q_d8_basins),
-        "shared_blocks": _wrap(Q.q_shared_blocks),
-        "pip_donut": _wrap(Q.q_pip_donut),
-        "phash_topk": _wrap(Q.q_phash_topk),
-        "tile_top_terms": _wrap(Q.q_tile_top_terms),
-        "sinuosity": _wrap(Q.q_sinuosity),
-        "stkde": _wrap(Q.q_stkde),
-        "ohlc_bars": _wrap(Q.q_ohlc_bars),
-        "type_runs": _wrap(Q.q_type_runs),
-        "areal_disagg": _wrap(Q.q_areal_disagg),
-        "benford_digits": _wrap(Q.q_benford_digits),
-        "delta_dedup": _wrap(Q.q_delta_dedup),
-        "ngram_novelty": _wrap(Q.q_ngram_novelty),
-        "snapshot_changelog": _wrap(Q.q_snapshot_changelog),
-        "rolling_active_users": _wrap(Q.q_rolling_active_users),
-        "markov_transitions": _wrap(Q.q_markov_transitions),
-        "image_orientation": _wrap(Q.q_image_orientation),
-        "chi2_contingency": _wrap(Q.q_chi2_contingency),
-        "term_pmi": _wrap(Q.q_term_pmi),
-        "cohort_retention": _wrap(Q.q_cohort_retention),
-        "cell_flow_vectors": _wrap(Q.q_cell_flow_vectors),
-        "user_burstiness": _wrap(Q.q_user_burstiness),
-        "value_mad": _wrap(Q.q_value_mad),
-        "image_center_bias": _wrap(Q.q_image_center_bias),
-        "triangle_counts": _wrap(Q.q_triangle_counts),
-        "winnow_pairs": _wrap(Q.q_winnow_pairs),
-        "bm25_scores": _wrap(Q.q_bm25_scores),
-        "union_area": _wrap(Q.q_union_area),
-        "skyline_events": _wrap(Q.q_skyline_events),
-        "cusum_changepoints": _wrap(Q.q_cusum_changepoints),
-        "seasonal_anomalies": _wrap(Q.q_seasonal_anomalies),
-        "image_colorfulness": _wrap(Q.q_image_colorfulness),
-        "pagerank_cells": _wrap(Q.q_pagerank_cells),
-        "bfs_hops": _wrap(Q.q_bfs_hops),
-        "kmeans_clusters": _wrap(Q.q_kmeans_clusters),
-        "stratum_tv_distance": _wrap(Q.q_stratum_tv_distance),
-        "sssp_costs": _wrap(Q.q_sssp_costs),
-        "d8_flow_length": _wrap(Q.q_d8_flow_length),
-        "zrange_scan": _wrap(Q.q_zrange_scan),
-        "dem_viewshed": _wrap(Q.q_dem_viewshed),
-        "canonical_docs": _wrap(Q.q_canonical_docs),
-        "ols_trends": _wrap(Q.q_ols_trends),
-        "caption_pixel_corr": _wrap(Q.q_caption_pixel_corr),
-        "regional_revenue": _wrap(Q.q_regional_revenue),
-        "quadtree_hist": _wrap(Q.q_quadtree_hist),
-        "winnow_verified": _wrap(Q.q_winnow_verified),
-        "hausdorff_pairs": _wrap(Q.q_hausdorff_pairs),
-        "lag_autocorr": _wrap(Q.q_lag_autocorr),
-        "raster_regions": _wrap(Q.q_raster_regions),
-        "otsu_threshold": _wrap(Q.q_otsu_threshold),
-        "phrase_search": _wrap(Q.q_phrase_search),
-        "link_prediction": _wrap(Q.q_link_prediction),
-        "cell_diversity": _wrap(Q.q_cell_diversity),
-        "assoc_rules": _wrap(Q.q_assoc_rules),
-        "kcore_nodes": _wrap(Q.q_kcore_nodes),
-        "image_euler": _wrap(Q.q_image_euler),
-        "contour_cases": _wrap(Q.q_contour_cases),
-        "kendall_tau": _wrap(Q.q_kendall_tau),
-        "gini_coefficient": _wrap(Q.q_gini_coefficient),
-        "vocab_growth": _wrap(Q.q_vocab_growth),
-        "box_counting": _wrap(Q.q_box_counting),
-        "haar_energy": _wrap(Q.q_haar_energy),
-        "ks_statistic": _wrap(Q.q_ks_statistic),
-        "mann_whitney": _wrap(Q.q_mann_whitney),
-        "shipping_priority": _wrap(Q.q_shipping_priority),
-        "pps_sample": _wrap(Q.q_pps_sample),
-        "ppjoin_pairs": _wrap(Q.q_ppjoin_pairs),
-        "hist_equalization": _wrap(Q.q_hist_equalization),
-        "projection_profile": _wrap(Q.q_projection_profile),
-        "curve_locality": _wrap(Q.q_curve_locality),
-        "bloom_semijoin": _wrap(Q.q_bloom_semijoin),
-        "rolling_median": _wrap(Q.q_rolling_median),
-        "wilson_bounds": _wrap(Q.q_wilson_bounds),
-        "acf_profile": _wrap(Q.q_acf_profile),
-        "minhash_calibration": _wrap(Q.q_minhash_calibration),
-        "skew_profile": _wrap(Q.q_skew_profile),
-        "pricing_summary": _wrap(Q.q_pricing_summary),
-        "small_qty_revenue": _wrap(Q.q_small_qty_revenue),
-        "degree_assortativity": _wrap(Q.q_degree_assortativity),
-        "trimmed_mean": _wrap(Q.q_trimmed_mean),
-        "zipf_check": _wrap(Q.q_zipf_check),
-        "wl_colors": _wrap(Q.q_wl_colors),
-        "ppr_scores": _wrap(Q.q_ppr_scores),
-        "cube_counts": _wrap(Q.q_cube_counts),
-        "graph_summary": _wrap(Q.q_graph_summary),
-        "rrf_fusion": _wrap(Q.q_rrf_fusion),
-        "funnel_steps": _wrap(Q.q_funnel_steps),
-        # -- block 2 (just past the window): code touched
-        # since the last green row.  jaccard_pairs / minhash_band_pairs /
-        # interval_events were driver-green in r02; the r03 changes
-        # (broadcast(sizes) removal, interval fan-out guard) are
-        # result-invariant and pinned by tests/test_oracle_parity.py +
-        # tests/test_plan_shapes.py.  embedding_topk_exact is r02's green
-        # `embedding_topk` renamed to carry the bounded-Q contract
-        # (ValueError above max_queries); the scale paths are
-        # embedding_lsh_topk / embedding_ivf_topk (candidates + exact
-        # rerank).  They yield their window slots to the 50 never-checked
-        # queries above — with 100 oracle-backed queries and a 50-row
-        # window, never-checked strictly outranks changed-but-pinned.
         "jaccard_pairs": _wrap(Q.q_jaccard_pairs),
         "minhash_band_pairs": _wrap(Q.q_minhash_band_pairs),
-        "embedding_topk_exact": _wrap(Q.q_embedding_topk),
         "interval_events": _wrap(Q.q_interval_events),
-        # -- block 3: the rest of the oracle-backed suite — functions
-        # untouched since their most recent green driver row (every entry
-        # additionally pinned locally by tests/test_oracle_parity.py
-        # every session)
-        # dup_components / image_tiles / phash_near_dups sit just past the
-        # window despite round-3-touched callees: all three pipelines
-        # (connected_components, the phash chunk join, image synth + tile
-        # assignment) run INSIDE the window via `image_dup_components`,
-        # `geo_phash_near_dups` and `mosaic_topk`
         "dup_components": _wrap(Q.q_dup_components),
         "image_tiles": _wrap(Q.q_image_tiles),
         "phash_near_dups": _wrap(Q.q_phash_near_dups),
@@ -313,11 +311,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_estimates": _wrap(Q.q_cms_estimates),
         "distinct_sketch": _wrap(Q.q_distinct_sketch),
         "stratified_sample": _wrap(Q.q_stratified_sample),
-        # -- block 4: deliberate >50 overflow — every entry below (plus the
-        # block-3 tail that slips past 50 as new queries land up top) is
-        # driver-green in its most recent checked round with code untouched
-        # since (tests/test_oracle_parity.py still exercises every entry
-        # locally each session)
         "s2_cell_counts": _wrap(Q.q_s2_cell_counts),
         "distance_quality_base": _wrap(Q.q_distance_quality_base),
         "token_stats": _wrap(Q.q_token_stats),
@@ -335,9 +328,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_quality": _wrap(Q.q_lang_quality),
         "scalar_ops": _wrap(Q.q_scalar_ops),
         "mercator_tiles": _wrap(Q.q_mercator_tiles),
-        # kernel-pipeline profile (sequential data-dependent kernels — not
-        # SQL-expressible; the driver records the weaker rows-only check,
-        # exact semantics are fixture-tested in tests/test_quality.py)
         "track_profiles": _wrap(Q.q_track_profiles),
         "fix_counters": _wrap(Q.q_fix_counters),
     }
