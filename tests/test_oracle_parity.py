@@ -56,17 +56,52 @@ def _rows(cols, data):
 QUERIES = entrymod.queries()
 ORACLES = entrymod.oracle_sql()
 
+# Queries whose CONTRACT is a single corpus-level summary row (scalar
+# statistics / test composites).  Everything else must return > 1 row at
+# sf0.01 — a 0/1-row result from a join or grouped query means a
+# threshold/data degeneracy the value-hash cannot see.
+SINGLE_ROW_OK = {
+    "moran_i", "knox_stat", "geary_c", "general_g", "join_counts",
+    "bivariate_moran", "clark_evans", "quadrat_test", "chi2_contingency",
+    "kendall_tau", "ks_statistic", "mann_whitney", "curve_locality",
+    "bloom_semijoin", "small_qty_revenue", "degree_assortativity",
+    "graph_summary", "funnel_steps", "exact_dup_groups",
+}
+
+
+def _assert_nondegenerate(name, cols, data):
+    """The ppr_scores lesson (r3): a query can be parity-green yet carry
+    zero signal (empty seed set → all-zero field hashes identically in
+    both engines).  Cheap per-query guards: row count, and the headline
+    metric (LAST column by repo convention) must be non-null somewhere
+    and not identically zero."""
+    assert data, f"{name}: empty result at sf0.01"
+    if name not in SINGLE_ROW_OK:
+        assert len(data) > 1, (
+            f"{name}: single row at sf0.01 — degenerate unless it is a "
+            f"scalar summary (add to SINGLE_ROW_OK with rationale)"
+        )
+    last = len(cols) - 1
+    nn = [r[last] for r in data if r[last] is not None]
+    assert nn, f"{name}: headline column {cols[last]} all NULL"
+    assert any(v != 0 for v in nn), (
+        f"{name}: headline column {cols[last]} identically zero — "
+        f"the metric arm of the query never fired on this data"
+    )
+
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(name, spark):
     if name not in ORACLES:
         # non-SQL-expressible op: the driver records a rows-only check
         df = QUERIES[name](spark, SF_DIR)
-        assert df.count() > 0
+        rows = [tuple(r) for r in df.collect()]
+        _assert_nondegenerate(name, df.columns, rows)
         return
     df = QUERIES[name](spark, SF_DIR)
     spark_cols = df.columns
     spark_data = [tuple(r) for r in df.collect()]
+    _assert_nondegenerate(name, spark_cols, spark_data)
 
     con = _duck()
     cur = con.execute(ORACLES[name])
