@@ -780,14 +780,32 @@ SQL_PPR_SCORES = _sql_ppr_scores()
 # concentration of edge weights (rank-sum identity).  Reciprocity via
 # one self-join on the reversed key; all integers except the rounded
 # Gini.
+#
+# Scale note (the skew_profile fold, applied here too): rank_sum over
+# (w, src, dst)-ranked edges is TIE-INVARIANT in w — edges sharing a
+# weight occupy a contiguous rank run and contribute w·Σr regardless
+# of intra-tie order — so it folds onto the per-weight HISTOGRAM:
+# rank_sum = Σ_w w·(g_w·lo_w + g_w(g_w+1)/2).  No window touches the
+# O(edges) table (10⁹+ distinct edges at corpus scale); the only
+# ordered window runs over the (w, g_w) histogram — O(distinct
+# weights) ≤ O(√n_transitions) rows.  Exact integer identity, so the
+# output is bit-identical to the ranked formulation, which the DuckDB
+# twin keeps (parity-pinned).
 # --------------------------------------------------------------------------
+
+
+_bound_gs_cache = make_bounded_cache()
 
 
 def q_graph_summary(spark, sf_dir):
     from pyspark.sql import Window
 
     raw = _pr_edges(spark, sf_dir)
-    e = raw.groupBy("src", "dst").agg(F.count("*").alias("w"))
+    # 4 readers (nodes union ×2 via distinct, nonself ×2, hist) — bounded
+    # cache so the events scan + lag window runs once, not four times.
+    e = _bound_gs_cache(
+        raw.groupBy("src", "dst").agg(F.count("*").alias("w"))
+    )
     nodes = e.select(F.col("src").alias("v")).union(
         e.select(F.col("dst").alias("v"))
     ).distinct()
@@ -797,13 +815,20 @@ def q_graph_summary(spark, sf_dir):
         ["src", "dst"],
         "left_semi",
     )
-    w = Window.orderBy("w", "src", "dst")
-    ranked = e.withColumn("r", F.row_number().over(w))
-    agg = ranked.agg(
-        F.count("*").alias("n_edges"),
-        F.sum("w").alias("n_transitions"),
-        F.sum((F.col("src") == F.col("dst")).cast("long")).alias("n_self"),
-        F.sum(F.col("r") * F.col("w")).alias("rank_sum"),
+    hist = e.groupBy("w").agg(
+        F.count("*").alias("g"),
+        F.sum((F.col("src") == F.col("dst")).cast("long")).alias("selfs"),
+    )
+    wlo = Window.orderBy("w").rowsBetween(Window.unboundedPreceding, -1)
+    hist2 = hist.select(
+        "w", "g", "selfs",
+        F.coalesce(F.sum("g").over(wlo), F.lit(0)).alias("lo"),
+    )
+    agg = hist2.agg(
+        F.sum("g").alias("n_edges"),
+        F.sum(F.col("w") * F.col("g")).alias("n_transitions"),
+        F.sum("selfs").alias("n_self"),
+        F.sum(F.expr("w * (g * lo + (g * (g + 1)) DIV 2)")).alias("rank_sum"),
     )
     counts = (
         agg.crossJoin(F.broadcast(nodes.agg(F.count("*").alias("n_nodes"))))
@@ -917,6 +942,7 @@ __all__ = [
     "q_ppr_scores",
     "_sql_ppr_scores",
     "SQL_PPR_SCORES",
+    "_bound_gs_cache",
     "q_graph_summary",
     "SQL_GRAPH_SUMMARY",
 ]

@@ -2256,9 +2256,13 @@ FROM cum
 # Q3-shaped top-k — BUILDING-segment orders not yet fully shipped at
 # the cutoff, ranked by outstanding revenue in EXACT INTEGER CENTS
 # (the regional_revenue rounding contract), deterministic top-10 via
-# (revenue DESC, orderkey) row_number.  Broadcast customer dim, one
-# orderkey shuffle, top-k replaces ORDER BY..LIMIT so the driver's
-# order-insensitive compare still pins the selected set.
+# (revenue DESC, orderkey) order.  Broadcast customer dim, one
+# orderkey shuffle.  The top-k itself is orderBy().limit(k) — Spark
+# plans TakeOrderedAndProject (per-partition partial top-k, k rows to
+# the driver-side merge), NOT a global row_number window that would
+# funnel every aggregated order through one task; ranks are then
+# assigned over the k-row result (a 10-row window, the movement_rose
+# convention).  Same rows, same rk, scale-safe plan.
 # --------------------------------------------------------------------------
 
 _Q3_SEGMENT = "BUILDING"
@@ -2291,10 +2295,12 @@ def q_shipping_priority(spark, sf_dir):
         F.sum(cents).alias("revenue_cents"),
         F.count("*").alias("n_items"),
     )
+    topk = agg.orderBy(F.desc("revenue_cents"), F.asc("l_orderkey")).limit(
+        _Q3_TOPK
+    )
     w = Window.orderBy(F.desc("revenue_cents"), F.asc("l_orderkey"))
     return (
-        agg.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _Q3_TOPK)
+        topk.withColumn("rk", F.row_number().over(w))
         .select(
             "l_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
@@ -3034,8 +3040,12 @@ def q_zipf_check(spark, sf_dir):
         F.sum((F.col("f") == 1).cast("long")).alias("n_hapax"),
         F.count("*").alias("n_terms"),
     )
+    # top-k via orderBy().limit() → TakeOrderedAndProject (distributed
+    # partial top-k), not a global row_number window over the vocab-sized
+    # tf table; ranks assigned over the 20-row result.
+    topk = tf.orderBy(F.desc("f"), F.asc("term")).limit(_ZIPF_TOPK)
     w = Window.orderBy(F.desc("f"), F.asc("term"))
-    top = tf.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= _ZIPF_TOPK)
+    top = topk.withColumn("r", F.row_number().over(w))
     return top.crossJoin(F.broadcast(hapax)).select(
         "r", "term", "f",
         (F.col("r") * F.col("f")).alias("rf"),
@@ -3101,19 +3111,54 @@ GROUP BY CUBE (event_type, (epoch_us(ts) // {_US_PER_DAY} + 4) % 7)
 """
 
 
+def _rank_two_level(df, key, out):
+    """Exact global row_number over (``key`` DESC, doc_id ASC) WITHOUT an
+    unpartitioned window over the whole table — the pps_sample/skew_profile
+    two-level convention applied to ranking:
+
+    * within-tie rank: ``row_number`` partitioned BY the key (ordered by
+      doc_id) — a normal key-shuffled window, never one global task;
+    * offset: #rows with a strictly greater key, from the per-key count
+      histogram via an exclusive cumulative window over O(distinct key)
+      rows (≤ O(√n) for integer-quantized scores);
+    * rank = offset + within-tie rank, attached with a plain equi-join on
+      the SAME key the window shuffled on (co-partitioned; NOT broadcast —
+      the offset table is O(distinct key), which for near-unique keys is
+      O(rows): broadcasting it would be the r2 ``broadcast(sizes)``
+      anti-pattern).
+
+    Exact integer identity ⇒ bit-identical to the global-window form (the
+    DuckDB twin keeps the one-level SQL; parity pins it).  Residual skew:
+    a single pathological tie group (every doc the same score) concentrates
+    one window partition — still strictly better than the global window,
+    which concentrates ALL rows ALWAYS.
+    """
+    from pyspark.sql import Window
+
+    win = Window.partitionBy(key).orderBy(F.asc("doc_id"))
+    inner = df.select("doc_id", key).withColumn(
+        "_ir", F.row_number().over(win)
+    )
+    woff = Window.orderBy(F.desc(key)).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = (
+        df.groupBy(key)
+        .agg(F.count("*").alias("_g"))
+        .select(key, F.coalesce(F.sum("_g").over(woff), F.lit(0)).alias("_off"))
+    )
+    return inner.join(offs, key).select(
+        "doc_id", (F.col("_off") + F.col("_ir")).cast("int").alias(out)
+    )
+
+
 def q_rrf_fusion(spark, sf_dir):
     from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents")
     bm = q_bm25_scores(spark, sf_dir)
-    r1 = bm.withColumn(
-        "rank1",
-        F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))),
-    ).select("doc_id", "rank1")
-    r2 = docs.withColumn(
-        "rank2",
-        F.row_number().over(Window.orderBy(F.desc("n_chars"), F.asc("doc_id"))),
-    ).select("doc_id", "rank2")
+    r1 = _rank_two_level(bm, "score", "rank1")
+    r2 = _rank_two_level(docs, "n_chars", "rank2")
     fused = (
         docs.select("doc_id")
         .join(r1, "doc_id", "left")
@@ -3126,10 +3171,13 @@ def q_rrf_fusion(spark, sf_dir):
             ).alias("rrf_q"),
         )
     )
+    # exact top-k via orderBy().limit() → TakeOrderedAndProject
+    # (distributed partial top-k), not a global row_number window over
+    # the fused O(docs) table; ranks assigned over the k-row result.
+    topk = fused.orderBy(F.desc("rrf_q"), F.asc("doc_id")).limit(_RRF_TOPK)
     w = Window.orderBy(F.desc("rrf_q"), F.asc("doc_id"))
     return (
-        fused.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= _RRF_TOPK)
+        topk.withColumn("rk", F.row_number().over(w))
         .select("rk", "doc_id", "rank1", "rank2", "rrf_q")
     )
 
@@ -3292,5 +3340,6 @@ __all__ = [
     "SQL_ZIPF_CHECK",
     "q_cube_counts",
     "SQL_CUBE_COUNTS",
+    "_rank_two_level",
     "q_rrf_fusion",
 ]

@@ -800,9 +800,19 @@ SQL_PHRASE_SEARCH = _sql_phrase_search()
 # flags boilerplate/noise).  First-occurrence doc per term (one
 # aggregate), bucketed + cumulative-window — NO inequality join against
 # the checkpoint list.  Exact integers throughout.
+#
+# Scale note: the cumulative runs over the BUCKET ladder (n_docs/step
+# rows — 2·10⁷ at 10⁹ docs with step 50), so it uses the pps_sample
+# two-level cumsum: shard-partitioned prefix (shard = b DIV 2¹³ — a
+# range bucket, so shard order extends bucket order) + exclusive
+# per-shard-total offsets broadcast back (the offset table is
+# O(buckets/2¹³) ≈ 2.4k rows at 10⁹ docs — genuinely broadcastable,
+# unlike _rank_two_level's per-key offsets).  Exact integers ⇒
+# bit-identical to the one-level form the DuckDB twin keeps.
 # --------------------------------------------------------------------------
 
 _VG_STEP = 50
+_VG_SHARD_W = 1 << 13  # buckets per cumsum shard (b ≥ 1 by construction)
 
 
 def q_vocab_growth(spark, sf_dir):
@@ -819,12 +829,34 @@ def q_vocab_growth(spark, sf_dir):
     tb = words.groupBy((F.expr(f"doc_id DIV {_VG_STEP}") + 1).alias("b")).agg(
         F.count("*").alias("toks")
     )
-    j = vb.join(tb, "b", "full")
-    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
-    out = j.select(
+    j = vb.join(tb, "b", "full").select(
+        "b",
+        F.coalesce(F.col("new_terms"), F.lit(0)).alias("nt"),
+        F.coalesce(F.col("toks"), F.lit(0)).alias("tk"),
+        F.expr(f"b DIV {_VG_SHARD_W}").alias("shard"),
+    )
+    w1 = Window.partitionBy("shard").orderBy("b").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    part = j.select(
+        "b", "shard",
+        F.sum("nt").over(w1).alias("cv_in"),
+        F.sum("tk").over(w1).alias("ct_in"),
+    )
+    w2 = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        j.groupBy("shard")
+        .agg(F.sum("nt").alias("sv"), F.sum("tk").alias("st"))
+        .select(
+            "shard",
+            F.coalesce(F.sum("sv").over(w2), F.lit(0)).alias("ov"),
+            F.coalesce(F.sum("st").over(w2), F.lit(0)).alias("ot"),
+        )
+    )
+    out = part.join(F.broadcast(offs), "shard").select(
         (F.col("b") * _VG_STEP).alias("n_docs"),
-        F.sum(F.coalesce(F.col("new_terms"), F.lit(0))).over(w).alias("vocab"),
-        F.sum(F.coalesce(F.col("toks"), F.lit(0))).over(w).alias("tokens"),
+        (F.col("cv_in") + F.col("ov")).alias("vocab"),
+        (F.col("ct_in") + F.col("ot")).alias("tokens"),
     )
     return out.select(
         "n_docs", "vocab", "tokens",
@@ -1038,6 +1070,7 @@ __all__ = [
     "SQL_PHRASE_SEARCH",
     "_sql_phrase_search",
     "_VG_STEP",
+    "_VG_SHARD_W",
     "q_vocab_growth",
     "SQL_VOCAB_GROWTH",
     "q_ppjoin_pairs",

@@ -253,3 +253,62 @@ def test_skew_profile_windows_only_over_count_histogram(spark):
     assert wins, plan
     for ln in wins:
         assert "windowspecdefinition(c#" in ln, ln
+
+
+def test_shipping_priority_takeordered_not_global_window(spark):
+    """The TPC-H Q3 top-10 must be a distributed TakeOrderedAndProject;
+    the only row_number window allowed runs AFTER the limit (k rows)."""
+    plan = _plan(Q.q_shipping_priority(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    # the ranking window must sit above the top-k, not above the full agg:
+    # in the string plan the Window node appears before (above) TakeOrdered
+    wpos = plan.find("Window [row_number()")
+    tpos = plan.find("TakeOrderedAndProject")
+    assert wpos != -1 and tpos != -1 and wpos < tpos, plan
+
+
+def test_zipf_check_takeordered_not_global_window(spark):
+    plan = _plan(Q.q_zipf_check(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    wpos = plan.find("Window [row_number()")
+    tpos = plan.find("TakeOrderedAndProject")
+    assert wpos != -1 and tpos != -1 and wpos < tpos, plan
+
+
+def test_rrf_fusion_ranks_partitioned_topk_takeordered(spark):
+    """Every per-doc ranking window must be PARTITIONED by its score key
+    (two-level exact rank); unpartitioned windows may only carry the
+    per-key histogram offsets (sum over _g), and the final top-k is a
+    TakeOrderedAndProject, not a global row_number filter."""
+    plan = _plan(Q.q_rrf_fusion(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    for ln in plan.splitlines():
+        if "Window [row_number()" not in ln:
+            continue
+        # row_number over doc-scale tables must have a partition key:
+        # windowspecdefinition(<part>, doc_id ASC ...) — i.e. doc_id is
+        # NOT the first argument unless this is the k-row final ranking
+        # (which orders by rrf_q and sits above TakeOrdered).
+        spec = ln.split("windowspecdefinition(", 1)[1]
+        first = spec.split(",")[0]
+        assert ("ASC" not in first and "DESC" not in first) or "rrf_q" in first, ln
+
+
+def test_graph_summary_rank_sum_histogram_fold(spark):
+    """rank_sum folds onto the per-weight histogram — no row_number over
+    the O(edges) table; unpartitioned windows only over the histogram."""
+    plan = _plan(Q.q_graph_summary(spark, SF_DIR))
+    assert "row_number" not in plan, plan
+
+
+def test_vocab_growth_two_level_bucket_cumsum(spark):
+    """The bucket-ladder cumulative must be shard-partitioned; the only
+    unpartitioned window runs over the per-shard totals."""
+    plan = _plan(Q.q_vocab_growth(spark, SF_DIR))
+    bucket_wins = [
+        ln for ln in plan.splitlines()
+        if "Window [" in ln and "b#" in ln and "windowspecdefinition" in ln
+    ]
+    for ln in bucket_wins:
+        if "sum(nt" in ln or "sum(tk" in ln or "cv_in" in ln or "ct_in" in ln:
+            assert "windowspecdefinition(shard" in ln, ln
