@@ -1372,8 +1372,11 @@ SQL_CHI2_CONTINGENCY = _sql_chi2()
 # E40 — cohort retention matrix (`cohort_retention` composite): users
 # cohorted by first-event week; matrix cell (cohort, offset) = distinct
 # users of that cohort active offset weeks later.  Two occupancy
-# aggregates + one broadcast join of the tiny per-user cohort table —
-# the product-analytics classic, all exact ints.
+# aggregates + one user-keyed join of the per-user cohort table — the
+# product-analytics classic, all exact ints.  The cohort table is
+# O(users) (10⁹ at corpus scale) so it is NOT force-broadcast: AQE
+# broadcasts it when it fits and shuffle-joins co-partitioned with the
+# downstream user-keyed aggregate when it doesn't.
 # --------------------------------------------------------------------------
 
 _US_PER_WEEK = 7 * 86_400_000_000
@@ -1384,7 +1387,7 @@ def q_cohort_retention(spark, sf_dir):
     week = F.expr(f"unix_micros(CAST(ts AS timestamp)) DIV {_US_PER_WEEK}")
     act = ev.select("user_id", week.alias("week")).distinct()
     cohort = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
-    j = act.join(F.broadcast(cohort), "user_id")
+    j = act.join(cohort, "user_id")
     return (
         j.groupBy(
             "cohort_week", (F.col("week") - F.col("cohort_week")).alias("offset")
@@ -2457,7 +2460,9 @@ def q_bloom_semijoin(spark, sf_dir):
             (F.col("user_id") % _BL_MOD == 0).alias("member"),
         )
     )
-    ev_tag = ev.select("user_id").join(F.broadcast(verdict), "user_id")
+    # verdict is O(users) — no forced broadcast (the 128-bit `bits` set
+    # above IS broadcast: it is bounded by the filter size _BL_M).
+    ev_tag = ev.select("user_id").join(verdict, "user_id")
     return ev_tag.agg(
         F.count("*").alias("n_events"),
         F.sum(F.col("passed").cast("long")).alias("n_candidates"),

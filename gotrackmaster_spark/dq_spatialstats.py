@@ -413,9 +413,12 @@ FROM c GROUP BY ty, tx
 # --------------------------------------------------------------------------
 # E13 — mobility statistics per user: radius of gyration (haversine from
 # the rounded centroid), visited-cell entropy, and top-cell share — the
-# classic human-mobility metrics, pure codegen.  The points side is
-# never shuffled for the centroid (broadcast join of the tiny per-user
-# centroid table); both aggregate branches are map-side combinable.
+# classic human-mobility metrics, pure codegen.  The centroid table is
+# O(users), so the attach join carries no broadcast hint — AQE
+# broadcasts when it fits (points never shuffle) and otherwise
+# shuffle-joins on user_id, co-partitioned with the per-user rog
+# aggregate that follows; both aggregate branches are map-side
+# combinable.
 # Entropy uses H = ln(n) − (Σ c·ln c)/n so no per-row division happens
 # before the aggregate.
 # --------------------------------------------------------------------------
@@ -428,7 +431,7 @@ def q_mobility_stats(spark, sf_dir):
     )
     d = haversine_col(F.col("lat"), F.col("lon"), F.col("c_lat"), F.col("c_lon"))
     rog = (
-        geo.join(F.broadcast(cent), "user_id")
+        geo.join(cent, "user_id")
         .select("user_id", d.alias("d"))
         .groupBy("user_id")
         .agg(F.round(F.sqrt(F.avg(F.col("d") * F.col("d"))), 1).alias("rog_m"))

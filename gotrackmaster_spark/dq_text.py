@@ -596,9 +596,12 @@ def q_term_pmi(spark, sf_dir):
         .agg(F.count("*").alias("n_ab"))
         .filter(F.col("n_ab") >= _PMI_MIN_PAIRS)
     )
+    # tf is the FULL vocabulary df table — O(vocab), never force-broadcast
+    # (the r2 broadcast(sizes) lesson); the filtered pairs side is the
+    # small one, and AQE picks the strategy per actual size.
     j = (
-        pairs.join(F.broadcast(tf.withColumnRenamed("term", "t_a").withColumnRenamed("df", "df_a")), "t_a")
-        .join(F.broadcast(tf.withColumnRenamed("term", "t_b").withColumnRenamed("df", "df_b")), "t_b")
+        pairs.join(tf.withColumnRenamed("term", "t_a").withColumnRenamed("df", "df_a"), "t_a")
+        .join(tf.withColumnRenamed("term", "t_b").withColumnRenamed("df", "df_b"), "t_b")
     )
     j = j.crossJoin(F.broadcast(nd))
     pmi_q = F.expr(f"(n_ab * n_docs * {_PMI_QUANT}) DIV (df_a * df_b)")

@@ -473,13 +473,35 @@ def scan_points(scan_df):
 
 def scan_tracks(scan_df):
     """TRACKS_SCHEMA from a composite scan; file_rank = rank of the path
-    in sorted order (the reference's sorted directory walk)."""
+    in sorted order (the reference's sorted directory walk).
+
+    The rank is computed DISTRIBUTED: a global ``row_number`` window would
+    funnel the whole file table through one task (10⁸ rows on a bulk
+    import).  Instead: ``repartitionByRange(filename)`` (range boundaries
+    respect the sort order, so partition id extends filename order) →
+    per-partition ``row_number`` → exclusive per-partition-count offsets
+    (one ordered window over O(#partitions) rows).  The rank values are
+    invariant to where the sampled range boundaries land, so the output
+    is identical to the single-window form (pinned in
+    tests/test_gpx_sink.py)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    w = Window.orderBy("filename")
-    return scan_df.select("track_id", "creator", "filename").withColumn(
-        "file_rank", (F.row_number().over(w) - 1).cast("int")
+    base = scan_df.select("track_id", "creator", "filename")
+    part = base.repartitionByRange("filename").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    win = Window.partitionBy("_pid").orderBy("filename")
+    inner = part.withColumn("_ir", F.row_number().over(win))
+    woff = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        part.groupBy("_pid")
+        .agg(F.count("*").alias("_g"))
+        .select("_pid", F.coalesce(F.sum("_g").over(woff), F.lit(0)).alias("_off"))
+    )
+    return inner.join(F.broadcast(offs), "_pid").select(
+        "track_id", "creator", "filename",
+        (F.col("_off") + F.col("_ir") - 1).cast("int").alias("file_rank"),
     )
 
 

@@ -125,3 +125,30 @@ def test_waypoint_null_ts_ns_does_not_corrupt_point_times(spark, tmp_path):
         return [pt[3] for trk in parsed.tracks for seg in trk for pt in seg]
 
     assert all_ts(back) == all_ts(orig)
+
+
+def test_scan_tracks_rank_distributed_equals_sorted_enumerate(spark):
+    """file_rank via range-partitioned two-level rank must equal the
+    driver-side sorted enumerate for ANY partitioning of the input
+    (the plan no longer contains a global single-task window)."""
+    from pyspark.sql import functions as F
+
+    from gotrackmaster_spark.sources.gpx import scan_tracks
+
+    names = [f"dir{i % 7}/file_{(i * 137) % 1000:04d}_{i}.gpx" for i in range(500)]
+    df = spark.createDataFrame(
+        [(f"t{i}", "creator", n, [], []) for i, n in enumerate(names)],
+        "track_id string, creator string, filename string, "
+        "points array<struct<lat:double>>, waypoints array<struct<lat:double>>",
+    ).repartition(13)
+    got = {
+        r.filename: r.file_rank
+        for r in scan_tracks(df).collect()
+    }
+    want = {n: i for i, n in enumerate(sorted(names))}
+    assert got == want
+    plan = scan_tracks(df)._jdf.queryExecution().executedPlan().toString()
+    # the only unpartitioned window runs over the per-partition counts
+    for ln in plan.splitlines():
+        if "Window [row_number()" in ln:
+            assert "windowspecdefinition(_pid" in ln, ln
