@@ -1189,8 +1189,16 @@ FROM target GROUP BY t_day
 # E37 — ordered conversion funnel (`funnel_steps` composite): how many
 # users performed signup → click → purchase IN ORDER?  Stage k's
 # earliest valid timestamp = min ts of a stage-k event AFTER stage
-# k-1's — three conditional min-struct aggregates in ONE pass over the
-# per-user stream (no joins, no window), the product-analytics classic.
+# k-1's — sequential per-user min-struct aggregates, each stage a
+# user-keyed join of the (type-filtered) events against the previous
+# stage's 1-row-per-user table (the SAME shape the DuckDB twin uses).
+# An earlier formulation collected EVERY event of a user into one
+# array (collect_list) and filtered it with higher-order functions —
+# one power user with 10⁷ events materializes a 10⁷-element array in a
+# single aggregation buffer; the join form keeps per-row state O(1)
+# and all three joins + aggregates share the user_id partitioning.
+# Struct comparison k > k1 is lexicographic (ts, event_id) — identical
+# tie semantics in both engines.
 # --------------------------------------------------------------------------
 
 _FUNNEL_STEPS = ("signup", "click", "purchase")
@@ -1200,35 +1208,31 @@ def q_funnel_steps(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     key = F.struct("ts", "event_id")
     base = ev.select("user_id", "event_type", key.alias("k"))
-    s1 = F.min(F.when(F.col("event_type") == _FUNNEL_STEPS[0], F.col("k")))
-    per = base.groupBy("user_id").agg(
-        s1.alias("k1"),
-        F.collect_list(F.struct("k", "event_type")).alias("__evs"),
+    s1 = (
+        base.filter(F.col("event_type") == _FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("k").alias("k1"))
     )
-    # stages 2..3: earliest event of the right type strictly after the
-    # previous stage — array minimum over the collected per-user events
-    # (bounded by the user's event count; pure Catalyst higher-order fns)
-    def stage_after(prev_k, step):
-        flt = F.filter(
-            F.col("__evs"),
-            lambda e: (e["event_type"] == F.lit(step))
-            & (
-                (e["k"]["ts"] > prev_k["ts"])
-                | ((e["k"]["ts"] == prev_k["ts"]) & (e["k"]["event_id"] > prev_k["event_id"]))
-            ),
-        )
-        return F.array_min(flt["k"])
-
-    per = per.withColumn(
-        "k2", F.when(F.col("k1").isNotNull(), stage_after(F.col("k1"), _FUNNEL_STEPS[1]))
-    ).withColumn(
-        "k3", F.when(F.col("k2").isNotNull(), stage_after(F.col("k2"), _FUNNEL_STEPS[2]))
+    s2 = (
+        base.filter(F.col("event_type") == _FUNNEL_STEPS[1])
+        .join(s1, "user_id")
+        .filter(F.col("k") > F.col("k1"))
+        .groupBy("user_id")
+        .agg(F.min("k").alias("k2"))
     )
-    return per.agg(
-        F.count("*").alias("n_users"),
-        F.coalesce(F.sum(F.col("k1").isNotNull().cast("long")), F.lit(0)).alias("n_step1"),
-        F.coalesce(F.sum(F.col("k2").isNotNull().cast("long")), F.lit(0)).alias("n_step2"),
-        F.coalesce(F.sum(F.col("k3").isNotNull().cast("long")), F.lit(0)).alias("n_step3"),
+    s3 = (
+        base.filter(F.col("event_type") == _FUNNEL_STEPS[2])
+        .join(s2, "user_id")
+        .filter(F.col("k") > F.col("k2"))
+        .groupBy("user_id")
+        .agg(F.min("k").alias("k3"))
+    )
+    # 1-row scalar attaches (BNLJ-allowlisted convention)
+    return (
+        base.agg(F.countDistinct("user_id").alias("n_users"))
+        .crossJoin(F.broadcast(s1.agg(F.count("*").alias("n_step1"))))
+        .crossJoin(F.broadcast(s2.agg(F.count("*").alias("n_step2"))))
+        .crossJoin(F.broadcast(s3.agg(F.count("*").alias("n_step3"))))
     )
 
 

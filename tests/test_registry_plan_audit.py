@@ -60,6 +60,9 @@ BNLJ_ALLOWED = {
     "ks_statistic",
     # pps_sample: 1-row total-weight attach onto the per-user cumsum
     "pps_sample",
+    # funnel_steps: three 1-row step-count aggregates attached onto the
+    # 1-row distinct-user count (all sides ungrouped aggregations)
+    "funnel_steps",
     # zipf_check: 1-row hapax/vocab scalar attach onto the top-20 rows
     "zipf_check",
     # graph_summary: two 1-row scalar attaches (node count, reciprocity)
