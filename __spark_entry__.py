@@ -151,21 +151,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_pairs": _wrap(Q.q_winnow_pairs),
         "kde_raster": _wrap(Q.q_kde_raster),
         # ============== end of driver window ==============
-        # -- round-5 window pool: the remaining never-driver-checked
-        #    queries (every one green in tests/test_oracle_parity.py each
-        #    session; they compete for next round's 50 slots)
+        # -- ROUND-5 WINDOW, PRE-STAGED (positions 51-100): the 50
+        #    never-driver-checked queries that take the window at the
+        #    round-5 rotation (a pure block move of this section to the
+        #    front).  Composition per the ordering policy: everything
+        #    re-shaped this round with no prior green row (rrf_fusion,
+        #    funnel_steps, zipf_check — bit-identical re-shapes, parity-
+        #    pinned) plus the intricate-oracle majority; single-pass
+        #    variant diagnostics yield to the leftover block below.
+        #    Every entry is green in tests/test_oracle_parity.py each
+        #    session regardless of position.
         "accessibility_2sfca": _wrap(Q.q_accessibility_2sfca),
         "movement_rose": _wrap(Q.q_movement_rose),
         "gravity_od": _wrap(Q.q_gravity_od),
         "pip_donut": _wrap(Q.q_pip_donut),
         "phash_topk": _wrap(Q.q_phash_topk),
         "tile_top_terms": _wrap(Q.q_tile_top_terms),
-        "sinuosity": _wrap(Q.q_sinuosity),
         "stkde": _wrap(Q.q_stkde),
-        "ohlc_bars": _wrap(Q.q_ohlc_bars),
         "type_runs": _wrap(Q.q_type_runs),
         "areal_disagg": _wrap(Q.q_areal_disagg),
-        "benford_digits": _wrap(Q.q_benford_digits),
         "delta_dedup": _wrap(Q.q_delta_dedup),
         "ngram_novelty": _wrap(Q.q_ngram_novelty),
         "snapshot_changelog": _wrap(Q.q_snapshot_changelog),
@@ -175,8 +179,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_pmi": _wrap(Q.q_term_pmi),
         "cohort_retention": _wrap(Q.q_cohort_retention),
         "cell_flow_vectors": _wrap(Q.q_cell_flow_vectors),
-        "user_burstiness": _wrap(Q.q_user_burstiness),
-        "value_mad": _wrap(Q.q_value_mad),
         "bm25_scores": _wrap(Q.q_bm25_scores),
         "union_area": _wrap(Q.q_union_area),
         "skyline_events": _wrap(Q.q_skyline_events),
@@ -204,21 +206,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_statistic": _wrap(Q.q_ks_statistic),
         "mann_whitney": _wrap(Q.q_mann_whitney),
         "shipping_priority": _wrap(Q.q_shipping_priority),
+        "rrf_fusion": _wrap(Q.q_rrf_fusion),
+        "funnel_steps": _wrap(Q.q_funnel_steps),
+        "zipf_check": _wrap(Q.q_zipf_check),
+        "cube_counts": _wrap(Q.q_cube_counts),
+        "rolling_median": _wrap(Q.q_rolling_median),
+        # -- ROUND-5 LEFTOVERS (positions 101-116): round 5 is the final
+        #    round, so these 16 never receive a driver row — deliberately
+        #    the lowest-risk residue: output-pinned twins of driver-green
+        #    queries (ppjoin_pairs == jaccard_pairs by a dedicated test;
+        #    embedding_topk_exact was r02 driver-green under its pre-
+        #    rename key), image-decode variants saturated by the r4
+        #    window's ten-query image suite (hist_equalization,
+        #    projection_profile), a sibling of an in-pool lag query
+        #    (acf_profile vs lag_autocorr), and single-pass aggregate
+        #    diagnostics with elementary oracles.  All stay parity- and
+        #    plan-audit-pinned every session.
         "ppjoin_pairs": _wrap(Q.q_ppjoin_pairs),
         "hist_equalization": _wrap(Q.q_hist_equalization),
         "projection_profile": _wrap(Q.q_projection_profile),
         "curve_locality": _wrap(Q.q_curve_locality),
-        "rolling_median": _wrap(Q.q_rolling_median),
         "wilson_bounds": _wrap(Q.q_wilson_bounds),
         "acf_profile": _wrap(Q.q_acf_profile),
         "minhash_calibration": _wrap(Q.q_minhash_calibration),
         "pricing_summary": _wrap(Q.q_pricing_summary),
         "small_qty_revenue": _wrap(Q.q_small_qty_revenue),
         "trimmed_mean": _wrap(Q.q_trimmed_mean),
-        "zipf_check": _wrap(Q.q_zipf_check),
-        "cube_counts": _wrap(Q.q_cube_counts),
-        "rrf_fusion": _wrap(Q.q_rrf_fusion),
-        "funnel_steps": _wrap(Q.q_funnel_steps),
+        "sinuosity": _wrap(Q.q_sinuosity),
+        "ohlc_bars": _wrap(Q.q_ohlc_bars),
+        "benford_digits": _wrap(Q.q_benford_digits),
+        "user_burstiness": _wrap(Q.q_user_burstiness),
+        "value_mad": _wrap(Q.q_value_mad),
         "embedding_topk_exact": _wrap(Q.q_embedding_topk),
         # -- changed since last green driver row, result-invariance pinned
         #    locally: trajectory_jaccard (r03-green; r4 hot-cell cap is
