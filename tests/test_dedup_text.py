@@ -236,6 +236,26 @@ def test_connected_components_nonconvergence(spark):
     assert set(full.values()) == {0}
 
 
+def test_connected_components_log_diameter_convergence(spark):
+    """Deferred pointer jumping makes convergence O(log diameter): a
+    2000-edge chain (diameter 2000 — plain propagation needs 2000
+    rounds) must converge inside the default 50-round cap even though
+    the jump only starts at round `jump_after`.  This is the regression
+    pin for the sf0.1 `raster_regions` failure, where a contiguous
+    raster blob's diameter blew the cap that near-clique dedup graphs
+    never approach."""
+    from gotrackmaster_spark.operators.graph import connected_components
+
+    n = 2000
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "a_id long, b_id long"
+    ).repartition(8)
+    got = connected_components(chain, max_iter=50)  # raises if unconverged
+    roots = {r.l for r in got.collect()}
+    assert roots == {0}
+    assert got.count() == n + 1
+
+
 def test_embedding_topk_bounded_q_contract(spark):
     """embedding_topk is the exact brute-force primitive: exceeding
     max_queries must raise, pointing at the LSH/IVF scale paths."""
