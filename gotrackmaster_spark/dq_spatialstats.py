@@ -1090,7 +1090,13 @@ counts AS (SELECT {_VARIO_COUNTS} FROM cand)
 # integers and the float algebra replays in a fixed expression order.
 # theta rounds at 4 dp (atan2 is the one libm-parity-sensitive term,
 # per the turn_stats convention); sqrt outputs are correctly rounded
-# IEEE and take 6 dp.
+# IEEE and take 6 dp.  The oracle's theta gets a `+ 0` SIGNED-ZERO
+# normalization: DuckDB's round() is IEEE and preserves -0.0 (a user
+# whose cxy is exactly -0.0, or whose theta rounds to zero from below,
+# hashes as "-0"), while Spark's F.round goes through Java BigDecimal
+# which has NO signed zero — found live by the sf0.1 parity sweep
+# (user 1376: theta_r Spark 0 vs DuckDB -0).  `x + 0` maps -0.0 to
+# +0.0 and is exact for every other double.
 # --------------------------------------------------------------------------
 
 
@@ -1147,7 +1153,7 @@ SELECT user_id, n,
        round(xbar, 6) AS x_mean_r, round(ybar, 6) AS y_mean_r,
        round(CASE WHEN n > 1 AND cxx + cyy > 0 THEN sqrt(cxx + cyy)
                   WHEN n > 1 THEN 0.0 END, 6) AS sd_dist_r,
-       round(CASE WHEN n > 1 THEN atan2(2 * cxy, cxx - cyy) / 2 END, 4) AS theta_r,
+       round(CASE WHEN n > 1 THEN atan2(2 * cxy, cxx - cyy) / 2 END, 4) + 0 AS theta_r,
        round(CASE WHEN n > 1 AND (cxx + cyy + b) / 2 > 0 THEN sqrt((cxx + cyy + b) / 2)
                   WHEN n > 1 THEN 0.0 END, 6) AS ax_major_r,
        round(CASE WHEN n > 1 AND (cxx + cyy - b) / 2 > 0 THEN sqrt((cxx + cyy - b) / 2)
@@ -1375,20 +1381,27 @@ FROM alg
 
 # --------------------------------------------------------------------------
 # E14l — join-count statistics (`spatial.join_counts`): the categorical
-# autocorrelation statistic over the binary lattice black = cnt ≥ 5
-# (median event count per 5° cell is 4 at sf0.01 — both colors
-# populated).  One occupancy pass over the 0/1 indicator; observed
-# BB/BW/WW exact integers, expectations exact-int ratios under
-# nonfree (hypergeometric) sampling.
+# autocorrelation statistic over the binary lattice black = cnt STRICTLY
+# ABOVE the lower-median cell count (the exact order statistic at rank
+# (n+1) DIV 2) — scale-FREE binarization: a fixed absolute threshold
+# degenerates when the data grows (at sf0.1 every occupied 5° cell
+# clears cnt ≥ 5 and WW vanishes — found by the sf0.1 parity sweep).
+# At sf0.01 the lower median is 4, so cnt > 4 ≡ the old cnt ≥ 5 and the
+# output is bit-identical to the previous fixed-threshold definition.
+# One occupancy pass over the 0/1 indicator; observed BB/BW/WW exact
+# integers, expectations exact-int ratios under nonfree
+# (hypergeometric) sampling.
 # --------------------------------------------------------------------------
-
-_JC_THR = 5
 
 
 def q_join_counts(spark, sf_dir):
-    from gotrackmaster_spark.operators.spatial import join_counts
+    from gotrackmaster_spark.operators.spatial import (
+        join_counts,
+        join_counts_median_thr,
+    )
 
-    return join_counts(_hot_cells(geo_events(spark, sf_dir)), _JC_THR)
+    cells = join_counts_median_thr(_hot_cells(geo_events(spark, sf_dir)))
+    return join_counts(cells, F.col("__thr"))
 
 
 SQL_JOIN_COUNTS = f"""
@@ -1399,8 +1412,16 @@ rawcells AS (
          count(*) AS cnt
   FROM geo GROUP BY 1, 2
 ),
+med AS (
+  SELECT cnt + 1 AS thr FROM (
+    SELECT cnt, row_number() OVER (ORDER BY cnt) AS rn,
+           count(*) OVER () AS n
+    FROM rawcells
+  ) WHERE rn = (n + 1) // 2
+),
 cells AS (
-  SELECT gx, gy, CASE WHEN cnt >= {_JC_THR} THEN 1 ELSE 0 END AS cnt
+  SELECT gx, gy,
+         CASE WHEN cnt >= (SELECT thr FROM med) THEN 1 ELSE 0 END AS cnt
   FROM rawcells
 ),
 off AS (SELECT dx - 1 AS dx, dy - 1 AS dy FROM range(3) t1(dx), range(3) t2(dy)),
@@ -2806,7 +2827,6 @@ __all__ = [
     "SQL_GEARY_C",
     "q_general_g",
     "SQL_GENERAL_G",
-    "_JC_THR",
     "q_join_counts",
     "SQL_JOIN_COUNTS",
     "q_bivariate_moran",

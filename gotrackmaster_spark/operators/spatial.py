@@ -31,7 +31,7 @@ import math
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _LOG = logging.getLogger(__name__)
@@ -2165,11 +2165,18 @@ def general_g(cells: DataFrame) -> DataFrame:
     )
 
 
-def join_counts(cells: DataFrame, thr: int) -> DataFrame:
+def join_counts(cells: DataFrame, thr: int | Column) -> DataFrame:
     """Black-white join-count statistics of the binary lattice
     ``black = cnt ≥ thr`` with binary 3×3 queen adjacency (self
     excluded) over occupied cells — the categorical companion to
     Moran/Geary: are same-color cells adjacent more often than chance?
+
+    ``thr`` may be an int literal or a Column already attached to
+    ``cells`` (e.g. a data-derived cut from
+    :func:`join_counts_median_thr` — a FIXED absolute threshold on raw
+    counts is scale-brittle: 10× the events turns every occupied cell
+    black and the WW statistic degenerates, found live by the sf0.1
+    parity sweep).
 
     Observed unordered join counts come from ONE occupancy pass over
     the 0/1 indicator (``__wsum`` = black neighbors incl. self): per
@@ -2187,7 +2194,8 @@ def join_counts(cells: DataFrame, thr: int) -> DataFrame:
     Output: ONE row ``(n_cells, n_black, w_pairs, bb, bw, ww, e_bb,
     e_bw, e_ww)`` — expectations NULL when n < 2 or W == 0.
     """
-    b = (F.col("cnt") >= F.lit(int(thr))).cast("long")
+    thr_col = thr if isinstance(thr, Column) else F.lit(int(thr))
+    b = (F.col("cnt") >= thr_col).cast("long")
     binary = cells.select("gx", "gy", b.alias("cnt"))
     occupied = _occupancy_counts(binary)
     bi = F.col("cnt")
@@ -2216,6 +2224,37 @@ def join_counts(cells: DataFrame, thr: int) -> DataFrame:
         F.when(ok, (2 * w * nb * nw) / (n * (n - 1))).alias("e_bw"),
         F.when(ok, (w * nw * (nw - 1)) / (n * (n - 1))).alias("e_ww"),
     )
+
+
+def join_counts_median_thr(cells: DataFrame) -> DataFrame:
+    """Attach the scale-free join-count threshold to a count lattice:
+    ``__thr`` = lower-median cell count + 1, so ``cnt >= __thr`` means
+    STRICTLY ABOVE the median — the median cell itself is white, which
+    keeps both colors populated at any data scale (a fixed absolute
+    count threshold degenerates: 10× the events turns every cell black).
+
+    The lower median is the exact order statistic at rank
+    ``(n + 1) DIV 2`` of counts ascending — an integer both engines
+    replay bit-identically (the VALUE at a rank is invariant to tie
+    ordering, so ordering by ``cnt`` alone is deterministic).  Both
+    windows here are global single-partition — fine BECAUSE the input
+    is a degree lattice bounded by geometry (≤ (360/g)·(160/g) cells
+    regardless of data volume), the same bound every `_occupancy_counts`
+    consumer relies on.  The 1-row threshold attaches via
+    ``crossJoin(broadcast(...))`` per the repo's scalar-attach
+    convention (BNLJ-allowlisted).
+    """
+    from pyspark.sql import Window
+
+    ranked = cells.select(
+        "cnt",
+        F.row_number().over(Window.orderBy("cnt")).alias("__rn"),
+        F.count("*").over(Window.partitionBy(F.lit(1))).alias("__n"),
+    )
+    med = ranked.filter(F.col("__rn") == F.expr("(__n + 1) DIV 2")).select(
+        (F.col("cnt") + F.lit(1)).cast("long").alias("__thr")
+    )
+    return cells.crossJoin(F.broadcast(med))
 
 
 def bivariate_morans_i(cells: DataFrame) -> DataFrame:

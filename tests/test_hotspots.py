@@ -1835,3 +1835,40 @@ def test_d8_flow_length_chain_and_modes(spark, tmp_path):
         d8_flow_length(flow, max_iter=2)
     with _pt.raises(ValueError, match="on_nonconverged"):
         d8_flow_length(flow, on_nonconverged="explode")
+
+
+def test_join_counts_median_thr_scale_free(spark):
+    """The sf0.1 parity-sweep lesson: a FIXED absolute count threshold
+    degenerates when the data grows (every occupied cell goes black and
+    WW vanishes).  join_counts_median_thr binarizes STRICTLY ABOVE the
+    lower-median count, so both colors stay populated at any scale —
+    pin that on a lattice where every cnt clears the old fixed cut, and
+    pin the exact lower-median rank convention (value at rank
+    (n+1) DIV 2 of counts ascending)."""
+    from gotrackmaster_spark.operators.spatial import (
+        join_counts,
+        join_counts_median_thr,
+    )
+
+    # 3×3 lattice, all counts ≥ 100: a fixed thr=5 makes every cell
+    # black (n_black = n, ww = 0); the median cut keeps both colors.
+    cells = spark.createDataFrame(
+        [(x, y, 100 + 10 * (3 * x + y)) for x in range(3) for y in range(3)],
+        "gx long, gy long, cnt long",
+    )
+    withthr = join_counts_median_thr(cells)
+    # counts ascending: 100..180; n=9 → rank (9+1) DIV 2 = 5 → med=140
+    assert withthr.select("__thr").distinct().collect()[0][0] == 141
+    out = join_counts(withthr, __import__("pyspark").sql.functions.col("__thr")).collect()[0]
+    assert out.n_cells == 9
+    assert out.n_black == 4 and out.n_cells - out.n_black == 5
+    assert out.ww > 0 and out.e_ww > 0
+    # even-n lattice pins the LOWER median: counts 1,2,3,4 → rank 2 → med=2
+    cells4 = spark.createDataFrame(
+        [(0, 0, 1), (0, 1, 2), (1, 0, 3), (1, 1, 4)],
+        "gx long, gy long, cnt long",
+    )
+    assert (
+        join_counts_median_thr(cells4).select("__thr").distinct().collect()[0][0]
+        == 3
+    )

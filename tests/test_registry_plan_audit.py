@@ -69,6 +69,8 @@ BNLJ_ALLOWED = {
     "graph_summary",
     # rrf_fusion: inherits bm25's 1-row corpus-scalar attach
     "rrf_fusion",
+    # join_counts: 1-row median-threshold attach onto the count lattice
+    "join_counts",
 }
 
 QUERIES = entrymod.queries()
