@@ -21,7 +21,11 @@ names are skipped on re-run (resumable); delete the file for a fresh
 sweep.  Rows-only queries (no oracle) get the non-degeneracy check only,
 mirroring the driver's weaker gate for them.
 
-Usage: ``python scripts/parity_sweep.py [--only name1,name2]``
+Usage: ``python scripts/parity_sweep.py [--only name1,name2] [--skip n1,n2]``
+(``--skip`` defers names to a later patient pass — e.g. the
+permutation/point-pattern oracles, whose DuckDB twins are cell-banded
+pair joins that grow ~100× at sf0.1 and run minutes-to-hours
+single-process; skipping them lets the cheap majority record first.)
 Env: PARITY_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32), PARITY_OUT.
 """
@@ -47,6 +51,9 @@ def main() -> None:
     only = None
     if "--only" in sys.argv:
         only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+    skip = set()
+    if "--skip" in sys.argv:
+        skip = set(sys.argv[sys.argv.index("--skip") + 1].split(","))
 
     done = set()
     if os.path.exists(OUT):
@@ -61,7 +68,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     names = [
-        n for n in tp.QUERIES if (only is None or n in only) and n not in done
+        n for n in tp.QUERIES
+        if (only is None or n in only) and n not in done and n not in skip
     ]
     print(f"parity-sweeping {len(names)} queries at {SF_DIR} ({len(done)} recorded)")
     for i, name in enumerate(names, 1):
