@@ -1037,9 +1037,14 @@ def q_benford_digits(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100, 0).cast("long")
     digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    # BETWEEN 1 AND 9, not isNotNull: a value that rounds to exactly 0
+    # cents yields digit 0 (no first significant digit), and ANSI
+    # element_at(arr, 0) ERRORS — fires at sf0.1 (one |value| < 0.005
+    # event), found by the sf0.1 parity sweep; negatives already fall
+    # out as NULL via the "-" substring.
     per = (
         ev.select(digit.alias("digit"))
-        .filter(F.col("digit").isNotNull())
+        .filter(F.col("digit").between(1, 9))
         .groupBy("digit")
         .agg(F.count("*").alias("n"))
     )
@@ -1071,7 +1076,7 @@ WITH d AS (
 ),
 per AS (
   SELECT digit, CAST(count(*) AS BIGINT) AS n
-  FROM d WHERE digit IS NOT NULL GROUP BY digit
+  FROM d WHERE digit BETWEEN 1 AND 9 GROUP BY digit
 )
 SELECT digit, n,
        n / sum(n) OVER () AS share,

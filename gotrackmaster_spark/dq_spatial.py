@@ -1846,9 +1846,13 @@ def q_classification_counts(spark, sf_dir):
         ),
     )
     w = Window.partitionBy("tk").orderBy("ts", "event_id")
+    # i must be LONG: row_number() is int32, and i * 1_000_000 (t_us)
+    # overflows once a tk group exceeds 2147 points — fires at sf0.1
+    # (~4000 events per user_id%25 bucket), found by the sf0.1 parity
+    # sweep under ANSI mode; sf0.01 groups never reached the boundary.
     idx0 = base.select(
         "tk",
-        (F.row_number().over(w) - 1).alias("i"),
+        (F.row_number().over(w) - 1).cast("long").alias("i"),
         F.count("*").over(Window.partitionBy("tk")).alias("n"),
     )
     step = F.lit(1) + (F.col("tk") * 23) % 64
