@@ -1036,12 +1036,17 @@ _BENFORD_EXP = {
 def q_benford_digits(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100, 0).cast("long")
-    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
-    # BETWEEN 1 AND 9, not isNotNull: a value that rounds to exactly 0
-    # cents yields digit 0 (no first significant digit), and ANSI
-    # element_at(arr, 0) ERRORS — fires at sf0.1 (one |value| < 0.005
-    # event), found by the sf0.1 parity sweep; negatives already fall
-    # out as NULL via the "-" substring.
+    # try_cast + BETWEEN 1 AND 9, not a plain cast + isNotNull:
+    #  * a value that rounds to exactly 0 cents yields digit 0 (no first
+    #    significant digit), and ANSI element_at(arr, 0) ERRORS — fires
+    #    at sf0.1 (one |value| < 0.005 event), found by the sf0.1 parity
+    #    sweep;
+    #  * a NEGATIVE value's leading character is "-", and under ANSI a
+    #    plain cast("int") ERRORS on it instead of yielding NULL (found
+    #    by the planted-data regression test).  Negatives carry no
+    #    Benford digit here by design — they are excluded, mirroring
+    #    TRY_CAST in the DuckDB twin.
+    digit = F.substring(cents.cast("string"), 1, 1).try_cast("int")
     per = (
         ev.select(digit.alias("digit"))
         .filter(F.col("digit").between(1, 9))
@@ -1070,8 +1075,8 @@ _BENFORD_ARR = "[" + ", ".join(
 
 SQL_BENFORD_DIGITS = f"""
 WITH d AS (
-  SELECT CAST(substr(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR), 1, 1)
-              AS INT) AS digit
+  SELECT TRY_CAST(substr(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INT) AS digit
   FROM events
 ),
 per AS (
