@@ -613,6 +613,16 @@ def embedding_ivf_topk(
 
     cents = ivf_centroids(emb, nlist, id_col, vec_col)
     nlist = len(cents)  # tiny tables may yield fewer
+    if nlist == 0:
+        # Degenerate input: the training stratum is empty, so there are no
+        # inverted lists and no probe candidates.  The SQL twin yields zero
+        # rows for the same reason; mirror it with a typed empty result
+        # (a zero-element array() literal would otherwise be NULL-typed and
+        # break array_position at analysis time).
+        return emb.select(
+            F.col(id_col).alias("q_id"), F.col(id_col).alias("n_id"),
+            F.lit(0.0).alias("cos_r"), F.lit(0).cast("int").alias("rnk"),
+        ).filter(F.lit(False))
     d2s = [_d2_spark("qv", c) for c in cents]
     d_arr = "array(" + ", ".join(d2s) + ")"
 

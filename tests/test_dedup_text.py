@@ -185,6 +185,24 @@ def test_embedding_ivf_recall_and_plan(spark):
     assert recall > 0.2, f"IVF recall collapsed: {recall:.2f}"
 
 
+def test_embedding_ivf_degenerate_empty_centroids(spark):
+    """Degenerate input (too few rows to populate the centroid training
+    stratum) must yield a typed EMPTY result, not an analysis error: a
+    zero-element array() literal is NULL-typed and used to break
+    array_position at analysis time (found by the degenerate-input sweep)."""
+    from pyspark.sql import functions as F
+
+    from gotrackmaster_spark.operators import dedup as D
+
+    tiny = _emb(spark).orderBy("vec_id").limit(3)
+    assert tiny.filter(
+        F.col("vec_id") % D.IVF_CENT_EVERY == D.IVF_CENT_OFF).count() == 0
+    out = D.embedding_ivf_topk(tiny)
+    assert out.schema.simpleString() == (
+        "struct<q_id:bigint,n_id:bigint,cos_r:double,rnk:int>")
+    assert out.count() == 0
+
+
 def test_connected_components_hand_graph(spark):
     """Min-label propagation on a hand graph: two chains and an isolated
     edge; labels must equal each component's minimum node id."""
