@@ -2170,9 +2170,14 @@ def q_ks_statistic(spark, sf_dir):
         F.max("n2").alias("n2"),
         F.max(F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))).alias("d_num"),
     )
+    # pre-division guard (ANSI mode): one empty stratum => n1*n2 = 0 —
+    # degrade to NULL like the oracle, don't raise (K=1 degenerate sweep)
     return d.select(
         "n1", "n2", "d_num",
-        F.round(F.col("d_num").cast("double") / (F.col("n1") * F.col("n2")).cast("double"), 6).alias("d_r"),
+        F.when(
+            (F.col("n1") * F.col("n2")) > 0,
+            F.round(F.col("d_num").cast("double") / (F.col("n1") * F.col("n2")).cast("double"), 6),
+        ).alias("d_r"),
     )
 
 
@@ -2200,8 +2205,10 @@ tot AS (
 )
 SELECT max(t.n1) AS n1, max(t.n2) AS n2,
        max(abs(c.c1 * t.n2 - c.c2 * t.n1)) AS d_num,
-       round(CAST(max(abs(c.c1 * t.n2 - c.c2 * t.n1)) AS DOUBLE)
-             / CAST(max(t.n1) * max(t.n2) AS DOUBLE), 6) AS d_r
+       CASE WHEN max(t.n1) * max(t.n2) > 0
+            THEN round(CAST(max(abs(c.c1 * t.n2 - c.c2 * t.n1)) AS DOUBLE)
+                       / CAST(max(t.n1) * max(t.n2) AS DOUBLE), 6)
+       END AS d_r
 FROM cum c CROSS JOIN tot t
 """
 
@@ -2234,10 +2241,15 @@ def q_mann_whitney(spark, sf_dir):
         F.sum("b").alias("n2"),
         F.sum(F.col("a") * (2 * F.col("b_less") + F.col("b"))).alias("u2x"),
     )
+    # pre-division guard (ANSI mode): one empty stratum => n1*n2 = 0 —
+    # degrade to NULL like the oracle, don't raise (K=1 degenerate sweep)
     return agg.select(
         "n1", "n2", "u2x",
-        F.round(
-            F.col("u2x").cast("double") / (2 * F.col("n1") * F.col("n2")).cast("double"), 6
+        F.when(
+            (F.col("n1") * F.col("n2")) > 0,
+            F.round(
+                F.col("u2x").cast("double") / (2 * F.col("n1") * F.col("n2")).cast("double"), 6
+            ),
         ).alias("u_r"),
     )
 
@@ -2262,8 +2274,10 @@ cum AS (
 SELECT CAST(sum(a) AS BIGINT) AS n1,
        CAST(sum(b) AS BIGINT) AS n2,
        CAST(sum(a * (2 * b_less + b)) AS BIGINT) AS u2x,
-       round(CAST(sum(a * (2 * b_less + b)) AS DOUBLE)
-             / CAST(2 * sum(a) * sum(b) AS DOUBLE), 6) AS u_r
+       CASE WHEN sum(a) * sum(b) > 0
+            THEN round(CAST(sum(a * (2 * b_less + b)) AS DOUBLE)
+                       / CAST(2 * sum(a) * sum(b) AS DOUBLE), 6)
+       END AS u_r
 FROM cum
 """
 
