@@ -877,6 +877,9 @@ def q_incremental_view(spark, sf_dir):
     # batch 1: the merge_upsert update+insert source
     cat.merge(spark, "t", _merge_source(spark, sf_dir), key_cols=["part", "event_id"])
     m1, _ = incremental_refresh(spark, cat, "t", "v", _iv_transform, s0)
+    # incremental_refresh returns None when no partition changed (an empty
+    # merge batch — valid input); the view is then consistent with latest
+    s1 = m1["metrics"]["src_snapshot_id"] if m1 else cat.manifest("t")["snapshot_id"]
 
     # batch 2: delete every event_id % 13 == 0 row
     dels = geo_events(spark, sf_dir).filter(F.col("event_id") % 13 == 0).select(
@@ -885,9 +888,7 @@ def q_incremental_view(spark, sf_dir):
         F.lit(0.0).alias("value"),
     )
     cat.merge(spark, "t", dels, key_cols=["part", "event_id"], when_matched="delete")
-    incremental_refresh(
-        spark, cat, "t", "v", _iv_transform, m1["metrics"]["src_snapshot_id"]
-    )
+    incremental_refresh(spark, cat, "t", "v", _iv_transform, s1)
     return cat.load(spark, "v").select("part", "n_rows", "sum_value")
 
 

@@ -272,6 +272,15 @@ def kmeans_quantized(
     )
     seed_rows = pts.orderBy("id").limit(k).collect()
     cents = [(i, int(r.x), int(r.y)) for i, r in enumerate(seed_rows)]
+    if not cents:
+        # Degenerate input: no points => no seeds => no clusters.  Return
+        # a typed empty result (a zero-element array() literal would be
+        # NULL-typed and break array_min at analysis time — the
+        # embedding_ivf_topk lesson from the degenerate-input sweep).
+        return pts.select(
+            F.lit(0).alias("cid"), F.lit(0).cast("long").alias("n_points"),
+            F.col("x").alias("cx"), F.col("y").alias("cy"),
+        ).filter(F.lit(False))
 
     def assign_col(cs):
         arr = F.array(*[

@@ -422,12 +422,8 @@ class Catalog:
             # hold NO parquet files at all (e.g. a delete-merge that
             # emptied every partition it touched), so reading it back
             # for the schema would fail with UNABLE_TO_INFER_SCHEMA
-            types = m.get("schema_types") or {}
-            cols = m.get("schema_cols") or list(types)
-            if cols and all(c in types for c in cols):
-                ddl = ", ".join(f"`{c}` {types[c]}" for c in cols)
-                out = spark.createDataFrame([], schema=ddl)
-            else:
+            out = self._manifest_empty_frame(spark, m)
+            if out is None:
                 out = spark.read.parquet(m["data_dir"]).limit(0)
         else:
             out = pieces[0]
@@ -459,11 +455,30 @@ class Catalog:
             )
         return out
 
+    @staticmethod
+    def _manifest_empty_frame(spark: SparkSession, m: dict) -> DataFrame | None:
+        """Typed zero-row frame rebuilt from the manifest's recorded schema,
+        or None when an old manifest predates schema_types.  Needed wherever
+        a snapshot dir is read back: a 0-row commit writes NO parquet data
+        files, so schema inference fails with UNABLE_TO_INFER_SCHEMA — an
+        empty batch is VALID input to a checkpointed pipeline (degenerate-
+        input sweep, K=0)."""
+        types = m.get("schema_types") or {}
+        cols = m.get("schema_cols") or list(types)
+        if cols and all(c in types for c in cols):
+            ddl = ", ".join(f"`{c}` {types[c]}" for c in cols)
+            return spark.createDataFrame([], schema=ddl)
+        return None
+
     # -------------------------------------------------------------- read ---
     def load(self, spark: SparkSession, table: str, snapshot_id: int | None = None) -> DataFrame:
         m = self.manifest(table, snapshot_id)
         if m.get("reused_partitions"):
             return self._read_partitions(spark, m, sorted(m["partitions"]))
+        if not m.get("files"):
+            empty = self._manifest_empty_frame(spark, m)
+            if empty is not None:
+                return empty
         df = spark.read.parquet(m["data_dir"])
         if m.get("partition_col") and m.get("partition_type"):
             from pyspark.sql import functions as F

@@ -88,3 +88,12 @@ def test_validation(spark):
         kmeans_quantized(df, k=0)
     with pytest.raises(ValueError):
         kmeans_quantized(df, n_rounds=-1)
+
+
+def test_empty_input_typed_empty_result(spark):
+    """Zero points => zero seeds => typed empty output, not an analysis
+    error from a NULL-typed zero-element array() (K=0 degenerate sweep)."""
+    df = spark.createDataFrame([], "id long, x long, y long")
+    out = kmeans_quantized(df, k=3)
+    assert out.columns == ["cid", "n_points", "cx", "cy"]
+    assert out.count() == 0

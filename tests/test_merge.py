@@ -254,3 +254,26 @@ def test_snapshot_changelog_all_change_types(spark, tmp_path):
     # identical snapshots -> everything unchanged
     log2 = snapshot_changelog(cat, spark, "t", s[-1], s[-1], ["part", "k"])
     assert {r["change_type"] for r in log2.collect()} == {"unchanged"}
+
+
+def test_empty_commit_roundtrip(spark, tmp_path):
+    """A 0-row commit writes NO parquet data files, so load() can't infer
+    a schema from the dir — it must rebuild the typed empty frame from
+    the manifest (K=0 degenerate sweep).  Covers both the partitioned and
+    unpartitioned layouts, and merge into the empty target."""
+    cat = Catalog(str(tmp_path / "cat"))
+    empty = spark.createDataFrame([], "user_id string, event_id long, value double")
+    cat.commit(empty, "t", partition_col="user_id")
+    got = cat.load(spark, "t")
+    assert got.columns == ["user_id", "event_id", "value"]
+    assert got.count() == 0
+
+    cat.commit(empty, "u")  # unpartitioned
+    got_u = cat.load(spark, "u")
+    assert got_u.columns == ["user_id", "event_id", "value"]
+    assert got_u.count() == 0
+
+    # merging a populated source into the empty target = pure insert
+    src = spark.createDataFrame(_base_rows())
+    cat.merge(spark, "t", src, key_cols=["user_id", "event_id"])
+    assert cat.load(spark, "t").count() == len(_base_rows())
