@@ -312,3 +312,27 @@ def test_vocab_growth_two_level_bucket_cumsum(spark):
     for ln in bucket_wins:
         if "sum(nt" in ln or "sum(tk" in ln or "cv_in" in ln or "ct_in" in ln:
             assert "windowspecdefinition(shard" in ln, ln
+
+
+def test_single_partition_detector_fires_and_clears(spark):
+    """The registry-wide unbounded-SinglePartition audit (plans/audit.py)
+    must FLAG a global window over a scan (the pps_sample defect class)
+    and PASS a global ungrouped aggregate (the legitimate 1-row funnel) —
+    proves the registry sweep in test_registry_plan_audit is not
+    vacuously green."""
+    from pyspark.sql import Window
+
+    from gotrackmaster_spark.plans.audit import unbounded_single_partitions
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    bad = ev.withColumn(
+        "rn", F.row_number().over(Window.orderBy("event_id"))
+    )
+    assert unbounded_single_partitions(_plan(bad)), "global window not flagged"
+
+    good = ev.agg(F.count("*").alias("n"))
+    assert unbounded_single_partitions(_plan(good)) == []
+
+    # global sort of pre-aggregated rows is also fine (bounded feed)
+    ranked = ev.groupBy("user_id").count().orderBy("count")
+    assert unbounded_single_partitions(_plan(ranked)) == []

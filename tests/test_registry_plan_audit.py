@@ -1,8 +1,11 @@
 """Registry-wide physical-plan audit: EVERY registered driver query must
-compile without a cartesian product or a row-at-a-time Python UDF, and
+compile without a cartesian product or a row-at-a-time Python UDF,
 without a BroadcastNestedLoopJoin except the documented bounded cases
-in BNLJ_ALLOWED.  This is the sweep that keeps a future query from silently
-registering an all-pairs or per-row-Python plan.
+in BNLJ_ALLOWED, and without an ``Exchange SinglePartition`` fed by
+unbounded data (the global-window/global-sort scale killer — see
+``gotrackmaster_spark.plans.audit``).  This is the sweep that keeps a
+future query from silently registering an all-pairs, per-row-Python, or
+single-task-funnel plan.
 """
 
 from __future__ import annotations
@@ -14,6 +17,7 @@ import pytest
 sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entrymod  # noqa: E402
+from gotrackmaster_spark.plans.audit import unbounded_single_partitions  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -84,3 +88,5 @@ def test_no_scale_antipattern_in_plan(spark, name):
     assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
     if name not in BNLJ_ALLOWED:
         assert "BroadcastNestedLoopJoin" not in plan, f"{name}: BNLJ"
+    bad = unbounded_single_partitions(plan)
+    assert not bad, f"{name}: unbounded SinglePartition fed by {bad}"
