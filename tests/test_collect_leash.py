@@ -1,0 +1,85 @@
+"""Source-level leash on driver-side materialization: the EXACT set of
+``collect()``-family call sites in the package must equal the documented
+bounded inventory below.
+
+Every site in the allowlist pulls a provably small row set to the driver
+(k centroids, distinct partition values, a gated fallback query set, CLI
+print loops over final results).  A new ``.collect()`` / ``toPandas()`` /
+``toLocalIterator`` anywhere else fails this test until its bound is
+reviewed and the site added here — the same leash discipline as
+``test_registry_plan_audit.BNLJ_ALLOWED``.
+
+Keyed on (module-relative path, enclosing function) rather than line
+numbers so unrelated edits don't churn the pin.
+"""
+
+from __future__ import annotations
+
+import ast
+import os
+import re
+
+PKG = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                   "gotrackmaster_spark")
+
+_PAT = re.compile(r"\.collect\(\)|collectAsMap|\.toPandas\(\)|\.toLocalIterator")
+
+# (path relative to the package, enclosing function) -> why it is bounded
+ALLOWED = {
+    # CLI print loops over FINAL query results (driver output by design;
+    # each prints a per-track/per-pair report the user asked for)
+    ("__main__.py", "main"): "CLI result printing",
+    # partition-value discovery for replace_partitions routing:
+    # O(distinct partition values) rows, never data rows
+    ("plans/checkpoint.py", "merge"): "distinct partition values",
+    # k-row centroid pulls (k = nlist / k, both caller-bounded knobs);
+    # the broadcast-back is the IVF / Lloyd design
+    ("operators/dedup.py", "ivf_centroids"): "k centroid rows",
+    ("operators/clustering.py", "kmeans_quantized"): "k centroid rows",
+    # gated kNN brute-force fallback: only queries whose ring found no
+    # candidate (logged; bounded by the spherical guarantee pre-filter)
+    ("operators/spatial.py", "_rank_with_exact_fallback"): "fallback query ids",
+    # single MAX(level) scalar driving the compaction loop depth
+    ("functions/cells.py", "compact_cells"): "1-row max level",
+}
+
+
+def _sites() -> set[tuple[str, str]]:
+    found = set()
+    for root, _dirs, files in os.walk(PKG):
+        for f in files:
+            if not f.endswith(".py"):
+                continue
+            path = os.path.join(root, f)
+            rel = os.path.relpath(path, PKG)
+            src = open(path).read()
+            lines = src.splitlines()
+            hits = [
+                i + 1
+                for i, line in enumerate(lines)
+                if _PAT.search(line) and not line.strip().startswith("#")
+            ]
+            if not hits:
+                continue
+            spans = []
+            for node in ast.walk(ast.parse(src)):
+                if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                    spans.append((node.lineno, node.end_lineno, node.name))
+            for h in hits:
+                encl = "<module>"
+                best_start = -1
+                for s, e, name in spans:
+                    if s <= h <= e and s > best_start:
+                        encl, best_start = name, s
+                found.add((rel, encl))
+    return found
+
+
+def test_collect_sites_match_bounded_inventory():
+    found = _sites()
+    extra = found - set(ALLOWED)
+    missing = set(ALLOWED) - found
+    assert not extra, (
+        f"new driver-side collect sites (document the bound or distribute): {sorted(extra)}"
+    )
+    assert not missing, f"stale allowlist entries: {sorted(missing)}"
