@@ -61,7 +61,12 @@ PASSES = {
         "master": "local[5]",
         "shuffle_partitions": 7,
         "extra_conf": {
-            "spark.sql.files.maxPartitionBytes": str(256 * 1024),
+            # split size is an env knob: 256 KB at sf0.01 fractures every
+            # file into many tiny tasks; at sf0.1 use ~1 MB so the pass
+            # stays hostile without becoming split-scheduling-bound
+            "spark.sql.files.maxPartitionBytes": os.environ.get(
+                "INVAR_B_SPLIT", str(256 * 1024)
+            ),
             "spark.sql.files.openCostInBytes": "0",
             "spark.default.parallelism": "5",
         },
