@@ -17,12 +17,11 @@ from __future__ import annotations
 
 import ast
 import os
-import re
 
 PKG = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "gotrackmaster_spark")
 
-_PAT = re.compile(r"\.collect\(\)|collectAsMap|\.toPandas\(\)|\.toLocalIterator")
+_METHODS = {"collect", "collectAsMap", "toPandas", "toLocalIterator"}
 
 # (path relative to the package, enclosing function) -> why it is bounded
 ALLOWED = {
@@ -52,17 +51,18 @@ def _sites() -> set[tuple[str, str]]:
                 continue
             path = os.path.join(root, f)
             rel = os.path.relpath(path, PKG)
-            src = open(path).read()
-            lines = src.splitlines()
+            tree = ast.parse(open(path).read())
             hits = [
-                i + 1
-                for i, line in enumerate(lines)
-                if _PAT.search(line) and not line.strip().startswith("#")
+                node.lineno
+                for node in ast.walk(tree)
+                if isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr in _METHODS
             ]
             if not hits:
                 continue
             spans = []
-            for node in ast.walk(ast.parse(src)):
+            for node in ast.walk(tree):
                 if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
                     spans.append((node.lineno, node.end_lineno, node.name))
             for h in hits:
