@@ -71,6 +71,16 @@ PASSES = {
             "spark.default.parallelism": "5",
         },
     },
+    # pass C: adaptive execution OFF — results must not depend on AQE's
+    # runtime re-planning (partition coalescing, skew-join splitting,
+    # join-strategy demotion), only benefit from it
+    "C": {
+        "master": "local[16]",
+        "shuffle_partitions": 16,
+        "extra_conf": {
+            "spark.sql.adaptive.enabled": "false",
+        },
+    },
 }
 
 
@@ -126,27 +136,32 @@ def run(tag: str, only: set[str] | None) -> None:
 
 
 def compare() -> int:
+    """Pairwise hash equality across every RECORDED pass (a pass with no
+    output file yet is simply not part of the comparison)."""
     recs = {}
     for tag in PASSES:
         path = os.path.join(OUT_DIR, f"{tag}.jsonl")
+        if not os.path.exists(path):
+            continue
         with open(path) as f:
             recs[tag] = {r["name"]: r for r in map(json.loads, f) if r}
-    names = sorted(set(recs["A"]) | set(recs["B"]))
+    tags = sorted(recs)
+    names = sorted(set().union(*recs.values()))
     bad = 0
     for name in names:
-        a, b = recs["A"].get(name), recs["B"].get(name)
-        if a is None or b is None:
-            print(f"{name}: MISSING in pass {'A' if a is None else 'B'}")
+        rows = {t: recs[t].get(name) for t in tags}
+        missing = [t for t, r in rows.items() if r is None]
+        errs = {t: r["err"] for t, r in rows.items() if r and "err" in r}
+        if missing or errs:
+            print(f"{name}: MISSING in {missing} ERRS {errs}")
             bad += 1
-        elif "err" in a or "err" in b:
-            print(f"{name}: ERR a={a.get('err')} b={b.get('err')}")
+            continue
+        hashes = {r["hash"] for r in rows.values()}
+        if len(hashes) > 1:
+            detail = {t: r["rows"] for t, r in rows.items()}
+            print(f"{name}: HASH MISMATCH across {tags}, rows {detail}")
             bad += 1
-        elif a["hash"] != b["hash"]:
-            print(
-                f"{name}: HASH MISMATCH rows {a['rows']} vs {b['rows']}"
-            )
-            bad += 1
-    print(f"compared {len(names)} queries: {bad} divergent")
+    print(f"compared {len(names)} queries across passes {tags}: {bad} divergent")
     return 1 if bad else 0
 
 
