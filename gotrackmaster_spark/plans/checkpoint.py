@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -115,6 +116,26 @@ class Catalog:
         with open(os.path.join(self._log_dir(table), f"{sid:08d}.json")) as f:
             return json.load(f)
 
+    def _next_snapshot_dir(self, table: str) -> tuple[int, str]:
+        """Allocate the next snapshot id and its data dir, clearing
+        crashed-attempt debris.
+
+        A writer that died between the data write and the atomic manifest
+        publish leaves ``snap-<next>`` on disk with NO manifest pointing
+        at it — invisible to every reader (``load``/``resume_pending``
+        resolve manifests only), but a naive retry would recompute the
+        same id and fail on ``errorifexists``.  Since no manifest can
+        reference an id above the latest published one, such a directory
+        is provably orphaned: remove it so crash recovery is simply
+        re-running the job (single writer per table, as on object-store
+        Iceberg without a catalog lock — see module docstring)."""
+        snaps = self.snapshots(table)
+        sid = (snaps[-1] + 1) if snaps else 1
+        snap_dir = os.path.join(self._table_dir(table), f"snap-{sid:08d}")
+        if os.path.exists(snap_dir):
+            shutil.rmtree(snap_dir)
+        return sid, snap_dir
+
     # ------------------------------------------------------------ commit ---
     def commit(
         self,
@@ -136,9 +157,7 @@ class Catalog:
         column stats) — :meth:`load_pruned` uses them to skip whole files
         on range predicates without opening them.
         """
-        snaps = self.snapshots(table)
-        sid = (snaps[-1] + 1) if snaps else 1
-        snap_dir = os.path.join(self._table_dir(table), f"snap-{sid:08d}")
+        sid, snap_dir = self._next_snapshot_dir(table)
 
         writer = df.write.mode("errorifexists")
         if partition_col:
@@ -164,7 +183,7 @@ class Catalog:
         manifest = {
             "table": table,
             "snapshot_id": sid,
-            "parent_id": snaps[-1] if snaps else None,
+            "parent_id": sid - 1 if sid > 1 else None,
             "created_unix": time.time(),
             "data_dir": snap_dir,
             "files": sorted(files),
@@ -300,9 +319,7 @@ class Catalog:
             tgt, source.filter(src_mask), key_cols, when_matched, tgt_cols
         )
 
-        snaps = self.snapshots(table)
-        sid = snaps[-1] + 1
-        snap_dir = os.path.join(self._table_dir(table), f"snap-{sid:08d}")
+        sid, snap_dir = self._next_snapshot_dir(table)
         merged.write.mode("errorifexists").partitionBy(partition_col).parquet(snap_dir)
 
         files, file_stats, counts = _scan_snapshot_files(
@@ -328,7 +345,7 @@ class Catalog:
         manifest = {
             "table": table,
             "snapshot_id": sid,
-            "parent_id": snaps[-1],
+            "parent_id": sid - 1,
             "created_unix": time.time(),
             "data_dir": snap_dir,
             "files": sorted(files),
@@ -655,9 +672,7 @@ class Catalog:
         vals = sorted(str(v) for v in partition_vals)
         piece = df.filter(F.col(partition_col).cast("string").isin(vals))
 
-        snaps = self.snapshots(table)
-        sid = snaps[-1] + 1
-        snap_dir = os.path.join(self._table_dir(table), f"snap-{sid:08d}")
+        sid, snap_dir = self._next_snapshot_dir(table)
         piece.write.mode("errorifexists").partitionBy(partition_col).parquet(snap_dir)
 
         files, file_stats, counts = _scan_snapshot_files(
@@ -680,7 +695,7 @@ class Catalog:
         manifest = {
             "table": table,
             "snapshot_id": sid,
-            "parent_id": snaps[-1],
+            "parent_id": sid - 1,
             "created_unix": time.time(),
             "data_dir": snap_dir,
             "files": sorted(files),
@@ -811,9 +826,7 @@ class Catalog:
         sort_cols = [partition_col] + ([sort_col] if sort_col else [])
         df = df.sortWithinPartitions(*sort_cols)
 
-        snaps = self.snapshots(table)
-        sid = snaps[-1] + 1
-        snap_dir = os.path.join(self._table_dir(table), f"snap-{sid:08d}")
+        sid, snap_dir = self._next_snapshot_dir(table)
         df.write.mode("errorifexists").partitionBy(partition_col).parquet(snap_dir)
 
         files, file_stats, counts = _scan_snapshot_files(
@@ -836,7 +849,7 @@ class Catalog:
         manifest = {
             "table": table,
             "snapshot_id": sid,
-            "parent_id": snaps[-1],
+            "parent_id": sid - 1,
             "created_unix": time.time(),
             "data_dir": snap_dir,
             "files": sorted(files),

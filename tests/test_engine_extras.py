@@ -628,3 +628,41 @@ def test_gpx_scan_quarantine(spark, tmp_path):
     assert {r.track_id for r in default} == {
         "2020-10-03_09-05_Sat_pedraforca.gpx"
     }
+
+
+def test_checkpoint_crashed_commit_is_invisible_and_retryable(spark, tmp_path):
+    """Crash-consistency contract: a writer that died BETWEEN the data
+    write and the atomic manifest publish leaves an orphaned snap dir.
+    Readers must never see it (manifest-resolved reads), resume must not
+    count its partitions as done, and simply RE-RUNNING the commit must
+    succeed — recovery is a retry, never manual cleanup."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gotrackmaster_spark.plans.checkpoint import Catalog
+
+    cat = Catalog(str(tmp_path))
+    df = spark.range(100).select(
+        (F.col("id") % 4).cast("string").alias("part"), F.col("id")
+    )
+    cat.commit(df.filter("part in ('0','1')"), "t", partition_col="part")
+
+    # simulate the crash: snapshot-2 data fully written, manifest never
+    # published (die between write.parquet() and _publish)
+    orphan = os.path.join(str(tmp_path), "t", "snap-00000002")
+    df.filter("part = '2'").write.partitionBy("part").parquet(orphan)
+    assert os.path.isdir(orphan)
+
+    # invisible to readers and to resume
+    assert cat.load(spark, "t").count() == 50
+    allp = spark.createDataFrame([("0",), ("1",), ("2",), ("3",)], "part string")
+    pending = {r.part for r in cat.resume_pending(spark, allp, "t", "part").collect()}
+    assert pending == {"2", "3"}
+
+    # the retry just works: same snapshot id, debris cleared, both
+    # pending partitions land in one published snapshot
+    m2 = cat.commit(df.filter("part in ('2','3')"), "t", partition_col="part")
+    assert m2["snapshot_id"] == 2 and set(m2["partitions"]) == {"2", "3"}
+    assert cat.load(spark, "t", 2).count() == 50
+    assert cat.load(spark, "t", 1).count() == 50  # snapshot isolation intact
