@@ -89,10 +89,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # ================= DRIVER WINDOW (positions 1-50) =================
-        # Round-4 rotation (VERDICT r3 "Next round" #1): the 50 highest-
-        # risk never-driver-checked queries, ordered by family risk.
-        # -- iterative / graph family (pointer doubling, peeling, fixed-
-        #    round power iteration, frontier BFS/Bellman-Ford, 1-WL):
+        # Round-5 rotation (VERDICT r4 "Next round" #1): the pre-staged
+        # block move executed — these 50 never-driver-checked queries
+        # (verified by the r4 judge) take the window.  Composition per
+        # the ordering policy: everything re-shaped in r4 with no prior
+        # green row (rrf_fusion, funnel_steps, zipf_check — bit-identical
+        # re-shapes, parity-pinned) plus the intricate-oracle majority.
+        # Every entry is green in tests/test_oracle_parity.py each
+        # session regardless of position.
+        "accessibility_2sfca": _wrap(Q.q_accessibility_2sfca),
+        "movement_rose": _wrap(Q.q_movement_rose),
+        "gravity_od": _wrap(Q.q_gravity_od),
+        "pip_donut": _wrap(Q.q_pip_donut),
+        "phash_topk": _wrap(Q.q_phash_topk),
+        "tile_top_terms": _wrap(Q.q_tile_top_terms),
+        "stkde": _wrap(Q.q_stkde),
+        "type_runs": _wrap(Q.q_type_runs),
+        "areal_disagg": _wrap(Q.q_areal_disagg),
+        "delta_dedup": _wrap(Q.q_delta_dedup),
+        "ngram_novelty": _wrap(Q.q_ngram_novelty),
+        "snapshot_changelog": _wrap(Q.q_snapshot_changelog),
+        "rolling_active_users": _wrap(Q.q_rolling_active_users),
+        "markov_transitions": _wrap(Q.q_markov_transitions),
+        "chi2_contingency": _wrap(Q.q_chi2_contingency),
+        "term_pmi": _wrap(Q.q_term_pmi),
+        "cohort_retention": _wrap(Q.q_cohort_retention),
+        "cell_flow_vectors": _wrap(Q.q_cell_flow_vectors),
+        "bm25_scores": _wrap(Q.q_bm25_scores),
+        "union_area": _wrap(Q.q_union_area),
+        "skyline_events": _wrap(Q.q_skyline_events),
+        "cusum_changepoints": _wrap(Q.q_cusum_changepoints),
+        "seasonal_anomalies": _wrap(Q.q_seasonal_anomalies),
+        "kmeans_clusters": _wrap(Q.q_kmeans_clusters),
+        "stratum_tv_distance": _wrap(Q.q_stratum_tv_distance),
+        "zrange_scan": _wrap(Q.q_zrange_scan),
+        "dem_viewshed": _wrap(Q.q_dem_viewshed),
+        "canonical_docs": _wrap(Q.q_canonical_docs),
+        "ols_trends": _wrap(Q.q_ols_trends),
+        "caption_pixel_corr": _wrap(Q.q_caption_pixel_corr),
+        "regional_revenue": _wrap(Q.q_regional_revenue),
+        "quadtree_hist": _wrap(Q.q_quadtree_hist),
+        "winnow_verified": _wrap(Q.q_winnow_verified),
+        "lag_autocorr": _wrap(Q.q_lag_autocorr),
+        "raster_regions": _wrap(Q.q_raster_regions),
+        "phrase_search": _wrap(Q.q_phrase_search),
+        "cell_diversity": _wrap(Q.q_cell_diversity),
+        "assoc_rules": _wrap(Q.q_assoc_rules),
+        "contour_cases": _wrap(Q.q_contour_cases),
+        "kendall_tau": _wrap(Q.q_kendall_tau),
+        "gini_coefficient": _wrap(Q.q_gini_coefficient),
+        "box_counting": _wrap(Q.q_box_counting),
+        "ks_statistic": _wrap(Q.q_ks_statistic),
+        "mann_whitney": _wrap(Q.q_mann_whitney),
+        "shipping_priority": _wrap(Q.q_shipping_priority),
+        "rrf_fusion": _wrap(Q.q_rrf_fusion),
+        "funnel_steps": _wrap(Q.q_funnel_steps),
+        "zipf_check": _wrap(Q.q_zipf_check),
+        "cube_counts": _wrap(Q.q_cube_counts),
+        "rolling_median": _wrap(Q.q_rolling_median),
+        # ============== end of driver window ==============
+        # -- ROUND-4 WINDOW, now driver-green (CORRECTNESS_r04 50/50):
+        #    graph/iterative, spatial-statistics, image-texture and
+        #    changed-in-r4 families; implementations untouched since
+        #    their green rows, re-pinned locally every session.
         "d8_basins": _wrap(Q.q_d8_basins),
         "kcore_nodes": _wrap(Q.q_kcore_nodes),
         "pagerank_cells": _wrap(Q.q_pagerank_cells),
@@ -150,67 +209,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth": _wrap(Q.q_vocab_growth),
         "winnow_pairs": _wrap(Q.q_winnow_pairs),
         "kde_raster": _wrap(Q.q_kde_raster),
-        # ============== end of driver window ==============
-        # -- ROUND-5 WINDOW, PRE-STAGED (positions 51-100): the 50
-        #    never-driver-checked queries that take the window at the
-        #    round-5 rotation (a pure block move of this section to the
-        #    front).  Composition per the ordering policy: everything
-        #    re-shaped this round with no prior green row (rrf_fusion,
-        #    funnel_steps, zipf_check — bit-identical re-shapes, parity-
-        #    pinned) plus the intricate-oracle majority; single-pass
-        #    variant diagnostics yield to the leftover block below.
-        #    Every entry is green in tests/test_oracle_parity.py each
-        #    session regardless of position.
-        "accessibility_2sfca": _wrap(Q.q_accessibility_2sfca),
-        "movement_rose": _wrap(Q.q_movement_rose),
-        "gravity_od": _wrap(Q.q_gravity_od),
-        "pip_donut": _wrap(Q.q_pip_donut),
-        "phash_topk": _wrap(Q.q_phash_topk),
-        "tile_top_terms": _wrap(Q.q_tile_top_terms),
-        "stkde": _wrap(Q.q_stkde),
-        "type_runs": _wrap(Q.q_type_runs),
-        "areal_disagg": _wrap(Q.q_areal_disagg),
-        "delta_dedup": _wrap(Q.q_delta_dedup),
-        "ngram_novelty": _wrap(Q.q_ngram_novelty),
-        "snapshot_changelog": _wrap(Q.q_snapshot_changelog),
-        "rolling_active_users": _wrap(Q.q_rolling_active_users),
-        "markov_transitions": _wrap(Q.q_markov_transitions),
-        "chi2_contingency": _wrap(Q.q_chi2_contingency),
-        "term_pmi": _wrap(Q.q_term_pmi),
-        "cohort_retention": _wrap(Q.q_cohort_retention),
-        "cell_flow_vectors": _wrap(Q.q_cell_flow_vectors),
-        "bm25_scores": _wrap(Q.q_bm25_scores),
-        "union_area": _wrap(Q.q_union_area),
-        "skyline_events": _wrap(Q.q_skyline_events),
-        "cusum_changepoints": _wrap(Q.q_cusum_changepoints),
-        "seasonal_anomalies": _wrap(Q.q_seasonal_anomalies),
-        "kmeans_clusters": _wrap(Q.q_kmeans_clusters),
-        "stratum_tv_distance": _wrap(Q.q_stratum_tv_distance),
-        "zrange_scan": _wrap(Q.q_zrange_scan),
-        "dem_viewshed": _wrap(Q.q_dem_viewshed),
-        "canonical_docs": _wrap(Q.q_canonical_docs),
-        "ols_trends": _wrap(Q.q_ols_trends),
-        "caption_pixel_corr": _wrap(Q.q_caption_pixel_corr),
-        "regional_revenue": _wrap(Q.q_regional_revenue),
-        "quadtree_hist": _wrap(Q.q_quadtree_hist),
-        "winnow_verified": _wrap(Q.q_winnow_verified),
-        "lag_autocorr": _wrap(Q.q_lag_autocorr),
-        "raster_regions": _wrap(Q.q_raster_regions),
-        "phrase_search": _wrap(Q.q_phrase_search),
-        "cell_diversity": _wrap(Q.q_cell_diversity),
-        "assoc_rules": _wrap(Q.q_assoc_rules),
-        "contour_cases": _wrap(Q.q_contour_cases),
-        "kendall_tau": _wrap(Q.q_kendall_tau),
-        "gini_coefficient": _wrap(Q.q_gini_coefficient),
-        "box_counting": _wrap(Q.q_box_counting),
-        "ks_statistic": _wrap(Q.q_ks_statistic),
-        "mann_whitney": _wrap(Q.q_mann_whitney),
-        "shipping_priority": _wrap(Q.q_shipping_priority),
-        "rrf_fusion": _wrap(Q.q_rrf_fusion),
-        "funnel_steps": _wrap(Q.q_funnel_steps),
-        "zipf_check": _wrap(Q.q_zipf_check),
-        "cube_counts": _wrap(Q.q_cube_counts),
-        "rolling_median": _wrap(Q.q_rolling_median),
         # -- ROUND-5 LEFTOVERS (positions 101-116): round 5 is the final
         #    round, so these 16 never receive a driver row — deliberately
         #    the lowest-risk residue: output-pinned twins of driver-green
