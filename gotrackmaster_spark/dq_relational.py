@@ -2171,13 +2171,20 @@ def q_ks_statistic(spark, sf_dir):
         F.max("n2").alias("n2"),
         F.max(F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))).alias("d_num"),
     )
-    # pre-division guard (ANSI mode): one empty stratum => n1*n2 = 0 —
-    # degrade to NULL like the oracle, don't raise (K=1 degenerate sweep)
+    # pre-division guard (ANSI mode): one empty stratum => NULL like the
+    # oracle, don't raise (K=1 degenerate sweep).  Guard each factor
+    # separately and multiply as doubles — an int64 n1*n2 product would
+    # itself overflow under ANSI before any > 0 comparison applied once
+    # per-stratum cardinalities pass 2^63 (plausible at 100 TB).
     return d.select(
         "n1", "n2", "d_num",
         F.when(
-            (F.col("n1") * F.col("n2")) > 0,
-            F.round(F.col("d_num").cast("double") / (F.col("n1") * F.col("n2")).cast("double"), 6),
+            (F.col("n1") > 0) & (F.col("n2") > 0),
+            F.round(
+                F.col("d_num").cast("double")
+                / (F.col("n1").cast("double") * F.col("n2").cast("double")),
+                6,
+            ),
         ).alias("d_r"),
     )
 
@@ -2206,9 +2213,9 @@ tot AS (
 )
 SELECT max(t.n1) AS n1, max(t.n2) AS n2,
        max(abs(c.c1 * t.n2 - c.c2 * t.n1)) AS d_num,
-       CASE WHEN max(t.n1) * max(t.n2) > 0
+       CASE WHEN max(t.n1) > 0 AND max(t.n2) > 0
             THEN round(CAST(max(abs(c.c1 * t.n2 - c.c2 * t.n1)) AS DOUBLE)
-                       / CAST(max(t.n1) * max(t.n2) AS DOUBLE), 6)
+                       / (CAST(max(t.n1) AS DOUBLE) * CAST(max(t.n2) AS DOUBLE)), 6)
        END AS d_r
 FROM cum c CROSS JOIN tot t
 """
@@ -2242,14 +2249,19 @@ def q_mann_whitney(spark, sf_dir):
         F.sum("b").alias("n2"),
         F.sum(F.col("a") * (2 * F.col("b_less") + F.col("b"))).alias("u2x"),
     )
-    # pre-division guard (ANSI mode): one empty stratum => n1*n2 = 0 —
-    # degrade to NULL like the oracle, don't raise (K=1 degenerate sweep)
+    # pre-division guard (ANSI mode): one empty stratum => NULL like the
+    # oracle, don't raise (K=1 degenerate sweep).  Guard each factor
+    # separately and multiply as doubles — the int64 n1*n2 product would
+    # overflow under ANSI before the > 0 comparison once the per-stratum
+    # cardinalities pass 2^63 (plausible at 100 TB).
     return agg.select(
         "n1", "n2", "u2x",
         F.when(
-            (F.col("n1") * F.col("n2")) > 0,
+            (F.col("n1") > 0) & (F.col("n2") > 0),
             F.round(
-                F.col("u2x").cast("double") / (2 * F.col("n1") * F.col("n2")).cast("double"), 6
+                F.col("u2x").cast("double")
+                / (F.lit(2.0) * F.col("n1").cast("double") * F.col("n2").cast("double")),
+                6,
             ),
         ).alias("u_r"),
     )
@@ -2275,9 +2287,9 @@ cum AS (
 SELECT CAST(sum(a) AS BIGINT) AS n1,
        CAST(sum(b) AS BIGINT) AS n2,
        CAST(sum(a * (2 * b_less + b)) AS BIGINT) AS u2x,
-       CASE WHEN sum(a) * sum(b) > 0
+       CASE WHEN sum(a) > 0 AND sum(b) > 0
             THEN round(CAST(sum(a * (2 * b_less + b)) AS DOUBLE)
-                       / CAST(2 * sum(a) * sum(b) AS DOUBLE), 6)
+                       / (2.0 * CAST(sum(a) AS DOUBLE) * CAST(sum(b) AS DOUBLE)), 6)
        END AS u_r
 FROM cum
 """

@@ -266,12 +266,26 @@ def connected_components(
         if checkpoint_dir is not None and prev_ckpt_dir is not None:
             spark.sparkContext.setCheckpointDir(prev_ckpt_dir)
     if changed != 0:
+        # the remediation hint must reflect what actually ran: with
+        # jump_after >= max_iter, pointer jumping never engaged, so the
+        # run was plain O(diameter) propagation and "~log₂(diameter)
+        # rounds" would mislead the caller into a too-small max_iter
+        if max_iter > jump_after:
+            hint = (
+                f"Raise max_iter (~log₂(diameter) rounds needed with "
+                f"pointer jumping, which engaged from round {jump_after})."
+            )
+        else:
+            hint = (
+                f"Pointer jumping NEVER engaged (jump_after={jump_after} >= "
+                f"max_iter={max_iter}), so this was plain O(diameter) "
+                f"propagation; raise max_iter above jump_after to get the "
+                f"O(log diameter) jumping path."
+            )
         msg = (
             f"connected_components did NOT converge in max_iter={max_iter} "
-            f"rounds ({changed} labels still changing) — component "
-            f"log₂-diameter exceeds max_iter; labels are WRONG for the "
-            f"unconverged components. Raise max_iter (~log₂(diameter) "
-            f"rounds needed with pointer jumping)."
+            f"rounds ({changed} labels still changing) — labels are WRONG "
+            f"for the unconverged components. " + hint
         )
         if on_nonconverged == "raise":
             raise ValueError(msg)

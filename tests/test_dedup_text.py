@@ -245,10 +245,18 @@ def test_connected_components_nonconvergence(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(12)], "a_id long, b_id long"
     )
-    with pytest.raises(ValueError, match="did NOT converge"):
+    # max_iter=2 < default jump_after=3: jumping never engages, and the
+    # remediation hint must SAY so instead of promising O(log diameter)
+    with pytest.raises(ValueError, match="did NOT converge") as exc:
         connected_components(chain, max_iter=2)
+    assert "NEVER engaged" in str(exc.value)
     partial = connected_components(chain, max_iter=2, on_nonconverged="warn")
     assert partial.count() == 13  # partial labels returned, loudly
+    # with jumping engaged but the budget still too small, the hint
+    # points at max_iter (the jump DID run)
+    with pytest.raises(ValueError, match="did NOT converge") as exc:
+        connected_components(chain, max_iter=2, jump_after=1)
+    assert "engaged from round 1" in str(exc.value)
     # and with enough rounds the same chain converges to root 0
     full = {r.v: r.l for r in connected_components(chain, max_iter=20).collect()}
     assert set(full.values()) == {0}

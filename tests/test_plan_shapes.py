@@ -336,3 +336,61 @@ def test_single_partition_detector_fires_and_clears(spark):
     # global sort of pre-aggregated rows is also fine (bounded feed)
     ranked = ev.groupBy("user_id").count().orderBy("count")
     assert unbounded_single_partitions(_plan(ranked)) == []
+
+
+def test_single_partition_detector_resolves_reused_exchange():
+    """ReusedExchange must be resolved to the original exchange by
+    plan_id and audited through it, not assumed bounding (the round-4
+    review's false-negative class).  Synthetic tree drawings — the
+    detector is a pure string walker, so hand-written plans are the
+    direct test vector for shapes Spark only emits in large plans."""
+    from gotrackmaster_spark.plans.audit import unbounded_single_partitions
+
+    # reuse of a raw (scan-fed) hash exchange feeding a global sort:
+    # the old detector passed this silently; it must flag now
+    leaky = """
+Union
+:- HashAggregate(keys=[a#1], functions=[count(1)])
+:  +- Exchange hashpartitioning(a#1, 32), ENSURE_REQUIREMENTS, [plan_id=5]
+:     +- Scan parquet [a#1]
++- Sort [a#2 ASC NULLS FIRST], true, 0
+   +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=9]
+      +- ReusedExchange [a#2], Exchange hashpartitioning(a#1, 32), ENSURE_REQUIREMENTS, [plan_id=5]
+"""
+    assert unbounded_single_partitions(leaky), "reused raw exchange not flagged"
+
+    # same shape but the original exchange is fed by a partial aggregate:
+    # the reused output is bounded, so the SinglePartition feed is clean
+    bounded = """
+Union
+:- HashAggregate(keys=[a#1], functions=[count(1)])
+:  +- Exchange hashpartitioning(a#1, 32), ENSURE_REQUIREMENTS, [plan_id=5]
+:     +- HashAggregate(keys=[a#1], functions=[partial_count(1)])
+:        +- Scan parquet [a#1]
++- Sort [a#2 ASC NULLS FIRST], true, 0
+   +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=9]
+      +- ReusedExchange [a#2], Exchange hashpartitioning(a#1, 32), ENSURE_REQUIREMENTS, [plan_id=5]
+"""
+    assert unbounded_single_partitions(bounded) == []
+
+    # a reuse of a SinglePartition exchange is accepted HERE (the
+    # original site carries the finding — exactly once, not twice)
+    reused_sp = """
+Union
+:- Sort [a#1 ASC NULLS FIRST], true, 0
+:  +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=5]
+:     +- Scan parquet [a#1]
++- Sort [a#2 ASC NULLS FIRST], true, 0
+   +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=9]
+      +- ReusedExchange [a#2], Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=5]
+"""
+    assert len(unbounded_single_partitions(reused_sp)) == 1
+
+    # an unresolvable reuse (no plan_id anywhere) is conservatively
+    # treated as unbounded
+    unresolvable = """
+Sort [a#2 ASC NULLS FIRST], true, 0
++- Exchange SinglePartition
+   +- ReusedExchange [a#2], Exchange hashpartitioning(a#1, 32)
+"""
+    assert unbounded_single_partitions(unresolvable), "unresolvable reuse not flagged"
